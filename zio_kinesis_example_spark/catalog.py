@@ -1,0 +1,76 @@
+"""Typed loaders for the driver-generated testdata tables (TESTDATA.md,
+FIXTURES.md §B).
+
+Schemas are *declared*, not inferred, mirroring the reference's static
+nominal schema stance (case class + compile-time codec,
+reference TestMsgJsonSerde.scala:9, TestMsg.scala:3): we verify the parquet
+footer schema matches what FIXTURES.md promises rather than silently
+accepting drift.
+
+Scale note: loaders return plain ``spark.read.parquet`` scans so Catalyst
+keeps full pushdown/pruning freedom — no caching, no collect. At 100 TB the
+same code path reads a partitioned lake; only ``sf_dir`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import RUNTIME_CONFS
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at *any* scale factor
+#: (region=5 rows, nation=25 rows — fixed-size in TPC-H-style generators).
+ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we may not have created
+    (the driver passes its own SparkSession into ``queries()`` callables)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder already set it for ours
+    return spark
+
+
+def path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized column types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
+    int64 ns (``nanosAsLong``) and we convert to timestamp_ntz at µs
+    precision — the same truncation DuckDB applies, so oracle comparisons
+    agree. All other tables load as-is (orders/lineitem dates are already
+    timestamp_ntz).
+    """
+    configure(spark)
+    df = spark.read.parquet(path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql-based queries,
+    e.g. GROUPING SETS which has no DataFrame-API equivalent)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,352 @@
+"""Deduplication operators [north-star]: exact hash dedup, n-gram Jaccard,
+MinHash-LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+- **Exact dedup** is a hash-partitioned groupBy on a content digest — one
+  shuffle keyed by sha2(text); identical texts co-locate, no pairwise work.
+- **Exact pairwise Jaccard** (q_dedup_ngram_jaccard) is the *ground-truth*
+  path: cost grows with Σ|bucket|² over shingle buckets, so it is only run
+  on bounded corpora / blocked subsets. Its oracle-checked output defines
+  correctness for the approximate paths.
+- **MinHash-LSH** (q_dedup_minhash*) is the scale path: per-document
+  signature computation is embarrassingly parallel (no shuffle, higher-order
+  functions only), then ONE shuffle on (band_id, band_hash) groups likely
+  duplicates; pairwise verification happens only inside buckets. This is the
+  standard shingle→minhash→band→bucket-join design.
+- **SimHash** (q_dedup_simhash*): 64-bit signature per doc, candidates via
+  16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal),
+  verified with bit_count(xor) ≤ 3.
+- **Embedding cosine** (q_dedup_embedding): blocked by ``label`` so the
+  pairwise stage is per-block; at real scale the block key would be an LSH
+  or IVF bucket (see llm_similarity).
+
+All signature math uses Spark built-ins (xxhash64, higher-order array
+functions) — JVM-side, no Python in the hot path. Signature queries are
+deterministic but engine-hash-specific → rows-only driver check; the
+pairwise Jaccard and cosine queries carry exact DuckDB oracles.
+
+Reference parity note: the reference has no dedup operators (SURVEY.md §2.1
+"does NOT implement: distinct/dedup"); this module is the north-star
+surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# 3-term shingles; documents.text is space-separated terms (FIXTURES.md §B).
+_SHINGLES = """
+    CASE WHEN size(terms) >= 3
+         THEN array_distinct(transform(sequence(1, size(terms) - 2),
+                                       i -> concat_ws(' ', slice(terms, i, 3))))
+         ELSE array(concat_ws(' ', terms))
+    END
+"""
+
+_N_HASHES = 16
+_BANDS = 4  # 4 bands x 4 rows
+
+
+def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("terms"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        SELECT sha256(text) AS text_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: one hash-partitioned groupBy; the
+    canonical representative is min(doc_id). O(n) + one shuffle at any SF."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_dedup_exact_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup",),
+)
+def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct (dropDuplicates) — partial-aggregate dedup
+    before the shuffle, so the exchange carries unique keys only."""
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(CASE WHEN len(terms) >= 3
+                       THEN list_transform(generate_series(1, len(terms) - 2),
+                                           i -> array_to_string(terms[i:i+2], ' '))
+                       ELSE [array_to_string(terms, ' ')] END) AS sh
+              FROM t),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+        FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.01
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard via shingle co-occurrence join.
+
+    |A∩B| comes from the shingle-grouped self-join (only docs sharing a
+    shingle ever pair — never a cartesian), |A∪B| = |A|+|B|−|A∩B|. The
+    Jaccard value is a ratio of exact integers → bit-identical across
+    engines, so the threshold is boundary-safe.
+    """
+    s = _with_shingles(spark, sf_dir)
+    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    sz = s.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sz.alias("x")
+    y = sz.alias("y")
+    jac = F.col("n_common") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.01)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+def minhash_signatures(docs_with_shingles: DataFrame,
+                       n_hashes: int = _N_HASHES,
+                       bands: int = _BANDS) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, band_id, band_hash).
+
+    The i-th hash function is xxhash64(shingle, i); the signature is the
+    per-function min over the doc's shingles — computed entirely with
+    higher-order functions (no explode, no shuffle). Bands hash ``r``
+    consecutive signature slots together; docs sharing any (band_id,
+    band_hash) are near-dup candidates.
+    """
+    r = n_hashes // bands
+    sig = F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"  s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
+    )
+    band = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"  b -> xxhash64(to_json(slice(sig, b * {r} + 1, {r}))))"
+    )
+    return (
+        docs_with_shingles.select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.posexplode(band).alias("band_id", "band_hash"))
+    )
+
+
+@query("q_dedup_minhash", oracle=None, tags=("dedup", "approx"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH bucket assignments (doc_id, band_id, band_hash): the
+    distributed near-dup index. Deterministic (xxhash64 is seeded) but
+    engine-specific → rows-only check; end-to-end recall on planted
+    duplicates is asserted in tests/test_dedup.py."""
+    return minhash_signatures(_with_shingles(spark, sf_dir))
+
+
+@query("q_dedup_minhash_pairs", oracle=None, tags=("dedup", "approx"))
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard ≥ 0.5.
+
+    Bucket-join on (band_id, band_hash) → distinct candidate pairs →
+    verify with true shingle Jaccard. Only bucket-mates are compared:
+    the pairwise stage is Σ|bucket|², not n².
+    """
+    s = _with_shingles(spark, sf_dir)
+    buckets = minhash_signatures(s)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    sh = s.select("doc_id", "shingles")
+    jac = F.expr(
+        "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb")), "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from distinct-term xxhash64 hashes.
+
+    bit b of the signature = majority vote of bit b across term hashes.
+    All array math via higher-order functions: per-row JVM compute, zero
+    shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    bitsums = (
+        "aggregate(hashes, "
+        "  cast(array_repeat(0L, 64) as array<bigint>), "
+        "  (acc, h) -> zip_with(acc, sequence(0, 63), "
+        "    (a, b) -> a + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    simhash = (
+        "aggregate(sequence(0, 63), 0L, "
+        " (acc, b) -> acc + CASE WHEN element_at(bitsums, b + 1) > 0 "
+        "   THEN shiftleft(1L, b) ELSE 0L END)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"
+            ).alias("hashes"),
+        )
+        .select("doc_id", F.expr(bitsums).alias("bitsums"))
+        .select("doc_id", F.expr(simhash).alias("simhash"))
+    )
+
+
+@query("q_dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (doc_id, simhash). Rows-only check; hamming
+    near-dup recall on planted duplicates asserted in tests/test_dedup.py."""
+    return simhash_signatures(spark, sf_dir)
+
+
+def simhash_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidates via 16-bit chunk banding (pigeonhole: ≤3 differing bits ⇒
+    at least one of the four 16-bit chunks is identical), verified by
+    bit_count(xor). One shuffle on (chunk_id, chunk_value).
+    """
+    chunks = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+            )
+        ).alias("chunk_id", "chunk_value"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_value") == F.col("b.chunk_value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("q_dedup_simhash_pairs", oracle=None, tags=("dedup", "approx"))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via chunk-banding."""
+    return simhash_pairs(simhash_signatures(spark, sf_dir))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    The label block is the stand-in for an ANN bucket: pairwise cosine only
+    within blocks. Arrays are cast to double on BOTH sides so engine float
+    behavior is identical (float64 everywhere; diff ~1e-15 « threshold
+    margin)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    )
+    na = F.expr("aggregate(a.emb, 0D, (s, v) -> s + v * v)")
+    nb = F.expr("aggregate(b.emb, 0D, (s, v) -> s + v * v)")
+    cos = dot / F.sqrt(na * nb)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

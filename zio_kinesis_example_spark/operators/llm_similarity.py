@@ -1,0 +1,172 @@
+"""Similarity search over embeddings [north-star]: brute-force cosine top-k
+baseline + LSH-bucketed approximate variant (the 100 TB path).
+
+Scale design:
+- **Brute force** (q_sim_cosine_topk): query set × corpus. The query set is
+  broadcast (it is the small side by construction); the corpus streams
+  through map-side — no shuffle of the corpus. Per-query top-k via
+  window row_number, which AQE executes as partial top-k per partition.
+  Cost is O(|Q|·|corpus|·dim): the exact baseline, correct at any scale
+  but linear in corpus size per query.
+- **LSH** (q_sim_ann_lsh): random-hyperplane signatures (16 bits) computed
+  per-row with deterministic integer-weight planes (seeded, embedded as
+  literals) → candidates = bucket-mates (single shuffle on signature) →
+  exact cosine re-rank within bucket. Sub-linear probe cost; recall vs the
+  brute-force baseline is asserted in tests/test_similarity.py.
+
+All vector math in JVM higher-order functions over array<double> — no
+Python, no UDF; Arrow only at the result edge.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+_K = 5
+_QUERY_FILTER = "vec_id % 50 = 0"  # deterministic small query set
+
+# Deterministic random hyperplanes for multi-table LSH: integer weights in
+# [-5, 5], seeded — reproducible across runs. L tables of k bits each: a
+# pair collides if it shares the full k-bit signature in ANY table.
+# Collision prob for angle θ: 1 − (1 − (1−θ/π)^k)^L — k trades precision,
+# L trades recall; both are tunable per corpus density.
+_K_BITS = 6
+_L_TABLES = 12
+_DIM = 64
+_rng = random.Random(20240813)
+_PLANES: list[list[int]] = [
+    [_rng.randint(-5, 5) for _ in range(_DIM)]
+    for _ in range(_K_BITS * _L_TABLES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def cosine(a: str, b: str):
+    """cos(a, b) over array<double> columns — JVM-side fold, float64."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+    na = F.expr(f"aggregate({a}, 0D, (s, v) -> s + v * v)")
+    nb = F.expr(f"aggregate({b}, 0D, (s, v) -> s + v * v)")
+    return dot / F.sqrt(na * nb)
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE {_QUERY_FILTER}),
+        pairs AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS s
+                  FROM q, embeddings e WHERE e.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, round(s, 6) AS cosine,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY s DESC, neighbor_id)
+                               AS BIGINT) AS rnk
+                   FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {_K}
+    """,
+    tags=("similarity",),
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (brute-force baseline).
+
+    Query set broadcast; ranking tie-broken by neighbor_id; cosine rounded
+    to 6dp on both sides (ranking uses the unrounded value).
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qe", "emb").alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", F.round("s", 6).alias("cosine"), "rnk")
+    )
+
+
+def lsh_tables_expr() -> F.Column:
+    """array of L per-table signatures of column ``emb``.
+
+    Table t's signature packs k sign bits (emb · plane > 0) into an int.
+    Planes are literal arrays → constant-folded; per-row cost L·k·dim FMAs,
+    no shuffle.
+    """
+    sigs = []
+    for t in range(_L_TABLES):
+        bits = []
+        for b in range(_K_BITS):
+            plane = _PLANES[t * _K_BITS + b]
+            arr = f"array({', '.join(f'{w}D' for w in plane)})"
+            dot = (f"aggregate(zip_with(emb, {arr}, (x, y) -> x * y), "
+                   f"0D, (s, v) -> s + v)")
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
+        sigs.append(" + ".join(bits))
+    return F.expr(f"array({', '.join(sigs)})").alias("sigs")
+
+
+def lsh_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, …) → one row per (table_id, sig) bucket membership."""
+    return e.withColumn("sigs", lsh_tables_expr()).select(
+        "vec_id", "emb", F.posexplode("sigs").alias("table_id", "sig")
+    )
+
+
+@query("q_sim_ann_lsh", oracle=None, tags=("similarity", "approx"))
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to multi-table
+    LSH bucket-mates (union over L tables of same-k-bit-signature sets).
+
+    Sub-linear candidate generation: one shuffle keyed by (table_id, sig).
+    Rows-only driver check (approximate by design); recall vs
+    q_sim_cosine_topk asserted in tests/test_similarity.py.
+    """
+    e = _emb(spark, sf_dir)
+    buckets = lsh_buckets(e)
+    q = lsh_buckets(e.filter(F.expr(_QUERY_FILTER))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("table_id").alias("q_table_id"),
+        F.col("sig").alias("q_sig"),
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table_id"))
+            & (F.col("sig") == F.col("q_sig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", F.col("neighbor_id"), cosine("qe", "emb").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", F.round("s", 6).alias("cosine"), "rnk")
+    )

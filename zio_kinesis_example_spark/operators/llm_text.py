@@ -1,0 +1,243 @@
+"""Text-analysis operators [north-star]: term frequencies, language ID,
+quality scoring, token counting, document fingerprinting — all over the
+``documents`` table, all JVM-side built-ins, all with exact DuckDB oracles.
+
+Scale: every query here is scan → per-row expressions (+ at most one
+grouped aggregation). No pairwise work, no Python. At 100 TB these are
+single-pass map-mostly jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# Marker-term vocabularies for the n-gram/term-list language-ID heuristic.
+# Deterministic toy lists over the corpus vocabulary; the *mechanism*
+# (per-language marker scoring + argmax with alphabetical tie-break) is the
+# operator under test, mirrored exactly in the oracle.
+_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "nicht", "das", "table", "scan"),
+    "en": ("the", "and", "a", "of", "join", "merge"),
+    "es": ("el", "la", "los", "que", "filter", "row"),
+    "fr": ("le", "la", "les", "des", "group", "sort"),
+    "zh": ("de5", "shi4", "le5", "zai4", "hash", "batch"),
+}
+_LANGS = tuple(sorted(_MARKERS))
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+        WITH tf AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tf GROUP BY lang, term
+        )
+        SELECT lang, term, n, rnk FROM (
+            SELECT lang, term, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, term) AS BIGINT) AS rnk
+            FROM counts
+        ) WHERE rnk <= 5
+    """,
+    tags=("text",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by frequency (tie-break: term asc).
+
+    tokenize → explode → grouped count → per-group top-k window. The
+    explode happens map-side; the only shuffle is the (lang, term) agg.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+def _langid_score_sql_duck(lang: str) -> str:
+    lst = ", ".join(f"'{t}'" for t in _MARKERS[lang])
+    return (f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{lst}])) AS INT)")
+
+
+def _langid_oracle() -> str:
+    scores = ",\n".join(
+        f"  {_langid_score_sql_duck(lang)} AS s_{lang}" for lang in _LANGS
+    )
+    # argmax with alphabetical tie-break: first lang whose score >= max of rest
+    branches = []
+    for i, lang in enumerate(_LANGS):
+        rest = [f"s_{l}" for l in _LANGS[i + 1:]]
+        if rest:
+            cond = f"s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 \
+                else f"s_{lang} >= {rest[0]}"
+            branches.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            branches.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+{scores}
+            FROM documents
+        )
+        SELECT doc_id, {case} AS pred_lang,
+               ({case} = lang) AS is_correct
+        FROM scored
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle(), tags=("text",))
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-term language ID: per-language marker-hit count, argmax with
+    alphabetical tie-break. The heuristic shape (n-gram/marker profile →
+    score → argmax) is the standard fast lang-ID design; marker lists are
+    deterministic constants shared with the oracle."""
+    d = load(spark, sf_dir, "documents")
+    terms = F.array_distinct(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    terms, F.array(*[F.lit(t) for t in _MARKERS[lang]])
+                )
+            ).alias(f"s_{lang}")
+            for lang in _LANGS
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(reversed(_LANGS)):
+        if pred is None:
+            pred = F.lit(lang)
+        else:
+            rest = [F.col(f"s_{l}") for l in _LANGS if l > lang]
+            mx = rest[0] if len(rest) == 1 else F.greatest(*rest)
+            pred = F.when(F.col(f"s_{lang}") >= mx, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_terms,
+               n_chars,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_term_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ('the', 'a', 'and', 'of')))
+                          AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
+                     * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ('the', 'a', 'and', 'of')))
+                                   AS DOUBLE)
+                              / len(string_split(text, ' '))), 6)
+                   AS quality_score
+        FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation × (1 − stopword
+    ratio). Ratios are exact-int divisions → engine-identical; rounded 6dp."""
+    d = load(spark, sf_dir, "documents")
+    terms = F.split("text", " ")
+    n_terms = F.size(terms).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    stop = F.size(
+        F.filter(terms, lambda t: t.isin("the", "a", "and", "of"))
+    ).cast("double")
+    stop_ratio = stop / F.size(terms)
+    return d.select(
+        "doc_id",
+        n_terms.alias("n_terms"),
+        "n_chars",
+        F.round(n_alpha / F.size(terms), 6).alias("avg_term_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.size(terms).cast("double") / 64)
+            * (1.0 - stop_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> length(t) > 4)) AS BIGINT)
+                   AS n_long_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + chars/4 BPE-ish estimate (the
+    standard ~4-chars-per-token heuristic) + long-token count."""
+    d = load(spark, sf_dir, "documents")
+    terms = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(terms).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+        F.size(F.filter(terms, lambda t: F.length(t) > 4)).cast("long").alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           t -> CAST(ascii(substring(t, 1, 1)) * 131
+                                     + length(t) AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the term sequence
+    (mod 1e9+7, base 131) — a content fingerprint that distinguishes
+    permuted documents, unlike set-based digests. Exact integer math →
+    engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    fp = (
+        "aggregate(transform(split(text, ' '), "
+        "            t -> cast(ascii(substring(t, 1, 1)) * 131 + length(t) as bigint)), "
+        "          0L, (h, c) -> (h * 131 + c) % 1000000007)"
+    )
+    return d.select("doc_id", F.expr(fp).alias("fingerprint"))

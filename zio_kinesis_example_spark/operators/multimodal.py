@@ -1,0 +1,162 @@
+"""Multimodal column operators [north-star]: image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed via Arrow-batched
+Pandas UDFs (``mapInPandas``).
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake (documented below) — but every piece of Spark-side
+plumbing is real and oracle-checked: binary column construction, schema
+declaration, mapInPandas batch iteration, per-batch vectorized numpy work,
+and downstream relational composition.
+
+Scale design: mapInPandas streams Arrow batches — constant memory per task
+regardless of partition size; binary payloads never pass through Python
+row-at-a-time. Real codecs (PIL/ffmpeg) drop into ``fake_decode_batch``
+without touching the plan shape. Functions that genuinely need the absent
+libraries raise NotImplementedError (see ``decode_image_real``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StructField, StructType,
+)
+
+from ..catalog import load
+from ..registry import query
+
+#: Output schema of the fake decoder — what a real image decode would
+#: produce (dims + payload stats), declared explicitly (no inference).
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("checksum16", LongType()),
+])
+
+
+def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an opaque binary payload column (utf-8 text bytes
+    standing in for an encoded image)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for an image decode, vectorized per Arrow
+    batch: width/height derived from payload size/content, checksum over
+    the first 16 bytes. A real codec replaces only this function."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes.astype("int64"),
+            "width": (n_bytes % 640).astype("int32"),
+            "height": payloads.map(lambda b: b[0] if len(b) else 0).astype("int32"),
+            "checksum16": payloads.map(lambda b: int(sum(b[:16]))).astype("int64"),
+        })
+
+
+def decode_image_real(payload: bytes) -> "object":
+    """Real image decode — requires PIL/opencv, absent in this container.
+
+    Kept as the documented swap-in point for ``fake_decode_batch``.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "swap fake_decode_batch for a codec-backed implementation"
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               AVG(n_chars) AS avg_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over the multimodal table: stats on the
+    payload-size column grouped by lang×source."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
+               CAST(list_sum(list_transform(
+                       generate_series(1, least(16, length(text))),
+                       i -> ascii(substring(text, i, 1)))) AS BIGINT)
+                   AS checksum16
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode pipeline: encode → mapInPandas(fake codec) → typed
+    rows. The oracle recomputes the fake codec's arithmetic in SQL (text is
+    ascii, so byte i == char i), proving the Arrow round-trip is lossless
+    and the batch plumbing correct."""
+    return binary_docs(spark, sf_dir).mapInPandas(
+        fake_decode_batch, schema=DECODE_SCHEMA
+    )
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(m.n_bytes) AS BIGINT) AS total_bytes
+        FROM documents d JOIN m USING (doc_id)
+        GROUP BY lang
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded metadata joined back to the source table and aggregated —
+    the relational-composition half of the multimodal story (decode output
+    is a first-class DataFrame)."""
+    decoded = q_multimodal_decode(spark, sf_dir).select("doc_id", "n_bytes")
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.join(decoded, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,679 @@
+"""Relational operator inventory: scans, filters, joins, aggregations,
+windows, sort/top-k, set operations, subqueries (SURVEY.md §2.2 rows 1-13).
+
+The reference has no relational operators (SURVEY.md §2.1 "does NOT
+implement"); this is the north-star batch surface, built purely from
+DataFrame built-ins so Catalyst owns the physical strategy.
+
+Scale stance (100 TB posture):
+- Filters/projections are expressed declaratively → parquet pushdown and
+  column pruning happen at the scan (verified in tests/test_plans.py).
+- Fixed-size dims (nation=25, region=5) are broadcast explicitly; other
+  join strategies are left to Catalyst + AQE (dynamic broadcast, skew
+  splitting) because the right answer is size-dependent, not code-dependent.
+- Aggregations are partial (map-side combine) by construction in Spark's
+  hash aggregate; nothing here forces a pre-shuffle.
+- The range join keeps an equi-key (partkey) so it executes as a hash join
+  with a residual range predicate, never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# scans / filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+    tags=("scan",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-only scan; the plan must prune the parquet read to the
+    3 selected columns (ReadSchema check in test_plans.py)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag = 'R'
+    """,
+    tags=("filter",),
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate; both conjuncts must reach PushedFilters."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q_filter_in_between",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+    tags=("filter",),
+)
+def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN; both pushable to the parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 150000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+        SELECT c_mktsegment,
+               SUM(o_totalprice) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + grouped agg. Strategy (broadcast vs shuffle hash vs
+    SMJ) is deliberately left to Catalyst/AQE — customer is broadcastable at
+    small SF but shuffle-worthy at 100 TB; AQE picks per-run."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+        SELECT p_brand,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: part is the dimension side; at 100 TB the
+    fact (lineitem) never shuffles for this join — map-side hash lookup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (COUNT of a
+    nullable column counts only matches)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with ≥1 order; no row multiplication, right side
+    reduced to its join key before the probe."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_3way",
+    oracle="""
+        SELECT n_name, r_name,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+    tags=("join",),
+)
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (fact → orders → customer → nation → region).
+    nation/region are fixed-size (25/5 rows at every SF) → broadcast
+    unconditionally; lineitem⋈orders⋈customer keys left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               SUM(l_quantity) AS sum_qty
+        FROM part JOIN lineitem
+          ON p_partkey = l_partkey
+         AND l_quantity BETWEEN p_size AND p_size + 10
+        GROUP BY p_brand
+    """,
+    tags=("join",),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join with an equi-key anchor: executes as a hash join on
+    partkey with the BETWEEN as residual condition — never cartesian, so it
+    scales with the equi-join, not |part|×|lineitem|."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (p.p_partkey == li.l_partkey) & li.l_quantity.between(
+        p.p_size, p.p_size + 10
+    )
+    return (
+        p.join(li, cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               AVG(l_quantity) AS avg_qty,
+               AVG(l_extendedprice) AS avg_price,
+               AVG(l_discount) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query (`entry`).
+
+    Batch analogue of the reference's 'process every record, produce a
+    verified aggregate' pattern (FlattenChunksTest.scala:43-59): full scan,
+    per-group running aggregates. Partial aggregation (map-side combine)
+    means the shuffle carries ≤ |groups|×|partitions| rows at any SF.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (expand + two-phase agg under the hood)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_agg_approx_cd",
+    oracle=None,  # approximate → no exact oracle; driver rows-only check
+    tags=("agg", "approx"),
+)
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB path where exact distinct
+    would shuffle every key. rsd=0.05 default."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_extendedprice) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; Spark expands grouping sets in one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_extendedprice) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(o_totalprice) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — SQL-only surface in Spark; uses a temp view."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(o_totalprice) AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+        SELECT o_custkey, SUM(o_totalprice) AS total_spent,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING SUM(o_totalprice) > 500000
+    """,
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total_spent") > 500000)
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per customer; fully tie-broken by o_orderkey so results
+    are deterministic. One shuffle on the partition key, sort within."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               lag(o_totalprice)  OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over a deterministic per-customer order."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "q_win_frame",
+    oracle="""
+        SELECT event_id, user_id, value,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS moving_sum
+        FROM events
+    """,
+    tags=("window",),
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row sum per user (explicit ROWS frame)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "value", F.sum("value").over(w).alias("moving_sum")
+    )
+
+
+@query(
+    "q_win_tumbling_batch",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("window", "streaming-analogue"),
+)
+def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch emulation of a 1-hour tumbling event-time window (the
+    streaming version lives in streaming/ with withWatermark; this is the
+    oracle-checkable batch equivalent, SURVEY.md §2.2 streaming table)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / top-k, set ops, subquery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("sort",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by price, tie-broken by key. Spark plans
+    TakeOrderedAndProject: per-partition heap + driver merge — no global
+    sort, O(n) scan at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle, partitions concatenate."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct): nations having both customers and
+    suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct): nations with customers but no suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price. The scalar aggregate is a
+    1-row broadcast (cross join with a singleton), not a driver collect —
+    the 100 TB-safe shape for uncorrelated scalar subqueries."""
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+        SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
+                    WHEN l_discount >= 0.04 THEN 'mid'
+                    ELSE 'low' END AS disc_tier,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("conditional",),
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered classification via CASE WHEN, aggregated per tier."""
+    li = load(spark, sf_dir, "lineitem")
+    tier = (
+        F.when(F.col("l_discount") >= 0.08, "high")
+        .when(F.col("l_discount") >= 0.04, "mid")
+        .otherwise("low")
+        .alias("disc_tier")
+    )
+    return li.groupBy(tier).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

@@ -1,0 +1,220 @@
+"""Scalar-function query inventory: string / date / math / array / map /
+json (SURVEY.md §2.2 function rows).
+
+The reference's only scalar computation is JSON encode/decode + string
+interpolation (TestMsgJsonSerde.scala:17-26, TestUtils.scala:43,80); the
+json query here mirrors that serde surface over ``events.props``; the rest
+is the north-star function surface.
+
+Every expression stays JVM-side (built-in ``pyspark.sql.functions``) so the
+whole projection compiles into one WholeStageCodegen span — no Python on
+the hot path.
+
+Type-alignment notes (Spark ↔ DuckDB oracle):
+- Spark length/size/instr → INT, DuckDB → BIGINT: oracle casts to INT.
+- Spark ceil/floor → BIGINT, DuckDB → DOUBLE: oracle casts to BIGINT.
+- Spark year/month/day → INT, DuckDB → BIGINT: oracle casts to INT.
+- DuckDB date_trunc('month', ts) → DATE; Spark F.trunc → DATE: aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substring(p_name, 1, 8) AS name_prefix,
+               CAST(length(p_name) AS INT) AS name_len,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               (p_name LIKE '%a%') AS has_a,
+               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+               regexp_replace(p_name, ' ', '_', 'g') AS name_underscored,
+               CAST(strpos(p_name, 'e') AS INT) AS first_e_pos
+        FROM part
+    """,
+    tags=("function", "string"),
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part names."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_underscored"),
+        F.instr("p_name", "e").alias("first_e_pos"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                   AS days_since_epoch_start,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+        FROM orders
+    """,
+    tags=("function", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp function battery over o_orderdate (timestamp_ntz).
+
+    DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday → oracle adds 1.
+    Day-resolution results are returned as naive midnight TIMESTAMPs on
+    both sides (pandas/arrow represent DATE and TIMESTAMP differently per
+    engine; timestamps normalize identically).
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.trunc(d, "month").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"),
+        F.date_add(d.cast("date"), 30).cast("timestamp_ntz").alias("due_date"),
+        F.last_day(d.cast("date")).cast("timestamp_ntz").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_round1,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil_h,
+               CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor_h,
+               sqrt(l_quantity) AS qty_sqrt,
+               ln(l_extendedprice) AS price_ln,
+               pow(1 + l_tax, 2) AS tax_sq
+        FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery over lineitem prices."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("price_round1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("price_ceil_h"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_floor_h"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.pow(1 + F.col("l_tax"), 2).alias("tax_sq"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_terms,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                   AS n_distinct_terms,
+               list_contains(string_split(text, ' '), 'scan') AS has_scan,
+               list_sort(string_split(text, ' '))[1] AS first_term_sorted,
+               list_sort(list_distinct(string_split(text, ' ')))
+                   AS distinct_terms_sorted
+        FROM documents
+    """,
+    tags=("function", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery: split → size/contains/distinct/sort.
+
+    collect_list-style aggregation lives in q_map_funcs/q_text_tokens; here
+    the arrays are per-row. sort_array makes every array deterministic.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(terms).alias("n_terms"),
+        F.size(F.array_distinct(terms)).alias("n_distinct_terms"),
+        F.array_contains(terms, "scan").alias("has_scan"),
+        F.element_at(F.sort_array(terms), 1).alias("first_term_sorted"),
+        F.sort_array(F.array_distinct(terms)).alias("distinct_terms_sorted"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               to_json(map_from_entries(
+                   list_sort(list(struct_pack(k := event_type, v := n)))
+               )) AS type_counts_json,
+               list_sort(list(event_type)) AS event_types
+        FROM c GROUP BY user_id
+    """,
+    tags=("function", "map"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction: per-user event_type→count map.
+
+    Entries are sorted by key before map construction on BOTH sides so the
+    JSON rendering (insertion-ordered in each engine) is identical.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            )
+        ).alias("type_counts_json"),
+        F.sort_array(F.collect_list("event_type")).alias("event_types"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_mod
+        FROM events
+    """,
+    tags=("function", "json"),
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props — the Spark mirror of the
+    reference's typed JSON decode (TestMsgJsonSerde.scala:17-23: parse →
+    typed field access, failure → null rather than crash)."""
+    e = load(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    k_int = F.from_json(F.col("props"), "k INT").getField("k")
+    return e.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_int.alias("k_int"),
+        (k_int % 10).alias("k_mod"),
+    )

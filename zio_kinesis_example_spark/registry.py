@@ -1,0 +1,81 @@
+"""Central query registry.
+
+Every operator from SURVEY.md §2.2 registers here via the :func:`query`
+decorator: a name, a Spark callable ``(spark, sf_dir) -> DataFrame``, and —
+when the semantics are ANSI-SQL-expressible — a DuckDB oracle SQL string the
+driver runs side-by-side at sf0.01 (order-insensitive value-hash compare,
+see __spark_entry__.py docstring).
+
+Contract invariants enforced by convention here and checked by
+tests/test_oracle_parity.py locally before the driver ever sees them:
+- every computed column aliased identically on both sides;
+- result column *types* aligned (e.g. DuckDB SUM(int)→HUGEINT is cast to
+  BIGINT to match Spark; Spark ceil→BIGINT is matched with a cast on the
+  oracle side);
+- top-k / LIMIT queries fully tie-broken so the selected set is
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Spec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+    bench: bool = True  # include in bench.py timing loop
+
+
+_SPECS: dict[str, Spec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+          bench: bool = True):
+    """Register a query. ``oracle=None`` → driver does a rows-only check."""
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _SPECS:
+            raise ValueError(f"duplicate query name: {name}")
+        _SPECS[name] = Spec(name=name, fn=fn, oracle=oracle, tags=tags,
+                            doc=(fn.__doc__ or "").strip(), bench=bench)
+        return fn
+    return deco
+
+
+def all_specs() -> dict[str, Spec]:
+    _ensure_loaded()
+    return dict(_SPECS)
+
+
+def QUERIES() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {n: s.fn for n, s in _SPECS.items()}
+
+
+def ORACLES() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in _SPECS.items() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import operator modules for their registration side effects."""
+    global _loaded
+    if _loaded:
+        return
+    from .operators import (  # noqa: F401
+        relational, scalar_funcs, llm_dedup, llm_similarity, llm_text,
+        multimodal, udfs,
+    )
+    _loaded = True

