@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full execution
+through the noop sink (no driver-side collect — we measure the engine, not
+the result transfer). Also measures the streaming mirror's throughput
+(records/sec) for comparison with the reference's ≈463-575 rec/s baseline
+(BASELINE.md).
+
+Output: {"metric": "bench_total_sec", "value": <total>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from zio_kinesis_example_spark.registry import all_specs
+    times: dict[str, float] = {}
+    for name, spec in sorted(all_specs().items()):
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        force(spec.fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_stream(spark, n_records: int = 100_000, n_shards: int = 32) -> float:
+    """Streaming mirror throughput: produce n_records across n_shards
+    (reference params, FlattenChunksTest.scala:25-27, unthrottled), consume
+    to completion, return records/sec."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, consume_count, decode_json, shard_source,
+    )
+    src = tempfile.mkdtemp(prefix="zke-bench-src")
+    ckpt = tempfile.mkdtemp(prefix="zke-bench-ckpt")
+    try:
+        producer = ShardDirProducer(src, n_shards=n_shards, batch_size=500)
+        producer.produce_all(n_records)
+        valid, _ = decode_json(shard_source(spark, src))
+        t0 = time.perf_counter()
+        res = consume_count(valid, target=n_records, checkpoint_dir=ckpt,
+                            trigger_s=0.2, timeout_s=600)
+        dt = time.perf_counter() - t0
+        if res.failed or res.distinct < n_records:
+            return 0.0
+        return round(n_records / dt, 1)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from zio_kinesis_example_spark.session import get_spark
+
+    spark = get_spark(app_name="zke-bench", cpus=cpus)
+    t0 = time.perf_counter()
+    queries = bench_queries(spark, sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+    stream_rps = bench_stream(spark)
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(queries),
+        "stream_records_per_sec": stream_rps,
+        "stream_config": "100k records / 32 shards (reference params)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Near-dup machinery on *planted* duplicates: the testdata has no real
+near-dups (max pairwise Jaccard ≈0.02), so recall is asserted on a
+synthetic corpus with known duplicate pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_kinesis_example_spark.operators.llm_dedup import (
+    _SHINGLES, minhash_signatures, simhash_pairs,
+)
+from zio_kinesis_example_spark.operators import llm_dedup
+
+
+def _planted_docs(spark):
+    """12 base docs + 3 near-identical variants (one word changed)."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark executes distributed dataframe plans with catalyst optimizer and tungsten engine",
+        "streams of records flow through shards with ordered sequence numbers and checkpoints",
+        "language models train on deduplicated corpora filtered for quality and toxicity",
+        "vector embeddings capture semantic similarity between documents in high dimensions",
+        "minhash signatures approximate jaccard similarity using random permutations of shingles",
+        "window functions compute running aggregates over ordered partitions of data",
+        "broadcast joins avoid shuffling the large fact table across the cluster",
+        "columnar storage formats enable predicate pushdown and efficient column pruning",
+        "watermarks bound the lateness of events in streaming aggregation state",
+        "adaptive query execution coalesces partitions and splits skewed join keys",
+        "the catalyst optimizer rewrites logical plans into efficient physical operators",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted near-dups: copy docs 0,1,2 with one token changed
+    rows.append((100, base[0].replace("quick", "speedy")))
+    rows.append((101, base[1].replace("catalyst", "cascades")))
+    rows.append((102, base[2].replace("ordered", "sorted")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_PLANTED = {(0, 100), (1, 101), (2, 102)}
+
+
+def _shingled(df):
+    return (
+        df.select("doc_id", F.split("text", " ").alias("terms"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    s = _shingled(_planted_docs(spark))
+    buckets = minhash_signatures(s)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .dropDuplicates()
+    )
+    pairs = {(r.x, r.y) for r in cand.collect()}
+    assert _PLANTED <= pairs, f"missed planted dups: {_PLANTED - pairs}"
+
+
+def test_minhash_no_false_candidates_verified(spark):
+    """After exact-Jaccard verification (the q_dedup_minhash_pairs shape),
+    only the planted pairs survive."""
+    s = _shingled(_planted_docs(spark))
+    buckets = minhash_signatures(s)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sh = s.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb")), "doc_b")
+        .withColumn("j", F.expr(
+            "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+        .filter(F.col("j") >= 0.5)
+    )
+    got = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert got == _PLANTED
+
+
+def test_simhash_hamming_pairs(spark):
+    docs = _planted_docs(spark)
+    docs.createOrReplaceTempView("_planted")
+    sigs = (
+        docs.select(
+            "doc_id",
+            F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")
+            .alias("hashes"),
+        )
+        .select("doc_id", F.expr(
+            "aggregate(hashes, cast(array_repeat(0L, 64) as array<bigint>), "
+            "(acc, h) -> zip_with(acc, sequence(0, 63), "
+            "(a, b) -> a + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))"
+        ).alias("bitsums"))
+        .select("doc_id", F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + "
+            "CASE WHEN element_at(bitsums, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END)"
+        ).alias("simhash"))
+    )
+    # planted pairs measure hamming 5-8 (one changed term in a ~12-term
+    # doc); 16-chunk banding guarantees discovery up to hamming 15
+    pairs = simhash_pairs(sigs, max_hamming=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert _PLANTED <= got, f"missed: {_PLANTED - got}"
+    # distinct base docs (hamming ≥ 26 measured) must never appear
+    for r in pairs.collect():
+        assert (r.doc_a, r.doc_b) in _PLANTED
+
+
+def test_exact_dedup_on_planted_exact_copies(spark, tmpdir_factory_local):
+    docs = _planted_docs(spark).union(
+        spark.createDataFrame([(200, "the quick brown fox jumps over the lazy "
+                                "dog near the river bank today")],
+                              "doc_id long, text string")
+    )
+    groups = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+    )
+    dup_groups = groups.filter(F.col("n") > 1).collect()
+    assert len(dup_groups) == 1
+    assert dup_groups[0].keep == 0 and dup_groups[0].n == 2

@@ -1,0 +1,41 @@
+"""ANN-vs-exact recall, and cosine correctness against numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zio_kinesis_example_spark.registry import all_specs
+
+from .conftest import SF_SMALL
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Multi-table LSH top-k must recover a meaningful fraction of the
+    exact top-k (random 64-d data is a worst case for LSH — the bound is
+    deliberately modest; planted-duplicate recall is covered in
+    test_dedup)."""
+    exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_SMALL).collect()
+    approx = all_specs()["q_sim_ann_lsh"].fn(spark, SF_SMALL).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.15, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_cosine_matches_numpy(spark):
+    """The JVM higher-order-function cosine equals numpy float64 cosine."""
+    rows = all_specs()["q_sim_cosine_topk"].fn(spark, SF_SMALL).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    for r in rows[:20]:
+        a, b = emb[r.query_id], emb[r.neighbor_id]
+        want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        assert abs(round(want, 6) - r.cosine) <= 1e-6, (r, want)

@@ -1,0 +1,123 @@
+"""Hermetic mirrors of the reference's two integration tests (SURVEY.md §5):
+
+1. flattenChunks (FlattenChunksTest.scala:25-59): produce N JSON records
+   ``{"id": i}`` across shards in batches, consume concurrently, assert
+   consumed count == produced count.
+2. chunk-end checkpointing (CheckpointOnChunksTest + CheckpointOnChunkEnd
+   StreamClient.scala:46-73): inject a processing failure mid-stream, the
+   query dies, restart from checkpointLocation — assert no record lost
+   (every id delivered ≥ once) and bounded re-delivery (at-least-once).
+
+Scaled down from the reference's 100k/32-shard runs for CI time
+(SURVEY.md §5 strategy 2), same invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_kinesis_example_spark.streaming import (
+    ConsumeResult, ShardDirProducer, TESTMSG_SCHEMA, consume_count,
+    decode_json, shard_source,
+)
+
+N_RECORDS = 10_000
+N_SHARDS = 8
+
+
+def test_flatten_chunks_mirror(spark, tmpdir_factory_local):
+    """Concurrent producer + consumer; stop after exactly N; count == N."""
+    src = tmpdir_factory_local("src")
+    ckpt = tmpdir_factory_local("ckpt")
+    producer = ShardDirProducer(src, n_shards=N_SHARDS, batch_size=500,
+                                throttle_s=0.05)
+    t = producer.fork(N_RECORDS)
+    valid, _ = decode_json(shard_source(spark, src))
+    res = consume_count(valid, target=N_RECORDS, checkpoint_dir=ckpt,
+                        trigger_s=0.3, timeout_s=120)
+    t.join(timeout=60)
+    assert not res.failed, res.error
+    # the reference's golden assertion: processed count == produced count
+    # (FlattenChunksTest.scala:59)
+    assert res.distinct == N_RECORDS
+    assert res.processed == N_RECORDS  # no failures → no re-delivery
+    assert set(res.ids) == set(range(1, N_RECORDS + 1))
+    assert res.order_violations == []
+    # per-shard ordered processing: high-water seq == records routed there
+    assert sum(res.last_seq.values()) == N_RECORDS
+
+
+def test_checkpoint_restart_at_least_once(spark, tmpdir_factory_local):
+    """Injected mid-stream failure + restart from checkpoint: every id
+    seen ≥1×, re-delivery bounded to the failed epoch (at-least-once,
+    no loss — CheckpointOnChunkEndStreamClient.scala:58-72 semantics)."""
+    src = tmpdir_factory_local("src")
+    ckpt = tmpdir_factory_local("ckpt")
+    n = 4_000
+    producer = ShardDirProducer(src, n_shards=4, batch_size=500)
+    producer.produce_all(n)  # pre-produced; failure is on the consume side
+    valid, _ = decode_json(shard_source(spark, src, max_files_per_trigger=2))
+
+    res = ConsumeResult()
+    first = consume_count(valid, target=n, checkpoint_dir=ckpt,
+                          fail_on_ids={n // 2}, trigger_s=0.2,
+                          timeout_s=120, result=res)
+    assert first.failed, "injected failure should abort the query"
+    processed_before_restart = first.processed
+    assert processed_before_restart < n
+
+    second = consume_count(valid, target=n, checkpoint_dir=ckpt,
+                           trigger_s=0.2, timeout_s=120, result=res)
+    assert not second.failed, second.error
+    # no loss: every produced id delivered at least once
+    assert set(second.ids) == set(range(1, n + 1))
+    # at-least-once with *bounded* re-delivery: only records from the
+    # uncommitted epoch were re-processed
+    assert second.processed >= n
+    redelivered = second.processed - n
+    assert redelivered <= 2 * 500 + 1  # ≤ one failed epoch (2 files/trigger)
+    # the failed record itself was re-delivered and succeeded
+    assert second.ids[n // 2] >= 2
+
+
+def test_dead_letter_routing(spark, tmpdir_factory_local):
+    """Malformed payloads route to the dead-letter side, never crash the
+    stream and never silently drop (TestMsgJsonSerde.scala:17-22 typed
+    error channel)."""
+    src = tmpdir_factory_local("src")
+    ckpt = tmpdir_factory_local("ckpt")
+    n = 1_000
+    corrupt_every = 100  # ids 100, 200, ..., 1000 → 10 corrupt records
+    producer = ShardDirProducer(src, n_shards=4, batch_size=250,
+                                corrupt_every=corrupt_every)
+    producer.produce_all(n)
+
+    # batch-mode check of the same serde split (decode is source-agnostic)
+    batch = spark.read.schema(
+        shard_source(spark, src).schema
+    ).json(src)
+    valid_b, dead_b = decode_json(batch)
+    assert valid_b.count() == n - 10
+    assert dead_b.count() == 10
+    assert dead_b.filter(F.col("data").isNotNull()).count() == 10  # raw kept
+
+    # streaming: consume only the valid side to completion
+    valid, _ = decode_json(shard_source(spark, src))
+    res = consume_count(valid, target=n - 10, checkpoint_dir=ckpt,
+                        trigger_s=0.2, timeout_s=60)
+    assert not res.failed, res.error
+    assert res.distinct == n - 10
+    assert all(i % corrupt_every != 0 for i in res.ids)
+
+
+def test_decode_typed_schema(spark):
+    """Decoded payload carries the declared TestMsg schema (id INT) —
+    static nominal typing, no inference (TestMsg.scala:3)."""
+    df = spark.createDataFrame(
+        [("s", "k", 1, '{"id": 7}'), ("s", "k", 2, "oops")],
+        "shard_id string, partition_key string, seq long, data string",
+    )
+    valid, dead = decode_json(df, TESTMSG_SCHEMA)
+    assert dict(valid.dtypes)["id"] == "int"
+    assert [r.id for r in valid.collect()] == [7]
+    assert [r.seq for r in dead.collect()] == [2]

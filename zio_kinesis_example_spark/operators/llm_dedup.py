@@ -47,8 +47,13 @@ _SHINGLES = """
     END
 """
 
+# 16 hashes as 8 bands × 2 rows: the LSH S-curve threshold is
+# (1/b)^(1/r) = (1/8)^(1/2) ≈ 0.35, tuned to catch Jaccard ≥ 0.5 pairs
+# with high probability; false candidates are removed by exact-Jaccard
+# verification, so a permissive curve costs verification work, not
+# correctness.
 _N_HASHES = 16
-_BANDS = 4  # 4 bands x 4 rows
+_BANDS = 8
 
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,19 +269,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(spark, sf_dir)
 
 
-def simhash_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
+                  n_chunks: int = 16) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Candidates via 16-bit chunk banding (pigeonhole: ≤3 differing bits ⇒
-    at least one of the four 16-bit chunks is identical), verified by
-    bit_count(xor). One shuffle on (chunk_id, chunk_value).
+    Candidates via chunk banding (pigeonhole: ≤ n_chunks−1 differing bits ⇒
+    at least one chunk identical — with 16 4-bit chunks the guarantee
+    covers hamming ≤ 15), verified by bit_count(xor). One shuffle on
+    (chunk_id, chunk_value). More chunks = stronger guarantee but more
+    false candidates per bucket; at larger corpus scale, widen the
+    signature (128-bit as two longs) and keep chunks ≥ radius+1.
     """
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunks = signatures.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+                f"transform(sequence(0, {n_chunks - 1}), "
+                f"c -> (simhash >> (c * {bits})) & {mask})"
             )
         ).alias("chunk_id", "chunk_value"),
     )
@@ -303,7 +315,7 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 @query("q_dedup_simhash_pairs", oracle=None, tags=("dedup", "approx"))
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3) via chunk-banding."""
+    """SimHash near-dup pairs (hamming ≤ 8) via chunk-banding."""
     return simhash_pairs(simhash_signatures(spark, sf_dir))
 
 

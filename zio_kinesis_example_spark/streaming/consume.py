@@ -1,0 +1,138 @@
+"""Consumer patterns mirroring the reference's two e2e tests.
+
+- **take / stop-after-N** (op 7, FlattenChunksTest.scala:42): Spark has no
+  streaming row-limit trigger, so the idiomatic shape is: count inside
+  ``foreachBatch``, signal the driver loop, ``query.stop()`` at threshold.
+- **global processed count** (ops 8-9, FlattenChunksTest.scala:32,46,54):
+  per-record counting with the count surviving restarts only via
+  re-delivery — exactly the reference's Ref semantics (state lives with
+  the consumer, offsets with the checkpoint).
+- **ordered per-chunk fold** (ops 10-11, CheckpointOnChunkEndStreamClient.
+  scala:54-85): each micro-batch is processed sorted by (shard_id, seq);
+  per-shard high-water marks verify cross-batch order.
+- **at-least-once + bounded re-delivery** (ops 12-14): offsets commit only
+  after the batch's effects complete (Spark's micro-batch contract =
+  the reference's bracket+ensuring checkpoint, SURVEY.md §3.4); a failure
+  mid-batch aborts the query, restart from ``checkpointLocation``
+  re-delivers from the last commit. Records processed before the failure
+  are counted twice — processed_count ≥ N while distinct ids == N, the
+  same invariant the reference's with-errors run exhibits.
+
+The per-record effect layer iterates on the driver — deliberately: the
+effects under test are test assertions (counters, failure injection),
+mirroring the reference's single-process per-record effects
+(processRecord, C.scala:95-101). Production per-record effects would run
+in ``foreachPartition`` on executors; the ordering/commit semantics are
+identical.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ConsumeResult:
+    processed: int = 0                       # per-record effects executed (≥ distinct on redelivery)
+    ids: Counter = field(default_factory=Counter)
+    epochs: int = 0
+    last_seq: dict[str, int] = field(default_factory=dict)
+    order_violations: list[str] = field(default_factory=list)
+    failed: bool = False
+    error: str = ""
+
+    @property
+    def distinct(self) -> int:
+        return len(self.ids)
+
+
+def consume_count(
+    decoded: DataFrame,
+    target: int,
+    checkpoint_dir: str,
+    fail_on_ids: set[int] | None = None,
+    trigger_s: float = 0.5,
+    timeout_s: float = 180.0,
+    result: ConsumeResult | None = None,
+) -> ConsumeResult:
+    """Run the stream until ``target`` distinct records processed (or
+    failure/timeout). ``fail_on_ids`` injects a one-time failure when that
+    record is first processed — after its predecessors in (shard, seq)
+    order already ran, exercising the redelivery path.
+
+    Pass the same ``result`` (and checkpoint_dir) across calls to model a
+    restart: counts accumulate while offsets resume from the commit log.
+    """
+    state = result if result is not None else ConsumeResult()
+    state.failed = False  # counts accumulate across restarts; failure doesn't
+    state.error = ""
+    fail_pending = set(fail_on_ids or ())
+    lock = threading.Lock()
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.select("shard_id", "seq", "id")
+            .orderBy("shard_id", "seq")
+            .collect()
+        )
+        with lock:
+            state.epochs += 1
+            batch_first_seq: dict[str, int] = {}
+            for r in rows:
+                if r.shard_id not in batch_first_seq:
+                    batch_first_seq[r.shard_id] = r.seq
+                    hw = state.last_seq.get(r.shard_id)
+                    if hw is not None and r.seq != hw + 1 and r.seq > hw:
+                        state.order_violations.append(
+                            f"{r.shard_id}: gap {hw} -> {r.seq}"
+                        )
+                # per-record effect (reference processRecord: count + observe)
+                state.processed += 1
+                state.ids[r.id] += 1
+                if r.id in fail_pending:
+                    fail_pending.discard(r.id)
+                    raise RuntimeError(f"injected failure at id={r.id}")
+                prev = state.last_seq.get(r.shard_id, 0)
+                state.last_seq[r.shard_id] = max(prev, r.seq)
+
+    query = (
+        decoded.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{int(trigger_s * 1000)} milliseconds")
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    deadline = time.monotonic() + timeout_s
+    try:
+        while time.monotonic() < deadline:
+            if not query.isActive:
+                break
+            with lock:
+                done = state.distinct >= target
+            if done:
+                break
+            time.sleep(0.1)
+        if query.isActive:
+            query.stop()
+        try:
+            query.awaitTermination(30)
+        except StreamingQueryException as e:
+            state.failed = True
+            state.error = str(e)
+        else:
+            if query.exception() is not None:
+                state.failed = True
+                state.error = str(query.exception())
+    finally:
+        try:
+            if query.isActive:
+                query.stop()
+        except Exception:
+            pass
+    return state

@@ -1,0 +1,53 @@
+"""Typed JSON decode with an explicit error channel.
+
+Mirror of the reference serde (TestMsgJsonSerde.scala:12-23): payload
+bytes → string → typed record, where decode failure is a *value* (typed
+error), not an exception. In Spark: ``from_json`` yields null on malformed
+input; we route those rows to a dead-letter DataFrame instead of crashing
+the stream — the declarative analogue of circe's Either channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+#: ``case class TestMsg(id: Int)`` (reference TestMsg.scala:3).
+TESTMSG_SCHEMA = StructType([StructField("id", IntegerType())])
+
+_CORRUPT = "_corrupt_payload"
+
+
+def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
+                ) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) split of an envelope stream.
+
+    valid: envelope columns + decoded payload fields.
+    dead_letter: undecodable rows with the raw payload preserved for
+    replay/inspection (at-least-once: nothing is silently dropped).
+
+    Subtlety: PERMISSIVE ``from_json`` yields a struct of nulls (not a
+    null struct) on malformed input, so null-checking the struct is not a
+    decode-error test. The explicit corrupt-record column is the real
+    typed error channel — the circe ``Either[Error, TestMsg]`` analogue
+    (TestMsgJsonSerde.scala:17-22).
+    """
+    schema_with_err = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType())]
+    )
+    decoded = df.withColumn(
+        "msg",
+        F.from_json(
+            F.col("data"), schema_with_err,
+            {"columnNameOfCorruptRecord": _CORRUPT},
+        ),
+    )
+    ok = F.col(f"msg.{_CORRUPT}").isNull()
+    valid = (
+        decoded.filter(ok)
+        .select("*", "msg.*")
+        .drop("msg", _CORRUPT)
+    )
+    dead = decoded.filter(~ok).drop("msg")
+    return valid, dead

@@ -1,0 +1,124 @@
+"""Hermetic sharded streaming source + producer.
+
+Producer mirrors the reference's ``putRecordsEmitter`` (TestUtils.scala:
+73-93): synthesize numbered records 1..max in batches, JSON payload
+``{ "id": <i> }`` (TestUtils.scala:43), partition key ``key$i``
+(TestUtils.scala:80), key→shard routing by hash, throttled between batches
+(TestUtils.scala:86-88), run concurrently with the consumer
+(FlattenChunksTest.scala:34 fork → a Python thread here).
+
+Scale note: the file-per-batch layout is only the AWS-free test double; at
+scale this is ``format("kinesis")``/``format("kafka")`` with one input
+partition per shard — which is exactly how records here carry their shard
+identity, so downstream code is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+#: Kinesis-like record envelope (FIXTURES.md §A2).
+ENVELOPE_SCHEMA = StructType([
+    StructField("shard_id", StringType()),
+    StructField("partition_key", StringType()),
+    StructField("seq", LongType()),
+    StructField("data", StringType()),
+])
+
+
+def route_shard(partition_key: str, n_shards: int) -> int:
+    """Deterministic key→shard routing (service-side MD5 hashing in
+    Kinesis, TestUtils.scala:80 comment in SURVEY §3.3; crc32 here)."""
+    return zlib.crc32(partition_key.encode()) % n_shards
+
+
+class ShardDirProducer:
+    """Writes record batches as JSON files into a source directory.
+
+    One file per produced batch (the 'chunk' I/O unit, reference op 2);
+    per-shard ``seq`` is monotonically increasing — the checkpointable
+    position (Record.checkpoint analogue).
+    """
+
+    def __init__(self, source_dir: str, n_shards: int = 8,
+                 batch_size: int = 500, throttle_s: float = 0.0,
+                 corrupt_every: int | None = None):
+        self.source_dir = source_dir
+        self.n_shards = n_shards
+        self.batch_size = batch_size
+        self.throttle_s = throttle_s
+        self.corrupt_every = corrupt_every
+        self._seqs = [0] * n_shards
+        self._batch_no = 0
+        os.makedirs(source_dir, exist_ok=True)
+
+    def record_json(self, i: int) -> str:
+        """The reference's wire format: ``{ "id": <i> }`` (TestUtils.scala:43)."""
+        return json.dumps({"id": i})
+
+    def produce(self, start: int, count: int) -> int:
+        """Produce records [start, start+count) as one batch file.
+
+        Returns the next start index. Writes are atomic (tmp+rename) so the
+        streaming file source never reads partial files.
+        """
+        lines = []
+        for i in range(start, start + count):
+            key = f"key{i}"
+            shard = route_shard(key, self.n_shards)
+            self._seqs[shard] += 1
+            data = self.record_json(i)
+            if self.corrupt_every and i % self.corrupt_every == 0:
+                data = "{ not json !"  # malformed payload (decode-error path)
+            lines.append(json.dumps({
+                "shard_id": f"shard-{shard:03d}",
+                "partition_key": key,
+                "seq": self._seqs[shard],
+                "data": data,
+            }))
+        tmp = os.path.join(self.source_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        final = os.path.join(self.source_dir, f"batch-{self._batch_no:06d}.json")
+        os.rename(tmp, final)
+        self._batch_no += 1
+        return start + count
+
+    def produce_all(self, max_records: int, start: int = 1) -> None:
+        """Reference producer loop: batches of batch_size with an
+        inter-batch throttle (TestUtils.scala:79-88)."""
+        i = start
+        while i <= max_records:
+            n = min(self.batch_size, max_records - i + 1)
+            i = self.produce(i, n)
+            if self.throttle_s:
+                time.sleep(self.throttle_s)
+
+    def fork(self, max_records: int) -> threading.Thread:
+        """Run the producer concurrently with the consumer (the reference
+        forks it as a fiber, FlattenChunksTest.scala:34)."""
+        t = threading.Thread(target=self.produce_all, args=(max_records,),
+                             daemon=True)
+        t.start()
+        return t
+
+
+def shard_source(spark: SparkSession, source_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded stream of envelope records from the shard directory
+    (reference op 1: DynamicConsumer.shardedStream). Schema declared, never
+    inferred."""
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
