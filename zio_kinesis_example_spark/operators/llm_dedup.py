@@ -277,12 +277,19 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
 
     Candidates via chunk banding (pigeonhole: ≤ n_chunks−1 differing bits
     ⇒ at least one chunk identical — 9 chunks of 7 bits guarantee radius
-    8), verified by bit_count(xor). One shuffle on (chunk_id,
-    chunk_value). n_chunks = radius+1 is the sweet spot: fewer chunks
-    void the guarantee, more chunks mean coarser values and quadratically
-    more false candidates per bucket (16×4-bit chunks measured 12M
-    candidate pairs at sf0.1 vs ~1M for 9×7-bit). At larger corpus scale,
-    widen the signature (128-bit as two longs) and keep chunks ≥ radius+1.
+    8), verified by bit_count(xor) inside the join stage. One shuffle on
+    (chunk_id, chunk_value).
+
+    Scheme choice, measured at sf0.1: the Manku et al. block-pair scheme
+    (WWW'07 §3 — C(10,2)=45 tables keyed on two concatenated blocks,
+    ~13-bit keys) generates far fewer candidates on *uniform* signature
+    corpora, but on clustered corpora where true near-dup groups dominate
+    (here: Σ|bucket|² ≈ 47M vs ~1.75M uniform at 5k docs) every real
+    match is re-found in up to 45 tables vs 9, and the dedup shuffle of
+    matches dominates — measured 13s (45-table) vs 7s (9-chunk). Keep
+    single-chunk banding while matches dominate candidates; switch to
+    block-pairs (and a 128-bit signature as two longs) for web-scale
+    uniform corpora.
     """
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
@@ -312,8 +319,12 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming filter BEFORE the dedup shuffle: candidates are cheap to
+        # verify in the join stage but expensive to exchange — filtering
+        # first shrinks the dropDuplicates input from all bucket collisions
+        # (O(Σ|bucket|²)) to true near-dups only.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
