@@ -82,3 +82,26 @@ def test_range_join_not_cartesian(spark):
     plan = _plan(spark, "q_join_range")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join must be the union+window formulation: exactly one
+    shuffle on user_id, no join operator at all (a range join would
+    explode O(clicks x purchases) per user)."""
+    plan = _plan(spark, "q_join_asof", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_session_batch_reuses_sort(spark):
+    """Both window ops and the final agg run off ONE (user_id, ts) sort:
+    exactly one exchange on user_id, exactly one sort."""
+    plan = _plan(spark, "q_win_session_batch", mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_exists_correlated_plans_semi_join(spark):
+    plan = _plan(spark, "q_exists_correlated")
+    assert "LeftSemi" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_quantity" in l]
+    assert pushed, "quantity predicate should push into the lineitem scan"

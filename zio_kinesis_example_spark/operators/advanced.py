@@ -1,0 +1,534 @@
+"""Advanced relational operators: as-of join, percentiles/statistics,
+pivot, distribution window functions, string aggregation, sessionization,
+sliding event-time windows, correlated EXISTS, and training-data-pipeline
+utilities (deterministic stratified sampling, sequence packing, token
+histograms).
+
+Reference parity note: none of these exist in the reference (SURVEY.md
+§2.1 — its only aggregate is a global counter, FlattenChunksTest.scala:32);
+they are the north-star batch surface mandated by BASELINE.json, with the
+sessionization/sliding-window queries doubling as the oracle-checkable
+batch analogues of the streaming surface (SURVEY.md §2.2 streaming table).
+
+Scale notes per operator are in each docstring; the common theme is ONE
+shuffle per query — window functions partition by the natural key, the
+as-of join is a union + window scan (never a range-explosion join), and
+every aggregation is partial-aggregated map-side by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        WITH c AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT p.event_id AS purchase_id,
+               p.user_id  AS user_id,
+               p.ts       AS purchase_ts,
+               c.event_id AS click_id,
+               c.ts       AS click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's latest strictly
+    earlier click (classic attribution; NULL when no prior click).
+
+    Spark has no ASOF JOIN, and the naive range join (p.ts > c.ts) explodes
+    to O(clicks × purchases) per user before aggregation. This is the
+    scale-correct formulation: union both sides, ONE shuffle on user_id,
+    then a per-user ordered scan where ``last(click, ignoreNulls)`` over
+    rows (unbounded, -1) carries the most recent click forward. Ordering
+    (ts, kind, event_id) with purchases sorted before clicks at equal ts
+    enforces the *strict* inequality. Cost: one shuffle + one sort,
+    independent of per-user event counts. Oracle: DuckDB's native ASOF
+    LEFT JOIN (independent algorithm — binary search per row).
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("kind"),
+        F.struct("ts", "event_id").alias("click"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("struct<ts:timestamp_ntz,event_id:bigint>")
+         .alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.event_id").alias("click_id"),
+            F.col("last_click.ts").alias("click_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# statistical aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+        SELECT event_type,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+                   AS median_value,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
+                   AS p90_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per event type.
+
+    Spark's ``percentile`` is the exact linear-interpolation aggregate
+    (sort-based within each group, partial-aggregated). At 100 TB the
+    exact form requires a per-group sort buffer — switch to
+    ``approx_percentile`` (t-digest sketch, bounded memory, mergeable
+    across partitions); kept exact here because the oracle must match
+    bit-for-bit at round(6).
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 3) AS sd_price,
+               round(var_samp(l_discount), 6)         AS var_discount,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 3)
+                   AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: stddev/variance/correlation/
+    covariance. All are single-pass mergeable aggregates (Welford-style
+    update + combine) — partial-aggregated map-side, one shuffle carrying
+    one state row per (group, partition) at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3)
+         .alias("covar_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type.
+
+    The pivot value list is EXPLICIT — omitting it makes Spark run an
+    extra distinct-values job and (at scale) risks an unbounded column
+    blowup. With fixed values this compiles to one grouped aggregation
+    of conditional counts: single shuffle, same plan as the oracle's
+    FILTER clauses.
+    """
+    e = load(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot-count yields NULL for empty cells; normalize to 0 like FILTER
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# distribution window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) per
+    priority class, fully tie-broken by o_orderkey so quartile boundaries
+    are deterministic. One shuffle on the partition key + in-partition
+    sort; no driver-side work."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(c_name, '|' ORDER BY c_name) AS names,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "string"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per nation. Spark's collect_list has no
+    deterministic order (partition arrival order), so the canonical form
+    is collect → array_sort → array_join: deterministic on both engines.
+    collect_list is the one deliberately memory-unbounded aggregate here —
+    acceptable because group payload is bounded (customers per nation);
+    never use on unbounded groups at scale."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|")
+         .alias("names"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization (gaps-and-islands) — batch analogue of session windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_session_batch",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts)
+                            > 3600000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events),
+        s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+                        AS BIGINT) AS session_id
+            FROM g)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM s
+        GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "streaming-analogue"),
+)
+def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 1-hour inactivity gap (gaps-and-islands):
+    the oracle-checkable batch analogue of streaming
+    ``session_window(ts, '1 hour')`` (SURVEY.md §2.2 streaming table).
+
+    Two windows over the SAME (user_id, ts) sort — Catalyst plans one
+    exchange + one sort, reused by both window operators, then the final
+    aggregation is partial-aggregated. Gap math in integer microseconds
+    (``unix_micros``/``epoch_us``) so both engines compare exactly."""
+    e = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(wo)
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(gap > 3_600_000_000, 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                wo.rangeBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sliding event-time window — batch analogue of streaming sliding windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_sliding_batch",
+    oracle="""
+        WITH x AS (
+            SELECT ts, value,
+                   unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                           time_bucket(INTERVAL 5 MINUTE, ts)
+                               - INTERVAL 5 MINUTE]) AS window_start
+            FROM events)
+        SELECT window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM x
+        WHERE ts >= window_start
+          AND ts < window_start + INTERVAL 10 MINUTE
+        GROUP BY window_start
+    """,
+    tags=("window", "sliding", "streaming-analogue"),
+)
+def q_win_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes over event time, via
+    Spark's built-in ``window()`` (which replicates each row into its
+    size/slide = 2 windows, then aggregates — identical semantics in
+    batch and streaming). The oracle derives the same two candidate
+    window starts per event with time_bucket arithmetic. Row replication
+    factor is size/slide — bounded and known at plan time."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events",
+                "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated EXISTS
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+    """,
+    tags=("join", "subquery"),
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate — decorrelated into a
+    LEFT SEMI join (exactly what Catalyst's RewritePredicateSubquery does
+    to the SQL form). The quantity filter is pushed below the join, so
+    the semi-join build side only carries qualifying lineitems."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline utilities [north-star]
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        WITH r AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents)
+        SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 20
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 20 documents per language,
+    selected by ranking on md5(doc_id) — a seedless, engine-portable
+    pseudo-random order (identical digest on both engines, unlike
+    engine-native rand()). One shuffle on the stratum key; at 100 TB
+    swap row_number for a threshold on the digest (keep if md5 < p·2¹²⁸)
+    to avoid the per-stratum sort while staying deterministic."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id",
+                 F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@query(
+    "q_text_pack",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tokens_before
+            FROM t)
+        SELECT doc_id, lang, n_tokens,
+               tokens_before // 2048 AS seq_bin
+        FROM c
+    """,
+    tags=("packing", "pipeline"),
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    2048-token bin per language by cumulative token count (doc_id order).
+    The streaming-friendly formulation of first-fit packing: one window
+    cumsum per stratum, no driver loop, no pairwise bin search —
+    the pattern that still works when 'documents' is 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("tokens_before") / F.lit(2048)).cast("long")
+             .alias("seq_bin"),
+        )
+    )
+
+
+@query(
+    "q_text_hist",
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents)
+        SELECT lang,
+               CASE WHEN n_tokens < 8 THEN '<8'
+                    WHEN n_tokens < 16 THEN '8-15'
+                    WHEN n_tokens < 32 THEN '16-31'
+                    WHEN n_tokens < 64 THEN '32-63'
+                    WHEN n_tokens < 128 THEN '64-127'
+                    ELSE '>=128' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(AVG(n_tokens), 6) AS avg_tokens
+        FROM t
+        GROUP BY 1, 2
+    """,
+    tags=("text", "pipeline"),
+)
+def q_text_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per language on power-of-two buckets —
+    the profile a data-mixture pipeline computes before packing. Integer
+    comparisons only (no float log2) so bucket edges are exact on both
+    engines; single partial-aggregated shuffle."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    bucket = (
+        F.when(n < 8, "<8")
+        .when(n < 16, "8-15")
+        .when(n < 32, "16-31")
+        .when(n < 64, "32-63")
+        .when(n < 128, "64-127")
+        .otherwise(">=128")
+    )
+    return (
+        d.select("lang", n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )

@@ -75,7 +75,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        relational, scalar_funcs, llm_dedup, llm_similarity, llm_text,
-        multimodal, udfs,
+        advanced, relational, scalar_funcs, llm_dedup, llm_similarity,
+        llm_text, multimodal, udfs,
     )
     _loaded = True
