@@ -52,18 +52,24 @@ class ShardDirProducer:
 
     def __init__(self, source_dir: str, n_shards: int = 8,
                  batch_size: int = 500, throttle_s: float = 0.0,
-                 corrupt_every: int | None = None):
+                 corrupt_every: int | None = None,
+                 payload_fn=None):
         self.source_dir = source_dir
         self.n_shards = n_shards
         self.batch_size = batch_size
         self.throttle_s = throttle_s
         self.corrupt_every = corrupt_every
+        self.payload_fn = payload_fn  # (i) -> dict, overrides the wire format
         self._seqs = [0] * n_shards
         self._batch_no = 0
         os.makedirs(source_dir, exist_ok=True)
 
     def record_json(self, i: int) -> str:
-        """The reference's wire format: ``{ "id": <i> }`` (TestUtils.scala:43)."""
+        """The reference's wire format: ``{ "id": <i> }`` (TestUtils.scala:43).
+        ``payload_fn`` extends it (e.g. an event_ts field for the windowed
+        consumers in streaming/windows.py)."""
+        if self.payload_fn is not None:
+            return json.dumps(self.payload_fn(i))
         return json.dumps({"id": i})
 
     def produce(self, start: int, count: int) -> int:

@@ -1,0 +1,164 @@
+"""Event-time windowed aggregation + custom stateful operators over the
+sharded stream.
+
+This is the [north-star] half of the streaming surface (SURVEY.md §2.2
+streaming table, last row): the reference has no event time at all
+(SURVEY.md §2.1 — "no timestamp extraction anywhere"), so these mirror
+nothing; they are what a production pipeline on this engine needs:
+tumbling / sliding / session windows with watermark-based late-data
+eviction, and an applyInPandasWithState running counter generalizing the
+reference's ``Ref`` global count (FlattenChunksTest.scala:32) into
+per-shard managed state.
+
+Determinism note for tests: watermark advancement is per-micro-batch
+(computed from the previous batch's max event time), so tests drive the
+stream with ``trigger(availableNow=True)`` runs against one checkpoint —
+each run is a deterministic batch boundary, and the watermark persists in
+the commit log across runs exactly like the reference's DynamoDB
+checkpoint persists sequence numbers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+#: payload schema with an event-time field: ``{"id": 1, "event_ts": "..."}``
+TESTMSG_TS_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("event_ts", StringType()),
+])
+
+
+def with_event_time(decoded: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    """Parse the payload's event-time string into a TimestampType column
+    (the event-time axis all windows below aggregate on)."""
+    return decoded.withColumn(ts_col, F.to_timestamp(F.col(ts_col)))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 minute",
+                    watermark: str = "2 minutes",
+                    ts_col: str = "event_ts") -> DataFrame:
+    """Tumbling event-time window counts with watermark-based state
+    eviction. Append output: a window row is emitted exactly once, when
+    the watermark passes its end; later-than-watermark records are
+    dropped (bounded state — the property that matters at 100 TB/day)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n", "sum_id")
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "2 minutes",
+                   slide: str = "1 minute", watermark: str = "2 minutes",
+                   ts_col: str = "event_ts") -> DataFrame:
+    """Sliding event-time windows (size/slide replicas per record)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "1 minute",
+                   watermark: str = "2 minutes",
+                   key: str = "partition_key",
+                   ts_col: str = "event_ts") -> DataFrame:
+    """Session windows per key: a session closes after ``gap`` of
+    inactivity and is emitted once the watermark passes session end + gap.
+    The streaming twin of the batch gaps-and-islands query
+    (q_win_session_batch) — same semantics, state-store incremental."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col(key), F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n")
+    )
+
+
+_COUNT_OUT = StructType([
+    StructField("shard_id", StringType()),
+    StructField("running_count", LongType()),
+    StructField("max_seq", LongType()),
+])
+_COUNT_STATE = StructType([
+    StructField("count", LongType()),
+    StructField("max_seq", LongType()),
+])
+
+
+def running_count_stateful(envelope: DataFrame) -> DataFrame:
+    """Per-shard running record count as a *custom stateful operator*
+    (applyInPandasWithState): the managed-state generalization of the
+    reference's ``Ref[Int]`` counter (FlattenChunksTest.scala:32,
+    CheckpointOnChunkEndStreamClient.scala:96-100). State (count, max_seq)
+    lives in Spark's state store — checkpointed with offsets, restored on
+    restart, exactly the Ref-plus-DynamoDB pair of the reference but
+    fault-tolerant by construction.
+
+    Update mode: one (shard_id, running_count, max_seq) row per shard per
+    micro-batch that touched it.
+    """
+
+    def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        (count, max_seq) = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            if len(pdf):
+                max_seq = max(max_seq, int(pdf["seq"].max()))
+        state.update((count, max_seq))
+        yield pd.DataFrame({
+            "shard_id": [key[0]],
+            "running_count": [count],
+            "max_seq": [max_seq],
+        })
+
+    return envelope.groupBy("shard_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNT_OUT,
+        stateStructType=_COUNT_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_available_now(sink_df: DataFrame, checkpoint_dir: str,
+                      collected: list | None = None,
+                      timeout_s: float = 120.0,
+                      output_mode: str | None = None):
+    """Drain everything currently available through one deterministic
+    batch boundary (trigger availableNow), appending emitted rows to
+    ``collected``. Returns when the query self-terminates."""
+    rows_out = collected if collected is not None else []
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        rows_out.extend(batch_df.collect())
+
+    writer = sink_df.writeStream.foreachBatch(fb)
+    if output_mode:
+        writer = writer.outputMode(output_mode)
+    q = (
+        writer.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+    return rows_out
