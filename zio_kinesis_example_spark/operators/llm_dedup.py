@@ -132,8 +132,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the threshold is boundary-safe.
     """
     s = _with_shingles(spark, sf_dir)
-    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
-    sz = s.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    # carry |shingles(doc)| through the join instead of re-joining sizes
+    # back on at the end: |A| and |B| are functionally dependent on the
+    # group key, so min() recovers them for free in the same aggregation —
+    # two whole join stages (and their shuffles) removed.
+    e = s.select(
+        "doc_id", F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -142,15 +148,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    x = sz.alias("x")
-    y = sz.alias("y")
-    jac = F.col("n_common") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= 0.01)
+        pairs.filter(jac >= 0.01)
         .select(
             "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
         )
