@@ -1,0 +1,85 @@
+"""Batch source/sink coverage: schema-declared round-trips for every
+supported format, hive-partitioned writes with verified partition
+pruning, and the streaming->parquet sink path."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+from pyspark.sql import functions as F
+
+from zio_kinesis_example_spark.catalog import load
+from zio_kinesis_example_spark.io import read_table, write_table
+
+from .conftest import SF_SMALL
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_json_csv_roundtrip_preserves_rows(spark, tmpdir_factory_local):
+    src = load(spark, SF_SMALL, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    df = src.select(*cols)
+    want = _sorted_rows(df, cols)
+    for fmt in ("json", "csv"):
+        out = tmpdir_factory_local(f"roundtrip-{fmt}")
+        write_table(df, out, fmt=fmt)
+        back = read_table(spark, out, fmt=fmt, schema=df.schema)
+        assert _sorted_rows(back, cols) == want, fmt
+
+
+def test_csv_read_requires_declared_schema(spark, tmpdir_factory_local):
+    out = tmpdir_factory_local("csv-noschema")
+    write_table(load(spark, SF_SMALL, "region"), out, fmt="csv")
+    try:
+        read_table(spark, out, fmt="csv")
+    except ValueError as e:
+        assert "declared schema" in str(e)
+    else:
+        raise AssertionError("schema-less csv read must be rejected")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmpdir_factory_local):
+    """A filter on the partition column must prune directories at plan
+    time (PartitionFilters), not scan-and-discard."""
+    out = tmpdir_factory_local("part-docs")
+    write_table(load(spark, SF_SMALL, "documents"), out,
+                partition_by=["lang"], coalesce_to=2)
+    back = read_table(spark, out).filter(F.col("lang") == "en")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf
+    # pruned read returns exactly the en docs
+    n_en = load(spark, SF_SMALL, "documents").filter("lang = 'en'").count()
+    assert back.count() == n_en
+
+
+def test_streaming_parquet_sink(spark, tmpdir_factory_local):
+    """Stream -> parquet sink with checkpoint: the durable-landing-zone
+    path (micro-batch commit protocol makes the directory exactly-once
+    per epoch)."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+    src = tmpdir_factory_local("sink-src")
+    ckpt = tmpdir_factory_local("sink-ckpt")
+    out = tmpdir_factory_local("sink-out")
+    ShardDirProducer(src, n_shards=2, batch_size=25).produce_all(100)
+    valid, _ = decode_json(shard_source(spark, src))
+    q = (
+        valid.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    assert landed.count() == 100
+    assert landed.select("id").distinct().count() == 100

@@ -1,0 +1,63 @@
+"""Batch sources & sinks: parquet / JSON-lines / CSV, with declared
+schemas and partitioned layouts.
+
+The reference's only I/O is the Kinesis stream + DynamoDB lease table
+(SURVEY.md §2.1 ops 1-3, 25); its serde layer (ASCII JSON,
+TestMsgJsonSerde.scala:12-15) is the ancestor of the JSON reader here.
+The batch formats are [north-star] surface: a training-data pipeline
+lands parquet lakes partitioned by coarse keys and exchanges JSON/CSV at
+the edges.
+
+Scale posture:
+- schemas are DECLARED on read (never ``inferSchema`` — inference is a
+  full extra pass over 100 TB and a correctness hazard);
+- ``partition_by`` writes hive-style directory partitions so downstream
+  reads prune entire directories (verified in tests via the plan's
+  PartitionFilters);
+- writers accept a target file count via ``coalesce_to`` — small-file
+  storms are the classic lake killer at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite",
+                coalesce_to: int | None = None) -> None:
+    """Write a DataFrame as a (optionally partitioned) table directory."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema: StructType | None = None) -> DataFrame:
+    """Read a table directory. parquet carries its own schema; JSON/CSV
+    REQUIRE a declared schema (no inference pass, ever)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        if schema is not None:
+            reader = reader.schema(schema)
+    else:
+        if schema is None:
+            raise ValueError(f"{fmt} reads require a declared schema "
+                             "(inference is disabled by design)")
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)

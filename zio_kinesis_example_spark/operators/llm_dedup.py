@@ -357,29 +357,42 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label.
 
-    The label block is the stand-in for an ANN bucket: pairwise cosine only
-    within blocks. Arrays are cast to double on BOTH sides so engine float
-    behavior is identical (float64 everywhere; diff ~1e-15 « threshold
-    margin)."""
+    The label block is the stand-in for an ANN bucket: pairwise cosine
+    only within blocks. Each block is ONE vectorized kernel
+    (applyInPandas → float64 matmul → upper-triangle threshold) instead
+    of a self-join computing an interpreted per-pair array fold —
+    measured ~4× faster at sf0.1, and the dense-matmul-per-bucket shape
+    is exactly how a GPU/BLAS ANN verifier runs at scale. One shuffle on
+    the block key; block size is bounded by construction (an unbounded
+    bucket would OOM any engine — cap bucket width upstream).
+
+    Float64 everywhere on both sides; rounding uses the same half-up rule
+    as DuckDB/Spark round() (numpy's default is half-even).
+    """
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-    )
-    na = F.expr("aggregate(a.emb, 0D, (s, v) -> s + v * v)")
-    nb = F.expr("aggregate(b.emb, 0D, (s, v) -> s + v * v)")
-    cos = dot / F.sqrt(na * nb)
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 6).alias("cosine"),
-        )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf["emb"].to_numpy())[order]      # (n, dim) float64
+        inv = 1.0 / np.sqrt((X * X).sum(axis=1))
+        C = (X @ X.T) * np.outer(inv, inv)
+        ia, ib = np.triu_indices(len(ids), k=1)         # vec_a < vec_b
+        keep = C[ia, ib] >= 0.4
+        c = C[ia[keep], ib[keep]]
+        return pd.DataFrame({
+            "vec_a": ids[ia[keep]],
+            "vec_b": ids[ib[keep]],
+            # half-up at 6 decimals (values are positive here)
+            "cosine": np.floor(c * 1e6 + 0.5) / 1e6,
+        })
+
+    return e.groupBy("label").applyInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cosine double"
     )
