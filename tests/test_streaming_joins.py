@@ -1,0 +1,84 @@
+"""Stream-stream interval joins (watermark-bounded state) and
+stream-static broadcast enrichment — the join half of the streaming
+surface. Driven with trigger(availableNow) for determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_kinesis_example_spark.catalog import load
+from zio_kinesis_example_spark.streaming import (
+    ShardDirProducer, decode_json, shard_source,
+)
+from zio_kinesis_example_spark.streaming.windows import (
+    TESTMSG_TS_SCHEMA,
+    run_available_now,
+    stream_static_enrich,
+    stream_stream_interval_join,
+    with_event_time,
+)
+
+from .conftest import SF_SMALL
+
+
+def _dirs(tmpdir_factory_local, name: str):
+    return (tmpdir_factory_local(f"{name}-src"),
+            tmpdir_factory_local(f"{name}-ckpt"))
+
+
+def test_stream_stream_interval_join(spark, tmpdir_factory_local):
+    """Purchases pair with same-user clicks within the preceding 10
+    minutes — a many-to-many event-time interval join with state bounded
+    by watermarks on both sides."""
+    src, ckpt = _dirs(tmpdir_factory_local, "ssjoin")
+    # odd ids = clicks, even ids = purchases; all one user (single shard)
+    t = {
+        1: "2024-01-01 00:00:00",  # click
+        2: "2024-01-01 00:05:00",  # purchase -> click 1 (5m)
+        4: "2024-01-01 00:20:00",  # purchase -> click 5 (2m); click 1 too old
+        5: "2024-01-01 00:18:00",  # click
+        6: "2024-01-01 00:25:00",  # purchase -> click 5 (7m)
+        7: "2024-01-01 01:00:00",  # click, watermark pusher; no purchase after
+    }
+    prod = ShardDirProducer(
+        src, n_shards=1, payload_fn=lambda i: {"id": i, "event_ts": t[i]})
+    prod.produce(1, 2)
+    prod.produce(4, 4)
+
+    valid, _ = decode_json(shard_source(spark, src), TESTMSG_TS_SCHEMA)
+    ev = with_event_time(valid)
+    clicks = ev.filter(F.col("id") % 2 == 1).select(
+        F.col("shard_id").alias("user"),
+        F.col("id").alias("click_id"),
+        F.col("event_ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("id") % 2 == 0).select(
+        F.col("shard_id").alias("p_user"),
+        F.col("id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_interval_join(clicks, purchases)
+    emitted: list = []
+    run_available_now(joined, ckpt, emitted)
+    pairs = sorted((r.click_id, r.purchase_id) for r in emitted)
+    assert pairs == [(1, 2), (5, 4), (5, 6)]
+
+
+def test_stream_static_enrichment(spark, tmpdir_factory_local):
+    """Every micro-batch broadcast-joins the static customer dim; the
+    stream side never shuffles and unmatched ids survive (left join)."""
+    src, ckpt = _dirs(tmpdir_factory_local, "senrich")
+    prod = ShardDirProducer(src, n_shards=2, batch_size=20)
+    prod.produce_all(60)
+
+    valid, _ = decode_json(shard_source(spark, src))
+    dim = load(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_static_enrich(valid, dim, "id", "c_custkey")
+    emitted: list = []
+    run_available_now(enriched, ckpt, emitted)
+    assert len(emitted) == 60
+    seg = {r.id: r.c_mktsegment for r in emitted}
+    # ids 1..60 exist in customer (150 rows at sf0.001) -> all enriched
+    assert all(seg[i] is not None for i in range(1, 61))

@@ -532,3 +532,147 @@ def q_text_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# latest-per-key dedup, snapshot merge, skew-salted join, approx percentile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+        WITH r AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT event_id, user_id, ts, event_type, value
+        FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "window", "pipeline"),
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the latest event per user (CDC/compaction staple).
+
+    row_number over (ts DESC, event_id DESC) rather than dropDuplicates:
+    dropDuplicates keeps an *arbitrary* row per key (partition arrival
+    order), which is non-deterministic under retries at scale — the
+    window form is reproducible and costs the same single shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0),
+        inserts AS (
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'new_' || c_name AS c_name,
+                   0.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 100 = 0),
+        delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        SELECT COALESCE(d.c_custkey, t.c_custkey) AS c_custkey,
+               COALESCE(d.c_name, t.c_name) AS c_name,
+               COALESCE(d.c_acctbal, t.c_acctbal) AS c_acctbal
+        FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) t
+        FULL OUTER JOIN delta d USING (c_custkey)
+    """,
+    tags=("join", "merge", "pipeline"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a full-outer join + coalesce: apply a delta of
+    updates (+100 acctbal for every 10th customer) and inserts (new keys)
+    onto the base snapshot — the table-format-free CDC merge. One shuffle
+    on the key; at scale this is the compaction pattern under Delta/
+    Iceberg MERGE INTO, expressed directly."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name",
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 100 == 0)
+        .select((F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"))
+    )
+    delta = updates.unionByName(inserts)
+    t = c.alias("t")
+    d = delta.alias("d")
+    return (
+        t.join(d, F.col("t.c_custkey") == F.col("d.c_custkey"), "full_outer")
+        .select(
+            F.coalesce("d.c_custkey", "t.c_custkey").alias("c_custkey"),
+            F.coalesce("d.c_name", "t.c_name").alias("c_name"),
+            F.coalesce("d.c_acctbal", "t.c_acctbal").alias("c_acctbal"),
+        )
+    )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via explicit key salting: the fact side's join
+    key is extended with a deterministic salt (event_id % B), the
+    dimension side is replicated B ways, and the join runs on the
+    composite key — a single hot user fans out over B tasks instead of
+    one straggler. Result identical to the plain join (oracle is the
+    unsalted SQL). At scale prefer AQE skew-join first; explicit salting
+    is for when a key is hot *by construction* (null keys, default ids)
+    or the engine's skew threshold misses it."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).crossJoin(
+        spark.range(_SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+@query("q_agg_approx_pct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the bounded-memory,
+    mergeable percentile for 100 TB inputs — the scale path whose exact
+    twin is q_agg_percentile. Sketch internals are engine-specific →
+    rows-only driver check; accuracy vs the exact percentile is asserted
+    in tests/test_dedup.py-style bounds in tests (see test_approx.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+         .alias("pct_approx"),
+    )

@@ -162,3 +162,39 @@ def run_available_now(sink_df: DataFrame, checkpoint_dir: str,
     if q.exception() is not None:
         raise RuntimeError(str(q.exception()))
     return rows_out
+
+
+def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
+                                within: str = "10 minutes",
+                                watermark: str = "2 minutes") -> DataFrame:
+    """Stream-stream inner join within an event-time interval: each
+    purchase pairs with every click of the same user whose click_ts is in
+    [purchase_ts - within, purchase_ts]. Expects pre-renamed sides:
+    clicks(user, click_id, click_ts), purchases(user, purchase_id,
+    purchase_ts).
+
+    Watermarks on BOTH sides bound the join state: Spark evicts buffered
+    clicks once the purchase-side watermark passes click_ts + within —
+    without the time bound the state grows forever (the 100 TB/day
+    failure mode). The interval condition also tells the planner how long
+    each side must be retained.
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"interval {within}")),
+        "inner",
+    ).select("user", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static broadcast enrichment: every micro-batch hash-joins
+    against the (re-read per batch, hence updatable) static dimension —
+    the no-shuffle lookup-table pattern; the stream side never exchanges."""
+    return stream.join(F.broadcast(dim),
+                       F.col(stream_key) == F.col(dim_key), "left")
