@@ -160,3 +160,88 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+_FRAME = 64      # bytes per fake "video frame"
+_SAMPLE_EVERY = 4
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   unnest(generate_series(
+                       0, CAST(ceil(octet_length(encode(text)) / 64.0)
+                               AS INT) - 1)) AS frame_no
+            FROM documents)
+        SELECT f.doc_id, CAST(frame_no AS INT) AS frame_no,
+               CAST(least(64, n_bytes - frame_no * 64) AS INT) AS frame_bytes,
+               CAST(list_sum(list_transform(
+                       generate_series(frame_no * 64 + 1,
+                                       least(n_bytes, frame_no * 64 + 64)),
+                       i -> ascii(substring(d.text, i, 1)))) AS BIGINT)
+                   AS frame_sum
+        FROM f JOIN documents d USING (doc_id)
+        WHERE frame_no % 4 = 0
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary 'video' payload: split into 64-byte
+    frames, keep every 4th, emit one row per sampled frame — the 1→N
+    mapInPandas shape (decode fan-out), vectorized per Arrow batch. The
+    oracle recomputes the frame arithmetic in SQL over the ascii bytes.
+    At scale the payload column streams through Arrow in bounded batches;
+    fan-out factor is payload_size/(frame·stride), known per row."""
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_no in range(0, -(-len(payload) // _FRAME),
+                                      _SAMPLE_EVERY):
+                    chunk = payload[frame_no * _FRAME:(frame_no + 1) * _FRAME]
+                    ids.append(doc_id)
+                    frames.append(frame_no)
+                    sizes.append(len(chunk))
+                    sums.append(int(sum(chunk)))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(frames, dtype="int32"),
+                "frame_bytes": pd.Series(sizes, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ])
+    return binary_docs(spark, sf_dir).mapInPandas(sample_frames, schema=schema)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
+               CAST((octet_length(encode(text)) % 640) // 2 AS INT) AS out_w,
+               CAST(ascii(substring(text, 1, 1)) // 2 AS INT) AS out_h
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: decode dims → target dims (half resolution).
+    The real resampling kernel would run in the same mapInPandas batch
+    (numpy slice-stride or a codec); here the dimension arithmetic and
+    schema contract are the tested surface."""
+    decoded = q_multimodal_decode(spark, sf_dir)
+    return decoded.select(
+        "doc_id", "width", "height",
+        (F.col("width") / 2).cast("int").alias("out_w"),
+        (F.col("height") / 2).cast("int").alias("out_h"),
+    )
