@@ -105,3 +105,14 @@ def test_exists_correlated_plans_semi_join(spark):
     assert "LeftSemi" in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_quantity" in l]
     assert pushed, "quantity predicate should push into the lineitem scan"
+
+
+def test_tpch_q6_full_pushdown_no_shuffle(spark):
+    """Q6: all four predicates reach the scan; no Exchange except the
+    single-row final agg."""
+    plan = _plan(spark, "q_tpch_q6")
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    simple = _plan(spark, "q_tpch_q6", mode="simple")
+    assert simple.count("Exchange") == 1  # SinglePartition for final agg

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+independent pure-Python models on randomized inputs — the test layer the
+reference lacks entirely (SURVEY.md §5 'Not present: property-based').
+
+Strategy: generate small random event sets, run the REGISTERED operator
+implementation over a parquet temp table, and compare to a ~10-line
+Python model of the semantics. Catches boundary bugs (gap exactly at
+threshold, equal timestamps, empty partitions) that fixed testdata never
+hits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+GAP_US = 3_600_000_000
+
+
+def _sessionize_model(rows):
+    """Pure-Python gaps-and-islands with 1h gap: {(user, session_id): n}."""
+    out = {}
+    by_user = {}
+    for user, ts_us in rows:
+        by_user.setdefault(user, []).append(ts_us)
+    for user, tss in by_user.items():
+        tss.sort()
+        sid = 0
+        prev = None
+        for ts in tss:
+            if prev is not None and ts - prev > GAP_US:
+                sid += 1
+            out[(user, sid)] = out.get((user, sid), 0) + 1
+            prev = ts
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3),                      # user
+                  st.integers(0, 6 * GAP_US)),            # ts (µs, 6h span)
+        min_size=1, max_size=60,
+    )
+)
+def test_sessionization_matches_model(spark, rows):
+    # distinct ts per user (the operator orders by ts; model does too —
+    # ties would make session assignment order-dependent in both)
+    rows = list({(u, t) for u, t in rows})
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts_us long"
+    ).select("user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"))
+
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(wo)
+    sess = (
+        df.withColumn("new_sess", F.when(gap > GAP_US, 1).otherwise(0))
+        .withColumn("session_id",
+                    F.sum("new_sess").over(
+                        wo.rangeBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id").count()
+    )
+    got = {(r.user_id, r.session_id): r["count"] for r in sess.collect()}
+    assert got == _sessionize_model(rows)
+
+
+def _asof_model(clicks, purchases):
+    """{purchase_id: click_id or None} — latest strictly-earlier click."""
+    out = {}
+    for pid, pu, pt in purchases:
+        best = None
+        for cid, cu, ct in clicks:
+            if cu == pu and ct < pt and (
+                best is None or (ct, cid) > (best[1], best[0])
+            ):
+                best = (cid, ct)
+        out[pid] = best[0] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    clicks=st.lists(st.tuples(st.integers(0, 2),          # user
+                              st.integers(0, 50)),        # ts
+                    min_size=0, max_size=25),
+    purchases=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                       min_size=1, max_size=25),
+)
+def test_asof_join_matches_model(spark, clicks, purchases):
+    c_rows = [(i, u, t) for i, (u, t) in enumerate(clicks)]
+    p_rows = [(1000 + i, u, t) for i, (u, t) in enumerate(purchases)]
+    c = spark.createDataFrame(
+        c_rows or [(None, None, None)], "event_id long, user_id long, ts_us long"
+    ).filter(F.col("event_id").isNotNull()).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_id",
+        F.lit(1).alias("kind"),
+        F.struct(F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                 F.col("event_id")).alias("click"),
+    )
+    p = spark.createDataFrame(
+        p_rows, "event_id long, user_id long, ts_us long"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("struct<ts:timestamp,event_id:bigint>").alias("click"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    res = (
+        c.unionByName(p)
+        .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select("event_id", F.col("last_click.event_id").alias("click_id"))
+    )
+    got = {r.event_id: r.click_id for r in res.collect()}
+    assert got == _asof_model(c_rows, p_rows)

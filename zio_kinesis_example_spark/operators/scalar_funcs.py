@@ -218,3 +218,140 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_int.alias("k_int"),
         (k_int % 10).alias("k_mod"),
     )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+               CASE WHEN o_totalprice IS NULL THEN -1.0
+                    ELSE o_totalprice END AS price_nn,
+               (o_custkey IS NOT NULL) AS has_cust,
+               IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'same')
+                   AS always_same
+        FROM orders
+    """,
+    tags=("function", "null"),
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling function family: coalesce/nullif/ifnull/IS NOT NULL.
+    All are codegen'd null-check branches — zero-cost at scale, but the
+    semantics (SQL three-valued logic) must match the oracle exactly."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
+         .alias("status_norm"),
+        F.when(F.col("o_totalprice").isNull(), -1.0)
+         .otherwise(F.col("o_totalprice")).alias("price_nn"),
+        F.col("o_custkey").isNotNull().alias("has_cust"),
+        F.ifnull(F.nullif("o_orderpriority", F.col("o_orderpriority")),
+                 F.lit("same")).alias("always_same"),
+    )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS and_mask,
+               l_orderkey | 7 AS or_low,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xored,
+               l_orderkey << 2 AS shifted_l,
+               l_orderkey >> 3 AS shifted_r,
+               CAST(bit_count(l_orderkey) AS INT) AS popcount
+        FROM lineitem
+    """,
+    tags=("function", "bitwise"),
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (and/or/xor/shifts/popcount) — the
+    building blocks the dedup signature operators are made of."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and_mask"),
+        F.col("l_orderkey").bitwiseOR(F.lit(7)).alias("or_low"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long"))
+         .alias("xored"),
+        F.shiftleft("l_orderkey", 2).alias("shifted_l"),
+        F.shiftright("l_orderkey", 3).alias("shifted_r"),
+        F.bit_count("l_orderkey").alias("popcount"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+        SELECT c_custkey,
+               to_json({'nation': c_nationkey, 'segment': c_mktsegment})
+                   AS profile_json,
+               {'nation': c_nationkey, 'segment': c_mktsegment}.nation
+                   AS nation_again,
+               CAST(round(struct_extract(
+                   {'bal': c_acctbal, 'double_bal': c_acctbal * 2},
+                   'double_bal'), 6) AS DOUBLE) AS double_bal
+        FROM customer
+    """,
+    tags=("function", "struct"),
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction and field extraction (nested-type surface:
+    build, project, compute through). Nested structs are columnar all the
+    way down in parquet/Arrow — no row materialization cost. The struct
+    itself is serialized with to_json for output: a raw struct column
+    round-trips as Row-vs-dict depending on the reader's Arrow setting,
+    so text is the portable comparison form (int/string fields only —
+    float formatting would differ)."""
+    c = load(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return c.select(
+        "c_custkey",
+        F.to_json(profile).alias("profile_json"),
+        profile.getField("nation").alias("nation_again"),
+        F.round(
+            F.struct(
+                F.col("c_acctbal").alias("bal"),
+                (F.col("c_acctbal") * 2).alias("double_bal"),
+            ).getField("double_bal"), 6
+        ).alias("double_bal"),
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+        SELECT SUM(l_extendedprice * l_discount) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    predicate-pushdown / scan-dominated query — every filter reaches
+    PushedFilters, the aggregation is a two-value global state, and the
+    whole thing is one codegen stage with zero shuffles (final agg of 1
+    row). The benchmark anchor for scan efficiency."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
