@@ -1,0 +1,83 @@
+"""The reusable operator library (api.py) on arbitrary in-memory frames —
+proving the algorithms are not bound to the testdata tables."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from zio_kinesis_example_spark import api
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_generic(spark):
+    trades = spark.createDataFrame(
+        [("A", _ts(0, 5), 100), ("A", _ts(2, 0), 101), ("B", _ts(1, 0), 200)],
+        "sym string, t timestamp, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(0, 0), 9.9), ("A", _ts(1, 0), 10.1), ("B", _ts(2, 0), 20.0)],
+        "sym string, t timestamp, px double",
+    )
+    out = api.asof_join(trades, quotes, key="sym",
+                        left_ts="t", right_ts="t", right_cols=["px"])
+    got = {r.trade_id: r.asof_px for r in out.collect()}
+    assert got == {100: 9.9, 101: 10.1, 200: None}
+
+
+def test_sessionize_and_pack_generic(spark):
+    rows = [("u", _ts(0)), ("u", _ts(10)), ("u", _ts(40)), ("v", _ts(0))]
+    df = spark.createDataFrame(rows, "user string, t timestamp")
+    sess = api.sessionize(df, ["user"], "t", gap_seconds=900)
+    got = {(r.user, r.t.minute): r.session_id for r in sess.collect()}
+    assert got == {("u", 0): 0, ("u", 10): 0, ("u", 40): 1, ("v", 0): 0}
+
+    docs = spark.createDataFrame(
+        [("en", i, 600) for i in range(5)], "lang string, i long, n long")
+    packed = api.pack_sequences(docs, ["lang"], "i", "n", bin_size=2048)
+    bins = [r.seq_bin for r in packed.orderBy("i").collect()]
+    assert bins == [0, 0, 0, 0, 1]  # 4th doc starts at 2400 -> bin 1
+
+
+def test_merge_and_dedup_generic(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string")
+    delta = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string")
+    merged = {r.k: r.v for r in api.merge_upsert(base, delta, "k").collect()}
+    assert merged == {1: "a", 2: "B", 3: "c"}
+
+    events = spark.createDataFrame(
+        [(1, _ts(0), "x"), (1, _ts(5), "y"), (2, _ts(1), "z")],
+        "k long, t timestamp, v string")
+    latest = api.dedup_latest(events, ["k"], [F.col("t").desc()])
+    assert {r.k: r.v for r in latest.collect()} == {1: "y", 2: "z"}
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "fid long, k long")
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "dk long, name string")
+    salted = api.salted_join(fact, dim, "k", "dk",
+                             salt_col=F.col("fid"), n_buckets=4)
+    plain = fact.join(dim, fact.k == dim.dk)
+    assert sorted((r.fid, r.name) for r in salted.collect()) == \
+        sorted((r.fid, r.name) for r in plain.collect())
+
+
+def test_stratified_sample_generic(spark):
+    df = spark.createDataFrame(
+        [(f"s{i % 2}", i) for i in range(40)], "stratum string, id long")
+    out = api.stratified_sample(df, ["stratum"], "id", 5)
+    counts = {r.stratum: r["count"] for r in
+              out.groupBy("stratum").count().collect()}
+    assert counts == {"s0": 5, "s1": 5}
+    # deterministic across invocations
+    again = api.stratified_sample(df, ["stratum"], "id", 5)
+    assert sorted(r.id for r in out.collect()) == \
+        sorted(r.id for r in again.collect())

@@ -1,0 +1,157 @@
+"""Reusable operator library: the engine's algorithms as composable
+functions over ARBITRARY DataFrames (the `q_*` registry entries bind
+these to the driver testdata; real users bind them to their own tables).
+
+Everything here follows the same contracts as the registry queries:
+deterministic outputs (explicit tie-breaks), single-shuffle formulations
+where the algebra allows, no driver-side collection, declared output
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_exact(df: DataFrame, text_col: str,
+                id_col: str) -> DataFrame:
+    """Group identical ``text_col`` payloads by content digest; keep the
+    minimum id as canonical. One hash-partitioned shuffle at any scale."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_latest(df: DataFrame, key_cols: list[str],
+                 order_cols: list[Column]) -> DataFrame:
+    """Keep exactly one row per key: the first under ``order_cols``
+    (pass fully tie-broken ordering — determinism under retries is the
+    point; dropDuplicates keeps an arbitrary row)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str]) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` strictly less than ``left_ts`` (per key). Union + one
+    window scan: one shuffle on ``key``, no range-join explosion.
+    Attached columns come back as ``asof_<name>`` (NULL when no match)."""
+    r = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
+    )
+    payload_type = r.schema["__payload"].dataType.simpleString()
+    l = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = (
+        r.select(F.col(key), "__ts", "__kind", "__payload",
+                 F.lit(None).cast(l.schema["__left"].dataType.simpleString())
+                  .alias("__left"))
+        .unionByName(l)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__kind") == 0)
+    )
+    out = matched.select(
+        "__left.*",
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+    return out
+
+
+def sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
+               gap_seconds: int) -> DataFrame:
+    """Gaps-and-islands sessionization: adds ``session_id`` (0-based per
+    key) where a new session starts after ``gap_seconds`` of inactivity.
+    One shuffle + one sort, both reused by any downstream per-session
+    aggregation."""
+    wo = Window.partitionBy(*key_cols).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(wo)
+    return (
+        df.withColumn(
+            "__new", F.when(gap > gap_seconds * 1_000_000, 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                wo.rangeBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .drop("__new")
+    )
+
+
+def pack_sequences(df: DataFrame, part_cols: list[str], order_col: str,
+                   size_col: str, bin_size: int) -> DataFrame:
+    """Assign each row to a fixed-capacity bin per partition by running
+    cumulative size (first-fit in ``order_col`` order): adds ``seq_bin``.
+    The window-cumsum formulation — no driver loop, no pairwise search."""
+    w = (
+        Window.partitionBy(*part_cols).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "seq_bin", (before / F.lit(bin_size)).cast("long"))
+
+
+def stratified_sample(df: DataFrame, stratum_cols: list[str],
+                      id_col: str, n_per_stratum: int) -> DataFrame:
+    """Deterministic, seedless, engine-portable stratified sample:
+    rank rows inside each stratum by md5(id) and keep the first n. At
+    very large strata, replace the rank with a digest threshold to avoid
+    the per-stratum sort."""
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(base: DataFrame, delta: DataFrame,
+                 key: str) -> DataFrame:
+    """MERGE: delta rows win on key collision, inserts pass through,
+    unmatched base rows survive. Columns = base's columns."""
+    b = base.alias("b")
+    d = delta.alias("d")
+    return b.join(d, F.col(f"b.{key}") == F.col(f"d.{key}"), "full_outer") \
+        .select(*[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in base.columns
+        ])
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, salt_col: Column,
+                n_buckets: int = 8) -> DataFrame:
+    """Skew-resistant equi-join: fact side salted by ``salt_col % n``,
+    dim side replicated n ways. Semantically identical to the plain
+    join; a hot key fans out over n tasks."""
+    spark = fact.sparkSession
+    f = fact.withColumn("__salt", (salt_col % n_buckets).cast("int"))
+    d = dim.crossJoin(
+        spark.range(n_buckets).select(F.col("id").cast("int").alias("__salt"))
+    )
+    joined = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]))
+    return joined.drop("__salt")
