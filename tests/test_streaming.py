@@ -121,3 +121,96 @@ def test_decode_typed_schema(spark):
     assert dict(valid.dtypes)["id"] == "int"
     assert [r.id for r in valid.collect()] == [7]
     assert [r.seq for r in dead.collect()] == [2]
+
+
+def test_retry_policy_composite():
+    """Mirror of the reference's composite schedule (TestUtils.scala:45-50):
+    retry only the selected exception type, bounded attempts, exponential
+    delays; other exceptions propagate immediately."""
+    from zio_kinesis_example_spark.streaming.consume import retry
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky_then_ok():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise TimeoutError("transient")
+        return "ok"
+
+    assert retry(flaky_then_ok, retry_on=(TimeoutError,),
+                 sleep=sleeps.append) == "ok"
+    assert sleeps == [0.1, 0.2, 0.4]  # exponential from 100ms
+
+    # exhaustion: re-raises after max_attempts retries
+    def always_fails():
+        raise TimeoutError("never")
+    try:
+        retry(always_fails, retry_on=(TimeoutError,), max_attempts=2,
+              sleep=sleeps.append)
+    except TimeoutError:
+        pass
+    else:
+        raise AssertionError("expected exhaustion re-raise")
+
+    # selective: non-matching type propagates without retry
+    attempts = {"n": 0}
+    def wrong_type():
+        attempts["n"] += 1
+        raise ValueError("not retryable")
+    try:
+        retry(wrong_type, retry_on=(TimeoutError,), sleep=sleeps.append)
+    except ValueError:
+        pass
+    assert attempts["n"] == 1
+
+
+def test_observe_metrics_per_batch(spark, tmpdir_factory_local):
+    """Reference op 8 (tap/per-record observation) as df.observe():
+    side-channel metrics delivered through the StreamingQueryListener
+    progress events — no second aggregation job over the data."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("obs-src")
+    ckpt = tmpdir_factory_local("obs-ckpt")
+    ShardDirProducer(src, n_shards=2, batch_size=25).produce_all(100)
+
+    valid, _ = decode_json(shard_source(spark, src))
+    observed = valid.observe("tap", F.count(F.lit(1)).alias("n"),
+                             F.sum("id").alias("sum_id"))
+
+    totals = {"n": 0, "sum_id": 0}
+
+    class Tap(StreamingQueryListener):
+        def onQueryStarted(self, event): pass
+
+        def onQueryProgress(self, event):
+            row = event.progress.observedMetrics.get("tap")
+            if row is not None:
+                totals["n"] += row.n
+                totals["sum_id"] += row.sum_id
+
+        def onQueryIdle(self, event): pass
+
+        def onQueryTerminated(self, event): pass
+
+    listener = Tap()
+    spark.streams.addListener(listener)
+    try:
+        q = (observed.writeStream.format("noop")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        deadline = _time.monotonic() + 20  # listener events are async
+        while totals["n"] < 100 and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert totals["n"] == 100
+    assert totals["sum_id"] == 100 * 101 // 2

@@ -136,3 +136,26 @@ def consume_count(
         except Exception:
             pass
     return state
+
+
+def retry(fn, retry_on=(Exception,), max_attempts: int = 5,
+          base_delay_s: float = 0.1, factor: float = 2.0,
+          sleep=time.sleep):
+    """Composite retry policy: retry only on ``retry_on`` exception types,
+    at most ``max_attempts`` times, exponential backoff from
+    ``base_delay_s`` — the intersection-of-schedules semantics of the
+    reference (Schedule.doWhile && Schedule.recurs(5) &&
+    Schedule.exponential, TestUtils.scala:45-50); non-matching exceptions
+    propagate immediately (the doWhile arm), exhausted retries re-raise
+    the last error.
+    """
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except retry_on as e:  # noqa: PERF203 — the point is the policy
+            attempt += 1
+            if attempt > max_attempts:
+                raise
+            sleep(base_delay_s * (factor ** (attempt - 1)))
+        # any other exception type propagates immediately
