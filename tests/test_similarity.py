@@ -39,3 +39,25 @@ def test_cosine_matches_numpy(spark):
         a, b = emb[r.query_id], emb[r.neighbor_id]
         want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
         assert abs(round(want, 6) - r.cosine) <= 1e-6, (r, want)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 over label-clustered embeddings: real neighbors
+    share a cluster, so cell-restricted search should recover most of
+    the exact top-k (tested at sf0.01 where the quantizer has ~14
+    cells — sf0.001 has too few vectors to form cells)."""
+    from .conftest import SF_ORACLE
+    exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    approx = all_specs()["q_sim_ann_ivf"].fn(spark, SF_ORACLE).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+    # every query produced k candidates (cells are dense enough)
+    assert set(got) == set(truth)
