@@ -47,6 +47,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         force(spec.fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop any cache an iterative query left behind (e.g. the final
+        # labels frame of q_dedup_clusters) so queries don't interfere
+        spark.catalog.clearCache()
     return times
 
 
