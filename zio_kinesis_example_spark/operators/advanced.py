@@ -676,3 +676,87 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
          .alias("pct_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# data-mixture sampling, n-gram frequencies
+# --------------------------------------------------------------------------
+
+#: per-source keep-probability (a training data mixture recipe): src0..src9
+#: kept at 90%, src10..src19 at 25%.
+_MIX_HI = 0.90
+_MIX_LO = 0.25
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_U32 = 4294967296
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_U32}
+              < CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                          THEN {_MIX_HI} * {_U32}
+                          ELSE {_MIX_LO} * {_U32} END AS BIGINT)
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling: keep each document with a per-source
+    probability (90% for src0-9, 25% for src10-19) using a Knuth
+    multiplicative hash of doc_id as the uniform draw — pure BIGINT
+    arithmetic, so the 'random' decision is exact, reproducible, and
+    engine-portable (unlike rand(), which differs per engine/partition).
+    This is the mixture-weighting step of a training-corpus builder; at
+    100 TB it is a stateless map — no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    draw = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_U32)
+    src_num = F.substring("source", 4, 10).cast("int")
+    threshold = F.when(src_num < 10, F.lit(int(_MIX_HI * _U32))) \
+        .otherwise(F.lit(int(_MIX_LO * _U32))).cast("long")
+    return d.filter(draw < threshold).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_text_bigrams",
+    oracle="""
+        WITH t AS (SELECT lang, string_split(text, ' ') AS terms
+                   FROM documents),
+        b AS (SELECT lang,
+                     unnest(list_transform(
+                         generate_series(1, len(terms) - 1),
+                         i -> terms[i] || ' ' || terms[i + 1])) AS bigram
+              FROM t WHERE len(terms) >= 2),
+        c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY COUNT(*) DESC, bigram) AS rn
+              FROM b GROUP BY lang, bigram)
+        SELECT lang, bigram, n, CAST(rn AS BIGINT) AS rn
+        FROM c WHERE rn <= 10
+    """,
+    tags=("text", "pipeline"),
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language (tie-broken lexicographically): the
+    n-gram statistics pass of corpus analysis. explode → two-level
+    partial-aggregated count → per-lang top-k window; the count shuffle
+    carries only distinct (lang, bigram) pairs."""
+    d = load(spark, sf_dir, "documents")
+    terms = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(terms) - 1), "
+        "i -> concat_ws(' ', terms[i - 1], terms[i]))"
+    )
+    counts = (
+        d.select("lang", terms.alias("terms"))
+        .filter(F.size("terms") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
