@@ -116,3 +116,14 @@ def test_tpch_q6_full_pushdown_no_shuffle(spark):
         assert col in pushed, col
     simple = _plan(spark, "q_tpch_q6", mode="simple")
     assert simple.count("Exchange") == 1  # SinglePartition for final agg
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    plan = _plan(spark, "q_sort_global", mode="simple")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_multi_distinct_uses_expand_single_scan(spark):
+    plan = _plan(spark, "q_agg_multi_distinct", mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1

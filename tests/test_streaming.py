@@ -214,3 +214,50 @@ def test_observe_metrics_per_batch(spark, tmpdir_factory_local):
         spark.streams.removeListener(listener)
     assert totals["n"] == 100
     assert totals["sum_id"] == 100 * 101 // 2
+
+
+def test_idempotent_foreachbatch_sink_exactly_once(spark, tmpdir_factory_local):
+    """The production exactly-once foreachBatch pattern: the sink write is
+    keyed by (epoch_id) and skipped if already committed, so a batch
+    re-delivered after a crash does not duplicate output — foreachBatch is
+    at-least-once (reference §3.2 semantics), the sink makes it
+    exactly-once. We simulate the crash by failing the FIRST attempt of
+    epoch 0 AFTER writing its output."""
+    import os
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("idem-src")
+    ckpt = tmpdir_factory_local("idem-ckpt")
+    out = tmpdir_factory_local("idem-out")
+    ShardDirProducer(src, n_shards=2, batch_size=50).produce_all(100)
+    valid, _ = decode_json(shard_source(spark, src))
+
+    crashed = {"done": False}
+
+    def fb(batch_df, epoch_id):
+        epoch_dir = os.path.join(out, f"epoch={epoch_id}")
+        if os.path.exists(epoch_dir):
+            return  # already committed: idempotent skip on re-delivery
+        batch_df.select("id").write.mode("overwrite").parquet(epoch_dir)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("crash after write, before offset commit")
+
+    def run():
+        q = (valid.writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    run()          # first attempt: writes epoch 0, crashes pre-commit
+    run()          # restart: epoch 0 re-delivered, skipped; rest lands
+    landed = spark.read.option("basePath", out).parquet(out)
+    assert landed.count() == 100                      # no duplicates
+    assert landed.select("id").distinct().count() == 100

@@ -760,3 +760,52 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 10)
     )
+
+
+@query(
+    "q_sort_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_totalprice > 100000
+    """,
+    tags=("sort",),
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally sorted projection (ORDER BY without LIMIT): plans as a
+    range-partitioning exchange (sampled split points) + per-partition
+    sort — the scalable total order, no single-node bottleneck. The
+    driver's comparator is order-insensitive, so the oracle omits the
+    ORDER BY; the plan shape is asserted in test_plans.py."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+@query(
+    "q_agg_multi_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+               CAST(COUNT(*) AS BIGINT) AS events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "distinct"),
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over different columns in one
+    aggregation: Catalyst rewrites through an Expand (one row replica per
+    distinct group) so a single shuffle serves both distincts plus the
+    plain count — the expand factor (#distinct clauses) is the scale
+    cost to watch."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.count(F.lit(1)).alias("events"),
+    )
