@@ -152,3 +152,34 @@ def test_max_files_per_trigger_paces_batches(spark, tmpdir_factory_local):
     q.awaitTermination(120)
     assert sum(epochs) == 50
     assert len([e for e in epochs if e]) == 5  # one file per batch
+
+
+def test_dedup_within_watermark(spark, tmpdir_factory_local):
+    """Duplicate ids re-delivered across micro-batches are emitted exactly
+    once; state for old keys is evicted past the watermark."""
+    from zio_kinesis_example_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+    src, ckpt = _dirs(tmpdir_factory_local, "sdedup")
+    t = {
+        1: "2024-01-01 00:00:00",
+        2: "2024-01-01 00:00:30",
+        3: "2024-01-01 00:01:00",
+        4: "2024-01-01 00:02:00",
+    }
+    # payload id repeats via id%2 key: ids 1..4 -> dup_key 1,0,1,0
+    prod = ShardDirProducer(
+        src, n_shards=1,
+        payload_fn=lambda i: {"id": (i % 2) + 10, "event_ts": t[i]})
+    prod.produce(1, 2)   # batch 1: keys 11, 10
+
+    deduped = dedup_within_watermark(_windowed(spark, src), ["id"])
+    emitted: list = []
+    run_available_now(deduped, ckpt, emitted)
+    assert sorted(r.id for r in emitted) == [10, 11]
+
+    prod.produce(3, 2)   # batch 2: keys 11, 10 again -> both dropped
+    emitted2: list = []
+    run_available_now(dedup_within_watermark(_windowed(spark, src), ["id"]),
+                      ckpt, emitted2)
+    assert emitted2 == []

@@ -809,3 +809,43 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
         F.count(F.lit(1)).alias("events"),
     )
+
+
+@query(
+    "q_decimal_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4)))
+                         AS DECIMAL(30, 4)) AS VARCHAR) AS sum_price_dec,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                         AS DECIMAL(30, 8)) AS VARCHAR)
+                   AS sum_disc_price_dec,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "decimal"),
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation: money math in DECIMAL(18,4), where the
+    sum is EXACT and associative — float SUM results depend on partition
+    count and reduction order (bit-level), decimals do not. Both engines
+    promote precision identically under the SQL rules, so the comparison
+    is bit-exact with no rounding escape hatch. The 100 TB rule: revenue
+    rollups that must reconcile are decimal, analytics that tolerate
+    1e-12 relative error are double (2× faster).
+
+    Output sums are serialized as fixed-scale decimal STRINGS: the
+    comparison must stay in exact decimal space end-to-end (DuckDB's
+    pandas bridge would otherwise degrade its decimals to float64)."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(30,4)").cast("string")
+         .alias("sum_price_dec"),
+        F.sum(price * disc).cast("decimal(30,8)").cast("string")
+         .alias("sum_disc_price_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -198,3 +198,17 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame,
     the no-shuffle lookup-table pattern; the stream side never exchanges."""
     return stream.join(F.broadcast(dim),
                        F.col(stream_key) == F.col(dim_key), "left")
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           ts_col: str = "event_ts",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Streaming deduplication: emit the first occurrence of each key,
+    drop re-deliveries arriving within the watermark horizon. State is
+    bounded by the watermark (keys older than it are evicted) — the
+    standard at-least-once-source → exactly-once-stream repair, and the
+    streaming twin of batch q_dedup_latest."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
