@@ -849,3 +849,92 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sum_disc_price_dec"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — complements q_union_all: the union is followed
+    by a dedup aggregation, partial-aggregated before the shuffle so
+    the exchange carries unique keys per partition only."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q_win_value_funcs",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_win_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth): each customer's first,
+    latest, and second order price in orderdate order. last_value uses an
+    explicit unbounded-following frame — the default frame ends at the
+    current row, the classic silent-wrong-answer trap."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q_interval_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)
+                   AS plus_3_months,
+               round(date_diff('day', TIMESTAMP '1995-06-01', o_orderdate)
+                     / 30.4375, 4) AS months_approx,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                   AS quarter_start,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
+        FROM orders
+    """,
+    tags=("function", "date", "interval"),
+)
+def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic and calendar bucketing: add_months, day-count
+    month fractions (computed with an explicit day/30.4375 formula —
+    engines disagree on months_between edge rules, so the portable form
+    IS the spec), quarter bucketing, ISO week."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d.cast("date"), 3).cast("timestamp_ntz")
+         .alias("plus_3_months"),
+        F.round(
+            F.datediff(d, F.lit("1995-06-01")) / F.lit(30.4375), 4
+        ).alias("months_approx"),
+        F.trunc(d, "quarter").cast("timestamp_ntz").alias("quarter_start"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d.cast("date")).alias("iso_week"),
+    )

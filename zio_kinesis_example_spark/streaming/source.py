@@ -128,3 +128,38 @@ def shard_source(spark: SparkSession, source_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(source_dir)
+
+
+def kinesis_source(spark: SparkSession, stream_name: str,
+                   region: str = "us-east-1",
+                   initial_position: str = "trim_horizon",
+                   endpoint_url: str | None = None) -> DataFrame:
+    """The real-Kinesis twin of :func:`shard_source` (reference op 1,
+    DynamicConsumer.shardedStream, FlattenChunksTest.scala:35-40):
+    requires the spark-sql-kinesis connector jar on the cluster (not
+    available in this hermetic environment — tests use shard_source;
+    everything downstream of either source is identical because both
+    emit the same envelope columns).
+
+    Consumer offsets live in Spark's checkpointLocation rather than a
+    DynamoDB lease table — the engine's replacement for the KCL
+    checkpoint story (SURVEY.md §3.4).
+    """
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("initialPosition", initial_position)
+    )
+    if endpoint_url:
+        reader = reader.option("endpointUrl", endpoint_url)
+    # connector emits (data, streamName, partitionKey, sequenceNumber,
+    # approximateArrivalTimestamp); normalize to the envelope contract
+    df = reader.load()
+    from pyspark.sql import functions as F
+    return df.select(
+        F.col("partitionKey").alias("shard_id"),
+        F.col("partitionKey").alias("partition_key"),
+        F.col("sequenceNumber").cast("long").alias("seq"),
+        F.col("data").cast("string").alias("data"),
+    )
