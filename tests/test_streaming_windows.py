@@ -183,3 +183,31 @@ def test_dedup_within_watermark(spark, tmpdir_factory_local):
     run_available_now(dedup_within_watermark(_windowed(spark, src), ["id"]),
                       ckpt, emitted2)
     assert emitted2 == []
+
+
+def test_complete_mode_running_totals(spark, tmpdir_factory_local):
+    """Complete output mode: every micro-batch re-emits the FULL result
+    table (running totals across all data seen), completing the
+    append/update/complete output-mode coverage."""
+    from pyspark.sql import functions as F
+    src, ckpt = _dirs(tmpdir_factory_local, "complete")
+    prod = ShardDirProducer(src, n_shards=2, batch_size=30)
+    prod.produce_all(60)
+
+    valid, _ = decode_json(shard_source(spark, src))
+    counts = valid.groupBy(
+        (F.col("id") % 3).alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+    batches: list[list] = []
+
+    def fb(batch_df, epoch_id):
+        batches.append(batch_df.collect())
+
+    q = (counts.writeStream.foreachBatch(fb).outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # the LAST emission is the complete running total over all 60 records
+    final = {r.bucket: r.n for r in batches[-1]}
+    assert final == {0: 20, 1: 20, 2: 20}
+    assert sum(final.values()) == 60
