@@ -194,14 +194,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
                CAST(len(list_filter(string_split(text, ' '),
                                     t -> length(t) > 4)) AS BIGINT)
-                   AS n_long_tokens
+                   AS n_long_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS BIGINT) AS n_regex_tokens
         FROM documents
     """,
     tags=("text",),
 )
 def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + chars/4 BPE-ish estimate (the
-    standard ~4-chars-per-token heuristic) + long-token count."""
+    """Token counting three ways: whitespace tokens, the chars/4 BPE-ish
+    estimate (~4 chars/token heuristic), and a BPE-style regex tokenizer
+    (letter runs | digit runs | single symbols — the simplified shape of
+    the GPT-2 pretokenizer pattern, identical semantics in Java and RE2
+    regex engines)."""
     d = load(spark, sf_dir, "documents")
     terms = F.split("text", " ")
     return d.select(
@@ -212,6 +217,9 @@ def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(terms, lambda t: F.length(t) > 4)).cast("long").alias(
             "n_long_tokens"
         ),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("long").alias("n_regex_tokens"),
     )
 
 
