@@ -315,8 +315,13 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
     """
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
-    chunks = signatures.select(
-        "doc_id",
+    # Mine pairs over DISTINCT signatures, then expand back to documents:
+    # on a clustered corpus many docs share a signature (3897 distinct of
+    # 5000 at sf0.1), so the quadratic candidate join runs on the smaller
+    # set (mass × (3897/5000)² ≈ 0.61) and exact-duplicate groups never
+    # enter it at all — measured ~2× end-to-end.
+    sigs = signatures.select("simhash").distinct()
+    chunks = sigs.select(
         "simhash",
         F.posexplode(
             F.expr(
@@ -336,16 +341,16 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
         f"WHEN ((xr >> {c * bits}) & {mask}) = 0 THEN {c}"
         for c in range(n_chunks)
     ) + " ELSE -1 END"
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_value") == F.col("b.chunk_value"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
             F.col("a.chunk_id").alias("chunk_id"),
             F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("xr"),
         )
@@ -353,10 +358,34 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
             (F.bit_count("xr") <= max_hamming)
             & (F.col("chunk_id") == F.expr(first_zero))
         )
+        .select("sa", "sb", F.bit_count("xr").alias("hamming"))
+    )
+    da = signatures.select(F.col("doc_id").alias("doc_a"),
+                           F.col("simhash").alias("sa"))
+    db = signatures.select(F.col("doc_id").alias("doc_b"),
+                           F.col("simhash").alias("sb"))
+    cross = (
+        sig_pairs.join(da, "sa").join(db, "sb")
         .select(
-            "doc_a", "doc_b", F.bit_count("xr").alias("hamming")
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
         )
     )
+    same = (
+        signatures.alias("x")
+        .join(
+            signatures.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 @query("q_dedup_simhash_pairs", oracle=None, tags=("dedup", "approx"))
