@@ -664,17 +664,46 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_pct", oracle=None, tags=("agg", "approx"))
+@query(
+    "q_agg_approx_pct",
+    oracle="""
+        SELECT l_returnflag,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch): the bounded-memory,
+    """approx_percentile (KLL/GK-style sketch): the bounded-memory,
     mergeable percentile for 100 TB inputs — the scale path whose exact
-    twin is q_agg_percentile. Sketch internals are engine-specific →
-    rows-only driver check; accuracy vs the exact percentile is asserted
-    in tests/test_dedup.py-style bounds in tests (see test_approx.py)."""
+    twin is q_agg_percentile.
+
+    Sketch internals are engine-specific, so (as with q_agg_approx_cd)
+    the hash-checkable contract is a bound per quantile: with accuracy
+    10 000 the rank error is ≤ n/10 000, which at these group sizes keeps
+    the value within 1% relative error of the exact percentile; the query
+    emits one boolean per quantile (scalar columns — an array column
+    would defeat order-insensitive canonicalization) and the oracle
+    asserts the constant TRUE per group."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-         .alias("pct_approx"),
+    qs = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("pa"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("pe"),
+    )
+
+    def ok(i: int):
+        return (
+            F.abs(F.col("pa")[i] - F.col("pe")[i])
+            <= F.lit(0.01) * F.abs(F.col("pe")[i]) + F.lit(1e-6)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        ok(0).alias("p50_ok"), ok(1).alias("p90_ok"), ok(2).alias("p99_ok"),
     )
 
 

@@ -340,15 +340,37 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx_cd",
-    oracle=None,  # approximate → no exact oracle; driver rows-only check
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_ok
+        FROM events
+        GROUP BY event_type
+    """,
     tags=("agg", "approx"),
 )
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the 100 TB path where exact distinct
-    would shuffle every key. rsd=0.05 default."""
+    would shuffle every key (the sketch is fixed-size and mergeable, so
+    the shuffle carries registers, not keys). rsd=0.05.
+
+    The sketch value itself is engine-specific, so the hash-checkable
+    contract is an error *bound*: ``hll_ok = |approx − exact| ≤ 3·rsd·exact``
+    (three standard errors), which the oracle asserts as a constant TRUE.
+    The exact twin is computed only to evaluate the bound — at 100 TB you
+    would ship the sketch alone; the bound check is the correctness
+    harness, not the operator."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    bound = F.lit(3 * 0.05) * F.col("n_exact")
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("approx_users") - F.col("n_exact")) <= bound)
+        .alias("hll_ok"),
     )
 
 
