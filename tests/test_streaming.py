@@ -167,14 +167,12 @@ def test_retry_policy_composite():
 
 def test_observe_metrics_per_batch(spark, tmpdir_factory_local):
     """Reference op 8 (tap/per-record observation) as df.observe():
-    side-channel metrics delivered through the StreamingQueryListener
-    progress events — no second aggregation job over the data."""
-    import time as _time
-
+    side-channel metrics delivered through the library MetricsTap
+    listener (streaming/observe.py, reference op 26's correlation-id
+    logging surface) — no second aggregation job over the data."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming import StreamingQueryListener
     from zio_kinesis_example_spark.streaming import (
-        ShardDirProducer, decode_json, shard_source,
+        ShardDirProducer, decode_json, shard_source, tapped,
     )
 
     src = tmpdir_factory_local("obs-src")
@@ -185,35 +183,97 @@ def test_observe_metrics_per_batch(spark, tmpdir_factory_local):
     observed = valid.observe("tap", F.count(F.lit(1)).alias("n"),
                              F.sum("id").alias("sum_id"))
 
-    totals = {"n": 0, "sum_id": 0}
-
-    class Tap(StreamingQueryListener):
-        def onQueryStarted(self, event): pass
-
-        def onQueryProgress(self, event):
-            row = event.progress.observedMetrics.get("tap")
-            if row is not None:
-                totals["n"] += row.n
-                totals["sum_id"] += row.sum_id
-
-        def onQueryIdle(self, event): pass
-
-        def onQueryTerminated(self, event): pass
-
-    listener = Tap()
-    spark.streams.addListener(listener)
-    try:
+    with tapped(spark, "tap") as tap:
         q = (observed.writeStream.format("noop")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
-        deadline = _time.monotonic() + 20  # listener events are async
-        while totals["n"] < 100 and _time.monotonic() < deadline:
-            _time.sleep(0.2)
-    finally:
-        spark.streams.removeListener(listener)
-    assert totals["n"] == 100
-    assert totals["sum_id"] == 100 * 101 // 2
+        tap.wait_for("n", 100, timeout_s=20)  # listener events are async
+        assert tap.total("n") == 100
+        assert tap.total("sum_id") == 100 * 101 // 2
+        assert tap.batches >= 1 and tap.input_rows == 100
+
+
+def test_observe_logs_correlation_id(spark, tmpdir_factory_local, caplog):
+    """Every lifecycle/progress log line is one JSON object stamped with
+    the query's runId as the correlation id (reference op 26,
+    logback.xml:3-17 MDC pattern)."""
+    import json as _json
+    import logging as _logging
+
+    from pyspark.sql import functions as F
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source, tapped,
+    )
+
+    src = tmpdir_factory_local("cid-src")
+    ckpt = tmpdir_factory_local("cid-ckpt")
+    ShardDirProducer(src, n_shards=2, batch_size=25).produce_all(50)
+    valid, _ = decode_json(shard_source(spark, src))
+    observed = valid.observe("cid-tap", F.count(F.lit(1)).alias("n"))
+
+    with caplog.at_level(_logging.INFO, logger="zke.streaming"):
+        with tapped(spark, "cid-tap") as tap:
+            q = (observed.writeStream.format("noop")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            tap.wait_for("n", 50, timeout_s=20)
+    events = [_json.loads(r.message) for r in caplog.records
+              if r.name == "zke.streaming"]
+    assert {"started", "progress"} <= {e["evt"] for e in events}
+    cids = {e["cid"] for e in events if e["evt"] in ("started", "progress")}
+    assert len(cids) == 1  # one run → one correlation id on every line
+    prog = [e for e in events if e["evt"] == "progress" and e["metrics"]]
+    assert sum(e["metrics"]["n"] for e in prog) == 50
+
+
+def test_consume_observed_executor_path(spark, tmpdir_factory_local):
+    """The production consume path: counts via observe()+listener, sink a
+    per-batch noop write — the data never reaches the driver. Same golden
+    assertion as the mirror (processed == produced,
+    FlattenChunksTest.scala:59)."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, consume_observed, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("exec-src")
+    ckpt = tmpdir_factory_local("exec-ckpt")
+    n = 5_000
+    ShardDirProducer(src, n_shards=4, batch_size=500).produce_all(n)
+    valid, _ = decode_json(shard_source(spark, src))
+    res = consume_observed(valid, ckpt)
+    assert not res.failed, res.error
+    assert res.processed == n
+    assert res.sum_id == n * (n + 1) // 2
+    assert res.batches >= 1
+
+
+def test_consume_observed_with_errors_restart(spark, tmpdir_factory_local):
+    """Executor-path twin of the checkpoint-restart test: injected failure
+    aborts the query, restart from the same checkpoint redelivers only
+    uncommitted batches (at-least-once; bounded by files-per-trigger)."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, consume_observed, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("exer-src")
+    ckpt = tmpdir_factory_local("exer-ckpt")
+    n = 4_000
+    ShardDirProducer(src, n_shards=4, batch_size=500).produce_all(n)
+    valid, _ = decode_json(shard_source(spark, src, max_files_per_trigger=2))
+
+    pending = {n // 2}
+    first = consume_observed(valid, ckpt, fail_on_ids=pending)
+    assert first.failed, "injected failure should abort the query"
+    assert not pending, "failure should have consumed the pending id"
+
+    second = consume_observed(valid, ckpt, fail_on_ids=pending)
+    assert not second.failed, second.error
+    # failed batch commits no progress event → its records count once,
+    # on redelivery; total is n, plus at most one epoch of slack
+    total = first.processed + second.processed
+    assert n <= total <= n + 2 * 500
 
 
 def test_idempotent_foreachbatch_sink_exactly_once(spark, tmpdir_factory_local):

@@ -23,4 +23,7 @@ Semantics parity map:
 
 from .source import ShardDirProducer, shard_source, ENVELOPE_SCHEMA  # noqa: F401
 from .serde import decode_json, TESTMSG_SCHEMA  # noqa: F401
-from .consume import consume_count, ConsumeResult  # noqa: F401
+from .consume import (  # noqa: F401
+    ConsumeResult, ObservedResult, consume_count, consume_observed,
+)
+from .observe import MetricsTap, tapped  # noqa: F401

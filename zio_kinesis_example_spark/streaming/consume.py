@@ -28,6 +28,7 @@ identical.
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
 from collections import Counter
@@ -136,6 +137,101 @@ def consume_count(
         except Exception:
             pass
     return state
+
+
+@dataclass
+class ObservedResult:
+    processed: int = 0      # records through the pipeline (≥ distinct on redelivery)
+    sum_id: int = 0
+    batches: int = 0
+    failed: bool = False
+    error: str = ""
+
+
+def consume_observed(
+    decoded: DataFrame,
+    checkpoint_dir: str,
+    fail_on_ids: set[int] | None = None,
+    timeout_s: float = 600.0,
+) -> ObservedResult:
+    """The PRODUCTION consume path: per-record work stays on the executors.
+
+    Counting rides ``df.observe()`` aggregates delivered through the
+    progress listener (streaming/observe.py) — the data never crosses to
+    the driver (contrast :func:`consume_count`, the test mirror whose
+    driver-side loop exists to run ordered per-record *assertions*). The
+    sink is a per-batch noop write inside ``foreachBatch``: full plan
+    execution on executors, zero result transfer — swap in the real sink
+    (parquet/Kafka/foreachPartition effects) at that line.
+
+    ``fail_on_ids`` injects a one-time failure when a batch containing
+    that id is first processed (the reference's with-errors run,
+    CheckpointOnChunkEndStreamClient.scala:58-72): detection is a
+    distributed filter-count, the query aborts, and a restart with the
+    same ``checkpoint_dir`` redelivers only the uncommitted batches.
+    The caller owns the pending-id set so it survives restarts.
+
+    Runs with ``availableNow`` — process everything available in
+    micro-batches, then terminate (the bounded-ingest bench/backfill
+    shape). Returns processed (≥ distinct under redelivery) from the tap.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .observe import tapped
+
+    spark = decoded.sparkSession
+    pending = fail_on_ids if fail_on_ids is not None else set()
+    tap_name = f"consume-{uuid.uuid4().hex[:8]}"
+    observed = decoded.observe(
+        tap_name, F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id")
+    )
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        if pending:
+            # distributed detection; only the handful of matched ids ever
+            # reach the driver (bounded by |fail_on_ids|)
+            hit = [
+                r.id for r in
+                batch_df.select("id")
+                .filter(F.col("id").isin([int(i) for i in pending]))
+                .collect()
+            ]
+            if hit:
+                for i in hit:
+                    pending.discard(i)
+                raise RuntimeError(f"injected failure at ids={sorted(hit)}")
+        batch_df.write.format("noop").mode("overwrite").save()
+
+    res = ObservedResult()
+    with tapped(spark, tap_name) as tap:
+        query = (
+            observed.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        try:
+            query.awaitTermination(int(timeout_s))
+        except StreamingQueryException as e:
+            res.failed = True
+            res.error = str(e)
+        else:
+            if query.exception() is not None:
+                res.failed = True
+                res.error = str(query.exception())
+        finally:
+            with contextlib.suppress(Exception):
+                if query.isActive:
+                    query.stop()
+        tap.wait_stable("n", settle_s=0.5, timeout_s=15)
+        res.processed = int(tap.total("n"))
+        res.sum_id = int(tap.total("sum_id"))
+        res.batches = tap.batches
+    return res
 
 
 def retry(fn, retry_on=(Exception,), max_attempts: int = 5,
