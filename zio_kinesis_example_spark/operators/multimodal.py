@@ -51,19 +51,57 @@ def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flat_batch(payloads) -> tuple:
+    """Concatenate a batch's variable-length payloads into ONE uint8
+    buffer + per-payload (start, length) offsets — the layout Arrow
+    already stores binary columns in, so every downstream kernel is pure
+    numpy over the flat buffer (no per-row Python). Returns
+    (buf_int64, starts, lens); buf has one zero pad byte so segment
+    stops may equal the data length."""
+    import numpy as np
+
+    seq = payloads.to_numpy() if hasattr(payloads, "to_numpy") else payloads
+    lens = np.fromiter((len(b) for b in seq), dtype=np.int64, count=len(seq))
+    buf = np.frombuffer(b"".join(seq) + b"\x00", dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return buf.astype(np.int64), starts, lens
+
+
+def _segment_sums(buf, starts, stops):
+    """Vectorized per-segment byte sums over the flat buffer:
+    np.add.reduceat on interleaved [start0, stop0, start1, ...] indices,
+    keeping the even slots (odd slots are the inter-segment gaps).
+    Empty segments (stop == start) are masked to 0 (reduceat would emit
+    buf[start] for them)."""
+    import numpy as np
+
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.empty(2 * len(starts), dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = stops
+    sums = np.add.reduceat(buf, idx)[0::2]
+    return np.where(stops > starts, sums, 0)
+
+
 def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in for an image decode, vectorized per Arrow
-    batch: width/height derived from payload size/content, checksum over
-    the first 16 bytes. A real codec replaces only this function."""
+    batch over the flat payload buffer (no per-row Python): width/height
+    derived from payload size/content, checksum over the first 16 bytes.
+    A real codec replaces only this function."""
+    import numpy as np
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        heights = np.where(lens > 0, buf[starts], 0)
+        checksum16 = _segment_sums(buf, starts, starts + np.minimum(lens, 16))
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int64"),
-            "width": (n_bytes % 640).astype("int32"),
-            "height": payloads.map(lambda b: b[0] if len(b) else 0).astype("int32"),
-            "checksum16": payloads.map(lambda b: int(sum(b[:16]))).astype("int64"),
+            "n_bytes": lens,
+            "width": (lens % 640).astype("int32"),
+            "height": heights.astype("int32"),
+            "checksum16": checksum16,
         })
 
 
@@ -196,21 +234,30 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out factor is payload_size/(frame·stride), known per row."""
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, frames, sizes, sums = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for frame_no in range(0, -(-len(payload) // _FRAME),
-                                      _SAMPLE_EVERY):
-                    chunk = payload[frame_no * _FRAME:(frame_no + 1) * _FRAME]
-                    ids.append(doc_id)
-                    frames.append(frame_no)
-                    sizes.append(len(chunk))
-                    sums.append(int(sum(chunk)))
+            buf, starts, lens = _flat_batch(pdf["payload"])
+            doc_ids = pdf["doc_id"].to_numpy()
+            n_frames = -(-lens // _FRAME)                   # ceil
+            n_sampled = -(-n_frames // _SAMPLE_EVERY)
+            total = int(n_sampled.sum())
+            # expand to one slot per sampled frame, all in numpy:
+            # doc_idx repeats each doc for its sampled-frame count;
+            # frame_no is the within-doc rank × stride
+            doc_idx = np.repeat(np.arange(len(lens)), n_sampled)
+            first = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(n_sampled[:-1], out=first[1:])
+            rank = np.arange(total, dtype=np.int64) - np.repeat(first, n_sampled)
+            frame_no = rank * _SAMPLE_EVERY
+            f_start = starts[doc_idx] + frame_no * _FRAME
+            f_stop = np.minimum(f_start + _FRAME, starts[doc_idx] + lens[doc_idx])
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "frame_no": pd.Series(frames, dtype="int32"),
-                "frame_bytes": pd.Series(sizes, dtype="int32"),
-                "frame_sum": pd.Series(sums, dtype="int64"),
+                "doc_id": pd.Series(doc_ids[doc_idx], dtype="int64"),
+                "frame_no": pd.Series(frame_no, dtype="int32"),
+                "frame_bytes": pd.Series(f_stop - f_start, dtype="int32"),
+                "frame_sum": pd.Series(
+                    _segment_sums(buf, f_start, f_stop), dtype="int64"),
             })
 
     schema = StructType([
