@@ -1,0 +1,243 @@
+"""Corpus-curation operators [north-star]: the remaining steps a
+training-data pipeline runs between raw documents and a training mix —
+benchmark decontamination, lexicon redaction, repetition scoring, and
+token-budgeted corpus assembly. All JVM built-ins with exact DuckDB
+oracles; no Python in any hot path.
+
+Scale design:
+- **Decontamination** joins the corpus against the *benchmark* n-gram set,
+  which is tiny by construction (eval sets are ~10³-10⁵ docs) → broadcast
+  semi/inner join; the 100 TB corpus side never shuffles.
+- **Redaction / repetition** are stateless per-row maps (+ one partial-agg
+  shuffle for repetition's per-doc term counts).
+- **Token-budget assembly** is the two-level shape of every mixture
+  builder: a domain-level aggregate (tiny, broadcast back) + one window
+  per domain — a single shuffle on the domain key.
+
+Reference parity note: the reference has no batch/text surface (SURVEY.md
+§2.1); this module extends the mandated north-star pipeline operators
+(SURVEY.md §2.2 text/sampling families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# 5-term shingles for decontamination overlap (eval-set n-gram matching,
+# the standard train/test-overlap definition). Distinct per doc.
+_DECON_N = 5
+_DECON_SHINGLES = f"""
+    CASE WHEN size(terms) >= {_DECON_N}
+         THEN array_distinct(transform(sequence(1, size(terms) - {_DECON_N - 1}),
+                                       i -> concat_ws(' ', slice(terms, i, {_DECON_N}))))
+         ELSE array()
+    END
+"""
+#: The held-out "benchmark" slice of the corpus: src19 stands in for an
+#: eval set; everything else is training data.
+_BENCH_SOURCE = "src19"
+
+
+@query(
+    "q_curate_decontaminate",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS terms
+                   FROM documents),
+        s AS (SELECT doc_id, source,
+                     list_distinct(CASE WHEN len(terms) >= {_DECON_N}
+                       THEN list_transform(
+                                generate_series(1, len(terms) - {_DECON_N - 1}),
+                                i -> array_to_string(terms[i:i+{_DECON_N - 1}], ' '))
+                       ELSE [] END) AS grams
+              FROM t),
+        e AS (SELECT doc_id, source, unnest(grams) AS g FROM s),
+        b AS (SELECT DISTINCT g FROM e WHERE source = '{_BENCH_SOURCE}')
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM e JOIN b USING (g)
+        WHERE e.source <> '{_BENCH_SOURCE}'
+        GROUP BY e.doc_id
+    """,
+    tags=("curation", "text", "pipeline"),
+)
+def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any 5-gram
+    with the held-out benchmark slice (source = src19), with the count of
+    distinct shared grams — the standard eval-overlap filter run before
+    training.
+
+    The benchmark gram set is aggregated first and BROADCAST into the
+    corpus-side join (eval sets are small by construction), so the 100 TB
+    training side is one map-side pass: explode → broadcast hash join →
+    per-doc count. No corpus shuffle beyond the final per-doc agg.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("terms")
+    ).select("doc_id", "source", F.expr(_DECON_SHINGLES).alias("grams"))
+    grams = d.select("doc_id", "source", F.explode("grams").alias("g"))
+    bench = (
+        grams.filter(F.col("source") == _BENCH_SOURCE)
+        .select("g").distinct()
+    )
+    train = grams.filter(F.col("source") != _BENCH_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+#: Deterministic "sensitive term" lexicon — the stand-in for a PII
+#: pattern set (emails/phones don't occur in the synthetic corpus; the
+#: operator shape — compiled alternation, global replace, audit count —
+#: is identical for real patterns).
+_REDACT_PATTERN = r"\b(key|hash|secret)\b"
+_REDACT_TOKEN = "[REDACTED]"
+
+
+@query(
+    "q_curate_redact",
+    oracle=rf"""
+        SELECT doc_id,
+               regexp_replace(text, '{_REDACT_PATTERN}',
+                              '{_REDACT_TOKEN}', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text,
+                        '{_REDACT_PATTERN}')) AS BIGINT) AS n_redacted
+        FROM documents
+    """,
+    tags=("curation", "text", "pipeline"),
+)
+def q_curate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon/pattern redaction with an audit count: every match of the
+    sensitive-term alternation replaced by a fixed token, plus the number
+    of redactions per document (the audit trail a compliance pipeline
+    keeps). Stateless per-row map — no shuffle at any scale; the pattern
+    is a compiled alternation evaluated inside codegen (Java regex and
+    DuckDB's RE2 agree on this subset: literal alternation + word
+    boundaries)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", _REDACT_PATTERN, _REDACT_TOKEN)
+        .alias("redacted"),
+        # builder API, not expr(): a SQL string literal would re-escape \b
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_PATTERN), F.lit(0)))
+        .cast("long").alias("n_redacted"),
+    )
+
+
+@query(
+    "q_curate_repetition",
+    oracle="""
+        WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        c AS (SELECT doc_id, term, COUNT(*) AS n
+              FROM e GROUP BY doc_id, term)
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_terms,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_term_ratio,
+               round(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS type_token_ratio,
+               (CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.2) AS is_repetitive
+        FROM c GROUP BY doc_id
+    """,
+    tags=("curation", "text", "quality"),
+)
+def q_curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the quality signal that catches degenerate
+    boilerplate/generated text: per-document max-term frequency ratio and
+    type-token ratio, with a >0.2 repetitiveness flag. explode → per-(doc,
+    term) count → per-doc agg; both aggregations partial-combine map-side,
+    so the shuffle carries term counts, not term instances."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_ratio = F.max("n").cast("double") / F.sum("n")
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(max_ratio, 6).alias("max_term_ratio"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 6)
+        .alias("type_token_ratio"),
+        (max_ratio > 0.2).alias("is_repetitive"),
+    )
+
+
+#: Target corpus size (whitespace tokens) for the assembly query.
+_TOKEN_BUDGET = 50_000
+
+
+@query(
+    "q_curate_token_budget",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+        dom AS (SELECT lang, source, SUM(n_tokens) AS dom_tokens FROM d
+                GROUP BY lang, source),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM d),
+        budget AS (
+            SELECT lang, source,
+                   CAST(floor({_TOKEN_BUDGET} * dom_tokens * 1.0
+                              / total_tokens) AS BIGINT) AS dom_budget
+            FROM dom CROSS JOIN tot),
+        ranked AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang, source
+                                            ORDER BY h, doc_id)
+                        AS BIGINT) AS cum_tokens
+            FROM d)
+        SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.cum_tokens
+        FROM ranked r JOIN budget b USING (lang, source)
+        WHERE r.cum_tokens <= b.dom_budget
+    """,
+    tags=("curation", "sampling", "pipeline"),
+)
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus assembly: allocate a global token budget
+    across (lang, source) domains proportionally to their token mass,
+    then fill each domain's allocation with documents in deterministic
+    md5(doc_id) order until the budget is hit — the final step of a
+    mixture builder, downsampling every domain to a fixed-size training
+    corpus reproducibly.
+
+    Two-level plan: domain totals are a tiny aggregate BROADCAST back
+    onto the ranked stream; the corpus pays exactly one shuffle (the
+    (lang, source) window) at any scale. The deterministic hash order
+    replaces rand() so reruns and engines agree bit-for-bit."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    dom = d.groupBy("lang", "source").agg(
+        F.sum("n_tokens").alias("dom_tokens")
+    )
+    total = d.agg(F.sum("n_tokens").alias("total_tokens"))
+    budget = dom.crossJoin(F.broadcast(total)).select(
+        "lang", "source",
+        F.floor(
+            F.lit(_TOKEN_BUDGET) * F.col("dom_tokens")
+            / F.col("total_tokens")
+        ).alias("dom_budget"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.join(F.broadcast(budget), ["lang", "source"])
+        .filter(F.col("cum_tokens") <= F.col("dom_budget"))
+        .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
+    )

@@ -110,7 +110,7 @@ def _ensure_loaded() -> None:
     # Import (= registration) order is cheap-modules-first so that within
     # each _ordered() group the driver's budget covers the most queries.
     from .operators import (  # noqa: F401
-        scalar_funcs, llm_text, multimodal, udfs, relational,
+        scalar_funcs, llm_text, curation, multimodal, udfs, relational,
         llm_similarity, llm_dedup, advanced,
     )
     _loaded = True
