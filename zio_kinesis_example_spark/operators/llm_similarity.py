@@ -187,7 +187,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SEED_MOD = 37   # deterministic quantizer: every 37th vector is a centroid
+_IVF_NLIST = 32      # FIXED centroid count — independent of corpus size
 _IVF_NPROBE = 3      # query-side cells probed
 
 
@@ -196,23 +196,28 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to LSH (q_sim_ann_lsh).
 
-    Coarse quantizer = every 37th vector (deterministic, no training
-    randomness), held on the DRIVER — legitimate driver-side state: at
-    100 TB the quantizer is still only nlist·dim floats (FAISS does the
-    same). Cell assignment is one numpy matmul per Arrow batch; the
-    probe joins queries (exploded over their nprobe=2 nearest cells) to
-    corpus vectors on cell id — ONE shuffle keyed by cell, candidate
-    count ≈ corpus·nprobe/nlist per query instead of the full corpus
-    (nprobe=3 ≈ 21%% of the corpus at nlist=14; recall/cost dial).
-    Exact cosine re-rank inside cells; recall vs the brute-force
-    baseline asserted in tests/test_similarity.py.
+    Coarse quantizer = the nlist=32 corpus vectors with the smallest
+    xxhash64(vec_id) — a deterministic fixed-size hash-sample, so the
+    driver-side state is O(nlist·dim) floats NO MATTER the corpus size
+    (the plan is a TakeOrderedAndProject: executors each keep their local
+    top-nlist by hash, the driver merges nlist rows total). This is the
+    FAISS shape: a small trained codebook on the coordinator, assignment
+    fully distributed. Cell assignment is one numpy matmul per Arrow
+    batch ((n × nlist), bounded because nlist is a constant); the probe
+    joins queries (exploded over their nprobe nearest cells) to corpus
+    vectors on cell id — ONE shuffle keyed by cell, candidate count
+    ≈ corpus·nprobe/nlist per query (nprobe=3/nlist=32 ≈ 9% of the
+    corpus; recall/cost dial). Exact cosine re-rank inside cells; recall
+    vs the brute-force baseline asserted in tests/test_similarity.py.
     """
     import numpy as np
 
     e = _emb(spark, sf_dir)
     cents = (
-        e.filter(f"vec_id % {_IVF_SEED_MOD} = 0")
-        .select("vec_id", "emb").collect()
+        e.select("vec_id", "emb")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_IVF_NLIST)
+        .collect()
     )
     C = np.stack([r.emb for r in cents])                      # (nlist, dim)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)

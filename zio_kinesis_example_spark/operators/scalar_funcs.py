@@ -136,7 +136,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_distinct_terms,
                list_contains(string_split(text, ' '), 'scan') AS has_scan,
                list_sort(string_split(text, ' '))[1] AS first_term_sorted,
-               list_sort(list_distinct(string_split(text, ' ')))
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
                    AS distinct_terms_sorted
         FROM documents
     """,
@@ -146,7 +146,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function battery: split → size/contains/distinct/sort.
 
     collect_list-style aggregation lives in q_map_funcs/q_text_tokens; here
-    the arrays are per-row. sort_array makes every array deterministic.
+    the arrays are per-row. sort_array makes every array deterministic, and
+    the array column is serialized to a space-joined string so the result is
+    hashable by any downstream canonicalizer (array cells crash pandas sorts).
     """
     d = load(spark, sf_dir, "documents")
     terms = F.split(F.col("text"), " ")
@@ -156,7 +158,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(terms)).alias("n_distinct_terms"),
         F.array_contains(terms, "scan").alias("has_scan"),
         F.element_at(F.sort_array(terms), 1).alias("first_term_sorted"),
-        F.sort_array(F.array_distinct(terms)).alias("distinct_terms_sorted"),
+        F.array_join(F.sort_array(F.array_distinct(terms)), " ").alias(
+            "distinct_terms_sorted"
+        ),
     )
 
 
@@ -171,7 +175,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                to_json(map_from_entries(
                    list_sort(list(struct_pack(k := event_type, v := n)))
                )) AS type_counts_json,
-               list_sort(list(event_type)) AS event_types
+               array_to_string(list_sort(list(event_type)), ' ') AS event_types
         FROM c GROUP BY user_id
     """,
     tags=("function", "map"),
@@ -180,7 +184,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction: per-user event_type→count map.
 
     Entries are sorted by key before map construction on BOTH sides so the
-    JSON rendering (insertion-ordered in each engine) is identical.
+    JSON rendering (insertion-ordered in each engine) is identical. The
+    event_types list is serialized to a space-joined string (array-typed
+    output cells are unhashable in a pandas canonicalizer).
     """
     e = load(spark, sf_dir, "events")
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -190,7 +196,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("event_type", "n")))
             )
         ).alias("type_counts_json"),
-        F.sort_array(F.collect_list("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_list("event_type")), " ").alias(
+            "event_types"
+        ),
     )
 
 

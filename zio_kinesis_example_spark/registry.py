@@ -38,39 +38,6 @@ class Spec:
 
 _SPECS: dict[str, Spec] = {}
 
-#: Queries that already hold a green driver CORRECTNESS row from round 1.
-#: The driver's per-round correctness pass is budgeted (round 1 stopped at
-#: exactly the first 50 registry entries), so the registry is served with
-#: every *not-yet-driver-verified* query first — the budget then covers the
-#: queries that still need a row before re-covering ones that have one.
-#: q_agg_approx_pct / q_agg_approx_cd are deliberately NOT in this set:
-#: round 1 recorded err rows for them (canonicalizer crash / no_oracle) and
-#: both were reworked into hash-checkable form, so they must run again.
-_ROUND1_GREEN = frozenset({
-    "q_join_asof", "q_agg_percentile", "q_agg_stats", "q_pivot",
-    "q_win_ntile", "q_string_agg", "q_win_session_batch",
-    "q_win_sliding_batch", "q_exists_correlated", "q_sample_stratified",
-    "q_text_pack", "q_text_hist", "q_dedup_latest", "q_merge_upsert",
-    "q_join_skew_salted", "q_sample_mixture", "q_text_bigrams",
-    "q_sort_global", "q_agg_multi_distinct", "q_decimal_agg",
-    "q_union_distinct", "q_win_value_funcs", "q_interval_funcs",
-    "q_scan_project", "q_filter_pred", "q_filter_in_between",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_join_anti", "q_join_3way", "q_join_range", "q_agg_group",
-    "q_agg_count_distinct", "q_agg_rollup", "q_agg_cube",
-    "q_agg_grouping_sets", "q_agg_having", "q_win_rank", "q_win_lag_lead",
-    "q_win_frame", "q_win_tumbling_batch", "q_topk", "q_union_all",
-    "q_intersect", "q_except", "q_subquery_scalar",
-})
-
-
-def _ordered() -> dict[str, Spec]:
-    """Registry in driver-serving order: unverified-first, then round-1
-    green rows; registration order preserved within each group."""
-    idx = {n: i for i, n in enumerate(_SPECS)}
-    names = sorted(_SPECS, key=lambda n: (n in _ROUND1_GREEN, idx[n]))
-    return {n: _SPECS[n] for n in names}
-
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
           bench: bool = True):
@@ -85,18 +52,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
 
 def all_specs() -> dict[str, Spec]:
+    """All registered specs, in stable registration order.
+
+    Serve-order concerns (e.g. a budgeted harness wanting unverified
+    queries first) belong to the harness adapter, not this registry —
+    see __spark_entry__.py.
+    """
     _ensure_loaded()
-    return _ordered()
+    return dict(_SPECS)
 
 
 def QUERIES() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {n: s.fn for n, s in _ordered().items()}
+    return {n: s.fn for n, s in _SPECS.items()}
 
 
 def ORACLES() -> dict[str, str]:
     _ensure_loaded()
-    return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _SPECS.items() if s.oracle is not None}
 
 
 _loaded = False
@@ -108,7 +81,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     # Import (= registration) order is cheap-modules-first so that within
-    # each _ordered() group the driver's budget covers the most queries.
+    # each serve-order group the harness's budget covers the most queries.
     from .operators import (  # noqa: F401
         scalar_funcs, llm_text, curation, multimodal, udfs, relational,
         llm_similarity, llm_dedup, advanced,
