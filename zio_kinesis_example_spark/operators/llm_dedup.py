@@ -20,10 +20,13 @@ Scale design (the 100 TB story):
   pairwise stage is per-block; at real scale the block key would be an LSH
   or IVF bucket (see llm_similarity).
 
-All signature math uses Spark built-ins (xxhash64, higher-order array
-functions) — JVM-side, no Python in the hot path. Signature queries are
-deterministic but engine-hash-specific → rows-only driver check; the
-pairwise Jaccard and cosine queries carry exact DuckDB oracles.
+All signature math uses Spark built-ins — JVM-side, no Python in the hot
+path. The MinHash/SimHash hash family is PORTABLE by construction: the
+base hash is the first 60 bits of md5 (identical in any engine), and the
+permutations are affine maps mod the Mersenne prime 2^31−1, so every
+signature, band hash, and candidate pair is bit-identical between Spark
+and DuckDB — the whole family is hash-verified against exact SQL oracles
+instead of the usual rows-only check for engine-private hashes.
 
 Reference parity note: the reference has no dedup operators (SURVEY.md §2.1
 "does NOT implement: distinct/dedup"); this module is the north-star
@@ -31,6 +34,8 @@ surface mandated by BASELINE.json.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +59,66 @@ _SHINGLES = """
 # correctness.
 _N_HASHES = 16
 _BANDS = 8
+
+# Portable hash family (identical in Spark and DuckDB, all int64-safe):
+#   H0(s)  = first 15 hex chars of md5(s) as a 60-bit integer
+#   h      = H0 mod P,  P = 2^31 − 1 (Mersenne prime)
+#   m_i    = (a_i · h + b_i) mod P        (affine permutation per slot)
+# Every term stays < 2^62, so plain BIGINT arithmetic is exact in both
+# engines — no HUGEINT/DECIMAL, no wrap-around, ANSI-safe. The 31-bit
+# signature space is the standard 32-bit-minhash regime; collisions are
+# engine-independent so Spark/DuckDB parity holds bit-for-bit.
+_P31 = (1 << 31) - 1
+_mh_rng = random.Random(20260813)
+_MH_A = [_mh_rng.randrange(1, _P31) for _ in range(_N_HASHES)]
+_MH_B = [_mh_rng.randrange(0, _P31) for _ in range(_N_HASHES)]
+
+# Spark-side base hash of a string column (DuckDB mirror below).
+_H0_SPARK = "CAST(conv(substring(md5({c}), 1, 15), 16, 10) AS BIGINT)"
+# DuckDB-side base hash.
+_H0_DUCK = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+
+# DuckDB shingle CTEs shared by every dedup oracle (mirror of _SHINGLES).
+_DUCK_SHINGLES = """
+        t AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(CASE WHEN len(terms) >= 3
+                       THEN list_transform(generate_series(1, len(terms) - 2),
+                                           i -> array_to_string(terms[i:i+2], ' '))
+                       ELSE [array_to_string(terms, ' ')] END) AS sh
+              FROM t)
+"""
+
+# DuckDB minhash signature + band CTEs (16 affine mins, 8 r=2 band keys).
+_DUCK_MINHASH = (
+    _DUCK_SHINGLES
+    + """,
+        ex AS (SELECT doc_id, """
+    + _H0_DUCK.format(c="g")
+    + f""" % {_P31} AS h
+              FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+        sig AS (SELECT doc_id,
+"""
+    + ",\n".join(
+        f"               MIN((h * {_MH_A[i]} + {_MH_B[i]}) % {_P31}) AS m{i}"
+        for i in range(_N_HASHES)
+    )
+    + """
+               FROM ex GROUP BY doc_id),
+        bnd AS (SELECT doc_id,
+                       ["""
+    + ", ".join(
+        f"m{2 * b} * {_P31} + m{2 * b + 1}" for b in range(_BANDS)
+    )
+    + """] AS bh
+                FROM sig),
+        buckets AS (SELECT doc_id, band_id, bh[band_id + 1] AS band_hash
+                    FROM bnd,
+                         (SELECT unnest(generate_series(0, """
+    + str(_BANDS - 1)
+    + """)) AS band_id) g)
+"""
+)
 
 
 # Intermediate frames shared by the dedup family (shingle sets, simhash
@@ -213,29 +278,33 @@ def minhash_signatures(docs_with_shingles: DataFrame,
     emit-once predicate of q_dedup_minhash_pairs) — 8 longs per row,
     cheaper than the dropDuplicates exchange it replaces.
 
-    The i-th hash function is xxhash64(shingle, i); the signature is the
-    per-function min over the doc's shingles. Computed as explode →
-    grouped min-agg: every hash stays inside whole-stage codegen (an
-    equivalent higher-order-function formulation is interpreted per
-    element and measured ~5× slower), and partial aggregation means the
-    shuffle carries one 16-column row per (doc, partition). Bands hash
-    ``r`` consecutive signature slots together; docs sharing any
-    (band_id, band_hash) are near-dup candidates.
+    The hash family is the PORTABLE one documented at module top: the
+    shingle string is md5-hashed ONCE (strings dominate hashing cost),
+    then the i-th permutation is an affine map mod 2^31−1 over the
+    resulting integer — pure BIGINT arithmetic inside whole-stage
+    codegen (an equivalent higher-order-function formulation is
+    interpreted per element and measured ~5× slower), and partial
+    aggregation means the shuffle carries one 16-column row per
+    (doc, partition). Bands combine ``r`` consecutive signature slots
+    injectively (m·P + m'); docs sharing any (band_id, band_hash) are
+    near-dup candidates. Every value is reproducible in ANSI SQL, which
+    is what lets q_dedup_minhash/_pairs carry exact DuckDB oracles.
     """
     r = n_hashes // bands
-    # hash each variable-length shingle STRING once; the i-th hash
-    # function then mixes the resulting 8-byte long (xxhash64(h0, i)) —
-    # same uniform family, 16× less string hashing (strings dominate:
-    # ~17 bytes vs fixed 8).
+    if r != 2:
+        raise ValueError("portable band combine assumes r == 2 slots/band")
     exploded = docs_with_shingles.select(
         "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("h0"))
+    ).select(
+        "doc_id",
+        (F.expr(_H0_SPARK.format(c="sh")) % _P31).alias("h"),
+    )
     sig = exploded.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64("h0", F.lit(i))).alias(f"m{i}")
+        F.min((F.col("h") * _MH_A[i] + _MH_B[i]) % _P31).alias(f"m{i}")
         for i in range(n_hashes)
     ])
     band_hashes = [
-        F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
+        F.col(f"m{b * r}") * _P31 + F.col(f"m{b * r + 1}")
         for b in range(bands)
     ]
     return sig.select(
@@ -255,20 +324,50 @@ def _shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash", oracle=None, tags=("dedup", "approx"))
+@query(
+    "q_dedup_minhash",
+    oracle="WITH" + _DUCK_MINHASH
+    + "SELECT doc_id, band_id, band_hash FROM buckets",
+    tags=("dedup", "approx"),
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH bucket assignments (doc_id, band_id, band_hash): the
-    distributed near-dup index. Deterministic (xxhash64 is seeded) but
-    engine-specific → rows-only check; end-to-end recall on planted
-    duplicates is asserted in tests/test_dedup.py."""
+    distributed near-dup index. The portable hash family makes every
+    band hash reproducible in ANSI SQL, so this is hash-verified against
+    a DuckDB oracle computing the identical signatures; end-to-end recall
+    on planted duplicates is asserted in tests/test_dedup.py."""
     return _shared_minhash(spark, sf_dir).select(
         "doc_id", "band_id", "band_hash"
     )
 
 
-@query("q_dedup_minhash_pairs", oracle=None, tags=("dedup", "approx"))
+@query(
+    "q_dedup_minhash_pairs",
+    oracle="WITH" + _DUCK_MINHASH
+    + """,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band_id = b.band_id
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(x.sh, y.sh)) * 1.0 /
+                       (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))) AS jac
+                FROM cand c JOIN s x ON c.doc_a = x.doc_id
+                            JOIN s y ON c.doc_b = y.doc_id)
+        SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        FROM ver WHERE jac >= 0.5
+    """,
+    tags=("dedup", "approx"),
+)
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard ≥ 0.5.
+
+    Hash-verified end-to-end: the DuckDB oracle regenerates the SAME
+    band buckets from the portable hash family, takes the same
+    candidate set, and applies the same exact-Jaccard filter — so the
+    comparison checks the LSH index itself, not just the verified tail.
 
     Bucket-join on (band_id, band_hash) → candidate pairs → verify with
     true shingle Jaccard. Only bucket-mates are compared: the pairwise
@@ -310,74 +409,113 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("shingles").alias("sa")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"),
                         F.col("shingles").alias("sb")), "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
 
 
+_SIMHASH_BITS = 60  # width of the portable md5-derived base hash
+
+# DuckDB mirror of simhash_signatures: same 60 bit-majority votes over the
+# same term hashes → CTE ``sims`` with (doc_id, simhash).
+_DUCK_SIMHASH = (
+    """
+        th AS (SELECT doc_id, """
+    + _H0_DUCK.format(c="g")
+    + """ AS h
+               FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS g
+                     FROM documents)),
+        bs AS (SELECT doc_id, COUNT(*) AS n,
+"""
+    + ",\n".join(
+        f"                      SUM((h >> {b}) & 1) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    + """
+               FROM th GROUP BY doc_id),
+        sims AS (SELECT doc_id,
+"""
+    + "\n                 + ".join(
+        f"CASE WHEN 2 * b{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    + """ AS simhash
+                 FROM bs)
+"""
+)
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from distinct-term xxhash64 hashes.
+    """60-bit SimHash per document from distinct-term hashes.
 
     bit b of the signature = majority vote of bit b across term hashes.
-    Computed as explode → 64 conditional SUMs → bit assembly: one shuffle
-    (partial-aggregated), everything inside whole-stage codegen. The
-    natural higher-order-function formulation (fold an array<64>
-    accumulator per term) is interpreted and allocates a fresh 64-slot
-    array per step — measured 20× slower at sf0.1.
+    The term hash is the portable 60-bit md5 base hash (module top), so
+    the signature is reproducible in ANSI SQL — q_dedup_simhash/_pairs
+    carry exact DuckDB oracles instead of rows-only checks.
+    Computed as explode → 60 branch-free SUM((h>>b)&1) tallies → bit
+    assembly: one shuffle (partial-aggregated), everything inside
+    whole-stage codegen. The natural higher-order-function formulation
+    (fold an array accumulator per term) is interpreted and allocates a
+    fresh array per step — measured 20× slower at sf0.1; a CASE per bit
+    instead of the branch-free tally measured ~2× slower.
     """
     def build() -> DataFrame:
         d = _spread(spark, load(spark, sf_dir, "documents"))
         term_hashes = d.select(
             "doc_id",
             F.explode(F.expr("array_distinct(split(text, ' '))")).alias("t"),
-        ).select("doc_id", F.xxhash64("t").alias("h"))
-        # branch-free per-bit tally: SUM((h>>b)&1) instead of a CASE per
-        # bit; majority(bit b) ⇔ 2·set_count > n. Measured ~2× faster than
-        # the conditional-sum form at sf0.1 (the agg evaluates 64 exprs
-        # per row).
+        ).select("doc_id", F.expr(_H0_SPARK.format(c="t")).alias("h"))
         bit_sums = term_hashes.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"b{b}")
-              for b in range(64)],
+              for b in range(_SIMHASH_BITS)],
         )
         assemble = " + ".join(
             f"CASE WHEN 2 * b{b} > n THEN shiftleft(1L, {b}) ELSE 0L END"
-            for b in range(64)
+            for b in range(_SIMHASH_BITS)
         )
         return bit_sums.select("doc_id", F.expr(assemble).alias("simhash"))
 
     return _shared(spark, sf_dir, "simhash_signatures", build)
 
 
-@query("q_dedup_simhash", oracle=None, tags=("dedup", "approx"))
+@query(
+    "q_dedup_simhash",
+    oracle="WITH" + _DUCK_SIMHASH + "SELECT doc_id, simhash FROM sims",
+    tags=("dedup", "approx"),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (doc_id, simhash). Rows-only check; hamming
+    """SimHash signatures (doc_id, simhash), hash-verified against a
+    DuckDB oracle computing the identical 60-bit signature; hamming
     near-dup recall on planted duplicates asserted in tests/test_dedup.py."""
     return simhash_signatures(spark, sf_dir)
 
 
 def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
-                  n_chunks: int = 9) -> DataFrame:
+                  n_chunks: int = 10) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Candidates via chunk banding (pigeonhole: ≤ n_chunks−1 differing bits
-    ⇒ at least one chunk identical — 9 chunks of 7 bits guarantee radius
-    8), verified by bit_count(xor) inside the join stage. One shuffle on
-    (chunk_id, chunk_value).
+    ⇒ at least one chunk identical — 10 chunks of 6 bits over the 60-bit
+    signature guarantee radius 9 ≥ the max_hamming=8 filter, so recall
+    is EXACTLY 1: the output equals the full hamming-≤8 pair set, which
+    is what lets the DuckDB oracle skip the banding and verify against a
+    direct bit_count(xor) join), verified by bit_count(xor) inside the
+    join stage. One shuffle on (chunk_id, chunk_value).
 
     Scheme choice, measured at sf0.1: the Manku et al. block-pair scheme
     (WWW'07 §3 — C(10,2)=45 tables keyed on two concatenated blocks,
     ~13-bit keys) generates far fewer candidates on *uniform* signature
     corpora, but on clustered corpora where true near-dup groups dominate
     (here: Σ|bucket|² ≈ 47M vs ~1.75M uniform at 5k docs) every real
-    match is re-found in up to 45 tables vs 9, and the dedup shuffle of
+    match is re-found in up to 45 tables vs 10, and the dedup shuffle of
     matches dominates — measured 13s (45-table) vs 7s (9-chunk). Keep
     single-chunk banding while matches dominate candidates; switch to
     block-pairs (and a 128-bit signature as two longs) for web-scale
     uniform corpora.
     """
-    bits = 64 // n_chunks
+    bits = _SIMHASH_BITS // n_chunks
     mask = (1 << bits) - 1
     # Mine pairs over DISTINCT signatures, then expand back to documents:
     # on a clustered corpus many docs share a signature (3897 distinct of
@@ -452,9 +590,24 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
     return cross.unionByName(same)
 
 
-@query("q_dedup_simhash_pairs", oracle=None, tags=("dedup", "approx"))
+@query(
+    "q_dedup_simhash_pairs",
+    oracle="WITH" + _DUCK_SIMHASH
+    + """
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+    """,
+    tags=("dedup", "approx"),
+)
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 8) via chunk-banding."""
+    """SimHash near-dup pairs (hamming ≤ 8) via chunk-banding.
+
+    Banding at radius 9 over-covers the radius-8 filter (pigeonhole), so
+    the output is the EXACT hamming-≤8 pair set — the DuckDB oracle
+    verifies it with a direct all-pairs bit_count(xor) join (quadratic,
+    fine at oracle SF; the Spark side stays Σ|bucket|²)."""
     return simhash_pairs(simhash_signatures(spark, sf_dir))
 
 
