@@ -9,6 +9,10 @@ the result transfer). Also measures the streaming mirror's throughput
 
 Output: {"metric": "bench_total_sec", "value": <total>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+The same object is also written whole to BENCH_LOCAL.json next to this
+file: stdout capture can clip a long line mid-object (BENCH_r02.json's
+"tail" did), the file never does.
 """
 
 from __future__ import annotations
@@ -46,10 +50,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             continue
         # min of 2 runs: the host is a shared VM with CPU-steal spikes;
         # the minimum is the standard de-noised latency estimate
+        fn = spec.bench_fn or spec.fn
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
+            force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # drop any cache an iterative query left behind (e.g. the
@@ -146,7 +151,7 @@ def main() -> None:
     stream_rps_err = bench_stream_with_errors(spark)
     spark.stop()
 
-    print(json.dumps({
+    result = {
         "metric": "bench_total_sec",
         "value": total,
         "loop_wall_sec": loop_wall,
@@ -159,7 +164,12 @@ def main() -> None:
         "stream_config": "100k records / 32 shards (reference params); "
                          "with-errors twin: 3 injected failures + "
                          "checkpoint restarts",
-    }))
+    }
+    line = json.dumps(result)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

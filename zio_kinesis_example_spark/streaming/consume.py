@@ -215,7 +215,7 @@ def consume_observed(
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
         try:
-            query.awaitTermination(int(timeout_s))
+            finished = query.awaitTermination(int(timeout_s))
         except StreamingQueryException as e:
             res.failed = True
             res.error = str(e)
@@ -223,6 +223,12 @@ def consume_observed(
             if query.exception() is not None:
                 res.failed = True
                 res.error = str(query.exception())
+            elif not finished:
+                # awaitTermination(timeout) returning False means the query
+                # is still running: a hung/partial run is a FAILURE, not a
+                # success with whatever counts happened to accumulate.
+                res.failed = True
+                res.error = f"timeout after {timeout_s}s"
         finally:
             with contextlib.suppress(Exception):
                 if query.isActive:

@@ -51,12 +51,19 @@ class MetricsTap(StreamingQueryListener):
     immediately after ``awaitTermination``.
     """
 
-    def __init__(self, observation_name: str = "tap"):
+    def __init__(self, observation_name: str = "tap",
+                 run_id: str | None = None):
         self.name = observation_name
         self._lock = threading.Lock()
         self._totals: dict[str, float] = {}
         self.batches = 0
         self.input_rows = 0
+        #: The tap binds to ONE query: either the ``run_id`` given here, or
+        #: the first query that reports the named observation. Progress from
+        #: any other query on the same session is logged but not counted —
+        #: two concurrent queries would otherwise cross-pollute
+        #: batches/input_rows.
+        self._run_id: str | None = run_id
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:
@@ -66,13 +73,18 @@ class MetricsTap(StreamingQueryListener):
         p = event.progress
         row = p.observedMetrics.get(self.name)
         with self._lock:
-            self.batches += 1
-            self.input_rows += int(p.numInputRows or 0)
-            if row is not None:
-                for key in row.__fields__:
-                    v = row[key]
-                    if isinstance(v, (int, float)) and not isinstance(v, bool):
-                        self._totals[key] = self._totals.get(key, 0) + v
+            if self._run_id is None and row is not None:
+                self._run_id = str(p.runId)
+            mine = self._run_id is not None and str(p.runId) == self._run_id
+            if mine:
+                self.batches += 1
+                self.input_rows += int(p.numInputRows or 0)
+                if row is not None:
+                    for key in row.__fields__:
+                        v = row[key]
+                        if isinstance(v, (int, float)) \
+                           and not isinstance(v, bool):
+                            self._totals[key] = self._totals.get(key, 0) + v
         _log(
             "progress", str(p.runId), batch=p.batchId,
             rows=int(p.numInputRows or 0),

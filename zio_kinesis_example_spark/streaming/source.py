@@ -130,6 +130,22 @@ def shard_source(spark: SparkSession, source_dir: str,
     return reader.json(source_dir)
 
 
+def kinesis_reader_options(stream_name: str, region: str = "us-east-1",
+                           initial_position: str = "trim_horizon",
+                           endpoint_url: str | None = None) -> dict[str, str]:
+    """Option map for the ``format("kinesis")`` reader — split out from
+    :func:`kinesis_source` so the construction is unit-testable without
+    the connector jar (no AWS in the hermetic test environment)."""
+    opts = {
+        "streamName": stream_name,
+        "region": region,
+        "initialPosition": initial_position,
+    }
+    if endpoint_url:
+        opts["endpointUrl"] = endpoint_url
+    return opts
+
+
 def kinesis_source(spark: SparkSession, stream_name: str,
                    region: str = "us-east-1",
                    initial_position: str = "trim_horizon",
@@ -145,14 +161,10 @@ def kinesis_source(spark: SparkSession, stream_name: str,
     DynamoDB lease table — the engine's replacement for the KCL
     checkpoint story (SURVEY.md §3.4).
     """
-    reader = (
-        spark.readStream.format("kinesis")
-        .option("streamName", stream_name)
-        .option("region", region)
-        .option("initialPosition", initial_position)
+    reader = spark.readStream.format("kinesis").options(
+        **kinesis_reader_options(stream_name, region, initial_position,
+                                 endpoint_url)
     )
-    if endpoint_url:
-        reader = reader.option("endpointUrl", endpoint_url)
     # connector emits (data, streamName, partitionKey, sequenceNumber,
     # approximateArrivalTimestamp); normalize to the envelope contract
     df = reader.load()
