@@ -83,3 +83,18 @@ def test_streaming_parquet_sink(spark, tmpdir_factory_local):
     landed = spark.read.parquet(out)
     assert landed.count() == 100
     assert landed.select("id").distinct().count() == 100
+
+
+def test_orc_roundtrip_preserves_rows(spark, tmpdir_factory_local):
+    """ORC is a self-describing columnar format like parquet: roundtrip
+    preserves rows and needs no declared schema on read."""
+    from zio_kinesis_example_spark.catalog import load
+    from zio_kinesis_example_spark.io import read_table, write_table
+
+    df = load(spark, SF_SMALL, "nation")
+    out = tmpdir_factory_local("roundtrip-orc")
+    write_table(df, out, fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    cols = df.columns
+    assert (sorted(map(tuple, back.select(cols).collect()))
+            == sorted(map(tuple, df.select(cols).collect())))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "json", "csv", "orc")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -45,12 +45,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                schema: StructType | None = None) -> DataFrame:
-    """Read a table directory. parquet carries its own schema; JSON/CSV
-    REQUIRE a declared schema (no inference pass, ever)."""
+    """Read a table directory. parquet/ORC carry their own schema;
+    JSON/CSV REQUIRE a declared schema (no inference pass, ever)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt}")
     reader = spark.read.format(fmt)
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         if schema is not None:
             reader = reader.schema(schema)
     else:

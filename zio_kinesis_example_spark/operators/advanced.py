@@ -981,3 +981,70 @@ def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).alias("q"),
         F.weekofyear(d.cast("date")).alias("iso_week"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): 4 measure columns become
+    (measure, val) rows. Spark's unpivot is a zero-shuffle Expand node —
+    each input row emits 4 output rows map-side, the mirror image of
+    q_pivot's grouped aggregation; the oracle states the same reshape as
+    the portable UNION ALL form."""
+    li = load(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    wide = li.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col(m).cast("double").alias(m) for m in measures],
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"], measures, "measure", "val"
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+        SELECT event_type,
+               CAST(count_if(value > 0.5) AS BIGINT) AS n_hi,
+               round(SUM(CASE WHEN value > 0.5 THEN value ELSE 0 END), 6)
+                   AS sum_hi,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 0.99) AS any_extreme,
+               round(median(value), 6) AS med_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "conditional"),
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate battery: count_if, filtered sum,
+    bool_and/bool_or, exact median. All single-pass mergeable aggregates
+    except median, which Spark executes as an exact percentile (sorted
+    partial state) — the exact twin of q_agg_approx_pct's sketch."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("count_if(value > 0.5)").alias("n_hi"),
+        F.round(
+            F.sum(F.when(F.col("value") > 0.5, F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("sum_hi"),
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+        F.expr("bool_or(value > 0.99)").alias("any_extreme"),
+        F.round(F.median("value"), 6).alias("med_value"),
+    )

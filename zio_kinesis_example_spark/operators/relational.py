@@ -709,3 +709,82 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+        WITH big AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+                            round(SUM(o_totalprice), 2) AS sum_big
+                     FROM orders WHERE o_totalprice > 300000
+                     GROUP BY o_custkey),
+             rich AS (SELECT c_custkey, c_name,
+                             round(c_acctbal, 2) AS acctbal
+                      FROM customer WHERE c_acctbal > 5000)
+        SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+               n_big, sum_big, c_name, acctbal
+        FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with genuinely unmatched rows on BOTH sides
+    (big-order customers below the balance cut; rich customers with no
+    big orders). Full outer cannot broadcast either side — it shuffles
+    both on the key, the honest shape at any scale; null-extension is
+    exercised in both directions."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_big"))
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "n_big", "sum_big", "c_name", "acctbal",
+        )
+    )
+
+
+@query(
+    "q_except_all",
+    oracle="""
+        SELECT user_id, event_type FROM events WHERE value > 0.5
+        EXCEPT ALL
+        SELECT user_id, event_type FROM events WHERE value > 0.8
+    """,
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): duplicates preserved by count
+    arithmetic — Spark plans this as a count-aggregated anti-style
+    generate, one shuffle, no pairwise work."""
+    e = load(spark, sf_dir, "events")
+    hi = e.filter("value > 0.5").select("user_id", "event_type")
+    very_hi = e.filter("value > 0.8").select("user_id", "event_type")
+    return hi.exceptAll(very_hi)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+        SELECT user_id, event_type FROM events WHERE value > 0.3
+        INTERSECT ALL
+        SELECT user_id, event_type FROM events WHERE value < 0.7
+    """,
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min-of-counts semantics,
+    same count-aggregated single-shuffle plan as EXCEPT ALL."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter("value > 0.3").select("user_id", "event_type")
+    b = e.filter("value < 0.7").select("user_id", "event_type")
+    return a.intersectAll(b)

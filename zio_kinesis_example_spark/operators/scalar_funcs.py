@@ -363,3 +363,32 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+        SELECT doc_id,
+               CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INT)
+                   AS src_num,
+               regexp_matches(text, 'quick|lazy') AS mentions,
+               regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g')
+                   AS devoweled
+        FROM documents
+    """,
+    tags=("function", "regex"),
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function battery: group extraction, boolean match, global
+    replace. Patterns are restricted to the common Java-regex/RE2 subset
+    (character classes, alternation, groups) so both engines agree; all
+    three run inside whole-stage codegen on the JVM."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2)
+        .cast("int").alias("src_num"),
+        F.col("text").rlike("quick|lazy").alias("mentions"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_")
+        .alias("devoweled"),
+    )
