@@ -139,3 +139,49 @@ def test_minhash_pairs_no_candidate_dedup_exchange(spark):
     assert "doc_a#" not in "".join(
         l for l in plan.splitlines() if "HashAggregate" in l
     )
+
+
+def test_unpivot_is_map_side_expand(spark):
+    """unpivot must plan as a zero-shuffle Expand: 4 output rows per input
+    row, map-side only."""
+    plan = _plan(spark, "q_unpivot", mode="simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_full_outer_join_shuffles_both_sides(spark):
+    """Full outer cannot broadcast either side: expect a sort-merge (or
+    shuffled hash) join with both inputs exchanged on the key."""
+    plan = _plan(spark, "q_join_full", mode="simple")
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_simhash_pairs_single_bucket_shuffle(spark):
+    """Candidate mining shuffles once on (chunk_id, chunk_value); the
+    emit-once first-zero-chunk predicate removes any pair-dedup
+    aggregation between the join and the verify filter."""
+    plan = _plan(spark, "q_dedup_simhash_pairs", mode="simple")
+    assert "sa#" not in "".join(
+        l for l in plan.splitlines() if "HashAggregate" in l
+    )
+
+
+def test_ivf_quantizer_is_top_k_not_full_collect(spark):
+    """The IVF centroid sample must plan as TakeOrderedAndProject — the
+    driver receives exactly nlist rows, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _IVF_NLIST, _emb,
+    )
+    df = (
+        _emb(spark, SF_SMALL)
+        .select("vec_id", "emb")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_IVF_NLIST)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -14,6 +14,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.llm_dedup import (  # noqa: F401  (re-exported surface)
+    clear_shared_cache,
+    embedding_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from .operators.llm_similarity import cosine, lsh_buckets  # noqa: F401
+
 
 def dedup_exact(df: DataFrame, text_col: str,
                 id_col: str) -> DataFrame:

@@ -241,3 +241,143 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.col("dom_budget"))
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
     )
+
+
+from .llm_dedup import _DUCK_MINHASH as _MH  # noqa: E402 (oracle fragment)
+
+#: Full-funnel oracle: regenerates the SAME LSH buckets (portable hash),
+#: verified near-dup pairs, exact-dup groups, 5-gram contamination set,
+#: and repetition scores, then applies the identical drop rules.
+_PIPELINE_ORACLE = (
+    "WITH" + _MH
+    + f""",
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band_id = b.band_id
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.doc_a, c.doc_b
+                FROM cand c JOIN s x ON c.doc_a = x.doc_id
+                            JOIN s y ON c.doc_b = y.doc_id
+                WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                      (len(x.sh) + len(y.sh)
+                       - len(list_intersect(x.sh, y.sh))) >= 0.5),
+        nd AS (SELECT DISTINCT doc_b AS doc_id FROM ver),
+        xdup AS (SELECT d.doc_id
+                 FROM documents d
+                 JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep
+                       FROM documents GROUP BY 1) k
+                   ON sha256(d.text) = k.h
+                 WHERE d.doc_id <> k.keep),
+        t5 AS (SELECT doc_id, source, string_split(text, ' ') AS terms
+               FROM documents),
+        s5 AS (SELECT doc_id, source,
+                      list_distinct(CASE WHEN len(terms) >= {_DECON_N}
+                        THEN list_transform(
+                                 generate_series(1, len(terms) - {_DECON_N - 1}),
+                                 i -> array_to_string(terms[i:i+{_DECON_N - 1}], ' '))
+                        ELSE [] END) AS grams
+               FROM t5),
+        e5 AS (SELECT doc_id, source, unnest(grams) AS g FROM s5),
+        b5 AS (SELECT DISTINCT g FROM e5 WHERE source = '{_BENCH_SOURCE}'),
+        dc AS (SELECT DISTINCT e5.doc_id FROM e5 JOIN b5 USING (g)
+               WHERE e5.source <> '{_BENCH_SOURCE}'),
+        rc AS (SELECT doc_id, term, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents) GROUP BY 1, 2),
+        rep AS (SELECT doc_id FROM (
+                    SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS r
+                    FROM rc GROUP BY doc_id) WHERE r > 0.2),
+        drops AS (SELECT doc_id FROM xdup UNION SELECT doc_id FROM nd
+                  UNION SELECT doc_id FROM dc UNION SELECT doc_id FROM rep)
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    WHERE d.source <> '{_BENCH_SOURCE}'
+      AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+)
+
+
+@query(
+    "q_curate_pipeline",
+    oracle=_PIPELINE_ORACLE,
+    tags=("curation", "pipeline", "e2e"),
+)
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the whole pre-training funnel as ONE plan —
+    exact dedup, MinHash near-dedup, benchmark decontamination, and
+    repetition filtering composed over the documents table, emitting the
+    surviving training corpus with token counts.
+
+    Drop rules (all deterministic, all mirrored exactly by the oracle):
+      1. the benchmark slice itself (source = src19) is not training data;
+      2. exact duplicates: every doc whose sha256(text) group has a
+         smaller doc_id;
+      3. near-duplicates: the larger id of every verified MinHash pair
+         (3-gram Jaccard ≥ 0.5, portable-hash LSH candidates);
+      4. contaminated: any doc sharing a 5-gram with the benchmark slice;
+      5. degenerate: max-term-frequency ratio > 0.2.
+
+    Scale shape: each drop rule produces a SMALL id set relative to the
+    corpus (dedup keeps one per group, contamination/repetition catch
+    tails); the four sets union into ONE distinct frame and the corpus
+    pays a single anti-join against it (AQE broadcasts it when small).
+    The LSH index is the shared persisted signature table — computing
+    this pipeline after any other dedup query reuses it.
+    """
+    from .llm_dedup import q_dedup_minhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+
+    keepers = d.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    exact_drops = (
+        d.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+
+    near_drops = (
+        q_dedup_minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+
+    grams = (
+        d.select("doc_id", "source", F.split("text", " ").alias("terms"))
+        .select("doc_id", "source", F.expr(_DECON_SHINGLES).alias("grams"))
+        .select("doc_id", "source", F.explode("grams").alias("g"))
+    )
+    bench = grams.filter(F.col("source") == _BENCH_SOURCE).select("g").distinct()
+    decon_drops = (
+        grams.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id").distinct()
+    )
+
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep_drops = (
+        counts.groupBy("doc_id")
+        .agg((F.max("n").cast("double") / F.sum("n")).alias("r"))
+        .filter(F.col("r") > 0.2)
+        .select("doc_id")
+    )
+
+    drops = (
+        exact_drops.unionByName(near_drops)
+        .unionByName(decon_drops).unionByName(rep_drops)
+        .distinct()
+    )
+    return (
+        d.filter(F.col("source") != _BENCH_SOURCE)
+        .join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
