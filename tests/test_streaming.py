@@ -394,3 +394,25 @@ def test_consume_observed_timeout_is_failure(spark, tmpdir_factory_local):
     res = consume_observed(valid, ckpt, timeout_s=1)
     assert res.failed
     assert "timeout" in res.error
+
+
+def test_kafka_reader_option_construction(spark):
+    """The Kafka twin mirrors the Kinesis one: options unit-tested, and
+    invoking without the connector jar raises the missing-data-source
+    error, proving the format string is wired."""
+    from zio_kinesis_example_spark.streaming import (
+        kafka_reader_options, kafka_source,
+    )
+
+    opts = kafka_reader_options("events", "broker1:9092,broker2:9092",
+                                starting_offsets="latest",
+                                max_offsets_per_trigger=50_000)
+    assert opts == {
+        "subscribe": "events",
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("t", "b:9092")
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_source(spark, "events")

@@ -22,8 +22,8 @@ Semantics parity map:
 """
 
 from .source import (  # noqa: F401
-    ENVELOPE_SCHEMA, ShardDirProducer, kinesis_reader_options,
-    kinesis_source, shard_source,
+    ENVELOPE_SCHEMA, ShardDirProducer, kafka_reader_options, kafka_source,
+    kinesis_reader_options, kinesis_source, shard_source,
 )
 from .serde import decode_json, TESTMSG_SCHEMA  # noqa: F401
 from .consume import (  # noqa: F401

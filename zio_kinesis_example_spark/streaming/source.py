@@ -175,3 +175,55 @@ def kinesis_source(spark: SparkSession, stream_name: str,
         F.col("sequenceNumber").cast("long").alias("seq"),
         F.col("data").cast("string").alias("data"),
     )
+
+
+def kafka_reader_options(topic: str, bootstrap_servers: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None
+                         ) -> dict[str, str]:
+    """Option map for the ``format("kafka")`` reader — split out from
+    :func:`kafka_source` so the construction is unit-testable without the
+    spark-sql-kafka connector jar (no broker in the hermetic test
+    environment)."""
+    opts = {
+        "subscribe": topic,
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_source(spark: SparkSession, topic: str,
+                 bootstrap_servers: str = "localhost:9092",
+                 starting_offsets: str = "earliest",
+                 max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """The Kafka twin of :func:`kinesis_source` (reference op 1 maps to a
+    partitioned log either way; SURVEY.md §3.3's shard ≙ partition).
+    Requires spark-sql-kafka on the cluster; everything downstream is
+    identical because the output is normalized to the same envelope
+    columns as :func:`shard_source`:
+
+      shard_id       ← kafka partition (ordered unit, like a shard)
+      partition_key  ← record key
+      seq            ← offset (monotone per partition, like sequenceNumber)
+      data           ← value decoded as UTF-8 JSON
+
+    ``maxOffsetsPerTrigger`` is the pacing knob mirroring the file
+    source's ``maxFilesPerTrigger`` (reference op 23 rate limiting).
+    Offsets live in Spark's checkpointLocation, not the broker's consumer
+    group — same at-least-once replay story as the Kinesis path.
+    """
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(topic, bootstrap_servers, starting_offsets,
+                               max_offsets_per_trigger)
+    )
+    df = reader.load()
+    from pyspark.sql import functions as F
+    return df.select(
+        F.col("partition").cast("string").alias("shard_id"),
+        F.col("key").cast("string").alias("partition_key"),
+        F.col("offset").alias("seq"),
+        F.col("value").cast("string").alias("data"),
+    )
