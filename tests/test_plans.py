@@ -185,3 +185,52 @@ def test_ivf_quantizer_is_top_k_not_full_collect(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("simple")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_ohlc_single_shared_exchange(spark):
+    """Both row_number windows and the final aggregate key on the same
+    projected (event_type, bucket_hour) attributes, so the whole OHLC
+    resample runs on ONE hash exchange."""
+    plan = _plan(spark, "q_ts_resample_ohlc", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_hypertable_partial_aggregation(spark):
+    """Raw→hour must be two-phase: a partial_ HashAggregate below the
+    exchange so the full-data shuffle carries only group partials."""
+    plan = _plan(spark, "q_ts_rollup_hypertable", mode="simple")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gapfill_broadcasts_bounded_sides(spark):
+    """The generated spine left-joins the (bounded) hourly aggregate via
+    broadcast — the dense series is never shuffled for the join."""
+    plan = _plan(spark, "q_ts_gapfill", mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_range_interval_window_single_shuffle(spark):
+    """The trailing-1h range frame is one exchange on user_id and one
+    ordered scan — no self-join in the plan."""
+    plan = _plan(spark, "q_win_range_interval", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_tpch_q3_takeordered_and_pushdown(spark):
+    """Top-10 must be TakeOrderedAndProject (no global sort), and the
+    segment filter must reach the customer parquet scan."""
+    plan = _plan(spark, "q_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "c_mktsegment" in l]
+    assert pushed, "segment filter not pushed to customer scan"
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """region⋈nation collapses to a broadcast; no shuffle exchange may
+    carry the 25-row dimension side."""
+    plan = _plan(spark, "q_tpch_q5", mode="simple")
+    assert "BroadcastHashJoin" in plan

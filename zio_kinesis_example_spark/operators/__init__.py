@@ -4,6 +4,10 @@ Modules register queries into :mod:`..registry` on import:
 
 - :mod:`.relational`     — scans, filters, joins, aggregations, windows,
   sort/top-k, set ops, subqueries.
+- :mod:`.timeseries`     — hypertable rollups, gap filling, interval-range
+  windows, OHLC resampling over the events table.
+- :mod:`.analytics`      — TPC-H-shaped multi-join decision support
+  (Q3 shipping priority, Q5 local supplier volume).
 - :mod:`.scalar_funcs`   — string/date/math/array/map/json/case function
   queries.
 - :mod:`.llm_dedup`      — exact + near-duplicate detection (hash, n-gram

@@ -1,0 +1,162 @@
+"""Multi-join decision-support analytics (TPC-H-shaped, adapted to the
+testdata's column subset — the schema lacks shippriority/returnflag dates,
+so predicates use the columns that exist; shapes and join graphs match the
+canonical queries).
+
+The reference computes nothing relational (SURVEY.md §2.1 "does NOT
+implement"); these are [north-star] coverage extending the q_tpch_q6 /
+q_agg_group (Q1) pair already registered (BASELINE.json north_star).
+
+Scale stance: the join graphs are declared, not scheduled — Catalyst
+reorders and AQE picks broadcast vs shuffle per actual size. The fixed
+dims (region=5, nation=25) are broadcast explicitly; customer/orders/
+lineitem join on their keys with partial aggregation after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                         AS DECIMAL(30, 8)) AS VARCHAR) AS revenue,
+               o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                     * CAST(1 - l_discount AS DECIMAL(18, 4))) DESC,
+                 l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-10 for one
+    market segment — filter → 3-way join → group → top-k.
+
+    Scale shape: the segment filter reaches the customer scan (pushdown)
+    and kills ~4/5 of that side before the join; orders/lineitem join on
+    orderkey with their date filters pushed likewise. The top-10 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
+    heads), never a global sort. Ties broken on l_orderkey so the
+    selected set is deterministic, and revenue is summed in EXACT decimal
+    (q_decimal_agg's money rule) so the top-10 cut is engine-independent —
+    a double sum's reduction order can flip near-tied ranks.
+    """
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc).cast("decimal(30,8)").alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("string").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+        SELECT n_name,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                         AS DECIMAL(30, 8)) AS VARCHAR) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where customer
+    and supplier share the nation, one region, one order year — the
+    6-table join-graph stress test.
+
+    Scale shape: region(5)⋈nation(25) collapses to a ≤25-row broadcast
+    filter on s_nationkey; the c_nationkey = s_nationkey condition rides
+    the lineitem⋈supplier hash join as an equi-key with the customer side,
+    so no join in the graph is ever cartesian. The final aggregate has 25
+    groups — partial aggregation makes the last shuffle negligible.
+    """
+    asian_nations = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("decimal(30,8)").cast("string").alias("revenue")
+        )
+    )

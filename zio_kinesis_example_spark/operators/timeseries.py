@@ -1,0 +1,304 @@
+"""Time-series operators over the events hypertable: multi-level rollups,
+gap filling, interval-range windows, OHLC resampling.
+
+The reference's only time dimension is arrival order (per-shard sequence
+numbers, CheckpointOnChunkEndStreamClient.scala:40-55); these queries are
+the [north-star] batch analytics a 100 TB event store needs on top of that
+ordered ingest (BASELINE.json north_star; SURVEY.md §2.2 window family).
+
+Scale stance:
+- The hypertable rollup is a TWO-LEVEL aggregation: raw→hour shrinks the
+  data by orders of magnitude map-side before the day level runs over the
+  hourly partials — the continuous-aggregate shape (hour partials are what
+  a production pipeline would persist and serve day/week/month from,
+  never rescanning raw).
+- Gap filling never inflates the fact table: the dense spine is
+  |event_types| × |hours| (generated, tiny), the facts are left-joined
+  onto it, and the forward fill is one window per series.
+- The interval-range window shuffles once on user_id; the frame is
+  computed by a single ordered scan per partition (no self-join — the
+  naive SQL formulation of "trailing 1h sum" is an O(n²) range self-join).
+- OHLC resampling shares ONE exchange on (event_type, hour) across both
+  window sorts and the final aggregate (asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_ts_rollup_hypertable",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(value) AS sum_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', bucket_hour) AS TIMESTAMP) AS bucket_day,
+               event_type,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               SUM(sum_value) AS sum_value,
+               MAX(max_value) AS max_value,
+               CAST(COUNT(*) AS BIGINT) AS hours_with_data
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+    tags=("timeseries", "rollup"),
+)
+def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: raw events roll up to hourly
+    buckets, and the DAILY level is computed FROM the hourly partials
+    (sum-of-sums, max-of-maxes, count-of-buckets) — never from raw.
+
+    At 100 TB the hourly layer is the materialization boundary: it is
+    ~|types|×|hours| rows regardless of raw volume, so the second-level
+    aggregation is effectively free, and day/week/month all derive from
+    the same partials. Spark executes raw→hour with map-side partial
+    aggregation, so the only full-data shuffle carries ≤ groups×partitions
+    rows.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_hour")).alias("bucket_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+            F.count(F.lit(1)).alias("hours_with_data"),
+        )
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, g.h AS bucket_hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                FROM bounds
+            ) g
+        )
+        SELECT s.event_type,
+               s.bucket_hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket_hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_sum
+        FROM spine s
+        LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.bucket_hour = h.bucket_hour
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-series gap filling: generate the full (event_type × hour)
+    spine, left-join the sparse hourly facts onto it, zero-fill counts and
+    forward-fill (last-observation-carried-forward) the value column.
+
+    Scale shape: the spine is generated, not scanned — |types| ×
+    |hours| rows (thousands) independent of raw volume, so the join's
+    build side is the TINY spine-joined aggregate, and the raw table is
+    touched exactly once by the hourly pre-aggregation. The forward fill
+    is one window sort per series, partitioned on event_type.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        load(spark, sf_dir, "events")
+        .select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("bucket_hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        # hourly is bounded at |types|×|hours| rows whatever the raw
+        # volume — broadcast it so the generated spine never shuffles.
+        spine.join(F.broadcast(hourly), ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
+
+
+@query(
+    "q_win_range_interval",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_cnt_1h,
+               SUM(value) OVER w AS trailing_sum_1h
+        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_s
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window", "timeseries"),
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user window via a RANGE frame on event-time
+    (epoch seconds, so Spark's long-ordered range frame and the oracle's
+    agree exactly; ties at the same second are frame peers in both).
+
+    Scale shape: ONE shuffle on user_id, then a single ordered scan per
+    partition maintains the sliding frame — the declarative replacement
+    for the O(n²) "self-join events within the last hour" formulation.
+    Skewed users are the risk at 100 TB; the frame computation itself is
+    streaming (constant memory), so skew costs time, not OOM, and AQE
+    can split oversized partitions.
+    """
+    e = load(spark, sf_dir, "events")
+    # timestamp_ntz has no direct long cast in Spark 4; whole-second
+    # epoch via timestampdiff keeps both engines timezone-free.
+    ts_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(ts_s).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt_1h"),
+        F.sum("value").over(w).alias("trailing_sum_1h"),
+    )
+
+
+@query(
+    "q_ts_resample_ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                   ) AS rn_asc,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn_desc
+            FROM events
+        )
+        SELECT event_type, bucket_hour,
+               MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_desc = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM ranked
+        GROUP BY 1, 2
+    """,
+    tags=("timeseries", "resample"),
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) resampling of the value series into
+    hourly candles per event_type — the classic downsample for metric and
+    market data. First/last are tie-broken on (ts, event_id) so the
+    answer is deterministic under same-timestamp ticks.
+
+    Scale shape: both row_number windows and the final aggregate share
+    ONE exchange on the (event_type, hour) grouping — Catalyst reuses the
+    partitioning, the second window only re-sorts. The aggregate is then
+    partial. An alternative single-pass form is max_by/min_by on a
+    (ts, event_id) struct; the window form is kept because the shared-
+    exchange plan is asserted in tests/test_plans.py either way.
+    """
+    e = load(spark, sf_dir, "events")
+    # Project the bucket FIRST so both windows and the aggregate key on
+    # the same attribute — Catalyst then reuses one hash exchange for all
+    # three (partitioning on the raw date_trunc expression in the window
+    # spec defeats the reuse and costs a second shuffle).
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = Window.partitionBy("event_type", "bucket_hour").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("event_type", "bucket_hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "bucket_hour",
+        "value",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return (
+        ranked.groupBy("event_type", "bucket_hour")
+        .agg(
+            F.max(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
