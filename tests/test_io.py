@@ -98,3 +98,50 @@ def test_orc_roundtrip_preserves_rows(spark, tmpdir_factory_local):
     cols = df.columns
     assert (sorted(map(tuple, back.select(cols).collect()))
             == sorted(map(tuple, df.select(cols).collect())))
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Co-located join: two tables bucketed on the join key with equal
+    bucket counts must sort-merge join with ZERO Exchange operators — the
+    shuffle was paid once at write time (the 100 TB amortization story).
+    Broadcast is disabled for the assertion so the plan can't sidestep
+    the claim with a BroadcastHashJoin."""
+    import contextlib
+    import io as _io
+
+    from zio_kinesis_example_spark.catalog import load
+    from zio_kinesis_example_spark.io import write_bucketed
+
+    o = load(spark, SF_SMALL, "orders")
+    li = load(spark, SF_SMALL, "lineitem")
+    write_bucketed(o, "t_orders_b", "o_orderkey", n_buckets=4,
+                   sort_col="o_orderkey")
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", n_buckets=4,
+                   sort_col="l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("t_orders_b")
+            .join(
+                spark.table("t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # the join itself is exchange-free; only the 5-group final agg
+        # may exchange
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part
+        n = joined.count()
+        assert n == 5  # one row per priority
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

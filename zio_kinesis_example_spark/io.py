@@ -61,3 +61,29 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.load(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 32, sort_col: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write a BUCKETED managed table: rows are hash-distributed into
+    ``n_buckets`` files per partition by ``bucket_col`` at write time, and
+    the layout is recorded in the catalog.
+
+    This is the 100 TB co-location primitive: two tables bucketed on
+    their join key with the same bucket count join WITHOUT any exchange —
+    the shuffle was paid once at write time and amortized over every
+    subsequent join/aggregation on that key (verified in
+    tests/test_io.py: the joined plan has zero Exchange operators).
+    ``sort_col`` additionally sorts within buckets so sort-merge joins
+    skip their sort too.
+
+    Bucketing requires ``saveAsTable`` (the bucket spec lives in the
+    metastore, not the parquet footer) — path-based ``save`` would
+    silently drop it.
+    """
+    writer = df.write.format("parquet").mode(mode) \
+        .bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

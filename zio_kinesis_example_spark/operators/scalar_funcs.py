@@ -392,3 +392,33 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_")
         .alias("devoweled"),
     )
+
+
+@query(
+    "q_explode_pos",
+    oracle="""
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(terms))) - 1 AS BIGINT)
+                   AS pos,
+               unnest(terms) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS terms
+              FROM documents WHERE doc_id % 5 = 0)
+    """,
+    tags=("lateral", "explode"),
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode (posexplode / unnest WITH ORDINALITY):
+    every term of every 5th document with its 0-based position — the
+    building block for positional n-grams and token alignment.
+
+    Scale shape: explode is map-side row generation (no shuffle, no
+    Python); the output is ~terms-per-doc × docs rows, so the 100 TB
+    concern is OUTPUT volume, not the operator — downstream must
+    aggregate or filter before any wide operation. The DuckDB oracle
+    zips two unnests in lockstep to reproduce the ordinality.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
