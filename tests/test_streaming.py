@@ -416,3 +416,56 @@ def test_kafka_reader_option_construction(spark):
     assert "maxOffsetsPerTrigger" not in kafka_reader_options("t", "b:9092")
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_source(spark, "events")
+
+
+def test_upsert_sink_latest_state_per_key(spark, tmpdir_factory_local):
+    """foreachBatch CDC compaction: a stream of keyed updates maintains a
+    latest-per-key snapshot across separate runs of the same checkpoint
+    (restart = resume, not reprocess), mirroring the reference's
+    process-then-mark contract at micro-batch granularity."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, UpsertSink, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("upsert-src")
+    ckpt = tmpdir_factory_local("upsert-ckpt")
+    state = tmpdir_factory_local("upsert-state")
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("val", IntegerType()),
+    ])
+    prod = ShardDirProducer(
+        src, n_shards=2, batch_size=50,
+        payload_fn=lambda i: {"id": i % 25, "val": i},
+    )
+    sink = UpsertSink(state, key="id", seq_col="val")
+
+    def run():
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        q = (
+            valid.select("id", "val")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    prod.produce_all(100)
+    run()
+    s1 = {r["id"]: r["val"] for r in sink.current(spark).collect()}
+    assert len(s1) == 25
+    assert s1[1] == 76 and s1[0] == 100  # max i in 1..100 per residue
+
+    prod.produce_all(300, start=101)   # updates for every key
+    run()
+    s2 = {r["id"]: r["val"] for r in sink.current(spark).collect()}
+    assert len(s2) == 25
+    assert all(s2[k] > s1[k] for k in s1)
+    assert s2[0] == 300 and s2[24] == 299
+
+    run()  # no new data: state unchanged, no spurious version
+    s3 = {r["id"]: r["val"] for r in sink.current(spark).collect()}
+    assert s3 == s2

@@ -30,3 +30,4 @@ from .consume import (  # noqa: F401
     ConsumeResult, ObservedResult, consume_count, consume_observed,
 )
 from .observe import MetricsTap, tapped  # noqa: F401
+from .sink import UpsertSink  # noqa: F401

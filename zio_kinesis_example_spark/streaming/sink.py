@@ -1,0 +1,103 @@
+"""foreachBatch keyed upsert sink: maintain a "latest state per key"
+table from a stream of updates (streaming CDC compaction).
+
+Reference anchor: the atomic process-then-mark contract
+(CheckpointOnChunkEndStreamClient.scala:56-76 — work must be durable
+BEFORE the checkpoint advances). Here the micro-batch is the work unit:
+a batch's merged snapshot is fully written and the _CURRENT pointer
+swapped before Structured Streaming commits the batch's offsets, so a
+crash at any point replays the batch against a consistent snapshot.
+
+Idempotency story (at-least-once replay → exactly-once state):
+- snapshot versions are keyed by ``batch_id`` — a replayed batch
+  rewrites ITS OWN version directory, never a newer one;
+- the merge itself is idempotent: re-merging the same delta into a
+  snapshot that already contains it changes nothing (delta rows win on
+  key collision with themselves);
+- the _CURRENT pointer is swapped via tmp+rename (atomic on POSIX), the
+  same commit trick as the shard-file producer (source.py).
+
+Scale: the merge is ONE full-outer join per micro-batch, shuffled on the
+key; the batch side is deduplicated to one row per key first, so the
+join's streamed side is bounded by the trigger size. At warehouse scale
+the snapshot would be a table format with row-level merge (the swap-in
+is this class's ``_merge``); the orchestration contract — dedupe,
+merge, publish, then let the offset commit — is format-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class UpsertSink:
+    """``foreachBatch`` callable maintaining latest-state-per-key.
+
+    >>> sink = UpsertSink(state_dir, key="id", seq_col="seq")
+    >>> (stream.writeStream.foreachBatch(sink)
+    ...  .option("checkpointLocation", ckpt).trigger(availableNow=True)
+    ...  .start())
+    """
+
+    def __init__(self, base_dir: str, key: str, seq_col: str):
+        self.base_dir = base_dir
+        self.key = key
+        self.seq_col = seq_col
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, "_CURRENT")
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    def current(self, spark: SparkSession) -> DataFrame | None:
+        """The committed snapshot, or None before the first batch."""
+        v = self.current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.base_dir, v))
+
+    # -- the sink ------------------------------------------------------
+    def _dedupe_batch(self, batch: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.key).orderBy(F.col(self.seq_col).desc())
+        return (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _merge(self, base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if base is None:
+            return delta
+        cols = delta.columns
+        b, d = base.alias("b"), delta.alias("d")
+        joined = b.join(
+            d, F.col(f"b.{self.key}") == F.col(f"d.{self.key}"), "full_outer"
+        )
+        return joined.select(*[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in cols
+        ])
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = self._dedupe_batch(batch)
+        merged = self._merge(self.current(spark), delta)
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, version)
+        )
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())
