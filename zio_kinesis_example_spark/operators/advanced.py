@@ -1048,3 +1048,62 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_or(value > 0.99)").alias("any_extreme"),
         F.round(F.median("value"), 6).alias("med_value"),
     )
+
+
+def _sketch_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure two-level sketch plan (what bench.py times): daily HLL
+    sketches merged to a per-type global estimate — no exact twin."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+
+
+@query(
+    "q_agg_sketch_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS sketch_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+    bench_fn=_sketch_merge_plan,
+)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches — the pre-aggregated rollup pattern for distinct
+    counts: build an HLL sketch per (event_type, day) partition, then
+    union the day sketches into the global per-type estimate. This is the
+    two-level shape a 100 TB pipeline materializes (daily sketch tables
+    are tiny, and any date-range distinct count is a register-merge over
+    them, never a rescan of raw) — the q_ts_rollup_hypertable story
+    applied to a non-additive aggregate.
+
+    lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%. The hash-checkable contract
+    is the q_agg_approx_cd error-bound pattern: ``sketch_ok`` asserts the
+    merged estimate lands within 3 standard errors of exact (the sketch
+    bytes themselves are engine-specific, per SURVEY §2.2); bench.py
+    times the sketch-only plan via ``bench_fn``.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    joined = merged.join(exact, "event_type")
+    return joined.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("approx_users") - F.col("n_exact"))
+         <= F.lit(3 * rsd) * F.col("n_exact")).alias("sketch_ok"),
+    )
