@@ -292,3 +292,75 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("width") / 2).cast("int").alias("out_w"),
         (F.col("height") / 2).cast("int").alias("out_h"),
     )
+
+
+_WIN = 256       # PCM samples per energy window
+
+
+@query(
+    "q_multimodal_audio_energy",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   unnest(generate_series(
+                       0, CAST(ceil(octet_length(encode(text)) / 256.0)
+                               AS INT) - 1)) AS win_no
+            FROM documents)
+        SELECT w.doc_id, CAST(win_no AS INT) AS win_no,
+               CAST(least(256, n_bytes - win_no * 256) AS INT) AS n_samples,
+               CAST(list_sum(list_transform(
+                       generate_series(win_no * 256 + 1,
+                                       least(n_bytes, win_no * 256 + 256)),
+                       i -> (ascii(substring(d.text, i, 1)) - 128)
+                            * (ascii(substring(d.text, i, 1)) - 128)))
+                    AS BIGINT) AS energy
+        FROM w JOIN documents d USING (doc_id)
+    """,
+    tags=("multimodal", "audio"),
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: interpret the opaque payload as
+    8-bit PCM samples and emit per-window signal energy (sum of squared
+    centered samples over non-overlapping 256-sample windows) — the
+    windowed-DSP twin of q_multimodal_frame_sample's fan-out shape. A
+    real audio pipeline swaps the byte interpretation for a codec frame
+    iterator; the Spark surface (binary column → mapInPandas 1→N fan-out
+    → typed rows) is identical.
+
+    Kernel: ONE vectorized pass — center and square the whole flat Arrow
+    buffer, then np.add.reduceat over window boundaries; no per-row or
+    per-window Python. The oracle recomputes the same arithmetic over
+    ascii bytes in SQL (corpus text is ASCII, so char ordinal == byte).
+    """
+
+    def energy_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            buf, starts, lens = _flat_batch(pdf["payload"])
+            sq = (buf - 128) ** 2
+            doc_ids = pdf["doc_id"].to_numpy()
+            n_win = -(-lens // _WIN)                        # ceil
+            total = int(n_win.sum())
+            doc_idx = np.repeat(np.arange(len(lens)), n_win)
+            first = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(n_win[:-1], out=first[1:])
+            win_no = np.arange(total, dtype=np.int64) - np.repeat(first, n_win)
+            w_start = starts[doc_idx] + win_no * _WIN
+            w_stop = np.minimum(w_start + _WIN,
+                                starts[doc_idx] + lens[doc_idx])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(doc_ids[doc_idx], dtype="int64"),
+                "win_no": pd.Series(win_no, dtype="int32"),
+                "n_samples": pd.Series(w_stop - w_start, dtype="int32"),
+                "energy": pd.Series(
+                    _segment_sums(sq, w_start, w_stop), dtype="int64"),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("win_no", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+    ])
+    return binary_docs(spark, sf_dir).mapInPandas(energy_windows, schema=schema)
