@@ -81,3 +81,35 @@ def test_stratified_sample_generic(spark):
     again = api.stratified_sample(df, ["stratum"], "id", 5)
     assert sorted(r.id for r in out.collect()) == \
         sorted(r.id for r in again.collect())
+
+
+def test_forward_fill_generic(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 10.0), ("s", 2, None), ("s", 3, None), ("s", 4, 40.0),
+         ("t", 1, None), ("t", 2, 5.0)],
+        "series string, seq int, v double",
+    )
+    out = api.forward_fill(df, ["series"], "seq", "v", alias="filled")
+    got = {(r["series"], r["seq"]): r["filled"] for r in out.collect()}
+    assert got[("s", 2)] == 10.0 and got[("s", 3)] == 10.0
+    assert got[("s", 4)] == 40.0
+    assert got[("t", 1)] is None and got[("t", 2)] == 5.0
+
+
+def test_resample_ohlc_generic(spark):
+    rows = [
+        ("A", _ts(1), 3.0, 1), ("A", _ts(5), 9.0, 2), ("A", _ts(50), 1.0, 3),
+        ("A", _ts(5), 7.0, 4),   # same ts as trade 2: tiebreak on id
+    ]
+    df = spark.createDataFrame(
+        rows, "sym string, t timestamp, px double, tid long")
+    out = api.resample_ohlc(df, ["sym"], "t", "px", "tid", unit="hour")
+    r = out.collect()[0]
+    assert r["open"] == 3.0 and r["close"] == 1.0
+    assert r["high"] == 9.0 and r["low"] == 1.0 and r["n_ticks"] == 4
+
+
+def test_time_bucket_generic(spark):
+    df = spark.createDataFrame([( _ts(59, 59),)], "t timestamp")
+    out = api.time_bucket(df, "t", unit="hour").collect()[0]
+    assert out["bucket"] == dt.datetime(2024, 1, 1, 0, 0, 0)

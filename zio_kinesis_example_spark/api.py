@@ -163,3 +163,55 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     joined = f.join(
         d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]))
     return joined.drop("__salt")
+
+
+def time_bucket(df: DataFrame, ts_col: str, unit: str = "hour",
+                alias: str = "bucket") -> DataFrame:
+    """Append a truncated time bucket column (the hypertable bucketing
+    primitive behind q_ts_rollup_hypertable)."""
+    return df.withColumn(alias, F.date_trunc(unit, F.col(ts_col)))
+
+
+def forward_fill(df: DataFrame, key_cols: list[str], order_col: str,
+                 value_col: str, alias: str | None = None) -> DataFrame:
+    """Last-observation-carried-forward per series: nulls in
+    ``value_col`` take the latest non-null earlier value within the key
+    partition. One window sort per series; no joins."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        alias or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def resample_ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
+                  value_col: str, tiebreak_col: str,
+                  unit: str = "hour") -> DataFrame:
+    """Open/high/low/close downsampling of ``value_col`` into per-key
+    time buckets, tie-broken on ``tiebreak_col`` (q_ts_resample_ohlc as a
+    reusable operator: both windows and the aggregate share one
+    exchange)."""
+    base = time_bucket(df, ts_col, unit).select(
+        *key_cols, "bucket", F.col(value_col).alias("__v"),
+        F.col(ts_col).alias("__ts"), F.col(tiebreak_col).alias("__tb"),
+    )
+    parts = [*key_cols, "bucket"]
+    w_asc = Window.partitionBy(*parts).orderBy(
+        F.col("__ts").asc(), F.col("__tb").asc())
+    w_desc = Window.partitionBy(*parts).orderBy(
+        F.col("__ts").desc(), F.col("__tb").desc())
+    ranked = base.select(
+        *parts, "__v",
+        F.row_number().over(w_asc).alias("__ra"),
+        F.row_number().over(w_desc).alias("__rd"),
+    )
+    return ranked.groupBy(*parts).agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
