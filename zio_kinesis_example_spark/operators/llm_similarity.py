@@ -264,3 +264,55 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id",
                 F.round("s", 6).alias("cosine"), "rnk")
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        s AS (SELECT vec_id, label,
+                     list_aggregate(emb, 'min') AS mn,
+                     list_aggregate(emb, 'max') AS mx,
+                     emb
+              FROM e)
+        SELECT vec_id, label, mn, mx,
+               CAST(CASE WHEN mx = mn THEN 0 ELSE
+                    list_sum(list_transform(emb,
+                        x -> least(floor((x - mn) / ((mx - mn) / 255.0)),
+                                   255.0)))
+                    END AS BIGINT) AS qsum
+        FROM s
+    """,
+    tags=("similarity", "embedding", "quantize"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column — the 4× storage
+    compression every 100 TB vector store applies before ANN indexing
+    (per-vector min/max affine scale to [0, 255]). Emits the scale params
+    and the quantized-vector checksum; the bytes themselves would land in
+    a binary column via the same expressions.
+
+    Scale shape: stateless per-row JVM higher-order functions (transform/
+    aggregate) — no shuffle, no Python, whole-stage codegen. Determinism:
+    both engines run the identical double arithmetic on the identical
+    float32 inputs, and floor (not round) avoids banker's-rounding
+    divergence; the mx = mn degenerate case is guarded to 0 on both
+    sides.
+    """
+    e = _emb(spark, sf_dir)
+    s = e.select(
+        "vec_id", "label", "emb",
+        F.array_min("emb").alias("mn"),
+        F.array_max("emb").alias("mx"),
+    )
+    qsum = F.expr(
+        "aggregate(transform(emb, x -> least(floor((x - mn) / ((mx - mn) / 255.0D)), 255.0D)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return s.select(
+        "vec_id", "label", "mn", "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(qsum).cast("long").alias("qsum"),
+    )
