@@ -160,3 +160,91 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(30,8)").cast("string").alias("revenue")
         )
     )
+
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    ctes = [f"""
+        edges AS (
+            SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+            FROM lineitem
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        pr0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr
+                FROM deg)"""]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+        pr{i} AS (
+            SELECT e.dst AS node,
+                   CAST({_PR_SCALE * 15 // 100}
+                        + (85 * SUM(p.pr // d.outdeg)) // 100
+                        AS BIGINT) AS pr
+            FROM edges e
+            JOIN pr{i - 1} p ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )""")
+    return (
+        "WITH" + ",".join(ctes)
+        + f"""
+        SELECT node, CAST(node % 2 AS INT) AS is_supplier, pr
+        FROM pr{_PR_ITERS}"""
+    )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier supply graph (edges =
+    distinct lineitem (partkey, suppkey) pairs, symmetrized), the second
+    iterative-algorithm showcase next to q_dedup_clusters' connected
+    components.
+
+    DETERMINISM: the power iteration runs in scaled-integer arithmetic
+    (rank × 1e9 as BIGINT; contributions use integer division) — float
+    PageRank sums in engine-dependent order and can flip low digits,
+    integer PageRank is bit-exact everywhere, so the oracle (the same
+    {iters} iterations unrolled as chained CTEs) hash-matches exactly.
+
+    Scale shape (BSP, same posture as connected components): edges and
+    degrees are computed once and cached; each iteration is one
+    co-partitioned join + partial aggregation on dst. Rank mass fits
+    BIGINT while 85·Σpr < 2^63 — at ~10^8+ nodes drop SCALE to 1e6.
+    The 5-iteration unroll is the fixed-depth variant; production runs
+    to a fixpoint with lineage truncation (see llm_dedup cc loop).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    pr = deg.select(F.col("src").alias("node"),
+                    F.lit(_PR_SCALE).cast("long").alias("pr"))
+    base = _PR_SCALE * 15 // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr, F.col("src") == F.col("node"))
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+        )
+        pr = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(base) + F.expr("(85 * sum(c)) DIV 100")).alias("pr"))
+        )
+    return pr.select(
+        "node", (F.col("node") % 2).cast("int").alias("is_supplier"), "pr"
+    )
