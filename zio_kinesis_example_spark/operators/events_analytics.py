@@ -1,0 +1,153 @@
+"""Event-stream analytics: SCD2 interval reconstruction, funnel
+conversion, retention cohorts.
+
+The reference consumes an event stream but computes only a global count
+(FlattenChunksTest.scala:43-59); these are the [north-star] warehouse
+analyses that stream's landed history supports (BASELINE.json
+north_star). All are single-pass window/aggregate shapes — no
+self-joins over the raw table beyond the stage-anchored funnel joins,
+whose anchor sides are per-user aggregates (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "cdc", "window"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction: each user event
+    becomes a validity interval [ts, next-event ts), open-ended for the
+    latest — the standard change-log → dimension-history transform.
+
+    Scale shape: ONE shuffle on user_id and one ordered scan (lead);
+    ties broken on event_id so interval boundaries are deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id)
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+    tags=("events", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, strictly
+    later stages only): users entering each stage AFTER completing the
+    previous one.
+
+    Scale shape: each stage anchor is a per-user MIN aggregate (partial,
+    one shuffle on user_id) and every join is user-keyed against that
+    shrunken anchor — the raw table is scanned once per stage, never
+    self-joined row-to-row. All three stage frames share the user_id
+    partitioning, so AQE reuses the exchange layout downstream.
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_day,
+                   date_diff('day', f.cohort_day,
+                             CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                       AS day_offset
+            FROM events e JOIN first_day f ON e.user_id = f.user_id)
+        SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active_users
+        FROM active
+        GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "retention"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped into daily cohorts by first
+    activity, counted on each subsequent active day-offset — the
+    DAU-retention matrix every product pipeline materializes.
+
+    Scale shape: the cohort anchor is a per-user MIN (one shuffle);
+    the activity join is user-keyed on that anchor; the distinct and the
+    final count are partial-aggregated. Output is |cohorts| × |offsets|
+    (bounded by days², independent of raw volume).
+    """
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+            .cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
