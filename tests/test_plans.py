@@ -234,3 +234,35 @@ def test_tpch_q5_broadcasts_dims(spark):
     carry the 25-row dimension side."""
     plan = _plan(spark, "q_tpch_q5", mode="simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_anchors_are_partial_aggregated(spark):
+    """Every funnel stage anchor is a per-user MIN with map-side partial
+    aggregation; the raw events table appears once per stage, never in a
+    row-to-row self-join."""
+    plan = _plan(spark, "q_funnel", mode="simple")
+    assert "partial_min" in plan
+
+
+def test_retention_join_is_user_keyed(spark):
+    """The cohort join keys on user_id; output volume is bounded by
+    cohorts × offsets, so the final agg is a tiny exchange."""
+    plan = _plan(spark, "q_retention_cohorts", mode="simple")
+    assert "partial_" in plan
+
+
+def test_pagerank_returns_truncated_lineage(spark):
+    """The returned ranks must be checkpoint-backed (Scan ExistingRDD):
+    eager per-round checkpoints are what prevent the nested per-round
+    broadcasts from recomputing every earlier round (measured quadratic
+    blowup without them), and they free the loop caches for unpersist."""
+    plan = _plan(spark, "q_graph_pagerank", mode="simple")
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan  # no lineage back to the scans
+
+
+def test_scd2_single_window_exchange(spark):
+    """SCD2 interval build: one exchange on user_id, one ordered scan."""
+    plan = _plan(spark, "q_scd2_intervals", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -7,7 +7,10 @@ Modules register queries into :mod:`..registry` on import:
 - :mod:`.timeseries`     — hypertable rollups, gap filling, interval-range
   windows, OHLC resampling over the events table.
 - :mod:`.analytics`      — TPC-H-shaped multi-join decision support
-  (Q3 shipping priority, Q5 local supplier volume).
+  (Q3 shipping priority, Q5 local supplier volume) and integer-exact
+  PageRank over the part↔supplier graph.
+- :mod:`.events_analytics` — SCD2 interval reconstruction, ordered
+  funnel conversion, retention cohorts.
 - :mod:`.scalar_funcs`   — string/date/math/array/map/json/case function
   queries.
 - :mod:`.llm_dedup`      — exact + near-duplicate detection (hash, n-gram
