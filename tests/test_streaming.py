@@ -469,3 +469,30 @@ def test_upsert_sink_latest_state_per_key(spark, tmpdir_factory_local):
     run()  # no new data: state unchanged, no spurious version
     s3 = {r["id"]: r["val"] for r in sink.current(spark).collect()}
     assert s3 == s2
+
+
+def test_upsert_sink_replayed_batch_is_idempotent(spark, tmpdir_factory_local):
+    """At-least-once → exactly-once state: re-delivering a batch (same
+    batch_id, after a crash before the offset commit) must leave the
+    snapshot unchanged — the merge re-applies the same delta onto a
+    snapshot that already contains it, and the replayed version directory
+    overwrites itself, never a newer one."""
+    from zio_kinesis_example_spark.streaming import UpsertSink
+
+    state = tmpdir_factory_local("upsert-replay")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (1, 11, "a2")], "id int, seq int, v string")
+    sink(b0, 0)
+    snap0 = sorted(map(tuple, sink.current(spark).collect()))
+    assert snap0 == [(1, 11, "a2"), (2, 20, "b")]
+
+    b1 = spark.createDataFrame([(2, 30, "b2"), (3, 31, "c")],
+                               "id int, seq int, v string")
+    sink(b1, 1)
+    snap1 = sorted(map(tuple, sink.current(spark).collect()))
+    assert snap1 == [(1, 11, "a2"), (2, 30, "b2"), (3, 31, "c")]
+
+    sink(b1, 1)  # crash-replay of batch 1
+    assert sorted(map(tuple, sink.current(spark).collect())) == snap1
+    assert sink.current_version() == "v1"

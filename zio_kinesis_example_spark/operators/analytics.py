@@ -271,3 +271,55 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", (F.col("node") % 2).cast("int").alias("is_supplier"), "pr"
     )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               SUM(l_quantity) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers — the group-HAVING
+    semi-join shape.
+
+    Scale shape: the HAVING subquery is a partial-aggregated groupBy of
+    lineitem that collapses to one row per qualifying order — Spark
+    executes the IN as a left-semi hash join against that shrunken set,
+    so lineitem is never self-joined row-to-row. Quantities are
+    integer-valued doubles (< 2^53), so the sums are exact and the
+    top-100 cut (tie-broken on o_orderkey) is engine-independent.
+    TakeOrderedAndProject keeps the limit off a global sort.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+               "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
