@@ -90,7 +90,7 @@ def _ensure_loaded() -> None:
     # each serve-order group the harness's budget covers the most queries.
     from .operators import (  # noqa: F401
         scalar_funcs, llm_text, curation, multimodal, udfs, relational,
-        timeseries, analytics, events_analytics, llm_similarity, llm_dedup,
-        advanced,
+        timeseries, analytics, events_analytics, tpch_suite, llm_similarity,
+        llm_dedup, advanced,
     )
     _loaded = True
