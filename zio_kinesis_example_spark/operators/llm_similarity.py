@@ -266,6 +266,154 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8            # clusters
+_KM_ITERS = 3        # fixed Lloyd iterations (fixpoint variant: loop + stop)
+_KM_SCALE = 1_000_000
+_KM_DIM = 64
+_KM_HASH = 2654435761  # Knuth multiplicative hash, computable in ANSI SQL
+
+
+def _kmeans_oracle() -> str:
+    """The same {iters} Lloyd iterations unrolled as chained CTEs
+    (q_graph_pagerank's oracle technique), in the same exact integer
+    arithmetic, so the result hash-matches bit-for-bit."""
+    dist = ("list_sum(list_transform(list_zip(e.v, c.cv), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    ctes = [f"""
+        e AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * {_KM_SCALE}.0) AS BIGINT)) AS v
+              FROM embeddings),
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (
+                          ORDER BY (vec_id * {_KM_HASH}) % 4294967296, vec_id)
+                          - 1 AS INT) AS cid, v AS cv
+               FROM (SELECT vec_id, v FROM e
+                     ORDER BY (vec_id * {_KM_HASH}) % 4294967296, vec_id
+                     LIMIT {_KM_K}))"""]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(f"""
+        a{i} AS (SELECT vec_id, v, min({{'d': d, 'c': cid}}).c AS cid FROM (
+                    SELECT e.vec_id, e.v, c.cid, {dist} AS d
+                    FROM e CROSS JOIN c{i - 1} c) GROUP BY vec_id, v),
+        m{i} AS (SELECT cid, array_agg(s ORDER BY i) AS cv FROM (
+                    SELECT cid, i, SUM(v[i]) // COUNT(*) AS s
+                    FROM a{i}, unnest(generate_series(1, {_KM_DIM})) AS t(i)
+                    GROUP BY cid, i) GROUP BY cid),
+        c{i} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+                 FROM c{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid)""")
+    n = _KM_ITERS
+    return (
+        "WITH" + ",".join(ctes)
+        + f"""
+        SELECT c.cid, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members,
+               CAST(COALESCE(s.mem_sum, 0) AS BIGINT) AS mem_sum,
+               CAST(list_sum(c.cv) AS BIGINT) AS cent_sum
+        FROM c{n} c LEFT JOIN (
+            SELECT cid, COUNT(*) AS n, SUM(list_sum(v)) AS mem_sum
+            FROM a{n} GROUP BY cid) s ON c.cid = s.cid"""
+    )
+
+
+@query("q_embed_kmeans", oracle=_kmeans_oracle(),
+       tags=("similarity", "embedding", "clustering", "iterative"))
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embedding corpus — the
+    codebook trainer every IVF/PQ vector index runs before assignment
+    (q_sim_ann_ivf's hash-sampled quantizer is the untrained stand-in;
+    this is the trained one).
+
+    DETERMINISM (the q_graph_pagerank rule): embeddings are quantized to
+    scaled integers (floor(x·1e6), one identical double op per value), so
+    distances, argmin ties (lowest cid wins on equal distance — Spark's
+    array_position-of-min and the oracle's min-struct agree), and the
+    truncating integer-mean centroid update are all bit-exact on both
+    engines. Empty clusters keep their previous centroid (COALESCE on
+    both sides).
+
+    Scale shape (the part that matters at 100 TB): centroids live on the
+    driver as O(K·dim) literals — embedding them into the assignment
+    expression makes each iteration a SINGLE cached-scan + map-side
+    partial aggregation (posexplode → (cid, dim) partial sums collapse to
+    K·dim rows per partition before the one shuffle); the per-iteration
+    collect is K·dim values, corpus-size-independent. No lineage growth:
+    literals cut each iteration's plan at the cache. Assignment itself is
+    a per-row JVM fold over a K×dim literal array — no Python, no join,
+    no shuffle.
+    """
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(cast(embedding as array<double>), "
+                f"x -> cast(floor(x * {_KM_SCALE}.0D) as bigint))"
+            ).alias("v"),
+        )
+        .persist()
+    )
+    init = (
+        e.orderBy((F.col("vec_id") * _KM_HASH) % F.lit(4294967296), "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents: dict[int, list[int]] = {i: list(r.v) for i, r in enumerate(init)}
+
+    def cents_lit():
+        return F.array(*[
+            F.array(*[F.lit(int(x)) for x in cents[cid]])
+            for cid in range(_KM_K)
+        ])
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = F.expr(
+            "transform(cents, c -> aggregate(zip_with(c, v, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (s, t) -> s + t))"
+        )
+        return (
+            df.withColumn("cents", cents_lit())
+            .withColumn("dists", dists)
+            .withColumn(
+                "cid",
+                (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+                .cast("int"),
+            )
+            .drop("cents", "dists")
+        )
+
+    last = None
+    for _ in range(_KM_ITERS):
+        last = assign(e)
+        means = (
+            last.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.expr("sum(x) DIV count(1)").alias("s"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in means:
+            upd.setdefault(r.cid, {})[r.i] = r.s
+        for cid, comp in upd.items():
+            cents[cid] = [comp[i] for i in range(_KM_DIM)]
+    stats = last.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("aggregate(v, 0L, (s, t) -> s + t)")).alias("mem_sum"),
+    )
+    cent_rows = spark.createDataFrame(
+        [(cid, sum(cents[cid])) for cid in range(_KM_K)],
+        "cid int, cent_sum long",
+    )
+    e.unpersist()
+    return (
+        cent_rows.join(stats, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce("mem_sum", F.lit(0)).cast("long").alias("mem_sum"),
+            "cent_sum",
+        )
+    )
+
+
 @query(
     "q_embed_quantize",
     oracle="""
