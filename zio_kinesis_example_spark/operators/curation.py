@@ -381,3 +381,112 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
     )
+
+
+#: Gopher-style gate thresholds (Rae et al. 2021 §A1.1, re-based to the
+#: synthetic corpus's scale: docs are single-line space-joined words).
+_GATE_MIN_WORDS = 30
+_GATE_MAX_WORDS = 5_000
+_GATE_MEAN_WLEN = (2.0, 10.0)
+_GATE_UNIQUE_FRAC = 0.30
+_GATE_TOP_FRAC = 0.20
+_GATE_STOPWORDS = ("the", "a", "and", "of")
+_GATE_MIN_STOPHITS = 2
+
+
+@query(
+    "q_curate_quality_gates",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang, source, n,
+                   CAST(length(array_to_string(w, '')) AS DOUBLE) / n
+                       AS mean_wlen,
+                   CAST(len(list_distinct(w)) AS DOUBLE) / n AS uniq_frac,
+                   (SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM unnest(w) AS u(term)
+                        GROUP BY term)) AS top_n,
+                   len(list_filter(list_distinct(w),
+                       x -> x IN {tuple(_GATE_STOPWORDS)})) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, lang, source,
+               CAST(n AS BIGINT) AS n_words,
+               n BETWEEN {_GATE_MIN_WORDS} AND {_GATE_MAX_WORDS} AS r_nwords,
+               mean_wlen BETWEEN {_GATE_MEAN_WLEN[0]} AND {_GATE_MEAN_WLEN[1]}
+                   AS r_mean_wlen,
+               uniq_frac > {_GATE_UNIQUE_FRAC} AS r_unique,
+               CAST(top_n AS DOUBLE) / n <= {_GATE_TOP_FRAC} AS r_top_word,
+               stop_hits >= {_GATE_MIN_STOPHITS} AS r_stopwords,
+               (n BETWEEN {_GATE_MIN_WORDS} AND {_GATE_MAX_WORDS})
+               AND (mean_wlen BETWEEN {_GATE_MEAN_WLEN[0]}
+                                  AND {_GATE_MEAN_WLEN[1]})
+               AND uniq_frac > {_GATE_UNIQUE_FRAC}
+               AND CAST(top_n AS DOUBLE) / n <= {_GATE_TOP_FRAC}
+               AND stop_hits >= {_GATE_MIN_STOPHITS} AS keep
+        FROM s
+    """,
+    tags=("curation", "text", "quality", "pipeline"),
+)
+def q_curate_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates: the named boolean filter battery
+    (doc-length bounds, mean word length, unique-word fraction,
+    top-word dominance, stopword presence) every pre-training corpus
+    passes through, emitted per-rule for auditability plus the composed
+    ``keep`` verdict — the gate form of q_text_quality's scores.
+
+    DETERMINISM: every ratio is an exact-integer division evaluated once
+    per row and COMPARED (never re-emitted as a float), so the booleans
+    are engine-exact even where the doubles' last bits are not.
+
+    Scale shape: stateless per-row JVM expressions over the split-once
+    term array — zero shuffles at any corpus size; the one non-trivial
+    stat (top-word count) is a per-row sorted-run-length fold with
+    constant state, not a groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    mean_wlen = (F.length(F.regexp_replace("text", " ", "")).cast("double")
+                 / n)
+    uniq_frac = F.size(F.array_distinct(w)).cast("double") / n
+    # per-row top term count: longest equal run of the SORTED term array —
+    # an O(L log L) fold with constant state, no explode, no shuffle (a
+    # term→count map fold would rebuild an immutable map per term:
+    # O(L·distinct), measured ~4× slower on this corpus).
+    top_n = F.expr(
+        "aggregate(array_sort(w), "
+        "named_struct('prev', '', 'run', 0, 'best', 0), "
+        "(s, t) -> named_struct("
+        "  'prev', t, "
+        "  'run', if(t = s.prev, s.run + 1, 1), "
+        "  'best', greatest(s.best, if(t = s.prev, s.run + 1, 1))), "
+        "s -> s.best)"
+    )
+    stop_hits = F.size(F.filter(
+        F.array_distinct(w), lambda x: x.isin(*_GATE_STOPWORDS)))
+    df = d.select(
+        "doc_id", "lang", "source", w.alias("w"), n.alias("n"),
+        mean_wlen.alias("mean_wlen"), uniq_frac.alias("uniq_frac"),
+        stop_hits.alias("stop_hits"),
+    ).withColumn("top_n", top_n)
+    r_nwords = F.col("n").between(_GATE_MIN_WORDS, _GATE_MAX_WORDS)
+    r_mean = F.col("mean_wlen").between(*_GATE_MEAN_WLEN)
+    r_unique = F.col("uniq_frac") > _GATE_UNIQUE_FRAC
+    r_top = (F.col("top_n").cast("double") / F.col("n")) <= _GATE_TOP_FRAC
+    r_stop = F.col("stop_hits") >= _GATE_MIN_STOPHITS
+    return df.select(
+        "doc_id", "lang", "source",
+        F.col("n").cast("long").alias("n_words"),
+        r_nwords.alias("r_nwords"),
+        r_mean.alias("r_mean_wlen"),
+        r_unique.alias("r_unique"),
+        r_top.alias("r_top_word"),
+        r_stop.alias("r_stopwords"),
+        (r_nwords & r_mean & r_unique & r_top & r_stop).alias("keep"),
+    )

@@ -204,7 +204,9 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to LSH (q_sim_ann_lsh).
 
     Coarse quantizer = the nlist=32 corpus vectors with the smallest
-    xxhash64(vec_id) — a deterministic fixed-size hash-sample, so the
+    xxhash64(vec_id) — a deterministic fixed-size hash-sample (the
+    TRAINED codebook variant is q_embed_kmeans; swap its centroids in
+    here for FAISS-parity recall), so the
     driver-side state is O(nlist·dim) floats NO MATTER the corpus size
     (the plan is a TakeOrderedAndProject: executors each keep their local
     top-nlist by hash, the driver merges nlist rows total). This is the
