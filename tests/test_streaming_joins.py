@@ -82,3 +82,53 @@ def test_stream_static_enrichment(spark, tmpdir_factory_local):
     seg = {r.id: r.c_mktsegment for r in emitted}
     # ids 1..60 exist in customer (150 rows at sf0.001) -> all enriched
     assert all(seg[i] is not None for i in range(1, 61))
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmpdir_factory_local):
+    """Left-outer interval join: a click with no purchase in its 10-minute
+    window is emitted with NULL purchase columns once the watermark proves
+    no match can arrive. Files are fed one per micro-batch so the
+    watermark advances across batches (batch N joins with the watermark
+    computed from batch N-1's max event time — the null row for click 3
+    can only flush in batch 3)."""
+    src, ckpt = _dirs(tmpdir_factory_local, "ssjoin-outer")
+    t = {
+        1: "2024-01-01 00:00:00",  # click -> purchase 2 (5m)
+        2: "2024-01-01 00:05:00",  # purchase
+        3: "2024-01-01 00:30:00",  # click, never matched
+        # pusher pair: the GLOBAL watermark is min(click wm, purchase wm),
+        # so BOTH sides need a late event for eviction to progress
+        8: "2024-01-01 02:00:00",  # purchase pusher: purchase wm -> 01:58
+        9: "2024-01-01 02:00:00",  # click pusher: click wm -> 01:58
+        10: "2024-01-01 03:00:00",  # batch 3: evaluates with global wm 01:58
+    }
+    prod = ShardDirProducer(
+        src, n_shards=1, payload_fn=lambda i: {"id": i, "event_ts": t[i]})
+    prod.produce(1, 3)   # batch 1: ids 1,2,3
+    prod.produce(8, 2)   # batch 2: ids 8,9
+    prod.produce(10, 1)  # batch 3: id 10
+
+    valid, _ = decode_json(
+        shard_source(spark, src, max_files_per_trigger=1), TESTMSG_TS_SCHEMA)
+    ev = with_event_time(valid)
+    clicks = ev.filter(F.col("id").isin(1, 3, 9)).select(
+        F.col("shard_id").alias("user"),
+        F.col("id").alias("click_id"),
+        F.col("event_ts").alias("click_ts"),
+    )
+    purchases = ev.filter(~F.col("id").isin(1, 3, 9)).select(
+        F.col("shard_id").alias("p_user"),
+        F.col("id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_interval_join(clicks, purchases, how="left_outer")
+    emitted: list = []
+    run_available_now(joined, ckpt, emitted)
+    # click 9 matches purchase 8 at the same instant (inclusive bound) —
+    # emitted as a pair, not held for the outer flush.
+    pairs = sorted(
+        (r.click_id, r.purchase_id) for r in emitted
+    )
+    assert pairs == [(1, 2), (3, None), (9, 8)]
+    null_row = next(r for r in emitted if r.purchase_id is None)
+    assert null_row.purchase_ts is None and null_row.click_id == 3

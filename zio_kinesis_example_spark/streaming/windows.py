@@ -166,12 +166,21 @@ def run_available_now(sink_df: DataFrame, checkpoint_dir: str,
 
 def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
                                 within: str = "10 minutes",
-                                watermark: str = "2 minutes") -> DataFrame:
-    """Stream-stream inner join within an event-time interval: each
-    purchase pairs with every click of the same user whose click_ts is in
+                                watermark: str = "2 minutes",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join within an event-time interval: each purchase
+    pairs with every click of the same user whose click_ts is in
     [purchase_ts - within, purchase_ts]. Expects pre-renamed sides:
     clicks(user, click_id, click_ts), purchases(user, purchase_id,
     purchase_ts).
+
+    ``how="left_outer"`` preserves unmatched clicks: a click with no
+    purchase inside its interval is emitted with NULL purchase columns —
+    but only once the watermark proves no future purchase can match
+    (conversion-failure detection as a stream). The null row appears in
+    the micro-batch AFTER the watermark passes click_ts + within, since
+    batch N evaluates with the watermark computed from batch N-1's max
+    event time.
 
     Watermarks on BOTH sides bound the join state: Spark evicts buffered
     clicks once the purchase-side watermark passes click_ts + within —
@@ -187,7 +196,7 @@ def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts")
            <= F.col("click_ts") + F.expr(f"interval {within}")),
-        "inner",
+        how,
     ).select("user", "click_id", "click_ts", "purchase_id", "purchase_ts")
 
 
