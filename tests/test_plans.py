@@ -266,3 +266,85 @@ def test_scd2_single_window_exchange(spark):
     plan = _plan(spark, "q_scd2_intervals", mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_tpch_q10_topk_on_decimal_no_global_sort(spark):
+    """The top-20 returned-revenue cut rides TakeOrderedAndProject on the
+    exact decimal (no global sort below it), and nation is broadcast."""
+    plan = _plan(spark, "q_tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    """The EXISTS subquery must execute as ONE left-semi hash join with
+    the non-equi date comparison as its residual — not a per-order probe
+    and not a full join + distinct."""
+    plan = _plan(spark, "q_tpch_q4")
+    assert "LeftSemi" in plan
+    # orders + lineitem, once each (formatted mode lists every scan twice:
+    # tree node + detail block)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_tpch_q18_having_subquery_single_lineitem_pass(spark):
+    """Q18's IN-over-HAVING collapses to a semi join against the grouped
+    aggregate; lineitem is scanned for the group AND the final agg but
+    never self-joined row-to-row."""
+    plan = _plan(spark, "q_tpch_q18")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q15_scalar_max_broadcast(spark):
+    """The max-revenue scalar reduces to a one-row broadcast join, not a
+    window over a single partition (no Sort/Window in the plan)."""
+    plan = _plan(spark, "q_tpch_q15")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q19_implied_filters_pushed(spark):
+    """OR-bracket factoring: the derived single-side conjuncts reach the
+    parquet scans as pushed filters on both join inputs."""
+    plan = _plan(spark, "q_tpch_q19")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed)
+    assert any("l_quantity" in l for l in pushed)
+
+
+def test_tpch_q21_single_orderkey_shuffle_no_self_join(spark):
+    """The Q21 rewrite: one conditional-aggregation pass over the
+    orders⋈lineitem join — lineitem scanned ONCE (the oracle's l1/l2/l3
+    self-references all ride the same per-order aggregate)."""
+    plan = _plan(spark, "q_tpch_q21")
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3  # li + o + s
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assignment_no_shuffle_before_agg(spark):
+    """k-means assignment is a per-row literal-centroid fold: the plan up
+    to the partial aggregate contains no Exchange (the only shuffle is
+    the (cid, dim) mean aggregation)."""
+    from pyspark.sql import functions as F
+    from zio_kinesis_example_spark.catalog import load
+    from zio_kinesis_example_spark.operators import llm_similarity as sim
+    import contextlib, io
+    e = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.expr("transform(cast(embedding as array<double>), "
+               "x -> cast(floor(x * 1000000.0D) as bigint))").alias("v"))
+    cents = F.array(*[F.array(*[F.lit(i * 7 + j) for j in range(64)])
+                      for i in range(8)])
+    dists = F.expr(
+        "transform(cents, c -> aggregate(zip_with(c, v, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (s, t) -> s + t))")
+    assigned = (e.withColumn("cents", cents).withColumn("dists", dists)
+                .withColumn("cid", F.array_position(
+                    F.col("dists"), F.array_min("dists")).cast("int"))
+                .drop("cents", "dists"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
