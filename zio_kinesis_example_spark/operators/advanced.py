@@ -761,6 +761,72 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(draw < threshold).select("doc_id", "lang", "source")
 
 
+_TEMP_BUDGET = 250  # kept-doc budget for the temperature-resampled mix
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+        WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+        w AS (SELECT lang,
+                     CAST(floor(sqrt(CAST(ns AS DOUBLE)) * 1000) AS BIGINT)
+                         AS ws
+              FROM n),
+        tot AS (SELECT SUM(ws) AS tw FROM w),
+        tgt AS (SELECT lang, (ws * {_TEMP_BUDGET}) // tw AS target
+                FROM w, tot),
+        r AS (SELECT doc_id, lang, source,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * {_KNUTH}) % {_U32}, doc_id)
+                         AS rk
+              FROM documents)
+        SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS BIGINT) AS rk
+        FROM r JOIN tgt USING (lang) WHERE rk <= target
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (T=2, i.e. sqrt weights):
+    per-language target counts ∝ n^(1/T), normalized to a fixed document
+    budget — the UniMax/mT5-style step that upweights tail languages a
+    proportional mix would starve. Selection within a language is the
+    smallest-hash-rank prefix (q_sample_mixture's portable Knuth draw),
+    so the kept set is exact and engine-reproducible.
+
+    DETERMINISM: weights are floor(sqrt(n)·1000) as BIGINT — ONE double
+    sqrt of an exact integer each (identical rounding), then all
+    normalization in exact integer arithmetic (the naive Σ of double
+    weights would reduce in engine-dependent order).
+
+    Scale shape: language histogram = partial-agged groupBy collapsing to
+    |langs| rows; targets broadcast back; ONE corpus shuffle for the
+    per-language hash-rank window. Same two-level posture as
+    q_curate_token_budget.
+    """
+    d = load(spark, sf_dir, "documents")
+    w_ = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("ns"))
+        .select("lang", (F.floor(F.sqrt(F.col("ns").cast("double")) * 1000))
+                .cast("long").alias("ws"))
+    )
+    tot = w_.agg(F.sum("ws").alias("tw"))
+    tgt = (
+        w_.crossJoin(F.broadcast(tot))
+        .select("lang", F.expr(f"(ws * {_TEMP_BUDGET}) DIV tw")
+                .alias("target"))
+    )
+    win = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * _KNUTH) % _U32, "doc_id")
+    r = d.select("doc_id", "lang", "source").withColumn(
+        "rk", F.row_number().over(win).cast("long"))
+    return (
+        r.join(F.broadcast(tgt), "lang")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
 @query(
     "q_text_bigrams",
     oracle="""
@@ -1106,4 +1172,64 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.abs(F.col("approx_users") - F.col("n_exact"))
          <= F.lit(3 * rsd) * F.col("n_exact")).alias("sketch_ok"),
+    )
+
+
+@query(
+    "q_layout_zorder",
+    oracle="""
+        WITH z AS (
+            SELECT l_orderkey, l_partkey,
+                   list_sum(list_transform(generate_series(0, 15),
+                       i -> (((l_orderkey % 65536) // (1 << i)) % 2)
+                                * (1 << (2 * i))
+                          + (((l_partkey % 65536) // (1 << i)) % 2)
+                                * (1 << (2 * i + 1)))) AS zval
+            FROM lineitem
+        )
+        SELECT CAST(zval // 1048576 AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+               MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
+        FROM z
+        GROUP BY zval // 1048576
+    """,
+    tags=("layout", "sort"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_orderkey, l_partkey) + the
+    per-bucket min/max statistics a lakehouse data-skipping index keeps:
+    interleaving the two keys' bits makes each z-range bucket cover a
+    BOUNDED rectangle in both dimensions, so a scan filtered on EITHER
+    key can prune most buckets/files — the multi-dimensional clustering
+    every 100 TB table layout (Delta OPTIMIZE ZORDER, Iceberg sort
+    orders) applies before writing.
+
+    The z-value is a pure-integer bit interleave (16 bits per key,
+    wrapped mod 2^16) — exact and engine-portable; the emitted stats ARE
+    the skipping index: writing `repartitionByRange(zval).sortWithinPartitions`
+    turns them into parquet row-group min/max footers.
+
+    Scale shape: stateless per-row fold + one partial-agged groupBy on
+    the bucket id (≤ 4096 groups); the layout write itself would add one
+    range exchange.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    zval = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+        " + (((l_orderkey % 65536) DIV shiftleft(1, i)) % 2)"
+        "     * shiftleft(1L, 2 * i)"
+        " + (((l_partkey % 65536) DIV shiftleft(1, i)) % 2)"
+        "     * shiftleft(1L, 2 * i + 1))"
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", zval.alias("zval"))
+        .groupBy((F.col("zval") / 1048576).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
     )
