@@ -764,3 +764,185 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(30,2)").cast("string").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        eur AS (
+            SELECT s_suppkey, s_acctbal, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, p_brand,
+                   s_suppkey, s_acctbal, s_name, n_name
+            FROM part
+            JOIN ps ON p_partkey = l_partkey
+            JOIN eur ON l_suppkey = s_suppkey
+            WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 30
+        ),
+        best AS (SELECT p_partkey, MAX(s_acctbal) AS mb
+                 FROM cand GROUP BY p_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_brand
+        FROM cand JOIN best USING (p_partkey)
+        WHERE s_acctbal = mb
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: best-account-balance
+    European supplier per qualifying part, over the observed
+    (l_partkey, l_suppkey) supply pairs (module docstring: ps_supplycost
+    does not exist, so MAX(s_acctbal) stands in for MIN(ps_supplycost) —
+    the correlated-extremum-per-part join shape is identical).
+
+    DETERMINISM: the extremum is a MAX over stored doubles (selection,
+    no arithmetic) and every tie is broken (n_name, s_name, p_partkey),
+    so the equality filter and top-100 cut are engine-exact.
+
+    Scale shape: region⋈nation broadcast-prunes supplier BEFORE the pair
+    join; the per-part max is a partial-agged groupBy re-joined on
+    p_partkey (the classic correlated-subquery de-correlation); AQE
+    picks the join strategy for the |parts|-sized best set.
+    """
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(
+            n.join(F.broadcast(r),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 30))
+    cand = (
+        p.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "p_brand",
+                "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.max("s_acctbal").alias("mb"))
+    return (
+        cand.join(best, (F.col("p_partkey") == F.col("b_partkey"))
+                  & (F.col("s_acctbal") == F.col("mb")))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name",
+                "p_partkey", "p_name", "p_brand")
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        v AS (
+            SELECT n_name,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18, 4)))
+                        AS DECIMAL(30, 4)) AS val
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        ),
+        tot AS (SELECT CAST(SUM(val) AS DECIMAL(30, 4)) AS tv FROM v)
+        SELECT n_name, CAST(val AS VARCHAR) AS value
+        FROM v, tot
+        WHERE val * 25 > tv
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: per-nation
+    'inventory value' = Σ p_retailprice over the observed supply pairs
+    (no ps_supplycost/availqty), keeping nations holding > 4% of total —
+    the aggregate-vs-global-scalar-threshold shape.
+
+    DETERMINISM: the 4% threshold is compared as ``val × 25 > total``
+    in EXACT decimal — the textbook ``val > total * 0.0001`` form
+    multiplies a decimal by a double, whose result type and rounding are
+    engine-specific.
+
+    Scale shape: distinct pairs = one partial-agged shuffle; nation
+    broadcast; the global total is a one-row broadcast back over the
+    25-row per-nation aggregate.
+    """
+    ps = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    v = (
+        ps.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
+             .cast("decimal(30,4)").alias("val"))
+    )
+    tot = v.agg(F.sum("val").cast("decimal(30,4)").alias("tv"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * 25 > F.col("tv"))
+        .select("n_name", F.col("val").cast("string").alias("value"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority split), adapted: l_returnflag
+    stands in for the absent l_shipmode, lateness for the commit/receipt
+    comparison — counts of high- vs low-priority orders per flag among
+    late-shipped lineitems (the conditional dual-count join).
+
+    Scale shape: the year filter reaches the lineitem scan; the
+    late-ship predicate rides the orderkey hash join as its residual;
+    both counts come from ONE pass (two conditional sums, partial-agged
+    to 3 groups).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, (F.col("o_orderkey") == F.col("l_orderkey"))
+               & (F.col("l_shipdate") > F.col("o_orderdate")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
