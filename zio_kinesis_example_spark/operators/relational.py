@@ -788,3 +788,93 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter("value > 0.3").select("user_id", "event_type")
     b = e.filter("value < 0.7").select("user_id", "event_type")
     return a.intersectAll(b)
+
+
+@query(
+    "q_relational_division",
+    oracle="""
+        WITH q AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(date_part('quarter', o_orderdate) AS INT) AS qtr
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        JOIN (SELECT o_custkey FROM q
+              GROUP BY o_custkey HAVING COUNT(*) = 4) f
+          ON c_custkey = f.o_custkey
+    """,
+    tags=("join", "agg", "division"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the 'for ALL' quantifier): customers who
+    placed an order in EVERY quarter of 1997 — the classic
+    division-as-count-equality rewrite (Codd's ÷ has no SQL primitive).
+
+    Scale shape: the naive double-NOT-EXISTS formulation probes the
+    divisor per (customer, quarter); this form is one distinct
+    (partial-agged) + one 4-row-threshold groupBy + a semi-shaped join —
+    two shuffles total, independent of the divisor's size (a divisor
+    table would broadcast into the count comparison).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    full = (
+        o.select("o_custkey", F.quarter("o_orderdate").alias("qtr"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nq"))
+        .filter(F.col("nq") == 4)
+        .select("o_custkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(full, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+        SELECT user_id,
+               max({'n': n, 'et': event_type}).et AS mode_event_type,
+               max({'n': n, 'et': event_type}).n  AS mode_count
+        FROM (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        GROUP BY user_id
+    """,
+    tags=("agg", "mode"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event type.
+    Both engines' native ``mode()`` leaves ties undefined, so the mode is
+    stated as max over (count, value) structs — lexicographic struct
+    ordering makes the tie-break (highest count, then LAST value
+    alphabetically) explicit and engine-exact.
+
+    Scale shape: two chained partial-agged aggregations ((user, type)
+    counts, then the struct max per user) — the second shuffle carries
+    ≤ |users|×|types| rows; no window, no sort.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = F.max(F.struct(F.col("n"), F.col("event_type").alias("et")))
+    return (
+        counts.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select("user_id", F.col("m.et").alias("mode_event_type"),
+                F.col("m.n").alias("mode_count"))
+    )
