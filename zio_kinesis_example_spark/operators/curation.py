@@ -30,11 +30,17 @@ from ..registry import query
 
 # 5-term shingles for decontamination overlap (eval-set n-gram matching,
 # the standard train/test-overlap definition). Distinct per doc.
+# Built by direct 5-element concat (measured ~25% cheaper than
+# concat_ws-over-slice: no per-position array allocation); consumers must
+# INLINE this expression into their explode() — naming it as a column and
+# exploding the column in a later projection breaks the generate into a
+# separate non-codegen'd stage (measured 4× slower at sf0.1).
 _DECON_N = 5
 _DECON_SHINGLES = f"""
     CASE WHEN size(terms) >= {_DECON_N}
-         THEN array_distinct(transform(sequence(1, size(terms) - {_DECON_N - 1}),
-                                       i -> concat_ws(' ', slice(terms, i, {_DECON_N}))))
+         THEN array_distinct(transform(sequence(0, size(terms) - {_DECON_N}),
+                  i -> concat(terms[i], ' ', terms[i+1], ' ', terms[i+2],
+                              ' ', terms[i+3], ' ', terms[i+4])))
          ELSE array()
     END
 """
@@ -77,13 +83,18 @@ def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("terms")
-    ).select("doc_id", "source", F.expr(_DECON_SHINGLES).alias("grams"))
-    grams = d.select("doc_id", "source", F.explode("grams").alias("g"))
-    bench = (
-        grams.filter(F.col("source") == _BENCH_SOURCE)
-        .select("g").distinct()
     )
-    train = grams.filter(F.col("source") != _BENCH_SOURCE)
+    # explode(expr) stays INLINE (see _DECON_SHINGLES note) and the source
+    # filters sit below it, reaching each side's scan.
+    bench = (
+        d.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
+        .distinct()
+    )
+    train = (
+        d.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
+    )
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -345,14 +356,16 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id")).distinct()
     )
 
-    grams = (
-        d.select("doc_id", "source", F.split("text", " ").alias("terms"))
-        .select("doc_id", "source", F.expr(_DECON_SHINGLES).alias("grams"))
-        .select("doc_id", "source", F.explode("grams").alias("g"))
+    terms_df = d.select("doc_id", "source", F.split("text", " ").alias("terms"))
+    # inline explode per side (see _DECON_SHINGLES note)
+    bench = (
+        terms_df.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
+        .distinct()
     )
-    bench = grams.filter(F.col("source") == _BENCH_SOURCE).select("g").distinct()
     decon_drops = (
-        grams.filter(F.col("source") != _BENCH_SOURCE)
+        terms_df.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
         .join(F.broadcast(bench), "g")
         .select("doc_id").distinct()
     )
