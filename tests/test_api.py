@@ -113,3 +113,62 @@ def test_time_bucket_generic(spark):
     df = spark.createDataFrame([( _ts(59, 59),)], "t timestamp")
     out = api.time_bucket(df, "t", unit="hour").collect()[0]
     assert out["bucket"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_zorder_key_generic(spark):
+    from zio_kinesis_example_spark.api import zorder_key
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a int, b int")
+    out = {(r.a, r.b): r.zval for r in zorder_key(df, "a", "b").collect()}
+    # interleave: a bits at even positions, b bits at odd
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(3, 5)] == 0b100111  # a=11 -> 0b0101, b=101 -> 0b100010
+
+
+def test_decontaminate_generic(spark):
+    from zio_kinesis_example_spark.api import decontaminate
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f")], "id long, text string")
+    train = spark.createDataFrame(
+        [(10, "a b c d e zz"),       # shares 'a b c d e'
+         (11, "x y z w v u"),        # disjoint
+         (12, "b c d e f b c d e f")],  # shares 'b c d e f' (distinct once)
+        "id long, text string")
+    got = {r.id: r.n_shared_grams
+           for r in decontaminate(train, bench, "text", "id").collect()}
+    assert got == {10: 1, 12: 1}
+
+
+def test_temperature_sample_generic(spark):
+    from pyspark.sql import functions as F
+    from zio_kinesis_example_spark.api import temperature_sample
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = temperature_sample(df, "grp", "id", budget=50, temperature=2.0)
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # sqrt weights: 90->9486, 10->3162 => targets 37 and 12 of 50;
+    # the small group only HAS 10 rows, so its target caps at the group
+    assert counts == {"big": 37, "small": 10}
+    # deterministic: second run identical
+    again = temperature_sample(df, "grp", "id", budget=50, temperature=2.0)
+    assert sorted(r.id for r in out.collect()) == \
+        sorted(r.id for r in again.collect())
+
+
+def test_kmeans_fit_generic(spark):
+    from zio_kinesis_example_spark.api import kmeans_fit
+    # two well-separated blobs on a line
+    rows = [(i, [float(i % 7) / 100.0, 0.0]) for i in range(40)] + \
+           [(100 + i, [10.0 + float(i % 5) / 100.0, 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_fit(df, "vec", "id", k=2, iters=3)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.id < 100)
+    # each cluster is pure: all low ids or all high ids
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(by_cluster) == 2
+    # partition-invariance of the integer arithmetic
+    again = kmeans_fit(df.repartition(7), "vec", "id", k=2, iters=3)
+    assert sorted((r.id, r.cluster_id) for r in out.collect()) == \
+        sorted((r.id, r.cluster_id) for r in again.collect())

@@ -215,3 +215,125 @@ def resample_ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
         F.max(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def zorder_key(df: DataFrame, col_a: str, col_b: str,
+               bits: int = 16, alias: str = "zval") -> DataFrame:
+    """Append a Morton (z-order) interleave of two integer columns —
+    the multi-dimensional clustering key to `repartitionByRange` +
+    `sortWithinPartitions` on before writing, so scans filtered on
+    EITHER column can skip most files. Unrolled flat expression (a
+    higher-order-function fold drops out of codegen; measured 8×
+    slower)."""
+    mod = 1 << bits
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((({col_a} % {mod}) DIV {1 << i}) % 2) * {1 << (2 * i)}L")
+        terms.append(
+            f"((({col_b} % {mod}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}L")
+    return df.withColumn(alias, F.expr(" + ".join(terms)))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, text_col: str,
+                  id_col: str, n: int = 5) -> DataFrame:
+    """Per-train-document count of distinct word n-grams shared with the
+    benchmark corpus (train/eval-overlap filtering). The benchmark gram
+    set is broadcast — the training side never shuffles before its
+    per-doc aggregate. Returns (id_col, n_shared_grams)."""
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        terms = df.select(*keep, F.split(F.col(text_col), " ").alias("terms"))
+        parts = ", ' ', ".join(f"terms[i+{j}]" for j in range(n))
+        expr = (f"CASE WHEN size(terms) >= {n} THEN "
+                f"array_distinct(transform(sequence(0, size(terms) - {n}), "
+                f"i -> concat({parts}))) ELSE array() END")
+        # inline explode: naming the array column and exploding it later
+        # breaks codegen at the generate (measured 4× slower)
+        return terms.select(*keep, F.explode(F.expr(expr)).alias("__g"))
+
+    b = grams(bench).select("__g").distinct()
+    return (
+        grams(train, id_col)
+        .join(F.broadcast(b), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def temperature_sample(df: DataFrame, group_col: str, id_col: str,
+                       budget: int, temperature: float = 2.0) -> DataFrame:
+    """Temperature-scaled mixture resampling: keep ⌊budget·w_g/Σw⌋ rows
+    per group where w_g = ⌊n_g^(1/T)·1000⌋ (integer-normalized so the
+    targets are engine-exact), selecting each group's smallest-hash-rank
+    prefix — deterministic, seedless, reproducible. T→∞ flattens the
+    mix; T=1 keeps source proportions."""
+    knuth, u32 = 2654435761, 4294967296
+    w_ = (
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        .select(group_col,
+                F.floor(F.pow(F.col("__n").cast("double"),
+                              1.0 / temperature) * 1000)
+                .cast("long").alias("__w"))
+    )
+    tot = w_.agg(F.sum("__w").alias("__tw"))
+    tgt = (w_.crossJoin(F.broadcast(tot))
+           .select(group_col,
+                   F.expr(f"(__w * {budget}) DIV __tw").alias("__target")))
+    win = Window.partitionBy(group_col).orderBy(
+        (F.col(id_col) * knuth) % u32, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(win))
+        .join(F.broadcast(tgt), group_col)
+        .filter(F.col("__rk") <= F.col("__target"))
+        .drop("__rk", "__target")
+    )
+
+
+def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
+               iters: int = 3, scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd k-means over an array<numeric> column in exact
+    scaled-integer arithmetic (bit-reproducible across engines and
+    partitionings). Returns the input plus ``cluster_id``. Centroids
+    live on the driver as O(k·dim) literals, so each iteration is one
+    scan + one partial-agged (cluster, dim) mean — no lineage growth,
+    corpus-size-independent driver state (the q_embed_kmeans codebook
+    trainer, reusable)."""
+    knuth, u32 = 2654435761, 4294967296
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform(cast({vec_col} as array<double>), "
+               f"x -> cast(floor(x * {scale}.0D) as bigint))").alias("__v"),
+    ).persist()
+    dim = len(q.first()["__v"])
+    init = (q.orderBy((F.col("__id") * knuth) % u32, "__id")
+            .limit(k).collect())
+    cents = {i: list(r["__v"]) for i, r in enumerate(init)}
+
+    def assigned():
+        lit = F.array(*[F.array(*[F.lit(int(x)) for x in cents[c]])
+                        for c in range(k)])
+        dists = F.expr(
+            "transform(__cents, c -> aggregate(zip_with(c, __v, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (s, t) -> s + t))")
+        return (q.withColumn("__cents", lit).withColumn("__d", dists)
+                .withColumn("cluster_id",
+                            (F.array_position(F.col("__d"),
+                                              F.array_min("__d")) - 1)
+                            .cast("int"))
+                .drop("__cents", "__d"))
+
+    last = None
+    for _ in range(iters):
+        last = assigned()
+        means = (last.select("cluster_id", F.posexplode("__v").alias("i", "x"))
+                 .groupBy("cluster_id", "i")
+                 .agg(F.expr("sum(x) DIV count(1)").alias("s")).collect())
+        upd: dict[int, dict[int, int]] = {}
+        for r in means:
+            upd.setdefault(r.cluster_id, {})[r.i] = r.s
+        for c, comp in upd.items():
+            cents[c] = [comp[i] for i in range(dim)]
+    out = df.join(last.select("__id", "cluster_id"),
+                  F.col(id_col) == F.col("__id")).drop("__id")
+    q.unpersist()
+    return out
