@@ -92,3 +92,60 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ("c_mktsegment string, n_customers long, sum_acctbal double, "
               "min_acctbal double, max_acctbal double")
     return c.groupBy("c_mktsegment").applyInPandas(_segment_stats, schema=schema)
+
+
+@query(
+    "q_udtf",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents
+                  WHERE doc_id % 50 = 0)
+            GROUP BY doc_id, term
+        )
+        SELECT doc_id, term, n,
+               CAST(rn AS INT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY n DESC, term) AS rn
+              FROM c)
+        WHERE rn <= 3
+    """,
+    tags=("udf", "udtf"),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): top-3 terms per document — the
+    row→rows extensibility surface completing the UDF family (scalar
+    pandas UDF, applyInPandas UDAF, and this). Registered and invoked
+    through SQL LATERAL, the way a user extends the engine with a
+    custom generator.
+
+    DETERMINISM: exact integer counts, ties broken (count desc, term
+    asc) inside the UDTF — the oracle replays the same ranking in SQL.
+
+    Scale shape: a UDTF is per-row Python (the documented slow path —
+    q_text_bigrams computes the same statistics with JVM explode+agg);
+    it is used here on a FILTERED slice (doc_id % 50) and emits ≤3 rows
+    per input row, so the Python boundary processes a bounded set. The
+    lateral join parallelizes per-partition; no shuffle before it.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, n: bigint, rnk: int")
+    class TopTerms:
+        def eval(self, text: str, k: int):
+            counts = Counter(text.split(" "))
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (term, n) in enumerate(ranked[:k]):
+                yield term, n, i + 1
+
+    spark.udtf.register("top_terms", TopTerms)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.term, t.n, t.rnk "
+        "FROM __udtf_docs, LATERAL top_terms(text, 3) t"
+    )
