@@ -1235,3 +1235,55 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").alias("max_pk"),
         )
     )
+
+
+_PRI_K = 100  # sample size for priority sampling
+
+
+@query(
+    "q_sample_priority",
+    oracle=f"""
+        SELECT o_orderkey, o_totalprice, priority
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   (((o_orderkey * {_KNUTH}) % {_U32}) * 10000)
+                       // CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS priority
+            FROM orders
+            WHERE o_totalprice > 0
+        )
+        ORDER BY priority, o_orderkey
+        LIMIT {_PRI_K}
+    """,
+    tags=("sampling", "weighted", "pipeline"),
+)
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional priority sampling (Duffield-Lund-Thorup):
+    each row draws priority = u/w (u = portable integer hash, w = the
+    row's weight in cents) and the k smallest priorities form the
+    sample — heavy rows get small priorities, so inclusion probability
+    grows with weight. The one-pass, mergeable weighted-sampling scheme
+    a mixture builder uses when documents carry quality weights.
+
+    DETERMINISM: u and w are exact BIGINTs (cents via round(×100) —
+    identical on both engines for 2dp-generated prices), priority is one
+    integer division, and the cut is fully tie-broken — no float pow
+    (the Efraimidis-Spirakis u^(1/w) key needs libm pow, whose last-bit
+    behavior is engine-specific).
+
+    Scale shape: stateless per-row arithmetic + TakeOrderedAndProject
+    (per-partition k-row heaps merged on the driver) — no sort, no
+    shuffle beyond k rows per partition, mergeable across any partition
+    count.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    u = (F.col("o_orderkey") * _KNUTH) % _U32
+    w = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderkey", "o_totalprice",
+                 F.expr(f"(((o_orderkey * {_KNUTH}) % {_U32}) * 10000) "
+                        f"DIV cast(round(o_totalprice * 100) as bigint)")
+                 .alias("priority"))
+        .orderBy("priority", "o_orderkey")
+        .limit(_PRI_K)
+    )
