@@ -131,7 +131,6 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     The big join chain shuffles on its natural keys; 2×2×2 output groups.
     """
     n = load(spark, sf_dir, "nation")
-    pair = F.col("supp_nation").isin("NATION_1", "NATION_2")
     n1 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     n2 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
