@@ -151,3 +151,42 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT prev, event_type AS next,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (view→click, click→purchase, …) — the behavioral-sequence
+    statistic behind next-event prediction and anomaly scoring; divide a
+    row by its prev-marginal for the transition probability matrix.
+
+    DETERMINISM: the sequence order is fully tie-broken (ts, event_id),
+    so every lag pair — and therefore every count — is engine-exact.
+
+    Scale shape: ONE shuffle on user_id for the lag window, then a
+    partial-agged count into ≤ |types|² groups; the transition matrix is
+    tiny at any corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -302,3 +302,123 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   SUM(value) / COUNT(*) AS v
+            FROM events WHERE event_type IN ('purchase', 'signup')
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events WHERE event_type IN ('purchase', 'signup')
+        ),
+        spine AS (
+            SELECT t.event_type, g.h AS bucket_hour,
+                   CAST(epoch(g.h) // 3600 AS BIGINT) AS th
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IN ('purchase', 'signup')) t
+            CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bounds) g
+        ),
+        j AS (
+            SELECT s.event_type, s.bucket_hour, s.th, h.v,
+                   last_value(CASE WHEN h.v IS NOT NULL
+                                   THEN {'t': s.th, 'v': h.v} END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS p,
+                   first_value(CASE WHEN h.v IS NOT NULL
+                                    THEN {'t': s.th, 'v': h.v} END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_hour
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS n
+            FROM spine s
+            LEFT JOIN hourly h
+              ON s.event_type = h.event_type
+             AND s.bucket_hour = h.bucket_hour
+        )
+        SELECT event_type, bucket_hour,
+               v IS NOT NULL AS observed,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          WHEN p IS NOT NULL AND n IS NOT NULL
+                          THEN p.v + (n.v - p.v) * (th - p.t) / (n.t - p.t)
+                     END, 6) AS value_interp
+        FROM j
+    """,
+    tags=("timeseries", "interpolate", "gapfill"),
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense hourly spine (TimescaleDB's
+    ``interpolate``, next to q_ts_gapfill's LOCF): missing hours take the
+    time-weighted average of the nearest observed hours on either side;
+    hours outside the observed range stay NULL. Sparse event types only,
+    so real gaps exist at every SF.
+
+    DETERMINISM: the interpolation weight is a ratio of exact BIGINT
+    epoch-hours; the one float chain (hourly mean → lerp) is identical
+    single IEEE ops on both engines, emitted rounded 6dp (the module's
+    float-emission rule).
+
+    Scale shape: raw table touched ONCE by the hourly pre-aggregation
+    (bounded at |types|×|hours| rows, broadcast); the generated spine
+    never shuffles for the join; prev/next anchors are two frames over
+    ONE window sort per series — no self-join, no per-gap search.
+    """
+    types = ("purchase", "signup")
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*types))
+    hourly = (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("v"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour")))
+            .alias("bucket_hour"),
+        )
+        .withColumn(
+            "th",
+            F.expr("CAST(unix_seconds(cast(bucket_hour as timestamp)) "
+                   "DIV 3600 AS BIGINT)"),
+        )
+    )
+    entry = F.when(F.col("v").isNotNull(),
+                   F.struct(F.col("th").alias("t"), F.col("v").alias("v")))
+    w_prev = (Window.partitionBy("event_type").orderBy("bucket_hour")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_next = (Window.partitionBy("event_type").orderBy("bucket_hour")
+              .rowsBetween(1, Window.unboundedFollowing))
+    j = (
+        spine.join(F.broadcast(hourly), ["event_type", "bucket_hour"], "left")
+        .withColumn("p", F.last(entry, ignorenulls=True).over(w_prev))
+        .withColumn("n", F.first(entry, ignorenulls=True).over(w_next))
+    )
+    lerp = (F.col("p.v")
+            + (F.col("n.v") - F.col("p.v"))
+            * (F.col("th") - F.col("p.t")) / (F.col("n.t") - F.col("p.t")))
+    return j.select(
+        "event_type", "bucket_hour",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("p").isNotNull() & F.col("n").isNotNull(), lerp),
+            6,
+        ).alias("value_interp"),
+    )
