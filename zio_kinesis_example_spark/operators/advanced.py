@@ -1287,3 +1287,115 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "o_orderkey")
         .limit(_PRI_K)
     )
+
+
+def _sketch_intersect_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure sketch plan bench.py times: two per-type HLL sketches,
+    inclusion-exclusion intersection estimate, no exact twin."""
+    e = load(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+             F.hll_sketch_estimate(
+                 F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+    )
+    u = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum("est").alias("sum_each"),
+    )
+    return u.select(
+        (F.col("sum_each") - F.col("est_union")).alias("est_intersection"))
+
+
+@query(
+    "q_agg_sketch_intersect",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS sketch_ok
+        FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    tags=("agg", "approx", "sketch"),
+    bench_fn=_sketch_intersect_plan,
+)
+def q_agg_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set ALGEBRA: estimated |clickers ∩ purchasers| via
+    inclusion-exclusion over HLL sketches (|A|+|B|−|A∪B|) — the audience-
+    overlap question every pre-aggregated sketch table answers without
+    rescanning raw (HLL has no native intersect; this is the standard
+    derivation, error grows as the overlap shrinks relative to the
+    union).
+
+    Contract = the q_agg_sketch_merge error-bound pattern: ``sketch_ok``
+    asserts the estimate within 3·rsd·|A∪B| of the exact intersection
+    (the union term dominates the error); bench times the sketch-only
+    plan via ``bench_fn``.
+    """
+    e = load(spark, sf_dir, "events")
+    ab = e.filter(F.col("event_type").isin("click", "purchase"))
+    sk = ab.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    est_each = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est"), "sk")
+    u = est_each.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum("est").alias("sum_each"),
+    ).select((F.col("sum_each") - F.col("est_union")).alias("est_int"),
+             "est_union")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id").distinct()
+    purch = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    exact = clicks.intersect(purch).agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    return exact.crossJoin(F.broadcast(u)).select(
+        "n_exact",
+        (F.abs(F.col("est_int") - F.col("n_exact"))
+         <= F.lit(3 * rsd) * F.col("est_union")).alias("sketch_ok"),
+    )
+
+
+@query(
+    "q_agg_weighted_pct",
+    oracle="""
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY val), 6)
+                   AS wmedian,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY val), 6)
+                   AS wp90
+        FROM (
+            SELECT l_returnflag, l_extendedprice AS val
+            FROM lineitem, unnest(generate_series(1,
+                 CAST(l_quantity AS BIGINT))) AS r(i)
+        )
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def q_agg_weighted_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-WEIGHTED percentiles: price percentiles where each
+    lineitem counts with multiplicity l_quantity (unit-weighted rather
+    than order-weighted statistics — the weighting every sampling/
+    packing decision actually needs).
+
+    Spark's ``percentile(col, p, frequency)`` aggregates the weights
+    directly — the oracle proves the semantics by materializing the
+    expanded multiset (unnest × quantity) and taking the plain
+    percentile: identical by definition, exact at round(6).
+
+    Scale shape: single-pass partial-aggregated percentile state (value →
+    weight map per partition) with NO row expansion — the oracle's
+    explode-by-weight is the semantic definition, not the plan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6)
+        .alias("wmedian"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6)
+        .alias("wp90"),
+    )
