@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StructField, StructType,
 )
@@ -364,3 +365,90 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("energy", LongType()),
     ])
     return binary_docs(spark, sf_dir).mapInPandas(energy_windows, schema=schema)
+
+
+PHASH_SCHEMA = "doc_id long, phash_hi long, phash_lo long"
+
+
+def phash_batch(batches):
+    """dHash (difference hash) over the fake-decoded 8×9 'pixel' grid:
+    pixel(r, c) = payload byte at (r·9 + c) mod len, bit(r, c) =
+    pixel(r, c) < pixel(r, c+1) — 64 bits packed as two 32-bit halves.
+    One vectorized gather + compare per Arrow batch; no per-row Python."""
+    import numpy as np
+
+    pos = np.arange(72, dtype=np.int64)           # 8 rows × 9 cols
+    for pdf in batches:
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        idx = starts[:, None] + (pos[None, :] % lens[:, None])
+        px = buf[idx].reshape(len(pdf), 8, 9).astype(np.int16)
+        bits = (px[:, :, :8] < px[:, :, 1:]).reshape(len(pdf), 64)
+        k = np.arange(32, dtype=np.int64)
+        lo = (bits[:, :32] * (1 << k)).sum(axis=1)
+        hi = (bits[:, 32:] * (1 << k)).sum(axis=1)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "phash_hi": hi.astype("int64"),
+            "phash_lo": lo.astype("int64"),
+        })
+
+
+@query(
+    "q_multimodal_phash",
+    oracle="""
+        WITH px AS (
+            SELECT doc_id, length(text) AS len, text
+            FROM documents WHERE length(text) > 0
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                        k -> CASE WHEN
+                             ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
+                           < ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
+                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS phash_lo,
+                   CAST(list_sum(list_transform(generate_series(32, 63),
+                        k -> CASE WHEN
+                             ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
+                           < ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
+                             THEN 1 << (k - 32) ELSE 0 END)) AS BIGINT)
+                       AS phash_hi
+            FROM px
+        )
+        SELECT doc_id, phash_hi, phash_lo,
+               CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo)
+                    AS BIGINT) AS n_bucket
+        FROM h
+    """,
+    tags=("multimodal", "dedup", "similarity"),
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash (dHash) over the decoded image grid — the
+    image-near-dup primitive joining the multimodal and dedup families:
+    visually-similar images differ in few hash bits, so exact-bucket
+    counts (emitted here) catch exact perceptual dups and a banded
+    Hamming join (q_dedup_simhash's scheme, applied to phash_hi/lo as
+    two 32-bit bands) catches near-dups at scale.
+
+    The 'pixels' come from the fake codec's byte grid (real codec =
+    documented swap-in, multimodal.py:108); the oracle recomputes the
+    same byte arithmetic in SQL, so the Arrow gather/compare/pack kernel
+    is value-checked end-to-end.
+
+    Scale shape: one vectorized mapInPandas pass (gather + compare per
+    Arrow batch), then ONE shuffle for the bucket-count window. 64 bits
+    ride as two BIGINT halves (a single signed 64-bit column would
+    overflow at bit 63 on the SQL side).
+    """
+    b = binary_docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    hashed = b.select("doc_id", "payload").mapInPandas(
+        phash_batch, schema=PHASH_SCHEMA)
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return hashed.select(
+        "doc_id", "phash_hi", "phash_lo",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_bucket"),
+    )
