@@ -190,3 +190,98 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "q_events_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+        SELECT c.user_id,
+               CAST(t.tot AS BIGINT) AS n_events,
+               round(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                          * ln(CAST(c.n AS DOUBLE) / t.tot)), 6)
+                   AS type_entropy
+        FROM c JOIN t ON c.user_id = t.user_id
+        GROUP BY c.user_id, t.tot
+    """,
+    tags=("events", "entropy", "agg"),
+)
+def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (low entropy = bot-like single-action
+    users; the same statistic scores vocabulary diversity in corpus
+    quality filtering).
+
+    DETERMINISM: p = n/total is an exact-integer division; each p·ln p is
+    the same two IEEE ops on both engines and the ≤5-term sum is rounded
+    6dp (libm ln agrees to well under 1e-12 here).
+
+    Scale shape: two chained partial-agged aggregations on user_id —
+    the second reuses the first's partitioning (no extra exchange);
+    output is |users| rows.
+    """
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    return (
+        c.withColumn("tot", F.sum("n").over(w))
+        .withColumn("p", F.col("n").cast("double") / F.col("tot"))
+        .groupBy("user_id", "tot")
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6)
+             .alias("type_entropy"))
+        .select("user_id", F.col("tot").cast("long").alias("n_events"),
+                "type_entropy")
+    )
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   CAST(d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d) AS INT) AS DATE)
+                       AS anchor
+            FROM days
+        )
+        SELECT user_id,
+               CAST(MAX(streak) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM (SELECT user_id, anchor, COUNT(*) AS streak
+              FROM grp GROUP BY user_id, anchor)
+        GROUP BY user_id
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands via the date-minus-row-number anchor (consecutive
+    days share one anchor; any gap shifts it), the retention/engagement
+    statistic next to q_retention_cohorts.
+
+    Scale shape: distinct (user, day) collapses raw volume first
+    (partial-agged); then ONE window sort per user and two chained
+    aggregations riding the same user_id partitioning. All date
+    arithmetic is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

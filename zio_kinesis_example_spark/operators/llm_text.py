@@ -249,3 +249,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "          0L, (h, c) -> (h * 131 + c) % 1000000007)"
     )
     return d.select("doc_id", F.expr(fp).alias("fingerprint"))
+
+
+@query(
+    "q_text_editdist_join",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("text", "fuzzy", "join"),
+)
+def q_text_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-matching join: distinct part-name pairs within
+    Levenshtein distance 3 — the entity-resolution primitive (catalog /
+    name reconciliation) done as a blocked self-join.
+
+    Scale shape: the join runs over the DISTINCT name domain (a partial-
+    agged shuffle collapses the fact table first — names repeat heavily),
+    with a LENGTH-BAND blocking predicate (|len(a)−len(b)| ≤ k is a
+    necessary condition for distance ≤ k) pruning pairs before the O(n·m)
+    distance evaluation; at larger domains the block key becomes a join
+    key (length bucket or first-character) instead of a residual. Both
+    engines implement the same textbook DP, so the distances are exact
+    integers.
+    """
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, (F.col("name_a") < F.col("name_b"))
+               & (F.abs(F.length("name_a") - F.length("name_b")) <= 3))
+        .withColumn("dist",
+                    F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 3)
+    )
