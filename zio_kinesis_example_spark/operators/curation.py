@@ -503,3 +503,41 @@ def q_curate_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         (r_nwords & r_mean & r_unique & r_top & r_stop).alias("keep"),
     )
+
+
+@query(
+    "q_curate_mix_report",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang, source
+        ),
+        t AS (SELECT SUM(n_tokens) AS tot FROM g)
+        SELECT lang, source, n_docs, n_tokens,
+               CAST((n_tokens * 1000000) // tot AS BIGINT) AS ppm_of_corpus
+        FROM g, t
+    """,
+    tags=("curation", "reporting", "pipeline"),
+)
+def q_curate_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: docs, tokens, and parts-per-million
+    share per (lang, source) cell — the mixture audit table every
+    training run logs next to its data card (shares in exact integer
+    ppm, not floats, so the report is engine-reproducible).
+
+    Scale shape: one partial-agged groupBy; the global total is a
+    one-row broadcast back over the tiny cell table.
+    """
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    t = g.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select("lang", "source", "n_docs", "n_tokens",
+                F.expr("(n_tokens * 1000000) DIV tot").alias("ppm_of_corpus"))
+    )

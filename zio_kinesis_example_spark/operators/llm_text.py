@@ -288,3 +288,58 @@ def q_text_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("dist") <= 3)
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+        WITH tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term
+        ),
+        tot AS (SELECT SUM(n) AS t FROM tf),
+        d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               round(-SUM(log2(CAST(tf.n AS DOUBLE) / tot.t)) / COUNT(*), 6)
+                   AS bits_per_token
+        FROM d JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY d.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document: mean −log₂ p(term)
+    under the corpus's own term distribution — the statistical
+    quality/outlier score (high bits-per-token = vocabulary unlike the
+    corpus; the cheap stand-in for LM-perplexity filtering, and the
+    same join shape a real n-gram LM scorer uses).
+
+    DETERMINISM: p = term-count/total is an exact-BIGINT ratio; each
+    log₂ is one libm call on identical doubles, summed per doc and
+    rounded 6dp (q_events_entropy's float-emission rule).
+
+    Scale shape: the term-frequency table is a partial-agged aggregate
+    (vocabulary-sized — bounded by the language, not the corpus) and
+    BROADCASTS into the per-doc explode, so the corpus side never
+    shuffles before its per-doc aggregate; the global total rides along
+    as a one-row broadcast.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.agg(F.sum("n").alias("t"))
+    return (
+        terms.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                -F.sum(F.log2(F.col("n").cast("double") / F.col("t")))
+                / F.count(F.lit(1)), 6).alias("bits_per_token"),
+        )
+    )
