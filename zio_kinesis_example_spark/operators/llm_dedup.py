@@ -898,3 +898,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+@query(
+    "q_dedup_cluster_sizes",
+    oracle="""
+        WITH RECURSIVE
+        p AS (
+            SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(CASE WHEN len(terms) >= 3
+                       THEN list_transform(generate_series(1, len(terms) - 2),
+                                           i -> array_to_string(terms[i:i+2], ' '))
+                       ELSE [array_to_string(terms, ' ')] END) AS sh
+              FROM p),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+        e0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2
+               HAVING COUNT(*) * 1.0 /
+                      (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.5),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM e0
+              UNION ALL SELECT doc_b, doc_a FROM e0),
+        r AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+        ),
+        labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                   FROM r GROUP BY src),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM labels GROUP BY cluster_id)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "reporting"),
+    # q_dedup_clusters already times the CC loop; don't pay it twice in
+    # bench for what is one extra two-level aggregate.
+    bench=False,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup AUDIT view (how much
+    of the corpus sits in 2-doc pairs vs giant boilerplate clusters, and
+    the keep-one-per-cluster savings estimate) derived from
+    q_dedup_clusters' labels by two chained partial-agged aggregations.
+
+    Scale shape: the histogram is ≤ |distinct sizes| rows; both
+    aggregations ride the label table's cluster_id partitioning. The
+    oracle re-derives the labels independently via the recursive CTE.
+    """
+    labels = q_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long")
+        .alias("n_docs"),
+    )

@@ -452,3 +452,85 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "phash_hi", "phash_lo",
         F.count(F.lit(1)).over(w).cast("long").alias("n_bucket"),
     )
+
+
+_CUT_THRESH = 640  # |frame_sum(i) − frame_sum(i−1)| above this = scene cut
+
+
+@query(
+    "q_multimodal_scenecut",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   unnest(generate_series(
+                       0, CAST(ceil(octet_length(encode(text)) / 64.0)
+                               AS INT) - 1)) AS frame_no
+            FROM documents),
+        sums AS (
+            SELECT f.doc_id, frame_no,
+                   list_sum(list_transform(
+                       generate_series(frame_no * 64 + 1,
+                                       least(n_bytes, frame_no * 64 + 64)),
+                       i -> ascii(substring(d.text, i, 1)))) AS s
+            FROM f JOIN documents d USING (doc_id)),
+        d2 AS (
+            SELECT doc_id, frame_no, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY frame_no)
+                       AS prev_s
+            FROM sums)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                             AND abs(s - prev_s) > {_CUT_THRESH}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        FROM d2 GROUP BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the binary 'video' payload: adjacent
+    64-byte frames whose intensity sums differ by more than a threshold —
+    the shot-boundary pass a video-training pipeline runs before frame
+    sampling (keep one keyframe per shot, not per stride). Real decoder
+    = the documented swap-in; the frame-differencing kernel and its
+    N-frames→1-row aggregation shape are the tested surface.
+
+    DETERMINISM: frame sums are exact BIGINT byte sums; the cut
+    predicate is integer comparison.
+
+    Scale shape: ONE vectorized mapInPandas pass per Arrow batch —
+    np.add.reduceat for every frame sum, np.diff + threshold + bincount
+    for per-doc cut counts, all inside the kernel (the N-frame fan-out
+    never materializes as rows; contrast q_multimodal_frame_sample which
+    emits the expansion on purpose). No shuffle at all: the kernel
+    emits one row per doc.
+    """
+
+    def scenecuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            buf, starts, lens = _flat_batch(pdf["payload"])
+            n_frames = -(-lens // _FRAME)
+            total = int(n_frames.sum())
+            doc_idx = np.repeat(np.arange(len(lens)), n_frames)
+            first = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(n_frames[:-1], out=first[1:])
+            rank = np.arange(total, dtype=np.int64) - np.repeat(first, n_frames)
+            f_start = starts[doc_idx] + rank * _FRAME
+            f_stop = np.minimum(f_start + _FRAME,
+                                starts[doc_idx] + lens[doc_idx])
+            sums = _segment_sums(buf, f_start, f_stop)
+            diffs = np.abs(np.diff(sums))
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            cuts = np.bincount(doc_idx[1:][same_doc],
+                               weights=(diffs[same_doc] > _CUT_THRESH),
+                               minlength=len(lens))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.Series(n_frames, dtype="int64"),
+                "n_cuts": pd.Series(cuts.astype("int64"), dtype="int64"),
+            })
+
+    return binary_docs(spark, sf_dir).mapInPandas(
+        scenecuts, schema="doc_id long, n_frames long, n_cuts long")
