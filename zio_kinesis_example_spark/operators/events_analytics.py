@@ -285,3 +285,63 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "q_events_pattern",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type, ts,
+                   last_value(CASE WHEN event_type = 'view' THEN ts END
+                              IGNORE NULLS) OVER w AS last_view,
+                   last_value(CASE WHEN event_type = 'error' THEN ts END
+                              IGNORE NULLS) OVER w AS last_error
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM s
+        WHERE event_type = 'purchase'
+          AND last_view IS NOT NULL
+          AND ts - last_view <= INTERVAL 30 MINUTE
+          AND (last_error IS NULL OR last_error < last_view)
+        GROUP BY user_id
+    """,
+    tags=("events", "sequence", "pattern"),
+)
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): purchases
+    preceded by a view within 30 minutes with NO error in between —
+    the CEP-style funnel predicate, compiled to ONE ordered scan
+    carrying two running anchors (last view ts, last error ts) instead
+    of per-pattern self-joins.
+
+    Scale shape: one shuffle on user_id, one window sort shared by both
+    anchors; the pattern predicate is a stateless row filter over the
+    carried values. An n-step pattern adds n carried columns, never
+    n joins. Fully tie-broken order (ts, event_id) keeps anchors exact.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")),
+        ignorenulls=True).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (
+        e.withColumn("last_view", last_view)
+        .withColumn("last_error", last_error)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view").isNotNull()
+            & (F.col("ts") - F.col("last_view")
+               <= F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("last_error").isNull()
+               | (F.col("last_error") < F.col("last_view")))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
