@@ -211,3 +211,54 @@ def test_complete_mode_running_totals(spark, tmpdir_factory_local):
     final = {r.bucket: r.n for r in batches[-1]}
     assert final == {0: 20, 1: 20, 2: 20}
     assert sum(final.values()) == 60
+
+
+def test_pattern_matches_stateful_across_batches(spark, tmpdir_factory_local):
+    """Streaming CEP: the view/no-error/purchase pattern fires for
+    purchases in LATER micro-batches than their view — the anchors live
+    in the state store, not the batch."""
+    from pyspark.sql import functions as F
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+    from zio_kinesis_example_spark.streaming.windows import (
+        TESTMSG_CEP_SCHEMA, pattern_matches_stateful, run_available_now,
+        with_event_time,
+    )
+
+    src = tmpdir_factory_local("cep-src")
+    ckpt = tmpdir_factory_local("cep-ckpt")
+    t = {
+        1: ("2024-01-01 00:00:00", "view"),
+        2: ("2024-01-01 00:05:00", "error"),
+        3: ("2024-01-01 00:10:00", "view"),     # error 00:05 < view 00:10
+        4: ("2024-01-01 00:15:00", "purchase"),  # match (view 00:10)
+        5: ("2024-01-01 00:20:00", "purchase"),  # batch 2: match via state
+        6: ("2024-01-01 01:30:00", "purchase"),  # batch 2: > 30 min, no match
+    }
+    prod = ShardDirProducer(
+        src, n_shards=1,
+        payload_fn=lambda i: {"id": i, "event_ts": t[i][0],
+                              "event_type": t[i][1]})
+
+    def drain() -> list:
+        valid, _ = decode_json(shard_source(spark, src), TESTMSG_CEP_SCHEMA)
+        ev = with_event_time(valid).select(
+            F.col("shard_id").alias("user"), "id", "event_type", "event_ts")
+        out: list = []
+        run_available_now(pattern_matches_stateful(ev), ckpt, out,
+                          output_mode="append")
+        return out
+
+    # two availableNow runs against ONE checkpoint (module docstring's
+    # deterministic batch-boundary pattern): the anchors must survive in
+    # the state store between runs, i.e. across a restart.
+    prod.produce(1, 4)
+    emitted = drain()
+    prod.produce(5, 2)
+    emitted += drain()
+    got = sorted(r.purchase_id for r in emitted)
+    assert got == [4, 5]
+    m4 = next(r for r in emitted if r.purchase_id == 4)
+    assert m4.view_ts.minute == 10

@@ -221,3 +221,80 @@ def dedup_within_watermark(events: DataFrame, keys: list[str],
         events.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+#: payload schema for the CEP stream: type + event time per record
+TESTMSG_CEP_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("event_ts", StringType()),
+    StructField("event_type", StringType()),
+])
+
+_CEP_OUT = StructType([
+    StructField("user", StringType()),
+    StructField("purchase_id", LongType()),
+    StructField("purchase_ts", TimestampType()),
+    StructField("view_ts", TimestampType()),
+])
+_CEP_STATE = StructType([
+    StructField("last_view_us", LongType()),
+    StructField("last_error_us", LongType()),
+])
+_CEP_WITHIN_US = 30 * 60 * 1_000_000  # pattern window: 30 minutes
+
+
+def pattern_matches_stateful(events: DataFrame) -> DataFrame:
+    """Streaming CEP: q_events_pattern's predicate (purchase preceded by
+    a view within 30 minutes, no error in between) as a CUSTOM STATEFUL
+    operator — per-user anchors (last view ts, last error ts) live in
+    the state store, survive micro-batch boundaries and restarts, and
+    each match is emitted exactly when its purchase record arrives.
+    The second applyInPandasWithState showcase next to
+    running_count_stateful: that one carries a counter, this one carries
+    the pattern automaton's state.
+
+    Expects (user, event_type, event_ts[timestamp]) — use
+    ``with_event_time`` + a projection. Within a batch rows are
+    processed in (event_ts, id) order; across batches the state
+    carries the anchors, so a view in batch N matches a purchase in
+    batch N+1 (asserted in tests/test_streaming_windows.py).
+
+    Scale note: state is TWO BIGINTs per user — O(|active users|)
+    regardless of event volume; at production scale add a state TTL
+    (timeoutConf) to expire idle users past the pattern window.
+    """
+
+    def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+               state: Any) -> Iterator[pd.DataFrame]:
+        lv, le = state.get if state.exists else (0, 0)
+        out_id, out_pts, out_vts = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["event_ts", "id"])
+            for _, row in pdf.iterrows():
+                ts_us = int(row["event_ts"].value // 1_000)
+                et = row["event_type"]
+                if et == "view":
+                    lv = ts_us
+                elif et == "error":
+                    le = ts_us
+                elif et == "purchase":
+                    if (lv and ts_us - lv <= _CEP_WITHIN_US
+                            and (not le or le < lv)):
+                        out_id.append(int(row["id"]))
+                        out_pts.append(row["event_ts"])
+                        out_vts.append(pd.Timestamp(lv * 1_000))
+        state.update((lv, le))
+        yield pd.DataFrame({
+            "user": [key[0]] * len(out_id),
+            "purchase_id": out_id,
+            "purchase_ts": out_pts,
+            "view_ts": out_vts,
+        })
+
+    return events.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_CEP_OUT,
+        stateStructType=_CEP_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
