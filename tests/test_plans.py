@@ -348,3 +348,26 @@ def test_kmeans_assignment_no_shuffle_before_agg(spark):
     with contextlib.redirect_stdout(buf):
         assigned.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_unigram_logprob_tf_broadcasts(spark):
+    """The vocabulary-sized TF table must broadcast into the corpus-side
+    explode — the corpus never shuffles before its per-doc aggregate."""
+    plan = _plan(spark, "q_text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_editdist_join_over_distinct_domain(spark):
+    """The fuzzy join's inputs are the DISTINCT name domain (partial-agg
+    collapses the fact table before the self-join)."""
+    plan = _plan(spark, "q_text_editdist_join")
+    assert plan.count("HashAggregate") >= 2  # distinct = two-phase agg
+
+
+def test_events_pattern_single_window_sort(spark):
+    """Both CEP anchors ride ONE window sort: exactly one Sort node and
+    one user_id exchange before the filter."""
+    plan = _plan(spark, "q_events_pattern")
+    import re
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1

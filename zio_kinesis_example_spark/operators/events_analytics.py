@@ -332,8 +332,11 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.col("ts")),
         ignorenulls=True).over(w)
     return (
-        e.withColumn("last_view", last_view)
-        .withColumn("last_error", last_error)
+        # ONE select for both anchors: separate withColumns leave two
+        # Window nodes (CollapseWindow skips them); a single projection
+        # plans one Window over one sort (asserted in test_plans).
+        e.select("*", last_view.alias("last_view"),
+                 last_error.alias("last_error"))
         .filter(
             (F.col("event_type") == "purchase")
             & F.col("last_view").isNotNull()
