@@ -1277,8 +1277,6 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    u = (F.col("o_orderkey") * _KNUTH) % _U32
-    w = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         o.select("o_orderkey", "o_totalprice",
                  F.expr(f"(((o_orderkey * {_KNUTH}) % {_U32}) * 10000) "
