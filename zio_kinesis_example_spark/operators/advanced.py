@@ -1397,3 +1397,69 @@ def q_agg_weighted_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6)
         .alias("wp90"),
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                         AS DECIMAL(30, 2)) AS VARCHAR) AS sum_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                   / COUNT(*) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental", "pipeline"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-priority order stats
+    computed by MERGING two partial-aggregate states (orders before /
+    since 1999) instead of one scan — the materialized-view refresh
+    pattern (base partial + delta partial → re-aggregate) that turns a
+    100 TB daily rollup into an O(delta) job. The oracle computes the
+    same aggregate flat, so the hash proves merge(partials) ≡ full for
+    every algebraic aggregate here (count/sum/min/max; avg derived from
+    merged sum/count at the END — averaging averages would be wrong).
+
+    DETERMINISM: money sums in exact decimal (module rule); the derived
+    average is one double division of exactly-agreed operands.
+
+    Scale shape: in production the base partial is a STORED table —
+    only the delta side scans raw; the merge itself is a |groups|-row
+    union + re-aggregation, trivially partial-agged.
+    """
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(30,2)").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("decimal(30,2)").alias("s_dec"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+        .select(
+            "o_orderpriority", "n_orders",
+            F.col("s_dec").cast("string").alias("sum_price"),
+            "min_price", "max_price",
+            (F.col("s_dec").cast("double") / F.col("n_orders"))
+            .alias("avg_price"),
+        )
+    )
