@@ -878,3 +878,85 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("m.et").alias("mode_event_type"),
                 F.col("m.n").alias("mode_count"))
     )
+
+
+@query(
+    "q_join_lateral_topk",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM (
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_custkey
+                                      ORDER BY o.o_totalprice DESC,
+                                               o.o_orderkey) AS rn
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 2
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: each customer's two most expensive
+    orders, stated as a lateral join with a per-row ORDER BY/LIMIT
+    subquery (the SQL `CROSS JOIN LATERAL (... LIMIT k)` shape, Spark
+    4's DataFrame.lateralJoin) — declaratively equivalent to the window
+    rank-filter the oracle states, and Catalyst decorrelates it into
+    exactly that join + per-key rank plan rather than executing a
+    per-customer probe.
+
+    DETERMINISM: the k-cut orders stored doubles (no arithmetic) and is
+    tie-broken on o_orderkey.
+
+    Scale shape: one shuffle on the correlation key; the limit is
+    evaluated as a rank inside the join's partitioning — no per-outer-row
+    subquery execution, no driver loop.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders")
+    sub = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(sub)
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, nullif(event_type, 'error') AS k
+            FROM events
+        ),
+        d AS (SELECT DISTINCT nullif(event_type, 'error') AS k,
+                     COALESCE(nullif(event_type, 'error'), 'unclassified')
+                         AS label
+              FROM events)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+        GROUP BY label
+    """,
+    tags=("join", "null"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantic that
+    separates dimension lookups with 'unknown' buckets from plain `=`
+    joins (here: error events get a NULL key and still land in the
+    'unclassified' dimension row).
+
+    Scale shape: Spark plans `<=>` as a HASH join (null gets a hash
+    slot like any value) — same single shuffle as `=`; beware that ALL
+    nulls co-locate in one task, so a null-heavy fact side wants the
+    q_join_skew_salted treatment.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    l = e.select("event_id", "user_id", k.alias("k"))
+    d = (e.select(k.alias("k")).distinct()
+         .select("k", F.coalesce("k", F.lit("unclassified")).alias("label")))
+    return (
+        l.join(d, l["k"].eqNullSafe(d["k"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
