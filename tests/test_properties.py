@@ -128,3 +128,63 @@ def test_asof_join_matches_model(spark, clicks, purchases):
     )
     got = {r.event_id: r.click_id for r in res.collect()}
     assert got == _asof_model(c_rows, p_rows)
+
+
+def _zorder_model(a, b, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((a % (1 << bits)) >> i & 1) << (2 * i)
+        z |= ((b % (1 << bits)) >> i & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(st.integers(0, 1 << 20),
+                                st.integers(0, 1 << 20)),
+                      min_size=1, max_size=40))
+def test_zorder_key_matches_model(spark, pairs):
+    """zorder_key == the bit-interleave model for arbitrary ints
+    (including values past the 16-bit wrap)."""
+    from zio_kinesis_example_spark.api import zorder_key
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.a, r.b): r.zval for r in zorder_key(df, "a", "b").collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _zorder_model(a, b)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 500),   # id
+                               st.integers(0, 3)),    # group
+                     min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       budget=st.integers(1, 50))
+def test_temperature_sample_invariants(spark, rows, budget):
+    """Per-group kept counts never exceed ⌊budget·w_g/Σw⌋, selection is
+    the smallest-hash prefix, and reruns are identical."""
+    from zio_kinesis_example_spark.api import temperature_sample
+    df = spark.createDataFrame(
+        [(i, f"g{g}") for i, g in rows], "id long, grp string")
+    out = temperature_sample(df, "grp", "id", budget=budget).collect()
+    from collections import Counter
+    import math
+    n_g = Counter(f"g{g}" for _, g in rows)
+    w = {g: math.floor(math.sqrt(n) * 1000) for g, n in n_g.items()}
+    tw = sum(w.values())
+    targets = {g: (w[g] * budget) // tw for g in w}
+    kept = Counter(r.grp for r in out)
+    for g, k in kept.items():
+        assert k <= targets[g]
+        assert k == min(targets[g], n_g[g])
+    # deterministic prefix: kept ids are the target-smallest by hash rank
+    knuth, u32 = 2654435761, 4294967296
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(f"g{g}", []).append(i)
+    kept_ids = {r.grp: set() for r in out}
+    for r in out:
+        kept_ids[r.grp].add(r.id)
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: ((i * knuth) % u32, i))
+        want = set(ids[:targets.get(g, 0)])
+        assert kept_ids.get(g, set()) == want
