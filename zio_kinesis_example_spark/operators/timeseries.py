@@ -407,8 +407,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .rowsBetween(1, Window.unboundedFollowing))
     j = (
         spine.join(F.broadcast(hourly), ["event_type", "bucket_hour"], "left")
-        .withColumn("p", F.last(entry, ignorenulls=True).over(w_prev))
-        .withColumn("n", F.first(entry, ignorenulls=True).over(w_next))
+        # ONE select for both anchors: Spark plans same-partitioning
+        # window expressions (even with different frames) into a single
+        # Window node only when they appear in one projection — chained
+        # withColumns leave two (q_events_pattern's lesson).
+        .select("*",
+                F.last(entry, ignorenulls=True).over(w_prev).alias("p"),
+                F.first(entry, ignorenulls=True).over(w_next).alias("n"))
     )
     lerp = (F.col("p.v")
             + (F.col("n.v") - F.col("p.v"))
