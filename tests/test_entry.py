@@ -34,3 +34,23 @@ def test_multimodal_stub_raises():
     import pytest
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_no_complex_types_in_query_outputs(spark):
+    """Driver-canonicalizer contract: every registered query emits only
+    scalar columns (array/map/struct outputs crash the hash compare —
+    the round-2 q_array_funcs/q_map_funcs failure class). Serialize
+    complex values via array_join/to_json before emitting."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from zio_kinesis_example_spark.registry import all_specs
+
+    from .conftest import SF_SMALL
+
+    bad = []
+    for name, spec in sorted(all_specs().items()):
+        df = spec.fn(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
