@@ -541,3 +541,73 @@ def q_curate_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "n_docs", "n_tokens",
                 F.expr("(n_tokens * 1000000) DIV tot").alias("ppm_of_corpus"))
     )
+
+
+@query(
+    "q_curate_winsorize",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+                   percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS p75
+            FROM events GROUP BY event_type
+        ),
+        b AS (SELECT event_type,
+                     p25 - 1.5 * (p75 - p25) AS lo,
+                     p75 + 1.5 * (p75 - p25) AS hi
+              FROM q)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(SUM(CASE WHEN e.value < b.lo THEN b.lo
+                              WHEN e.value > b.hi THEN b.hi
+                              ELSE e.value END), 6) AS winsorized_sum
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("curation", "stats", "cleaning"),
+)
+def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence winsorization: per-group IQR bounds
+    (p25 − 1.5·IQR, p75 + 1.5·IQR), outlier counts, and the clipped sum —
+    the numeric-cleaning step (sensor glitches, bot bursts) applied
+    before any mean-based statistic.
+
+    DETERMINISM: exact interpolated percentiles (q_agg_percentile's
+    operator) feed fence arithmetic that is the identical IEEE op chain
+    on both engines; the clipped sum is rounded 6dp (float-emission
+    rule). Boundary comparisons use the fences themselves, so a value
+    equal to a fence is NOT an outlier on either engine.
+
+    Scale shape: the per-group bounds collapse to |groups| rows and
+    broadcast back into a single stateless pass + partial agg; at 100 TB
+    swap the exact percentile for approx_percentile (same plan shape,
+    bounded memory) and accept sketch-level fence drift.
+    """
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+    b = q.select(
+        "event_type",
+        (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo"),
+        (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when((F.col("value") < F.col("lo"))
+                         | (F.col("value") > F.col("hi")), 1)
+                  .otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.sum(clipped), 6).alias("winsorized_sum"),
+        )
+    )
