@@ -496,3 +496,59 @@ def test_upsert_sink_replayed_batch_is_idempotent(spark, tmpdir_factory_local):
     sink(b1, 1)  # crash-replay of batch 1
     assert sorted(map(tuple, sink.current(spark).collect())) == snap1
     assert sink.current_version() == "v1"
+
+
+def test_end_to_end_pipeline_composed(spark, tmpdir_factory_local):
+    """The whole reference pipeline in ONE test: sharded ingest → typed
+    decode split (valid / dead-letter) → keyed upsert sink, across a
+    restart with re-deliveries — composing the pieces the suite tests
+    individually. Final snapshot must hold exactly the latest state per
+    valid id; corrupt records must all land dead-lettered, never
+    dropped, never in the snapshot."""
+    from zio_kinesis_example_spark.streaming.sink import UpsertSink
+    from zio_kinesis_example_spark.streaming.windows import run_available_now
+
+    src = tmpdir_factory_local("e2e-src")
+    ckpt_v = tmpdir_factory_local("e2e-ckpt-valid")
+    ckpt_d = tmpdir_factory_local("e2e-ckpt-dead")
+    state = tmpdir_factory_local("e2e-state")
+    prod = ShardDirProducer(src, n_shards=4, corrupt_every=100)
+    sink = UpsertSink(str(state), key="id", seq_col="seq")
+    dead_rows: list = []
+
+    def drain():
+        valid, dead = decode_json(shard_source(spark, src))
+        q = (valid.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt_v)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+        run_available_now(dead, ckpt_d, dead_rows)
+
+    # run 1: ids 1..400 (100, 200, 300, 400 corrupt)
+    prod.produce(1, 400)
+    drain()
+    snap1 = sink.current(spark)
+    assert snap1.count() == 396
+
+    # run 2 (restart, same checkpoints): re-deliver 1..50 (new, higher
+    # per-shard seqs) + fresh 401..450
+    prod.produce(1, 50)
+    prod.produce(401, 50)
+    drain()
+    snap2 = sink.current(spark)
+
+    ids = sorted(r.id for r in snap2.select("id").collect())
+    expected = [i for i in range(1, 451) if i % 100 != 0]
+    assert ids == expected                      # nothing lost, no corrupt ids
+    assert snap2.groupBy("id").count().filter("count > 1").count() == 0
+    # re-delivered ids carry the LATEST delivery's seq: id 1's stored seq
+    # must exceed the first run's seq for some re-delivered key
+    first_run_seq = {r.id: r.seq for r in snap1.collect()}
+    second_run_seq = {r.id: r.seq for r in snap2.collect()}
+    assert all(second_run_seq[i] > first_run_seq[i] for i in range(1, 51))
+    # every corrupt record dead-lettered exactly once, raw payload kept
+    assert sorted(
+        int(r.partition_key.removeprefix("key")) for r in dead_rows
+    ) == [100, 200, 300, 400]
+    assert all(r.data for r in dead_rows)
