@@ -1463,3 +1463,45 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_price"),
         )
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "bitmap", "sketch"),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via bitmap rollup — q_agg_sketch_merge's
+    two-level shape (daily partials → merged global) with bitmaps
+    instead of HLL: per-(type, day, bucket) bitmaps OR-merge losslessly,
+    so the pre-aggregated rollup answers any date-range distinct count
+    EXACTLY (the countDistinct expand-shuffle never touches raw twice).
+    The bitmap/HLL pair is the exact-vs-approximate tradeoff at a
+    glance: bitmaps cost O(id-range/8) bytes per group, HLL a fixed few
+    KB with ~1.6% error.
+
+    Scale shape: bitmap_bucket_number shards the id space so each
+    bitmap is a bounded 4 KB chunk; all three levels partial-aggregate;
+    the oracle's plain COUNT(DISTINCT) proves the rollup exact.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("d"),
+                 F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+                 F.expr("bitmap_bit_position(user_id)").alias("bp"))
+        .groupBy("event_type", "d", "bk")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("b"))
+    )
+    merged = (
+        daily.groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_or_agg(b)").alias("b"))
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(b)")).cast("long").alias("n_users"))
+    )
