@@ -960,3 +960,84 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_GRID_CELL = 5       # cell size == radius: neighbors live in 3×3 cells
+_GRID_R = 5          # Chebyshev radius
+_GRID_KX = 2654435761
+_GRID_KY = 1540483477
+
+
+@query(
+    "q_join_grid_neighbors",
+    oracle=f"""
+        WITH pts AS (
+            SELECT o_orderkey AS id,
+                   (o_orderkey * {_GRID_KX}) % 10000 AS x,
+                   (o_custkey * {_GRID_KY}) % 10000 AS y
+            FROM orders
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT)
+                   AS cheb_dist
+        FROM pts a JOIN pts b
+          ON b.x BETWEEN a.x - {_GRID_R} AND a.x + {_GRID_R}
+         AND b.y BETWEEN a.y - {_GRID_R} AND a.y + {_GRID_R}
+         AND a.id < b.id
+    """,
+    tags=("join", "spatial", "grid"),
+)
+def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed neighbor join: all point pairs within Chebyshev
+    distance r on a derived 2D plane — the spatial/blocked-similarity
+    join shape (and the query-side complement of q_layout_zorder's
+    storage clustering). One side explodes to its 3×3 neighbor cells and
+    the pair search becomes a hash EQUI-join on cell id with the exact
+    distance as residual — never a quadratic cross join.
+
+    The ORACLE is a brute-force range self-join over the same points
+    (an independent algorithm — DuckDB plans it as an IEJoin), so the hash certifies the grid algebra:
+    cell size == radius ⇒ every qualifying pair shares one of the 9
+    neighbor cells, and each pair matches in EXACTLY one (the cell of b
+    is unique), so no dedup pass is needed.
+
+    Scale shape: shuffle keyed on cell id, fan-out fixed at 9×, residual
+    evaluated inside the join; cost ∝ Σ|cell|² over occupied cells
+    (the honest blocked-join bound), never |points|².
+    """
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") * _GRID_KX) % 10000).alias("x"),
+        ((F.col("o_custkey") * _GRID_KY) % 10000).alias("y"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr(
+            f"flatten(transform(sequence(-1, 1), dx -> "
+            f"transform(sequence(-1, 1), dy -> "
+            f"struct(x DIV {_GRID_CELL} + dx AS cx, "
+            f"y DIV {_GRID_CELL} + dy AS cy))))"
+        )).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {_GRID_CELL}").alias("cx"),
+        F.expr(f"y DIV {_GRID_CELL}").alias("cy"),
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= _GRID_R)
+            & (F.abs(F.col("ya") - F.col("yb")) <= _GRID_R)
+        )
+        .select(
+            "id_a", "id_b",
+            F.greatest(F.abs(F.col("xa") - F.col("xb")),
+                       F.abs(F.col("ya") - F.col("yb")))
+            .cast("long").alias("cheb_dist"),
+        )
+    )
