@@ -343,3 +343,67 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)), 6).alias("bits_per_token"),
         )
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, round(score, 6) AS tfidf,
+               CAST(rn AS INT) AS rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyterm extraction: each document's top-3 terms by
+    tf·ln(N/df) — the classic distinctive-term statistic behind search
+    ranking, topic labeling, and near-dup feature weighting.
+
+    DETERMINISM: tf/df/N are exact integers; the score is two IEEE ops
+    (ln of an exact ratio, one multiply) so ranking agrees wherever
+    scores differ, and EQUAL (tf, df) pairs — the only exact ties — are
+    broken lexicographically. Emitted scores rounded 6dp.
+
+    Scale shape: the document-frequency table is vocabulary-sized and
+    BROADCASTS into the per-doc term counts (corpus side shuffles once,
+    for its own (doc, term) aggregate); N rides along as a one-row
+    broadcast; the top-3 cut is a per-doc rank on the same partitioning.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df",
+                F.round("score", 6).alias("tfidf"), "rnk")
+    )

@@ -427,3 +427,70 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_interp"),
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   SUM(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   list(v ORDER BY h) AS vs
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_hours,
+               round(list_reduce(CAST(vs AS DOUBLE[]),
+                     (acc, x) -> CAST({_EWMA_ALPHA} AS DOUBLE) * x
+                               + CAST({1 - _EWMA_ALPHA} AS DOUBLE) * acc), 6)
+                   AS ewma
+        FROM series
+    """,
+    tags=("timeseries", "smoothing"),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series (α = 0.3,
+    s₀ = x₀, sᵢ = αxᵢ + (1−α)sᵢ₋₁) — the recursive smoother SQL windows
+    cannot express (each value depends on the previous RESULT, not the
+    previous row), done as an ordered in-group fold.
+
+    DETERMINISM: both engines fold the identically-ordered series with
+    the identical two-op recurrence (Spark `aggregate` HOF / DuckDB
+    `list_reduce`), so every intermediate rounds the same way; emitted
+    6dp.
+
+    Scale shape: one partial-agged hourly rollup, then ONE shuffle to
+    collect each series (sort_array on (hour, value) structs gives the
+    fold order without a window sort). Per-series state is the series
+    itself — fine for bounded series (hours per type); unbounded series
+    stream through `applyInPandasWithState` instead (the streaming
+    running-count pattern with s carried as state).
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").alias("v"))
+    )
+    series = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.expr("transform(sort_array(collect_list(struct(h, v))), "
+                   "s -> s.v)").alias("vs"),
+        )
+    )
+    fold = F.expr(
+        f"aggregate(slice(vs, 2, size(vs) - 1), vs[0], "
+        f"(acc, x) -> cast({_EWMA_ALPHA} as double) * x "
+        f"+ cast({1 - _EWMA_ALPHA} as double) * acc)"
+    )
+    return series.select(
+        "event_type", "n_hours", F.round(fold, 6).alias("ewma"))
