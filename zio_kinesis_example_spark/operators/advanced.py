@@ -1505,3 +1505,63 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(b)")).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18, 2)) AS x,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS i,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               round(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+                   AS gini
+        FROM r GROUP BY o_orderpriority
+    """,
+    tags=("agg", "stats", "inequality"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per priority class — the
+    concentration/inequality statistic (is revenue dominated by a few
+    whale orders?), via the sorted rank-weighted identity
+    G = Σ(2i − n − 1)xᵢ / (n·Σx).
+
+    DETERMINISM: prices as exact DECIMAL, ranks as exact integers — both
+    sums are exact decimal (rank-weighted included), so the single
+    double division at the end rounds identically; the rank order is
+    fully tie-broken.
+
+    Scale shape: ONE shuffle on the group key serves the rank window,
+    the count window, and the final aggregate (same partitioning
+    throughout); nothing quadratic — the textbook Gini via mean absolute
+    difference is O(n²) per group.
+    """
+    o = load(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+                .cast("double")
+                / (F.max("n").cast("double")
+                   * F.sum("x").cast("double")), 6).alias("gini"),
+        )
+    )

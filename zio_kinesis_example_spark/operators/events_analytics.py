@@ -348,3 +348,68 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+@query(
+    "q_events_anomaly_zscore",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n * n) AS BIGINT) AS s2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.h, h.n,
+               round((h.n - CAST(m.s1 AS DOUBLE) / m.k)
+                     / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+                            / (m.k - 1)), 6) AS z,
+               abs((h.n - CAST(m.s1 AS DOUBLE) / m.k)
+                   / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+                          / (m.k - 1))) > 3.0 AS is_anomaly
+        FROM hourly h JOIN m USING (event_type)
+        WHERE m.k > 1
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each hour's event count
+    against its type's distribution, flagging |z| > 3 — the alerting
+    statistic over the hypertable rollup.
+
+    DETERMINISM: moments are EXACT integer sums (k, Σn, Σn²) carried as
+    BIGINTs; mean/variance/z derive through the identical explicit op
+    chain on both engines (a Welford-style streaming stddev would reduce
+    in engine-dependent order — that is why stddev_samp is NOT used
+    here). z rounded 6dp; the 3σ flag compares the same doubles.
+
+    Scale shape: hourly rollup = one partial-agged shuffle; the
+    per-type moment table is |types| rows broadcast back over the
+    bounded hourly table.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    ).filter(F.col("k") > 1)
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = ((F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+            / F.col("k")) / (F.col("k") - 1))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .select("event_type", "h", "n",
+                F.round(z, 6).alias("z"),
+                (F.abs(z) > 3.0).alias("is_anomaly"))
+    )
