@@ -323,3 +323,56 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "q_sql_multi_cte",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+                   CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                        AS DECIMAL(30, 2)) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT m, d, rev,
+                   row_number() OVER (PARTITION BY m
+                                      ORDER BY rev DESC, d) AS rn
+            FROM daily
+        )
+        SELECT m AS month, d AS best_day,
+               CAST(rev AS VARCHAR) AS best_day_revenue
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("sql", "cte", "window"),
+)
+def q_sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface parity: the best revenue day of every month,
+    stated entirely as ``spark.sql`` over registered views (CTE chain +
+    window + exact-decimal aggregation) — proving the engine's SQL entry
+    point compiles to the same plans as the DataFrame API used
+    everywhere else (Catalyst sees one logical plan either way).
+
+    Scale shape identical to the DataFrame formulation: partial-agged
+    daily rollup, one month-keyed window over the bounded daily table.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        WITH daily AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   date_trunc('day', o_orderdate) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                        AS DECIMAL(30, 2)) AS rev
+            FROM v_orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT m, d, rev,
+                   row_number() OVER (PARTITION BY m
+                                      ORDER BY rev DESC, d) AS rn
+            FROM daily
+        )
+        SELECT m AS month, d AS best_day,
+               CAST(rev AS STRING) AS best_day_revenue
+        FROM ranked WHERE rn = 1
+    """)
