@@ -611,3 +611,76 @@ def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(clipped), 6).alias("winsorized_sum"),
         )
     )
+
+
+_CHUNK_LEN = 64     # terms per training window
+_CHUNK_STRIDE = 48  # overlap = len - stride = 16 terms
+
+
+@query(
+    "q_curate_chunk",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        c AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0,
+                       CAST(CASE WHEN n <= {_CHUNK_LEN} THEN 0
+                            ELSE ceil(CAST(n - {_CHUNK_LEN} AS DOUBLE)
+                                      / {_CHUNK_STRIDE}) END AS BIGINT)))
+                       AS chunk_no,
+                   w
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+               CAST(least({_CHUNK_LEN}, n - chunk_no * {_CHUNK_STRIDE})
+                    AS BIGINT) AS chunk_tokens,
+               w[chunk_no * {_CHUNK_STRIDE} + 1] AS first_term,
+               w[least(chunk_no * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n)]
+                   AS last_term
+        FROM c
+    """,
+    tags=("curation", "chunking", "pipeline"),
+)
+def q_curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 64-token
+    training windows at stride 48 (16-token overlap carries
+    context across boundaries) — the doc→sequence transform between
+    curation and tokenization in every pre-training pipeline; the final
+    chunk is short rather than dropped, and a doc shorter than one
+    window yields exactly one chunk.
+
+    Scale shape: per-row chunk-count arithmetic + ONE inline
+    posexplode (the generate stays fused — _DECON_SHINGLES' lesson);
+    fan-out ≈ n/stride rows per doc, each carrying offsets, not copied
+    text (the slice materializes downstream only where consumed). No
+    shuffle at all.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"), F.size(F.split("text", " ")).alias("n"))
+    n_chunks = F.expr(
+        f"CASE WHEN n <= {_CHUNK_LEN} THEN 1 "
+        f"ELSE cast(ceil(cast(n - {_CHUNK_LEN} as double) "
+        f"/ {_CHUNK_STRIDE}) as int) + 1 END"
+    )
+    return (
+        d.select(
+            "doc_id", "n", "w",
+            F.posexplode(F.expr(
+                f"sequence(0, CASE WHEN n <= {_CHUNK_LEN} THEN 0 "
+                f"ELSE cast(ceil(cast(n - {_CHUNK_LEN} as double) "
+                f"/ {_CHUNK_STRIDE}) as int) END)"
+            )).alias("chunk_no", "_v"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.least(F.lit(_CHUNK_LEN),
+                    F.col("n") - F.col("chunk_no") * _CHUNK_STRIDE)
+            .cast("long").alias("chunk_tokens"),
+            F.expr(f"w[chunk_no * {_CHUNK_STRIDE}]").alias("first_term"),
+            F.expr(f"w[least(chunk_no * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n) - 1]")
+            .alias("last_term"),
+        )
+    )
