@@ -188,3 +188,63 @@ def test_temperature_sample_invariants(spark, rows, budget):
         ids.sort(key=lambda i: ((i * knuth) % u32, i))
         want = set(ids[:targets.get(g, 0)])
         assert kept_ids.get(g, set()) == want
+
+
+def _asof_forward_model(clicks, purchases):
+    """{click_id: purchase_id or None} — earliest strictly-later purchase
+    (ties on ts broken by smaller purchase id)."""
+    out = {}
+    for cid, cu, ct in clicks:
+        best = None
+        for pid, pu, pt in purchases:
+            if pu == cu and pt > ct and (
+                best is None or (pt, pid) < (best[1], best[0])
+            ):
+                best = (pid, pt)
+        out[cid] = best[0] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    clicks=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                    min_size=1, max_size=25),
+    purchases=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                       min_size=0, max_size=25),
+)
+def test_asof_forward_matches_model(spark, clicks, purchases):
+    """The forward as-of formulation (q_join_asof_forward's window) vs a
+    brute-force model — including ts COLLISIONS between clicks and
+    purchases, where the strict inequality must hold (purchases sort
+    before clicks at equal ts, so the following frame skips them)."""
+    c_rows = [(i, u, t) for i, (u, t) in enumerate(clicks)]
+    p_rows = [(1000 + i, u, t) for i, (u, t) in enumerate(purchases)]
+    c = spark.createDataFrame(
+        c_rows, "event_id long, user_id long, ts_us long"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<ts:timestamp,event_id:bigint>")
+         .alias("purchase"),
+    )
+    p = spark.createDataFrame(
+        p_rows or [(None, None, None)],
+        "event_id long, user_id long, ts_us long"
+    ).filter(F.col("event_id").isNotNull()).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_id",
+        F.lit(0).alias("kind"),
+        F.struct(F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                 F.col("event_id")).alias("purchase"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    res = (
+        c.unionByName(p)
+        .withColumn("nxt", F.first("purchase", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", F.col("nxt.event_id").alias("purchase_id"))
+    )
+    got = {r.event_id: r.purchase_id for r in res.collect()}
+    assert got == _asof_forward_model(c_rows, p_rows)

@@ -1565,3 +1565,67 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * F.sum("x").cast("double")), 6).alias("gini"),
         )
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH c AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.event_id AS click_id,
+               c.user_id  AS user_id,
+               c.ts       AS click_ts,
+               p.event_id AS next_purchase_id,
+               p.ts       AS next_purchase_ts
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts < p.ts
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click attached to the user's earliest
+    strictly-later purchase (time-to-conversion attribution; NULL if
+    never converted) — the mirror of q_join_asof's backward lookup,
+    with the same union-plus-ordered-scan formulation run in reverse:
+    ``first(purchase) over (rows 1 following → unbounded)``.
+
+    Ordering (ts, kind, event_id) with purchases sorted BEFORE clicks
+    at equal ts keeps the inequality strict under timestamp collisions; cost is ONE shuffle on
+    user_id regardless of per-user event counts (the naive range join
+    explodes O(clicks × purchases) per user). Oracle: DuckDB's native
+    forward ASOF (c.ts < p.ts picks the smallest later p.ts).
+    """
+    e = load(spark, sf_dir, "events")
+    # kind: purchase=0 sorts BEFORE click=1 at equal ts, so a click's
+    # strictly-following frame can never see an equal-ts purchase (the
+    # strict < would otherwise silently weaken to <= on ts collisions).
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<ts:timestamp_ntz,event_id:bigint>")
+         .alias("purchase"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("kind"),
+        F.struct("ts", "event_id").alias("purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("nxt", F.first("purchase", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("nxt.event_id").alias("next_purchase_id"),
+            F.col("nxt.ts").alias("next_purchase_ts"),
+        )
+    )
