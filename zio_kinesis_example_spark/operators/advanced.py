@@ -1629,3 +1629,49 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt.ts").alias("next_purchase_ts"),
         )
     )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(MAX(med.med), 6) AS median_value,
+               round(percentile_cont(0.5) WITHIN GROUP (
+                   ORDER BY abs(e.value - med.med)), 6) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("agg", "stats", "robust"),
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimator (50% breakdown point) behind outlier scoring where
+    stddev itself is corrupted by the outliers it should find
+    (q_events_anomaly_zscore's 3σ rule becomes |x−med| > k·MAD).
+
+    DETERMINISM: two exact interpolated percentiles; the deviation is
+    one subtraction+abs on identical doubles; both emitted 6dp.
+
+    Scale shape: two passes over the fact table (medians are not
+    mergeable, so the second pass needs the first's result — broadcast
+    back as a |groups|-row table); each pass is one grouped exact
+    percentile. At 100 TB both become approx_percentile sketches and
+    the two passes fuse into one.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
+                                 F.lit(0.5)), 6).alias("mad"),
+        )
+    )

@@ -407,3 +407,67 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df",
                 F.round("score", 6).alias("tfidf"), "rnk")
     )
+
+
+@query(
+    "q_text_source_overlap",
+    oracle="""
+        WITH v AS (
+            SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM v GROUP BY source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               round(CAST(COUNT(*) AS DOUBLE)
+                     / (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6) AS jaccard
+        FROM v a
+        JOIN v b ON a.term = b.term AND a.source < b.source
+        JOIN sizes sa ON sa.source = a.source
+        JOIN sizes sb ON sb.source = b.source
+        GROUP BY a.source, b.source
+    """,
+    tags=("text", "similarity", "corpus"),
+)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary-overlap matrix: Jaccard similarity of the
+    distinct-term sets of every source pair — the corpus-composition
+    diagnostic (which crawls duplicate each other's domains?) computed
+    with the SAME co-occurrence-join algebra as document-level
+    q_dedup_ngram_jaccard, lifted one level up.
+
+    DETERMINISM: |A∩B| via the term-grouped join and |A∪B| = |A|+|B|−|A∩B|
+    are exact integers; one division, 6dp.
+
+    Scale shape: the distinct (source, term) projection collapses the
+    corpus to ≤ |sources|×|vocab| rows BEFORE the pair join; the join
+    keys on term (vocabulary-sized groups), and output is the
+    |sources|²/2 matrix. The fact table never self-joins.
+    """
+    d = load(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "term")
+    b = v.select(F.col("source").alias("source_b"), "term")
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.round(F.col("n_shared").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_shared")), 6)
+            .alias("jaccard"),
+        )
+    )
