@@ -413,3 +413,107 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(z, 6).alias("z"),
                 (F.abs(z) > 3.0).alias("is_anomaly"))
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+                       AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        monthly AS (
+            SELECT f.cohort,
+                   CAST(datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+                       AS month_no,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2)))
+                        AS DECIMAL(30, 2)) AS rev
+            FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT cohort, month_no,
+               CAST(CAST(SUM(rev) OVER (
+                   PARTITION BY cohort ORDER BY month_no) AS DECIMAL(30, 2))
+                   AS VARCHAR) AS cum_revenue
+        FROM monthly
+    """,
+    tags=("events", "cohort", "ltv", "window"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue by months-since-acquisition — the LTV
+    table every growth dashboard plots (q_retention_cohorts' money
+    twin).
+
+    DETERMINISM: revenue in exact decimal end-to-end (the cumulative
+    window sums decimals, emitted as strings); month arithmetic is
+    exact.
+
+    Scale shape: first-order anchors = one partial-agged groupBy,
+    joined back on custkey (one shuffle); the monthly matrix is
+    ≤ |cohorts|×|months| rows, so its cumulative window is free.
+    """
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
+    monthly = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort"))
+            .cast("long").alias("month_no"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(30,2)").alias("rev"))
+    )
+    w = (Window.partitionBy("cohort").orderBy("month_no")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return monthly.select(
+        "cohort", "month_no",
+        F.sum("rev").over(w).cast("decimal(30,2)").cast("string")
+        .alias("cum_revenue"),
+    )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               CAST((SELECT COUNT(DISTINCT e2.event_type)
+                     FROM events e2
+                     WHERE e2.user_id = e.user_id
+                       AND (e2.ts < e.ts
+                            OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+                    AS BIGINT) AS distinct_types_so_far
+        FROM events e
+    """,
+    tags=("events", "window", "distinct"),
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user (how many different event types
+    has this user produced so far?) — the engagement-breadth curve.
+    Plain windows cannot express distinct aggregation; the set is
+    carried as a window ``collect_set`` whose size is read per row.
+
+    The ORACLE states it as the correlated count-distinct subquery
+    (an independent quadratic formulation, fine at oracle scale); the
+    engine side is one window sort with bounded state — the set is
+    ≤ |event types| (5), so the carried state is constant-size (a
+    high-cardinality running distinct would switch to the stateful
+    streaming operator with a sketch as state).
+
+    Scale shape: ONE shuffle on user_id, one ordered scan; fully
+    tie-broken (ts, event_id).
+    """
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("long")
+        .alias("distinct_types_so_far"),
+    )
