@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
@@ -376,3 +377,133 @@ def q_sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(rev AS STRING) AS best_day_revenue
         FROM ranked WHERE rn = 1
     """)
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+        WITH mx AS (SELECT MAX(o_orderdate) AS now FROM orders),
+        base AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(datediff('day', MAX(o_orderdate),
+                                 MAX(mx.now)) AS BIGINT) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                        AS DECIMAL(30, 2)) AS monetary
+            FROM orders, mx
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, recency_days, frequency,
+               CAST(monetary AS VARCHAR) AS monetary,
+               CAST(r_q AS INT) AS r_score,
+               CAST(f_q AS INT) AS f_score,
+               CAST(m_q AS INT) AS m_score
+        FROM (
+            SELECT *,
+                   ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r_q,
+                   ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_q,
+                   ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_q
+            FROM base)
+    """,
+    tags=("analytics", "rfm", "window"),
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency / Frequency / Monetary
+    stats plus quintile scores (1 = best) — the classic customer-value
+    composite, exercising anchored date arithmetic + exact-decimal money
+    + three deterministic ntile windows in one query.
+
+    DETERMINISM: 'now' is the data's own max date (no wall clock);
+    monetary is exact decimal; every ntile ordering is fully tie-broken
+    on c_custkey, so quintile boundaries are engine-exact.
+
+    Scale shape: one partial-agged groupBy; the three ntiles are global
+    windows over the |customers| aggregate — at 100 TB replace with
+    approx-percentile bucket JOINS (same outputs, no single-partition
+    sort; documented tradeoff).
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.max("now"), F.max("o_orderdate"))
+            .cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(30,2)").alias("monetary"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    return base.select(
+        "c_custkey", "recency_days", "frequency",
+        F.col("monetary").cast("string").alias("monetary"),
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+
+
+@query(
+    "q_part_abc",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                            * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                        AS DECIMAL(30, 8)) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38, 8)) AS t FROM rev),
+        c AS (
+            SELECT l_partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
+                        AS DECIMAL(38, 8)) AS cum
+            FROM rev
+        )
+        SELECT l_partkey, CAST(rev AS VARCHAR) AS revenue,
+               CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8
+                         THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95
+                         THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c, tot
+    """,
+    tags=("analytics", "pareto", "window"),
+)
+def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    inventory-concentration view next to q_agg_gini's coefficient.
+
+    DETERMINISM: revenue and its cumulative sum are exact decimal over a
+    fully tie-broken order; each share is ONE double division, so the
+    80/95 cuts agree bit-for-bit.
+
+    Scale shape: per-part partial-agged rollup, then one global ordered
+    window over the |parts| aggregate (bounded — parts, not lineitems);
+    the total rides as a one-row broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                   * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+             .cast("decimal(30,8)").alias("rev"))
+    )
+    tot = rev.agg(F.sum("rev").cast("decimal(38,8)").alias("t"))
+    w = (Window.orderBy(F.col("rev").desc(), "l_partkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    return (
+        rev.withColumn("cum", F.sum("rev").over(w).cast("decimal(38,8)"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey", F.col("rev").cast("string").alias("revenue"),
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B")
+            .otherwise("C").alias("abc_class"),
+        )
+    )
