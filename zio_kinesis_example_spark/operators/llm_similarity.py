@@ -466,3 +466,95 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
         .otherwise(qsum).cast("long").alias("qsum"),
     )
+
+
+@query(
+    "q_embed_cohesion",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {_KM_SCALE}.0) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS s
+            FROM e, unnest(generate_series(1, {_KM_DIM})) AS t(i)
+            GROUP BY label, i
+        ),
+        cent AS (
+            SELECT label, array_agg(s ORDER BY i) AS c FROM comp
+            GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_sum(list_transform(list_zip(e.v, cent.c),
+                       p -> p[1] * p[2])) AS dot,
+                   list_sum(list_transform(e.v, x -> x * x)) AS nv,
+                   list_sum(list_transform(cent.c, x -> x * x)) AS nc
+            FROM e JOIN cent USING (label)
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round(AVG(CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))), 6)
+                   AS avg_cohesion,
+               round(MIN(CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))), 6)
+                   AS min_cohesion
+        FROM scored GROUP BY label
+    """,
+    tags=("similarity", "embedding", "clustering", "quality"),
+)
+def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit: every vector's cosine to its label's
+    centroid, aggregated per label (avg + worst member) — the embedding-
+    quality report run after clustering/labeling (low cohesion = mislabeled
+    or polysemous groups; the per-label companion to q_embed_kmeans).
+
+    DETERMINISM (q_embed_kmeans' rule): vectors quantize to scaled
+    BIGINTs, so centroid component sums, dot products, and norms are all
+    EXACT integers (|v·c| ≤ 64·(10⁶)²·|n| bounded within int64 —
+    centroid sums here are unnormalized totals ~2·10⁹ per component at
+    sf0.1... wait, products reach 64·10⁶·2·10⁹ ≈ 1.3·10¹⁷ < 2⁶³ ✓);
+    cosine is then two double conversions + one division + one sqrt —
+    identical rounding both engines, emitted 6dp.
+
+    Scale shape: centroids via posexplode + partial-agged (label, dim)
+    sums collapsing to |labels|·dim rows, rebuilt and broadcast back;
+    scoring is one stateless pass. Using the UNnormalized centroid sum
+    keeps everything integer — cosine is scale-invariant, so dividing by
+    the member count would change nothing but exactness.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.expr(f"transform(emb, x -> cast(floor(x * {_KM_SCALE}.0D) as bigint))")
+        .alias("v"),
+    )
+    comp = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = (
+        comp.groupBy("label")
+        .agg(F.expr("transform(sort_array(collect_list(struct(i, s))), "
+                    "p -> p.s)").alias("c"))
+    )
+    scored = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
+                   "(a, t) -> a + t)").alias("dot"),
+            F.expr("aggregate(v, 0L, (a, x) -> a + x * x)").alias("nv"),
+            F.expr("aggregate(c, 0L, (a, x) -> a + x * x)").alias("nc"),
+        )
+    )
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("nv").cast("double") * F.col("nc").cast("double")))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(cos), 6).alias("avg_cohesion"),
+        F.round(F.min(cos), 6).alias("min_cohesion"),
+    )
