@@ -507,3 +507,81 @@ def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("C").alias("abc_class"),
         )
     )
+
+
+_BASKET_MIN_SUPPORT = 3  # pair must co-occur in ≥ this many orders
+
+
+@query(
+    "q_basket_affinity",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                  AS n_orders FROM items),
+        supp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM items GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS together
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, together,
+               round(CAST(together AS DOUBLE) * n.n_orders
+                     / (sa.s * sb.s), 6) AS lift
+        FROM pairs
+        JOIN supp sa ON sa.l_partkey = part_a
+        JOIN supp sb ON sb.l_partkey = part_b
+        CROSS JOIN n
+    """,
+    tags=("analytics", "basket", "join"),
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-purchased in ≥ 3 orders with
+    their LIFT (P(ab)/(P(a)·P(b)) — >1 means genuinely associated, not
+    just both popular) — the association-rule primitive behind
+    recommendations, computed by the order-keyed self-join of DISTINCT
+    basket items.
+
+    DETERMINISM: all counts exact; lift is integer products and one
+    double division, rounded 6dp.
+
+    Scale shape: the basket table shuffles ONCE on orderkey; the
+    self-join cost is Σ|basket|² (baskets are small — ~4 items — so
+    this is linear in practice, the documented honest bound); supports
+    broadcast back; min-support prunes before the lift join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"),
+                     F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"),
+                     F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "together",
+            F.round(F.col("together").cast("double") * F.col("n_orders")
+                    / (F.col("sa") * F.col("sb")), 6).alias("lift"),
+        )
+    )

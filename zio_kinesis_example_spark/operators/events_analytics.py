@@ -517,3 +517,66 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type").over(w)).cast("long")
         .alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "q_events_dau_wau",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM ud),
+        contrib AS (
+            SELECT user_id, CAST(d + CAST(i AS INT) AS DATE) AS cover_day
+            FROM ud, unnest(generate_series(0, 6)) AS t(i)
+        )
+        SELECT CAST(days.d AS TIMESTAMP) AS d,
+               CAST((SELECT COUNT(*) FROM ud WHERE ud.d = days.d) AS BIGINT)
+                   AS dau,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau,
+               round(CAST((SELECT COUNT(*) FROM ud WHERE ud.d = days.d)
+                          AS DOUBLE) / COUNT(DISTINCT c.user_id), 6)
+                   AS stickiness
+        FROM days JOIN contrib c ON c.cover_day = days.d
+        GROUP BY days.d
+    """,
+    tags=("events", "engagement", "distinct"),
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement dashboard row. Rolling DISTINCT counts can't ride a
+    window, so each active (user, day) CONTRIBUTES itself to the 7
+    covered days (a bounded ×7 fan-out of the already-distinct pairs)
+    and WAU is a plain distinct count per covered day — the standard
+    scale-out rewrite of 'COUNT(DISTINCT) OVER RANGE 7 PRECEDING'.
+
+    Only days with actual activity are emitted (the join, not a spine).
+
+    Scale shape: distinct (user, day) collapses raw volume first; the
+    fan-out multiplies the BOUNDED pair table, not events; two
+    partial-agged aggregations. Exact integers; one division.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("transform(sequence(0, 6), i -> date_add(d, i))"))
+        .alias("cover_day"),
+    )
+    wau = (
+        contrib.join(dau.select(F.col("d").alias("cover_day")), "cover_day")
+        .groupBy("cover_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.cover_day)
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("d"), "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+            .alias("stickiness"),
+        )
+    )
