@@ -585,3 +585,67 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("sa") * F.col("sb")), 6).alias("lift"),
         )
     )
+
+
+@query(
+    "q_supplier_reliability",
+    oracle="""
+        WITH s AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 30 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n_items, n_late,
+               round(CAST(n_late AS DOUBLE) / n_items, 6) AS late_rate,
+               round((CAST(n_late AS DOUBLE) / n_items + 1.96 * 1.96
+                      / (2 * n_items)
+                      - 1.96 * sqrt((CAST(n_late AS DOUBLE) / n_items)
+                                    * (1 - CAST(n_late AS DOUBLE) / n_items)
+                                    / n_items
+                                    + 1.96 * 1.96
+                                      / (4.0 * n_items * n_items)))
+                     / (1 + 1.96 * 1.96 / n_items), 6) AS wilson_lower
+        FROM s
+    """,
+    tags=("analytics", "stats", "ranking"),
+)
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier late-shipment rate with its Wilson-score LOWER bound —
+    the uncertainty-aware proportion ranking (a 1/1 late record must not
+    outrank 95/100): sort dashboards by wilson_lower, not the raw rate.
+
+    DETERMINISM: counts exact; both emitted statistics are fixed chains
+    of IEEE ops on exact-integer-derived doubles, written in the
+    IDENTICAL association on both sides, rounded 6dp.
+
+    Scale shape: one orderkey-keyed join (the lateness residual rides
+    it) + one partial-agged supplier rollup; the Wilson arithmetic is
+    stateless per group row.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    s = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        )
+    )
+    p = F.col("n_late").cast("double") / F.col("n_items")
+    z = 1.96
+    n_ = F.col("n_items")
+    wilson = ((p + z * z / (2 * n_)
+               - z * F.sqrt(p * (1 - p) / n_
+                            + z * z / (4.0 * n_ * n_)))
+              / (1 + z * z / n_))
+    return s.select(
+        "l_suppkey", "n_items", "n_late",
+        F.round(p, 6).alias("late_rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
