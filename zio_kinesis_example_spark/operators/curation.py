@@ -684,3 +684,51 @@ def q_curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_term"),
         )
     )
+
+
+_BOILER_N = 10   # shared leading n-gram
+_BOILER_K = 3    # appearing in ≥ k docs = boilerplate
+
+
+@query(
+    "q_curate_boilerplate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   array_to_string(string_split(text, ' ')[1:{_BOILER_N}],
+                                   ' ') AS head
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {_BOILER_N}
+        ),
+        g AS (SELECT head, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM t GROUP BY head
+              HAVING COUNT(*) >= {_BOILER_K})
+        SELECT t.doc_id, t.source, g.n_docs AS header_family_size
+        FROM t JOIN g USING (head)
+    """,
+    tags=("curation", "text", "boilerplate"),
+)
+def q_curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detection: documents whose leading 10-gram is
+    shared by ≥ 3 documents (template headers, navigation chrome,
+    license preambles) — the prefix-family pass a curation pipeline runs
+    to strip or down-weight templated content; emits each member with
+    its family size.
+
+    Scale shape: ONE partial-agged groupBy on the constant-length
+    prefix (no full-shingle explosion — contrast q_curate_decontaminate,
+    which must consider every position); the qualifying family table is
+    small and re-joins on the same key. Exact string equality only.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w"))
+    t = d.filter(F.size("w") >= _BOILER_N).select(
+        "doc_id", "source",
+        F.concat_ws(" ", F.slice("w", 1, _BOILER_N)).alias("head"))
+    g = (t.groupBy("head").agg(F.count(F.lit(1)).alias("n_docs"))
+         .filter(F.col("n_docs") >= _BOILER_K))
+    return (
+        t.join(g, "head")
+        .select("doc_id", "source",
+                F.col("n_docs").alias("header_family_size"))
+    )

@@ -580,3 +580,57 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (
+                         PARTITION BY event_type ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us), 6)
+                   AS median_gap_us,
+               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY gap_us), 6)
+                   AS p99_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "ops"),
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type (median / p99 /
+    max gap seconds) — the feed-health metric that catches stalled
+    producers and bursty sources (the batch twin of monitoring the
+    streaming source's silence).
+
+    DETERMINISM: gaps are exact BIGINT MICROsecond differences (whole
+    seconds would round vs truncate differently across engines on
+    sub-second timestamps) over a fully tie-broken order; exact
+    interpolated percentiles, rounded 6dp.
+
+    Scale shape: one shuffle on event_type for the lag window; the
+    percentile aggregate rides the same partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (
+        e.select("event_type", ep.alias("ep"),
+                 F.lag(ep).over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("ep") - F.col("prev")).alias("gap_us"))
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 6).alias("median_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.99)), 6).alias("p99_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
