@@ -74,7 +74,10 @@ def _verification_state() -> dict[str, tuple[int, str]]:
 
 def _serve_order() -> list[str]:
     specs = all_specs()
-    state = _verification_state()
+    # Drop state rows for names no longer in the registry: stale artifacts
+    # from renamed/retired queries must not pin hash-green (group-2) slots
+    # or shadow a successor query's unseen status.
+    state = {n: v for n, v in _verification_state().items() if n in specs}
     idx = {n: i for i, n in enumerate(specs)}
 
     def key(n: str):

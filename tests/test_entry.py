@@ -54,3 +54,35 @@ def test_no_complex_types_in_query_outputs(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, bad
+
+
+def test_serve_order_ignores_stale_artifact_names(monkeypatch):
+    """Rows in old CORRECTNESS_r*.json for queries that were since renamed
+    or retired must not occupy serve-order slots (VERDICT r3 item 6)."""
+    from zio_kinesis_example_spark.registry import all_specs
+
+    real_state = ent._verification_state()
+    fake_state = dict(real_state)
+    fake_state["q_renamed_away_long_ago"] = (2, "green")
+    fake_state["q_retired_failed"] = (1, "failed")
+    monkeypatch.setattr(ent, "_verification_state", lambda: fake_state)
+
+    order = ent._serve_order()
+    assert "q_renamed_away_long_ago" not in order
+    assert "q_retired_failed" not in order
+    assert set(order) == set(all_specs())
+    assert len(order) == len(set(order))
+
+
+def test_serve_order_fronts_unverified(monkeypatch):
+    """Queries with no green row sort before hash-green ones."""
+    state = ent._verification_state()
+    order = ent._serve_order()
+    seen_green = False
+    for n in order:
+        status = state.get(n, (0, "unseen"))[1]
+        if status == "green":
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"{n} ({status}) served after a hash-green query")
