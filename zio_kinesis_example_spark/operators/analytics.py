@@ -249,6 +249,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # growing broadcast lineage (eager, tiny frame). At billion-node
     # scale swap broadcasts for the co-partitioned CC-loop shape
     # (llm_dedup.q_dedup_clusters).
+    cached_rounds = []
     for _ in range(_PR_ITERS):
         rates = (
             pr.join(deg, pr.node == deg.src)
@@ -259,16 +260,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.groupBy(F.col("dst").alias("node"))
             .agg((F.lit(base) + F.expr("(85 * sum(rate)) DIV 100"))
                  .alias("pr"))
-            # EAGER: each round's broadcast would otherwise recompute
-            # every earlier round (lazy checkpoint defers materialization,
-            # so the per-round broadcast jobs re-derive their whole
-            # upstream chain — measured quadratic blowup, 12s → 7s).
-            .localCheckpoint(eager=True)
+            # Lazy cache, not an eager per-round localCheckpoint: the next
+            # round's broadcast job materializes the cache as a side
+            # effect, so every round is still computed exactly once (no
+            # quadratic re-derive), without paying a dedicated
+            # materialization job per round — measured 5.1 s → 3.5 s at
+            # sf0.1. (A *lazy* checkpoint would NOT do this: it defers
+            # materialization but does not short-circuit recompute.)
+            .cache()
         )
-    # final pr is an eager checkpoint (independent of the loop caches),
-    # so the scan-side storage can be released immediately.
+        cached_rounds.append(pr)
+    # ONE eager checkpoint at the end makes the returned frame independent
+    # of the loop caches, so all scan- and round-side storage can be
+    # released before the caller runs its action.
+    pr = pr.localCheckpoint(eager=True)
     edges.unpersist()
     deg.unpersist()
+    for c in cached_rounds:
+        c.unpersist()
     return pr.select(
         "node", (F.col("node") % 2).cast("int").alias("is_supplier"), "pr"
     )

@@ -204,6 +204,21 @@ def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(spark, sf_dir, "shingles", build)
 
 
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): one row per distinct 3-shingle, with the shingle
+    expression INLINED into the explode projection.
+
+    Exploding a *named* array column produced by an earlier projection
+    breaks the Generate out of whole-stage codegen (measured 1.46 s for
+    the exploded scan at sf0.1 vs 0.30 s inlined — the round-3
+    q_dedup_minhash regression); ``select(explode(<expr>))`` keeps the
+    split→shingle→explode chain in one codegen stage. Used by the
+    signature path, which never needs the per-doc array form."""
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    inline = _SHINGLES.replace("terms", "split(text, ' ')")
+    return d.select("doc_id", F.explode(F.expr(inline)).alias("sh"))
+
+
 @query(
     "q_dedup_exact",
     oracle="""
@@ -326,16 +341,24 @@ def minhash_signatures(docs_with_shingles: DataFrame,
     near-dup candidates. Every value is reproducible in ANSI SQL, which
     is what lets q_dedup_minhash/_pairs carry exact DuckDB oracles.
     """
+    exploded = docs_with_shingles.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return _signatures_from_exploded(exploded, n_hashes, bands)
+
+
+def _signatures_from_exploded(exploded: DataFrame,
+                              n_hashes: int = _N_HASHES,
+                              bands: int = _BANDS) -> DataFrame:
+    """(doc_id, sh) → band buckets; see minhash_signatures."""
     r = n_hashes // bands
     if r != 2:
         raise ValueError("portable band combine assumes r == 2 slots/band")
-    exploded = docs_with_shingles.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select(
+    hashed = exploded.select(
         "doc_id",
         (F.expr(_H0_SPARK.format(c="sh")) % _P31).alias("h"),
     )
-    sig = exploded.groupBy("doc_id").agg(*[
+    sig = hashed.groupBy("doc_id").agg(*[
         F.min((F.col("h") * _MH_A[i] + _MH_B[i]) % _P31).alias(f"m{i}")
         for i in range(n_hashes)
     ])
@@ -356,7 +379,7 @@ def _shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash_pairs."""
     return _shared(
         spark, sf_dir, "minhash_buckets",
-        lambda: minhash_signatures(_with_shingles(spark, sf_dir)),
+        lambda: _signatures_from_exploded(_exploded_shingles(spark, sf_dir)),
     )
 
 
