@@ -14,8 +14,9 @@ def test_lsh_recall_vs_brute_force(spark):
     exact top-k (random 64-d data is a worst case for LSH — the bound is
     deliberately modest; planted-duplicate recall is covered in
     test_dedup)."""
+    from zio_kinesis_example_spark.operators.llm_similarity import _ann_lsh_plan
     exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_SMALL).collect()
-    approx = all_specs()["q_sim_ann_lsh"].fn(spark, SF_SMALL).collect()
+    approx = _ann_lsh_plan(spark, SF_SMALL).collect()
     truth: dict[int, set[int]] = {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -47,8 +48,9 @@ def test_ivf_recall_vs_brute_force(spark):
     the exact top-k (tested at sf0.01 where the quantizer has ~14
     cells — sf0.001 has too few vectors to form cells)."""
     from .conftest import SF_ORACLE
+    from zio_kinesis_example_spark.operators.llm_similarity import _ann_ivf_plan
     exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
-    approx = all_specs()["q_sim_ann_ivf"].fn(spark, SF_ORACLE).collect()
+    approx = _ann_ivf_plan(spark, SF_ORACLE).collect()
     truth: dict[int, set[int]] = {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)

@@ -156,15 +156,10 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     )
 
 
-@query("q_sim_ann_lsh", oracle=None, tags=("similarity", "approx"))
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank restricted to multi-table
-    LSH bucket-mates (union over L tables of same-k-bit-signature sets).
-
-    Sub-linear candidate generation: one shuffle keyed by (table_id, sig).
-    Rows-only driver check (approximate by design); recall vs
-    q_sim_cosine_topk asserted in tests/test_similarity.py.
-    """
+def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure LSH ANN plan (what ships at 100 TB, and what bench.py
+    times): multi-table bucket candidates → exact cosine re-rank.
+    Returns (query_id, neighbor_id, cosine, rnk)."""
     e = _emb(spark, sf_dir)
     buckets = lsh_buckets(e)
     q = lsh_buckets(e.filter(F.expr(_QUERY_FILTER))).select(
@@ -197,9 +192,70 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NLIST = 32      # FIXED centroid count — independent of corpus size
 _IVF_NPROBE = 3      # query-side cells probed
 
+# Measured overall recall@5 vs the exact baseline (deterministic: fixed
+# planes / fixed hash-sampled centroids, no run-to-run variance):
+#   LSH 0.46 / 0.46 / 0.49 and IVF 0.38 / 0.34 / 0.32 at sf0.001/0.01/0.1.
+# The contract floors sit well below every measured point; random 64-d
+# vectors are the documented worst case for angle LSH, which is why these
+# are recall floors, not 0.9 (planted-duplicate recall is the high bar and
+# lives in test_dedup).
+_LSH_RECALL_FLOOR = 0.30
+_IVF_RECALL_FLOOR = 0.20
 
-@query("q_sim_ann_ivf", oracle=None, tags=("similarity", "approx"))
-def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _recall_contract(spark: SparkSession, sf_dir: str,
+                     ann_plan: DataFrame, floor: float) -> DataFrame:
+    """hll_ok-style bound contract (q_agg_approx_cd pattern) for an ANN
+    plan: one row (n_queries, recall_ok) where recall_ok asserts overall
+    recall@k vs the exact brute-force top-k is ≥ ``floor``. Every column
+    is exactly derivable in ANSI SQL (n_queries from the query-set
+    predicate, recall_ok a constant TRUE), so the driver hash-checks the
+    bound instead of falling back to a rows-only count."""
+    exact = q_sim_cosine_topk(spark, sf_dir)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann_plan.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+    )
+    agg = hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    return agg.select(
+        "n_queries",
+        ((F.col("n_hits") / F.col("n_truth")) >= F.lit(floor))
+        .alias("recall_ok"),
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+        FROM embeddings WHERE {_QUERY_FILTER}
+"""
+
+
+@query("q_sim_ann_lsh", oracle=_ANN_RECALL_ORACLE,
+       tags=("similarity", "approx"), bench_fn=_ann_lsh_plan)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: exact
+    cosine re-rank restricted to bucket-mates (union over L tables of
+    same-k-bit-signature sets); sub-linear candidate generation, one
+    shuffle keyed by (table_id, sig) — see _ann_lsh_plan, which bench.py
+    times.
+
+    The driver-checkable contract is the recall *bound* (hll_ok
+    pattern): this form joins the ANN result against the exact top-k and
+    emits recall_ok = (overall recall@k ≥ the documented floor) —
+    constant TRUE in the DuckDB oracle, so the LSH index quality is
+    hash-verified, not rows-only. Absolute recall is additionally
+    asserted in tests/test_similarity.py.
+    """
+    return _recall_contract(
+        spark, sf_dir, _ann_lsh_plan(spark, sf_dir), _LSH_RECALL_FLOOR)
+
+
+def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to LSH (q_sim_ann_lsh).
 
@@ -266,6 +322,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id",
                 F.round("s", 6).alias("cosine"), "rnk")
     )
+
+
+@query("q_sim_ann_ivf", oracle=_ANN_RECALL_ORACLE,
+       tags=("similarity", "approx"), bench_fn=_ann_ivf_plan)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with the hash-checkable recall contract
+    (see q_sim_ann_lsh and _ann_ivf_plan — bench.py times the pure IVF
+    plan): one row asserting overall recall@k vs the exact baseline is
+    ≥ the documented floor, constant TRUE in the DuckDB oracle."""
+    return _recall_contract(
+        spark, sf_dir, _ann_ivf_plan(spark, sf_dir), _IVF_RECALL_FLOOR)
 
 
 _KM_K = 8            # clusters
