@@ -552,3 +552,55 @@ def test_end_to_end_pipeline_composed(spark, tmpdir_factory_local):
         int(r.partition_key.removeprefix("key")) for r in dead_rows
     ) == [100, 200, 300, 400]
     assert all(r.data for r in dead_rows)
+
+
+def test_order_violations_frame_executor_side(spark):
+    """Gap detection returns ONLY violation rows: a forward seq jump is
+    flagged (within-batch and vs the prior high-water mark), while
+    at-least-once redelivery (seq <= high-water) is not."""
+    from zio_kinesis_example_spark.streaming.consume import (
+        order_violations_frame,
+    )
+    batch = spark.createDataFrame(
+        [("s0", 5), ("s0", 6), ("s0", 9),   # intra-batch gap 6 -> 9
+         ("s1", 3),                          # vs hw 1: gap 1 -> 3
+         ("s2", 2),                          # redelivery vs hw 4: ok
+         ("s3", 1)],                         # unseen shard: ok
+        "shard_id string, seq long")
+    viols = order_violations_frame(batch, {"s0": 4, "s1": 1, "s2": 4}) \
+        .collect()
+    got = {(v.shard_id, v.prev_seq, v.seq) for v in viols}
+    assert got == {("s0", 6, 9), ("s1", 1, 3)}
+    assert not order_violations_frame(batch.filter("shard_id = 's3'"), {}) \
+        .collect()
+
+
+def test_connector_option_surfaces_match_golden():
+    """Contract test pinning the full option maps the live-connector
+    builders emit against tests/golden/connector_options.json (the
+    documented connector surface). Catches silent drift in option names
+    or default values — the failure mode for code that can't run against
+    a real broker in this environment."""
+    import json
+    import os
+
+    from zio_kinesis_example_spark.streaming.source import (
+        kafka_reader_options, kinesis_reader_options,
+    )
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "connector_options.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+
+    assert kinesis_reader_options("orders-stream") \
+        == golden["kinesis"]["defaults"]
+    assert kinesis_reader_options(
+        "orders-stream", region="eu-west-1", initial_position="latest",
+        endpoint_url="https://kinesis.local:4566",
+    ) == golden["kinesis"]["with_endpoint"]
+    assert kafka_reader_options("orders-topic", "broker1:9092,broker2:9092") \
+        == golden["kafka"]["defaults"]
+    assert kafka_reader_options(
+        "orders-topic", "broker1:9092,broker2:9092",
+        starting_offsets="latest", max_offsets_per_trigger=5000,
+    ) == golden["kafka"]["with_pacing"]

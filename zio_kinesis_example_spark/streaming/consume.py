@@ -18,12 +18,14 @@
   are counted twice — processed_count ≥ N while distinct ids == N, the
   same invariant the reference's with-errors run exhibits.
 
-The per-record effect layer iterates on the driver — deliberately: the
-effects under test are test assertions (counters, failure injection),
-mirroring the reference's single-process per-record effects
-(processRecord, C.scala:95-101). Production per-record effects would run
-in ``foreachPartition`` on executors; the ordering/commit semantics are
-identical.
+The per-record effect layer of :func:`consume_count` iterates on the
+driver — deliberately: it is the TEST-HARNESS MIRROR of the reference's
+single-process per-record effects (processRecord, C.scala:95-101), kept
+for counters and failure injection, and NOT the scale path. The scale
+path is :func:`consume_observed`: per-record work on executors,
+counting via ``df.observe()``, nothing collected. Gap/order detection
+is executor-side in both (:func:`order_violations_frame` — only
+violation rows ever reach the driver).
 """
 
 from __future__ import annotations
@@ -35,6 +37,44 @@ from collections import Counter
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def order_violations_frame(
+    batch_df: DataFrame, high_water: dict[str, int]
+) -> DataFrame:
+    """Per-shard forward-gap detection, computed EXECUTOR-side: returns
+    only the violation rows (shard_id, prev_seq, seq), so the driver
+    collects violations — normally zero rows — never the batch.
+
+    A shard's records must arrive seq-contiguous; a record may repeat
+    (at-least-once redelivery, seq ≤ high-water: not a violation) but must
+    never skip forward. Within the batch the predecessor comes from a
+    per-shard lag window; for each shard's first row it comes from the
+    previous batches' high-water mark (``high_water``, a per-shard map of
+    size n_shards — broadcast as a literal; at huge shard counts this
+    would be a broadcast join against the state store instead). This is
+    the scale-shape twin of the driver-side per-record fold below, which
+    exists to mirror the reference's single-process semantics.
+    """
+    if high_water:
+        hw_items = [
+            x
+            for k, v in high_water.items()
+            for x in (F.lit(k), F.lit(v).cast("long"))
+        ]
+        hw = F.element_at(F.create_map(*hw_items), F.col("shard_id"))
+    else:
+        hw = F.lit(None).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("seq")
+    return (
+        batch_df.select("shard_id", F.col("seq").cast("long").alias("seq"))
+        .withColumn("prev_seq", F.coalesce(F.lag("seq").over(w), hw))
+        .filter(F.col("prev_seq").isNotNull()
+                & (F.col("seq") > F.col("prev_seq") + 1))
+        .select("shard_id", "prev_seq", "seq")
+    )
 
 
 @dataclass
@@ -68,6 +108,12 @@ def consume_count(
 
     Pass the same ``result`` (and checkpoint_dir) across calls to model a
     restart: counts accumulate while offsets resume from the commit log.
+
+    TEST-HARNESS MIRROR, NOT THE SCALE PATH: the per-record fold collects
+    each micro-batch to the driver because the effects under test mirror
+    the reference's single-process semantics; production consumption is
+    :func:`consume_observed`. Order/gap detection is executor-side here
+    too (:func:`order_violations_frame`).
     """
     state = result if result is not None else ConsumeResult()
     state.failed = False  # counts accumulate across restarts; failure doesn't
@@ -76,6 +122,17 @@ def consume_count(
     lock = threading.Lock()
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        # Gap/order detection runs executor-side: only violation rows —
+        # normally none — cross to the driver.
+        with lock:
+            hw_snapshot = dict(state.last_seq)
+        viols = order_violations_frame(batch_df, hw_snapshot).collect()
+        # TEST-HARNESS MIRROR, NOT THE SCALE PATH: the per-record fold
+        # below collects the batch and iterates in driver Python, because
+        # the effects under test (counters, one-shot failure injection)
+        # mirror the reference's single-process processRecord. Production
+        # consumption is consume_observed — executor-side, observe()-
+        # counted, nothing collected.
         rows = (
             batch_df.select("shard_id", "seq", "id")
             .orderBy("shard_id", "seq")
@@ -83,15 +140,10 @@ def consume_count(
         )
         with lock:
             state.epochs += 1
-            batch_first_seq: dict[str, int] = {}
+            state.order_violations.extend(
+                f"{v.shard_id}: gap {v.prev_seq} -> {v.seq}" for v in viols
+            )
             for r in rows:
-                if r.shard_id not in batch_first_seq:
-                    batch_first_seq[r.shard_id] = r.seq
-                    hw = state.last_seq.get(r.shard_id)
-                    if hw is not None and r.seq != hw + 1 and r.seq > hw:
-                        state.order_violations.append(
-                            f"{r.shard_id}: gap {hw} -> {r.seq}"
-                        )
                 # per-record effect (reference processRecord: count + observe)
                 state.processed += 1
                 state.ids[r.id] += 1
