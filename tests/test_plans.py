@@ -371,3 +371,29 @@ def test_events_pattern_single_window_sort(spark):
     import re
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_bmp_codec_plan_is_exchange_free(spark):
+    """The BMP encode→decode round trip is two chained mapInPandas
+    passes over the scan — a pure map pipeline: no Exchange anywhere
+    (nothing to shuffle at any scale), both kernels Arrow-batched."""
+    plan = _plan(spark, "q_multimodal_decode_bmp", "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_ann_bench_plans_skip_exact_twin(spark):
+    """bench.py must time the pure ANN plans, not the recall-contract
+    forms: the bench_fn plans contain no per-pair brute-force crossJoin
+    (BroadcastNestedLoopJoin is the exact baseline's signature)."""
+    import contextlib
+    import io
+
+    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
+        spec = all_specs()[name]
+        assert spec.bench_fn is not None
+        df = spec.bench_fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastNestedLoopJoin" not in buf.getvalue(), name
