@@ -68,6 +68,13 @@ def test_decode_rejects_garbage_without_crashing():
     assert out.iloc[4].pixel_sum == 60
 
 
+def test_decode_batch_of_only_tiny_payloads():
+    # regression: a batch whose flat buffer is shorter than one header
+    # must not crash the fixed-offset header gathers
+    out = _decode([b"", b"BM", b"x"])
+    assert list(out.bmp_ok) == [False, False, False]
+
+
 def test_encode_decode_round_trip_batch():
     texts = [b"hello world", b"x", b"abcdefghijklmnopqrstuvwxyz0123"]
     pdf = pd.DataFrame({"doc_id": [0, 1, 2], "payload": texts})

@@ -1,0 +1,201 @@
+"""Semantic + plan-shape tests for the round-4 pipeline extensions
+(operators/pipeline_ext.py). Oracle parity for all five queries is covered
+by test_oracle_parity.py; these tests pin the semantics the oracle can't
+see (hand-written WAV fixtures, malformed payloads, identity invariants)
+and the physical plan shapes the scale story depends on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StructField, StructType,
+)
+
+from zio_kinesis_example_spark.operators.pipeline_ext import (
+    WAV_DECODE_SCHEMA, q_embed_pq, wav_decode_batch,
+)
+from zio_kinesis_example_spark.registry import all_specs
+
+from .conftest import SF_SMALL
+
+_PAYLOAD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def _decode(spark, payloads: dict[int, bytes]) -> dict[int, dict]:
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], schema=_PAYLOAD_SCHEMA
+    ).mapInPandas(wav_decode_batch, schema=WAV_DECODE_SCHEMA)
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def _wav_bytes(samples: list[int], channels: int = 1, rate: int = 44100,
+               pre_chunks: bytes = b"") -> bytes:
+    """Hand-written canonical PCM WAV, independent of the encoder under
+    test: optional extra chunks before fmt exercise the walk."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = pre_chunks + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+class TestWavDecode:
+    def test_hand_written_fixture(self, spark):
+        samples = [0, 1000, -1000, 32767, -32768, 7]
+        out = _decode(spark, {1: _wav_bytes(samples, channels=2, rate=8000)})
+        r = out[1]
+        assert r["wav_ok"] is True
+        assert r["channels"] == 2
+        assert r["sample_rate"] == 8000
+        assert r["bits"] == 16
+        assert r["n_frames"] == 3          # 6 samples / 2 channels
+        assert r["first_sample"] == 0
+        assert r["abs_energy"] == sum(abs(s) for s in samples)
+
+    def test_chunk_walk_skips_unknown_chunks_with_pad(self, spark):
+        # a 3-byte (odd → padded) chunk BEFORE fmt: a reader that
+        # hardcodes offsets or forgets the pad rule misparses this
+        junk = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+        out = _decode(spark, {7: _wav_bytes([5, -5], pre_chunks=junk)})
+        assert out[7]["wav_ok"] is True
+        assert out[7]["abs_energy"] == 10
+        assert out[7]["n_frames"] == 2
+
+    def test_malformed_payloads_flagged_not_crashed(self, spark):
+        out = _decode(spark, {
+            1: b"",                          # empty
+            2: b"RIFFxxxx",                  # truncated header
+            3: b"JFIF" + b"\x00" * 60,       # wrong magic
+            4: _wav_bytes([1])[:20],         # truncated mid-chunk
+        })
+        assert all(not out[k]["wav_ok"] for k in (1, 2, 3, 4))
+        # n_bytes still reported for observability
+        assert out[3]["n_bytes"] == 64
+
+    def test_non_pcm_format_rejected(self, spark):
+        wav = bytearray(_wav_bytes([1, 2]))
+        wav[20] = 3                           # audio_format = IEEE float
+        out = _decode(spark, {9: bytes(wav)})
+        assert out[9]["wav_ok"] is False
+
+
+class TestPq:
+    def test_codebook_vectors_code_to_themselves(self, spark):
+        # the 16 smallest vec_ids ARE the codebook → each must be
+        # assigned its own index in both subspaces with zero error
+        out = q_embed_pq(spark, SF_SMALL)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        cb_ids = sorted(rows)[:16]
+        for j, vid in enumerate(cb_ids):
+            r = rows[vid]
+            assert (r["code0"], r["code1"], r["qerr"]) == (j, j, 0), vid
+
+    def test_codes_in_range_and_qerr_nonnegative(self, spark):
+        out = q_embed_pq(spark, SF_SMALL).agg(
+            F.min("code0"), F.max("code0"), F.min("code1"), F.max("code1"),
+            F.min("qerr")).first()
+        assert out[0] >= 0 and out[1] < 16
+        assert out[2] >= 0 and out[3] < 16
+        assert out[4] >= 0
+
+
+class TestSpansAndContainment:
+    def test_identical_docs_fully_duplicated(self, spark, tmpdir_factory_local):
+        d = tmpdir_factory_local("spans")
+        text = " ".join(f"w{i}" for i in range(20))
+        other = " ".join(f"x{i}" for i in range(20))
+        spark.createDataFrame(
+            [(1, text), (2, text), (3, other)], ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")) \
+         .withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text").cast("long")) \
+         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in
+               all_specs()["q_dedup_spans"].fn(spark, d).collect()}
+        assert out[1]["dup_share"] == 1.0 and out[2]["dup_share"] == 1.0
+        assert out[3]["dup_share"] == 0.0
+        assert out[1]["n_spans"] == 13     # 20 - 8 + 1
+
+    def test_subset_doc_has_full_containment(self, spark,
+                                             tmpdir_factory_local):
+        d = tmpdir_factory_local("cont")
+        big = " ".join(f"w{i}" for i in range(30))
+        small = " ".join(f"w{i}" for i in range(10))   # strict prefix
+        spark.createDataFrame(
+            [(1, small), (2, big)], ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")) \
+         .withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text").cast("long")) \
+         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = all_specs()["q_text_containment"].fn(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["cont_ab"] == 1.0         # small fully inside big
+        assert r["cont_ba"] < 1.0
+
+
+class TestDriftChi2:
+    def test_uniform_source_not_drifted_skewed_source_is(
+            self, spark, tmpdir_factory_local):
+        d = tmpdir_factory_local("drift")
+        rows = []
+        i = 0
+        # three balanced sources dominate the corpus mix; one skewed
+        # source (all docs in one lang) must stand out against it
+        for src in ("bal", "bal2", "bal3"):
+            for lang in ("aa", "bb", "cc", "dd"):
+                for _ in range(10):
+                    rows.append((i, f"t {i}", lang, src)); i += 1
+        for _ in range(40):
+            rows.append((i, f"t {i}", "aa", "skew")); i += 1
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source"]
+        ).withColumn("n_chars", F.length("text").cast("long")) \
+         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in
+               all_specs()["q_curate_drift_chi2"].fn(spark, d).collect()}
+        assert out["skew"]["drifted"] is True
+        assert out["bal"]["chi2"] < out["skew"]["chi2"]
+        assert out["bal"]["n_docs"] == out["skew"]["n_docs"] == 40
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = all_specs()[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlans:
+    def test_pq_assignment_is_shuffle_free(self, spark):
+        # codebook is literal driver state → one stateless scan
+        plan = _plan(spark, "q_embed_pq")
+        assert "Exchange" not in plan
+
+    def test_spans_dup_set_broadcasts_back(self, spark):
+        # the duplicated-span set joins back via broadcast — the
+        # corpus-side span stream never shuffles for the join
+        plan = _plan(spark, "q_dedup_spans")
+        assert "BroadcastHashJoin" in plan
+
+    def test_drift_grid_joins_are_broadcast(self, spark):
+        # everything after the corpus groupBy is bounded-size broadcast
+        # arithmetic: no sort-merge join anywhere
+        plan = _plan(spark, "q_curate_drift_chi2")
+        assert "SortMergeJoin" not in plan
+
+    def test_wav_codec_is_two_arrow_stages_no_shuffle(self, spark):
+        plan = _plan(spark, "q_multimodal_wav_decode", mode="simple")
+        assert plan.count("MapInPandas") == 2
+        assert "Exchange" not in plan

@@ -213,6 +213,10 @@ def bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         buf, starts, lens = _flat_batch(pdf["payload"])
+        # guard pad: when EVERY payload in the batch is shorter than a
+        # header, base=0 field gathers below would index past the flat
+        # buffer; the has_hdr mask discards whatever the pad returns
+        buf = np.concatenate([buf, np.zeros(_BMP_HDR, dtype=np.int64)])
         n = len(starts)
 
         # header-present guard first so field gathers stay in-bounds

@@ -1,0 +1,623 @@
+"""Round-4 pipeline extensions — one new operator per north-star family,
+deepening the existing surface without churning it:
+
+- ``q_dedup_spans``      repeated cross-document n-gram SPAN detection (the
+                         substring-level dedup signal, vs the whole-doc
+                         near-dup verdicts of the MinHash/SimHash family);
+- ``q_text_containment`` asymmetric shingle containment |A∩B|/|A| (doc-in-
+                         doc / near-superset detection — Jaccard's
+                         directional twin);
+- ``q_curate_drift_chi2`` per-source language-mix drift audit (chi-square
+                         against the corpus mix) for data-card QA;
+- ``q_embed_pq``         product-quantization code assignment (the ADC
+                         storage layout IVF indexes pair with k-means);
+- ``q_multimodal_wav_decode`` REAL RIFF/WAVE PCM codec round trip (the
+                         audio sibling of the BMP image codec).
+
+Registered LAST (registry import order) so the driver's budgeted
+correctness pass certifies the round-3 backlog before spending slots here.
+
+Reference parity note: the reference (zio-kinesis-example) has no batch
+surface at all — this module, like the rest of the batch inventory, is the
+north-star surface mandated by BASELINE.json, not a port.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+)
+
+from ..catalog import load
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# q_dedup_spans — repeated cross-document span detection
+# --------------------------------------------------------------------------
+# Span length 8 terms: long enough that sharing one is strong evidence of
+# copied text (boilerplate, mirrored paragraphs), short enough to occur in
+# these ~10-100-term fixture docs. Production substring dedup uses ~50-token
+# spans over a suffix-array/Bloom pass; this is the same signal computed
+# relationally: every span POSITION is a row (not distinct — a doc repeating
+# a span internally counts each occurrence), a span is "duplicated" when it
+# appears in >= 2 distinct docs, and each doc reports how much of its text
+# sits under duplicated spans.
+_SPAN_K = 8
+
+_SPANS_EXPR = f"""
+    CASE WHEN size(terms) >= {_SPAN_K}
+         THEN transform(sequence(1, size(terms) - {_SPAN_K - 1}),
+                        i -> concat_ws(' ', slice(terms, i, {_SPAN_K})))
+         ELSE array()
+    END
+"""
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms
+                   FROM documents),
+        sp AS (SELECT doc_id,
+                      array_to_string(terms[i:i+{_SPAN_K - 1}], ' ') AS span
+               FROM t, unnest(CASE WHEN len(terms) >= {_SPAN_K}
+                              THEN generate_series(1, len(terms) - {_SPAN_K - 1})
+                              ELSE [] END) AS u(i)),
+        dup AS (SELECT span FROM sp
+                GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        agg AS (SELECT sp.doc_id,
+                       COUNT(*) AS n_spans,
+                       SUM(CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_dup_spans
+                FROM sp LEFT JOIN dup ON sp.span = dup.span
+                GROUP BY sp.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(agg.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CASE WHEN COALESCE(agg.n_spans, 0) > 0
+                    THEN round(CAST(agg.n_dup_spans AS DOUBLE)
+                               / agg.n_spans, 6)
+                    ELSE 0.0 END AS dup_share
+        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+    tags=("dedup", "text", "north-star"),
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span report: for every doc, how many of its
+    8-term spans also appear in at least one OTHER document (substring-
+    level duplication — the signal behind suffix-array training-data
+    dedup, computed relationally).
+
+    Scale shape: one span-keyed partial-agged groupBy finds the shared
+    spans (the only full shuffle — partial aggregation collapses each
+    partition's repeats before the exchange); the duplicated-span set is
+    a small fraction of the corpus and BROADCASTs back into the exploded
+    span stream, so the corpus-side rows never shuffle for the join. The
+    final per-doc rollup re-aggregates the already-doc-partitioned
+    stream. At 100 TB the broadcast becomes a Bloom-filter semi-join
+    (same plan shape, approximate membership, verified second pass).
+    """
+    d = load(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id", F.split("text", " ").alias("terms")
+    ).select("doc_id", F.explode_outer(F.expr(_SPANS_EXPR)).alias("span"))
+    # explode_outer keeps short docs (<8 terms) as a NULL-span row so the
+    # final report covers every document without a second join back.
+    dup = (
+        spans.filter(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    marked = spans.join(F.broadcast(dup), "span", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.col("span")).alias("n_spans"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long")
+        .alias("n_dup_spans"),
+    )
+    return agg.select(
+        "doc_id", "n_spans", "n_dup_spans",
+        F.when(F.col("n_spans") > 0,
+               F.round(F.col("n_dup_spans").cast("double")
+                       / F.col("n_spans"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_text_containment — asymmetric shingle containment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_containment",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(CASE WHEN len(terms) >= 3
+                       THEN list_transform(generate_series(1, len(terms) - 2),
+                                           i -> array_to_string(terms[i:i+2], ' '))
+                       ELSE [array_to_string(terms, ' ')] END) AS sh
+              FROM t),
+        e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_common,
+                     MIN(a.n) AS na, MIN(b.n) AS nb
+              FROM e a JOIN e b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+               round(CAST(n_common AS DOUBLE) / na, 6) AS cont_ab,
+               round(CAST(n_common AS DOUBLE) / nb, 6) AS cont_ba
+        FROM p
+        WHERE n_common * 2 >= na OR n_common * 2 >= nb
+    """,
+    tags=("text", "dedup", "north-star"),
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-shingle containment |A∩B|/|A| for candidate pairs —
+    the directional complement of q_dedup_ngram_jaccard: a short doc
+    fully embedded in a long one scores low Jaccard but containment ≈ 1
+    (quote farms, wrapper pages, partial mirrors).
+
+    The >= 0.5 keep-filter is stated as exact integer arithmetic
+    (``2·n_common >= n``) so the boundary never touches float rounding.
+    Scale shape: identical to the Jaccard ground-truth path — shingle-
+    keyed self-join (only docs sharing a shingle ever pair), sizes
+    carried through the join key's functional dependency; at corpus
+    scale the pair stage runs per LSH bucket instead (q_dedup_minhash's
+    banding bounds Σ|bucket|²).
+    """
+    from .llm_dedup import _with_shingles
+
+    s = _with_shingles(spark, sf_dir)
+    e = s.select(
+        "doc_id", F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.min("a.n").alias("na"), F.min("b.n").alias("nb"))
+    )
+    return (
+        pairs.filter((F.col("n_common") * 2 >= F.col("na"))
+                     | (F.col("n_common") * 2 >= F.col("nb")))
+        .select(
+            "doc_a", "doc_b", "n_common", "na", "nb",
+            F.round(F.col("n_common").cast("double") / F.col("na"), 6)
+            .alias("cont_ab"),
+            F.round(F.col("n_common").cast("double") / F.col("nb"), 6)
+            .alias("cont_ba"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_curate_drift_chi2 — language-mix drift per source
+# --------------------------------------------------------------------------
+# Critical value chi2(dof=4, alpha=0.05) — the fixture corpus has 5
+# languages; stated as a literal so the flag is a pure comparison.
+_CHI2_CRIT = 9.487729
+
+
+@query(
+    "q_curate_drift_chi2",
+    oracle=f"""
+        WITH m AS (SELECT source, lang, COUNT(*) AS obs
+                   FROM documents GROUP BY source, lang),
+        lt AS (SELECT lang, SUM(obs) AS lang_tot FROM m GROUP BY lang),
+        st AS (SELECT source, SUM(obs) AS src_tot FROM m GROUP BY source),
+        g  AS (SELECT SUM(obs) AS grand FROM m),
+        grid AS (SELECT st.source, st.src_tot, lt.lang, lt.lang_tot,
+                        COALESCE(m.obs, 0) AS obs, g.grand
+                 FROM st CROSS JOIN lt CROSS JOIN g
+                 LEFT JOIN m ON m.source = st.source AND m.lang = lt.lang),
+        terms AS (SELECT source, src_tot,
+                         lang,
+                         ((obs - CAST(src_tot * lang_tot AS DOUBLE) / grand)
+                          * (obs - CAST(src_tot * lang_tot AS DOUBLE) / grand))
+                         / (CAST(src_tot * lang_tot AS DOUBLE) / grand) AS term
+                  FROM grid)
+        SELECT source,
+               CAST(MIN(src_tot) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS INT) AS n_langs,
+               round(list_reduce(
+                   array_agg(term ORDER BY lang), (x, y) -> x + y), 6)
+                   AS chi2,
+               list_reduce(array_agg(term ORDER BY lang), (x, y) -> x + y)
+                   > {_CHI2_CRIT} AS drifted
+        FROM terms GROUP BY source
+    """,
+    tags=("curation", "stats", "north-star"),
+)
+def q_curate_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift: chi-square of each source's lang
+    histogram against the corpus-wide mix — the data-card QA check that
+    catches a crawler or feed whose language composition silently shifted
+    (next to q_curate_mix_report's plain shares).
+
+    DETERMINISM: all counts are exact BIGINTs; the float chi-square terms
+    are computed with one identical expression per cell and then summed
+    in EXPLICIT lang order via an ordered fold (Spark ``aggregate`` over
+    a sorted struct array ≡ DuckDB ``list_reduce`` over ``array_agg(...
+    ORDER BY lang)`` — the q_ts_ewma technique), so the float op chain is
+    identical on both engines and the hash matches bit-for-bit.
+
+    Scale shape: the contingency matrix is |sources|×|langs| — tiny at
+    any corpus size — so everything after the one partial-agged groupBy
+    over the corpus is broadcast arithmetic on a bounded frame.
+    """
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    lt = m.groupBy("lang").agg(F.sum("obs").alias("lang_tot"))
+    st = m.groupBy("source").agg(F.sum("obs").alias("src_tot"))
+    g = m.agg(F.sum("obs").alias("grand"))
+    grid = (
+        st.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(m), ["source", "lang"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    exp = (F.col("src_tot") * F.col("lang_tot")).cast("double") / F.col("grand")
+    term = ((F.col("obs") - exp) * (F.col("obs") - exp)) / exp
+    folded = (
+        grid.select("source", "src_tot", "lang", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.min("src_tot").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("lang", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("chi2_raw"),
+        )
+    )
+    return folded.select(
+        "source", "n_docs", "n_langs",
+        F.round("chi2_raw", 6).alias("chi2"),
+        (F.col("chi2_raw") > F.lit(_CHI2_CRIT)).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_embed_pq — product-quantization code assignment
+# --------------------------------------------------------------------------
+_PQ_SCALE = 1_000_000   # the q_embed_kmeans quantization rule
+_PQ_M = 2               # subspaces (dim 64 → two 32-d halves)
+_PQ_K = 16              # centroids per subspace
+_PQ_SUBDIM = 32
+
+
+def _pq_oracle() -> str:
+    def dist(vlo: int, vhi: int) -> str:
+        return (f"list_sum(list_transform(list_zip(e.v[{vlo}:{vhi}], "
+                f"c.cv[{vlo}:{vhi}]), p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {_PQ_SCALE}.0) AS BIGINT))
+                              AS v
+                   FROM embeddings),
+        c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                         AS cid, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K})),
+        d AS (SELECT e.vec_id, c.cid,
+                     {dist(1, _PQ_SUBDIM)} AS d0,
+                     {dist(_PQ_SUBDIM + 1, 2 * _PQ_SUBDIM)} AS d1
+              FROM e CROSS JOIN c)
+        SELECT vec_id,
+               min({{'d': d0, 'c': cid}}).c AS code0,
+               min({{'d': d1, 'c': cid}}).c AS code1,
+               CAST(min(d0) + min(d1) AS BIGINT) AS qerr
+        FROM d GROUP BY vec_id
+    """
+
+
+@query("q_embed_pq", oracle=_pq_oracle(),
+       tags=("similarity", "embedding", "quantize", "north-star"))
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment: split each 64-d embedding into
+    two 32-d subspaces and code each against a 16-entry per-subspace
+    codebook — the 8-bit-per-vector ADC layout IVF indexes store
+    (q_embed_kmeans is the trained-codebook path; here the codebook is
+    the deterministic first-16-by-vec_id sample so the oracle can
+    replay assignment exactly).
+
+    DETERMINISM (q_embed_kmeans' rule): floor(x·1e6) integer
+    quantization makes every distance an exact BIGINT; argmin ties
+    break to the lowest centroid id on both engines (min over (d, cid)
+    structs).
+
+    Scale shape: the codebook is O(K·dim) driver state embedded as
+    literals, so assignment is a single stateless scan — per-row JVM
+    folds over literal arrays, no join, no shuffle, no Python. This is
+    exactly how PQ assignment runs at 100 TB: codebooks broadcast,
+    codes computed map-side, 8 bytes out per vector.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(floor(x * {_PQ_SCALE}.0D) as bigint))"
+        ).alias("v"),
+    )
+    cents = [
+        r["v"]
+        for r in e.orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+
+    def sub_best(lo: int, cid_alias: str, d_alias: str):
+        # array of (distance, cid) structs over the literal codebook;
+        # array_min picks lowest distance, then lowest cid — JVM
+        # whole-stage-codegen folds, no shuffle.
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            f"slice(v, {lo}, {_PQ_SUBDIM}), "
+            f"array({', '.join(str(c) for c in cv[lo - 1:lo - 1 + _PQ_SUBDIM])}), "
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x), "
+            f"'c', {j})"
+            for j, cv in enumerate(cents)
+        )
+        return F.expr(f"array_min(array({structs}))").alias("_best")
+
+    out = (
+        e.withColumn("b0", sub_best(1, "code0", "d0"))
+        .withColumn("b1", sub_best(_PQ_SUBDIM + 1, "code1", "d1"))
+    )
+    return out.select(
+        "vec_id",
+        F.col("b0.c").alias("code0"),
+        F.col("b1.c").alias("code1"),
+        (F.col("b0.d") + F.col("b1.d")).cast("long").alias("qerr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_multimodal_wav_decode — real RIFF/WAVE PCM codec round trip
+# --------------------------------------------------------------------------
+# Three size/format classes by doc_id % 3: (frames, sample_rate); channel
+# count alternates by doc_id % 2. A 7-byte "JUNK" chunk sits between fmt
+# and data so the decoder must run a REAL chunk walk honoring RIFF's
+# odd-size pad rule — a reader that assumes a fixed layout, skips the pad
+# byte, or hardcodes the data offset produces different sums. PCM bytes
+# are consecutive text bytes taken cyclically (lo, hi of each little-
+# endian int16 are DIFFERENT bytes, so byte-order mistakes are caught).
+_WAV_CLASSES = ((120, 8000), (200, 16000), (321, 22050))
+_WAV_JUNK = 7           # odd on purpose: exercises the RIFF pad rule
+_WAV_PREFIX = 12 + 8 + 16 + 8 + _WAV_JUNK + 1 + 8  # bytes before PCM data
+
+WAV_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("wav_ok", BooleanType()),
+    StructField("n_bytes", LongType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("first_sample", LongType()),
+    StructField("abs_energy", LongType()),
+])
+
+
+def wav_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload=text bytes) → (doc_id, payload=real WAV bytes):
+    RIFF header, canonical 16-byte PCM fmt chunk, a padded JUNK chunk,
+    then interleaved little-endian int16 samples whose bytes are the
+    text bytes taken cyclically (byte 2k = lo, byte 2k+1 = hi)."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        from .multimodal import _flat_batch
+
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        doc_id = pdf["doc_id"].to_numpy()
+        out: list = [None] * len(doc_id)
+        for c, (frames, rate) in enumerate(_WAV_CLASSES):
+            for ch in (1, 2):
+                sel = np.nonzero((doc_id % 3 == c) & (doc_id % 2 == ch - 1))[0]
+                if len(sel) == 0:
+                    continue
+                data_bytes = frames * ch * 2
+                k = np.arange(data_bytes, dtype=np.int64)
+                pcm = buf[starts[sel][:, None]
+                          + (k[None, :] % lens[sel][:, None])].astype(np.uint8)
+                riff_size = 4 + (8 + 16) + (8 + _WAV_JUNK + 1) + 8 + data_bytes
+                hdr = struct.pack(
+                    "<4sI4s" "4sIHHIIHH" "4sI", b"RIFF", riff_size, b"WAVE",
+                    b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16,
+                    b"JUNK", _WAV_JUNK,
+                )
+                junk_body = bytes(range(_WAV_JUNK)) + b"\x00"  # + pad byte
+                data_hdr = struct.pack("<4sI", b"data", data_bytes)
+                head = np.frombuffer(hdr + junk_body + data_hdr, dtype=np.uint8)
+                files = np.concatenate(
+                    [np.broadcast_to(head, (len(sel), len(head))), pcm], axis=1)
+                for j, i in enumerate(sel):
+                    out[i] = files[j].tobytes()
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real RIFF parse, vectorized: magic checks, then a bounded chunk
+    WALK (id + little-endian size, cursor += 8 + size + pad) that finds
+    ``fmt `` and ``data`` wherever they sit — unknown chunks (JUNK here)
+    are skipped by size like any RIFF reader. PCM samples are decoded as
+    little-endian int16 and reduced to an exact integer |sample| energy.
+    Handles any canonical-PCM WAV, not just this module's encoder output
+    (tests decode a hand-written fixture)."""
+    import numpy as np
+
+    for pdf in batches:
+        from .multimodal import _flat_batch
+
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        # guard pad: fixed-offset header gathers below must stay in
+        # bounds even when EVERY payload in the batch is shorter than a
+        # header (the ok masks discard whatever the padded reads return)
+        buf = np.concatenate([buf, np.zeros(64, dtype=np.int64)])
+        n = len(starts)
+        has_riff = lens >= 12
+        base = np.where(has_riff, starts, 0)
+
+        def tag_at(off):
+            """uint32 view of the 4 bytes at per-doc offset ``off``."""
+            return (buf[base + off] | (buf[base + off + 1] << 8)
+                    | (buf[base + off + 2] << 16)
+                    | (buf[base + off + 3] << 24))
+
+        RIFF = 0x46464952
+        WAVE = 0x45564157
+        FMT = 0x20746D66
+        DATA = 0x61746164
+        ok = has_riff & (tag_at(0) == RIFF) & (tag_at(8) == WAVE)
+
+        # bounded vectorized chunk walk (well-formed files have few
+        # chunks; 16 guards against adversarial payloads)
+        cursor = np.where(ok, np.int64(12), lens)  # failed docs: no walk
+        fmt_off = np.full(n, -1, dtype=np.int64)
+        data_off = np.full(n, -1, dtype=np.int64)
+        data_size = np.zeros(n, dtype=np.int64)
+        for _ in range(16):
+            active = ok & (cursor + 8 <= lens)
+            if not active.any():
+                break
+            cur = np.where(active, cursor, 0)
+            cid = (buf[base + cur] | (buf[base + cur + 1] << 8)
+                   | (buf[base + cur + 2] << 16) | (buf[base + cur + 3] << 24))
+            csize = (buf[base + cur + 4] | (buf[base + cur + 5] << 8)
+                     | (buf[base + cur + 6] << 16)
+                     | (buf[base + cur + 7] << 24))
+            in_bounds = active & (cur + 8 + csize <= lens)
+            is_fmt = in_bounds & (cid == FMT) & (csize >= 16) & (fmt_off < 0)
+            fmt_off = np.where(is_fmt, cur + 8, fmt_off)
+            is_data = in_bounds & (cid == DATA) & (data_off < 0)
+            data_off = np.where(is_data, cur + 8, data_off)
+            data_size = np.where(is_data, csize, data_size)
+            cursor = np.where(in_bounds,
+                              cur + 8 + csize + (csize & 1), lens)
+
+        ok &= (fmt_off >= 0) & (data_off >= 0)
+        fb = np.where(ok, fmt_off, 0)
+        audio_fmt = buf[base + fb] | (buf[base + fb + 1] << 8)
+        channels = buf[base + fb + 2] | (buf[base + fb + 3] << 8)
+        rate = (buf[base + fb + 4] | (buf[base + fb + 5] << 8)
+                | (buf[base + fb + 6] << 16) | (buf[base + fb + 7] << 24))
+        bits = buf[base + fb + 14] | (buf[base + fb + 15] << 8)
+        ok &= (audio_fmt == 1) & (bits == 16) & (channels >= 1)
+
+        frame_bytes = np.where(ok, 2 * channels, 1)
+        n_frames = np.where(ok, data_size // frame_bytes, 0)
+        n_samples = np.where(ok, n_frames * channels, 0)
+
+        # per-sample int16 decode over flat (doc, sample) indices
+        total = int(n_samples.sum())
+        first_sample = np.zeros(n, dtype=np.int64)
+        abs_energy = np.zeros(n, dtype=np.int64)
+        if total:
+            samp_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_samples, out=samp_off[1:])
+            rep = np.repeat(np.arange(n), n_samples)
+            si = np.arange(total, dtype=np.int64) - samp_off[rep]
+            lo_idx = starts[rep] + data_off[rep] + 2 * si
+            u = buf[lo_idx] | (buf[lo_idx + 1] << 8)
+            s = np.where(u >= 32768, u - 65536, u)
+            seg = np.minimum(samp_off[:-1], total - 1)
+            abs_energy = np.where(
+                n_samples > 0,
+                np.add.reduceat(np.abs(s), seg), 0)
+            first_sample = np.where(
+                n_samples > 0, s[np.minimum(samp_off[:-1], total - 1)], 0)
+
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "wav_ok": ok.astype(bool),
+            "n_bytes": lens,
+            "channels": np.where(ok, channels, 0).astype("int32"),
+            "sample_rate": np.where(ok, rate, 0).astype("int32"),
+            "bits": np.where(ok, bits, 0).astype("int32"),
+            "n_frames": n_frames,
+            "first_sample": first_sample,
+            "abs_energy": abs_energy,
+        })
+
+
+def _wav_oracle() -> str:
+    frames = ("CASE doc_id % 3 WHEN 0 THEN 120 WHEN 1 THEN 200 "
+              "ELSE 321 END")
+    rate = ("CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "ELSE 22050 END")
+    ch = "CAST(1 + doc_id % 2 AS INT)"
+    data_bytes = f"(({frames}) * (1 + doc_id % 2) * 2)"
+    # sample k: lo = text byte 2k, hi = text byte 2k+1 (cyclic);
+    # int16 = u - 65536 when u >= 32768
+    sample = (
+        "list_transform(generate_series(0, ({n}) - 1), k -> "
+        "CASE WHEN (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
+        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
+        " >= 32768 "
+        "THEN (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
+        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
+        " - 65536 "
+        "ELSE (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
+        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
+        " END)"
+    )
+    n_samples = f"(({frames}) * (1 + doc_id % 2))"
+    return f"""
+        SELECT doc_id,
+               TRUE AS wav_ok,
+               CAST({_WAV_PREFIX} + {data_bytes} AS BIGINT) AS n_bytes,
+               {ch} AS channels,
+               CAST({rate} AS INT) AS sample_rate,
+               16 AS bits,
+               CAST({frames} AS BIGINT) AS n_frames,
+               CAST({sample.format(n=1)}[1] AS BIGINT) AS first_sample,
+               CAST(list_sum(list_transform({sample.format(n=n_samples)},
+                        s -> abs(s))) AS BIGINT) AS abs_energy
+        FROM documents
+    """
+
+
+@query("q_multimodal_wav_decode", oracle=_wav_oracle(), tags=("multimodal",))
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format audio decode: encode each document into a genuine
+    RIFF/WAVE PCM file (``wav_encode_batch`` — canonical fmt chunk, a
+    padded JUNK chunk, interleaved little-endian int16 samples), then
+    parse it back with the dependency-free RIFF decoder
+    (``wav_decode_batch`` — magic checks, a real chunk walk honoring the
+    odd-size pad rule, int16 PCM decode, exact integer |sample| energy).
+
+    The DuckDB oracle recomputes every column from first principles
+    (fixed chunk-layout arithmetic + cyclic two-byte sample sums), so a
+    hash match proves the decoder truly walked the format: a wrong data
+    offset, skipped pad byte, or byte-order slip shifts the sums. Both
+    kernels are vectorized mapInPandas passes — Arrow batches in, numpy
+    over a flat byte buffer, no per-row Python (the audio sibling of
+    q_multimodal_decode_bmp).
+    """
+    from .multimodal import binary_docs
+
+    wavs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(wav_encode_batch, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]))
+    return wavs.mapInPandas(wav_decode_batch, schema=WAV_DECODE_SCHEMA)

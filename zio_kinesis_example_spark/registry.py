@@ -93,4 +93,8 @@ def _ensure_loaded() -> None:
         timeseries, analytics, events_analytics, tpch_suite, llm_similarity,
         llm_dedup, advanced,
     )
+    # pipeline_ext registers LAST: its queries sort after the round-3
+    # backlog in the harness's unverified-first serve order, so the
+    # driver's budget certifies older queries before these.
+    from .operators import pipeline_ext  # noqa: F401
     _loaded = True
