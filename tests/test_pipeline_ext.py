@@ -169,6 +169,105 @@ class TestDriftChi2:
         assert out["bal"]["n_docs"] == out["skew"]["n_docs"] == 40
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+    import pandas as pd
+
+    _samples = st.lists(st.integers(-32768, 32767), min_size=1, max_size=40)
+    _junk = st.lists(
+        st.tuples(st.sampled_from([b"LIST", b"JUNK", b"bext"]),
+                  st.binary(min_size=0, max_size=9)),
+        min_size=0, max_size=3)
+
+    def _chunks(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack("<4sI", tag, len(body)) + body
+                + (b"\x00" if len(body) % 2 else b""))
+
+    @settings(max_examples=40, deadline=None)
+    @given(samples=_samples, channels=st.integers(1, 2),
+           rate=st.integers(1, 192000), pre=_junk, post=_junk)
+    def test_wav_decode_matches_model_property(samples, channels, rate,
+                                               pre, post):
+        """Random PCM content + random unknown chunks on either side of
+        fmt: the vectorized decoder must agree with the independent
+        layout model (frames truncate to whole frames; energy is the
+        exact |sample| sum over decoded frames)."""
+        pre_b = b"".join(_chunks(t, b) for t, b in pre)
+        post_b = b"".join(_chunks(t, b) for t, b in post)
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+        body = (pre_b + fmt + post_b
+                + struct.pack("<4sI", b"data", len(data)) + data)
+        wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+        pdf = pd.DataFrame({"doc_id": [0], "payload": [wav]})
+        r = pd.concat(wav_decode_batch(iter([pdf]))).iloc[0]
+        n_frames = len(data) // (2 * channels)
+        used = samples[: n_frames * channels]
+        assert bool(r.wav_ok) is True
+        assert r.channels == channels and r.sample_rate == rate
+        assert r.n_frames == n_frames
+        assert r.abs_energy == sum(abs(s) for s in used)
+        assert r.first_sample == (used[0] if used else 0)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=0, max_size=80))
+    def test_wav_decode_never_crashes_on_noise(payload):
+        pdf = pd.DataFrame({"doc_id": [0], "payload": [payload]})
+        r = pd.concat(wav_decode_batch(iter([pdf]))).iloc[0]
+        assert r.n_bytes == len(payload)
+
+
+def _spans_model(docs: dict[int, str], k: int = 8):
+    """Pure-Python repeated-span model: {doc: (n_spans, n_dup)}."""
+    spans = {
+        d: [" ".join(t[i:i + k])
+            for t in [txt.split(" ")]
+            for i in range(len(t) - k + 1)]
+        for d, txt in docs.items()
+    }
+    owners: dict[str, set] = {}
+    for d, sp in spans.items():
+        for s in sp:
+            owners.setdefault(s, set()).add(d)
+    return {
+        d: (len(sp), sum(1 for s in sp if len(owners[s]) >= 2))
+        for d, sp in spans.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_spans_match_model_on_random_corpus(spark, tmpdir_factory_local,
+                                            seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → real collisions
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+        for d in range(30)
+    }
+    p = tmpdir_factory_local("spanprop")
+    spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en")) \
+     .withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text").cast("long")) \
+     .write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    out = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in
+           all_specs()["q_dedup_spans"].fn(spark, p).collect()}
+    assert out == _spans_model(docs)
+
+
 def _plan(spark, name: str, mode: str = "formatted") -> str:
     df = all_specs()[name].fn(spark, SF_SMALL)
     buf = io.StringIO()
