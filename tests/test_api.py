@@ -172,3 +172,48 @@ def test_kmeans_fit_generic(spark):
     again = kmeans_fit(df.repartition(7), "vec", "id", k=2, iters=3)
     assert sorted((r.id, r.cluster_id) for r in out.collect()) == \
         sorted((r.id, r.cluster_id) for r in again.collect())
+
+
+def test_repeated_spans_generic(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "a b c d e f g h i j")],
+        "pid long, body string")
+    out = {r.pid: r for r in
+           api.repeated_spans(df, "body", "pid", k=8).collect()}
+    assert out[1].dup_share == 1.0 and out[2].dup_share == 1.0
+    assert out[3].n_dup_spans == 0 and out[3].n_spans == 3
+
+
+def test_containment_pairs_generic(spark):
+    big = " ".join(f"w{i}" for i in range(20))
+    small = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame([(1, small), (2, big), (3, "x y z")],
+                               "pid long, body string")
+    rows = api.containment_pairs(df, "body", "pid").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.cont_ab) == (1, 2, 1.0)
+
+
+def test_pq_assign_generic(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 1.0]), (2, [1.0, 1.0, 0.0, 0.0])],
+        "pid long, v array<double>")
+    s = 1_000_000
+    books = [[[0, 0], [s, s]], [[0, 0], [s, s]]]
+    out = {r.pid: r for r in
+           api.pq_assign(df, "v", "pid", books, scale=s).collect()}
+    assert (out[1].code_0, out[1].code_1, out[1].qerr) == (0, 1, 0)
+    assert (out[2].code_0, out[2].code_1, out[2].qerr) == (1, 0, 0)
+
+
+def test_mix_drift_chi2_generic(spark):
+    rows = [(f"{g}{i}", g, ["x", "y"][i % 2])
+            for g in ("bal", "bal2", "bal3") for i in range(40)]
+    rows += [(f"s{i}", "skew", "x") for i in range(40)]
+    df = spark.createDataFrame(rows, "rid string, grp string, cls string")
+    out = {r.grp: r for r in
+           api.mix_drift_chi2(df, "grp", "cls", critical=3.84).collect()}
+    assert out["skew"].chi2 > out["bal"].chi2
+    assert out["skew"].n_rows == 40 and out["skew"].n_classes == 2

@@ -337,3 +337,164 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
                   F.col(id_col) == F.col("__id")).drop("__id")
     q.unpersist()
     return out
+
+
+def repeated_spans(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span report over an arbitrary text table
+    (the q_dedup_spans algorithm, reusable): for every document, how many
+    of its k-term spans occur in >= ``min_docs`` distinct documents.
+    Returns (id_col, n_spans, n_dup_spans, dup_share). One span-keyed
+    partial-agged shuffle + a broadcast dup-set join back — the corpus
+    side never shuffles for the join (Bloom semi-join is the 100 TB
+    swap for the broadcast)."""
+    spans_expr = (
+        f"CASE WHEN size(__terms) >= {k} THEN "
+        f"transform(sequence(1, size(__terms) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__terms, i, {k}))) ELSE array() END"
+    )
+    spans = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.split(F.col(text_col), " ").alias("__terms"))
+        .select("__id", F.explode_outer(F.expr(spans_expr)).alias("__span"))
+    )
+    dup = (
+        spans.filter(F.col("__span").isNotNull())
+        .groupBy("__span")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__span", F.lit(1).alias("__dup"))
+    )
+    return (
+        spans.join(F.broadcast(dup), "__span", "left")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.count(F.col("__span")).alias("n_spans"),
+             F.coalesce(F.sum("__dup"), F.lit(0)).cast("long")
+             .alias("n_dup_spans"))
+        .select(id_col, "n_spans", "n_dup_spans",
+                F.when(F.col("n_spans") > 0,
+                       F.round(F.col("n_dup_spans").cast("double")
+                               / F.col("n_spans"), 6))
+                .otherwise(F.lit(0.0)).alias("dup_share"))
+    )
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Asymmetric n-gram containment pairs |A∩B|/|A| over an arbitrary
+    text table (the q_text_containment algorithm, reusable): unordered
+    candidate pairs where EITHER direction's containment clears
+    ``threshold``. Returns (id_a, id_b, n_common, na, nb, cont_ab,
+    cont_ba). Shingle-co-occurrence join — only docs sharing a shingle
+    ever pair; block by LSH bucket first at corpus scale."""
+    sh = (
+        f"CASE WHEN size(__terms) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(__terms) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__terms, i, {n})))) "
+        f"ELSE array(concat_ws(' ', __terms)) END"
+    )
+    e = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.split(F.col(text_col), " ").alias("__terms"))
+        .select("__id", F.expr(sh).alias("__sh"))
+        .select("__id", F.size("__sh").cast("long").alias("__n"),
+                F.explode("__sh").alias("__g"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__g") == F.col("b.__g"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.min("a.__n").alias("na"), F.min("b.__n").alias("nb"))
+    )
+    keep = ((F.col("n_common") >= F.col("na") * threshold)
+            | (F.col("n_common") >= F.col("nb") * threshold))
+    return pairs.filter(keep).select(
+        "id_a", "id_b", "n_common", "na", "nb",
+        F.round(F.col("n_common").cast("double") / F.col("na"), 6)
+        .alias("cont_ab"),
+        F.round(F.col("n_common").cast("double") / F.col("nb"), 6)
+        .alias("cont_ba"),
+    )
+
+
+def pq_assign(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: list[list[list[int]]],
+              scale: int = 1_000_000) -> DataFrame:
+    """Product-quantization code assignment against caller-supplied
+    per-subspace codebooks (the q_embed_pq kernel, reusable; train the
+    books with ``kmeans_fit`` per subspace slice). ``codebooks[s][j]`` is
+    centroid j of subspace s in the SAME floor(x·scale) integer domain
+    this function quantizes ``vec_col`` into; subspaces are equal
+    consecutive slices. Returns the input ids plus code_<s> and the
+    exact total quantization error. Codebooks ride along as literals —
+    one stateless scan, zero shuffles at any corpus size."""
+    sub = None
+    for s, book in enumerate(codebooks):
+        dims = {len(c) for c in book}
+        assert len(dims) == 1, f"ragged codebook {s}"
+        d = dims.pop()
+        sub = d if sub is None else sub
+        assert d == sub, "subspaces must be equal length"
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform(cast({vec_col} as array<double>), "
+               f"x -> cast(floor(x * {scale}.0D) as bigint))").alias("__v"),
+    )
+    out = q
+    err = None
+    for s, book in enumerate(codebooks):
+        lo = s * sub + 1
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            f"slice(__v, {lo}, {sub}), "
+            f"array({', '.join(str(int(x)) for x in c)}), "
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t), "
+            f"'c', {j})"
+            for j, c in enumerate(book)
+        )
+        out = out.withColumn(f"__b{s}",
+                             F.expr(f"array_min(array({structs}))"))
+        e = F.col(f"__b{s}.d")
+        err = e if err is None else err + e
+    codes = [F.col(f"__b{s}.c").alias(f"code_{s}")
+             for s in range(len(codebooks))]
+    return out.select(F.col("__id").alias(id_col), *codes,
+                      err.cast("long").alias("qerr"))
+
+
+def mix_drift_chi2(df: DataFrame, group_col: str, class_col: str,
+                   critical: float = 9.487729) -> DataFrame:
+    """Per-group class-mix drift vs the whole-table mix (the
+    q_curate_drift_chi2 algorithm, reusable): chi-square of each group's
+    ``class_col`` histogram against the marginal distribution, summed in
+    explicit class order so the float chain is engine-reproducible.
+    Returns (group_col, n_rows, n_classes, chi2, drifted)."""
+    m = df.groupBy(group_col, class_col).agg(F.count(F.lit(1)).alias("__o"))
+    ct = m.groupBy(class_col).agg(F.sum("__o").alias("__ct"))
+    gt = m.groupBy(group_col).agg(F.sum("__o").alias("__gt"))
+    tot = m.agg(F.sum("__o").alias("__tot"))
+    grid = (
+        gt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+        .join(F.broadcast(m), [group_col, class_col], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    exp = (F.col("__gt") * F.col("__ct")).cast("double") / F.col("__tot")
+    term = ((F.col("__o") - exp) * (F.col("__o") - exp)) / exp
+    folded = (
+        grid.select(group_col, "__gt", F.col(class_col).alias("__cls"),
+                    term.alias("__term"))
+        .groupBy(group_col)
+        .agg(F.min("__gt").alias("n_rows"),
+             F.count(F.lit(1)).cast("int").alias("n_classes"),
+             F.aggregate(
+                 F.sort_array(F.collect_list(F.struct("__cls", "__term"))),
+                 F.lit(0.0), lambda acc, x: acc + x["__term"])
+             .alias("__chi2"))
+    )
+    return folded.select(
+        group_col, "n_rows", "n_classes",
+        F.round("__chi2", 6).alias("chi2"),
+        (F.col("__chi2") > F.lit(critical)).alias("drifted"),
+    )
