@@ -298,3 +298,80 @@ class TestPlans:
         plan = _plan(spark, "q_multimodal_wav_decode", mode="simple")
         assert plan.count("MapInPandas") == 2
         assert "Exchange" not in plan
+
+
+class TestBatch2:
+    def test_vocab_dedup_groups_reordered_docs(self, spark,
+                                               tmpdir_factory_local):
+        d = tmpdir_factory_local("vocab")
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a a b"), (3, "a b c d")],
+            ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")) \
+         .withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text").cast("long")) \
+         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = all_specs()["q_dedup_vocab"].fn(spark, d).collect()
+        assert len(rows) == 1      # docs 1+2 share vocabulary {a,b,c}
+        assert rows[0]["canonical_doc_id"] == 1
+        assert rows[0]["member_ids"] == "1,2"
+
+    def test_cdc_delete_semantics(self, spark):
+        out = all_specs()["q_merge_cdc_delete"].fn(spark, SF_SMALL)
+        rows = {r["c_custkey"]: r for r in out.collect()}
+        assert not any(k % 10 == 0 for k in rows if k < 10_000_000)
+        inserted = [k for k in rows if k >= 10_000_000]
+        assert inserted and all(rows[k]["c_name"].startswith("NEW #")
+                                for k in inserted)
+
+    def test_mg_kernel_bounds(self):
+        import pandas as pd
+
+        from zio_kinesis_example_spark.operators.pipeline_ext import (
+            _MG_K, mg_summarize,
+        )
+        # skewed stream: key 0 is hot, the long tail forces compression
+        ids = [0] * 5000 + list(range(1, 4001)) * 2
+        batches = [pd.DataFrame({"user_id": ids[i:i + 1000]})
+                   for i in range(0, len(ids), 1000)]
+        out = pd.concat(mg_summarize(iter(batches)))
+        err = int(out[out.user_id == -1]["err"].sum())
+        summary = out[out.user_id >= 0]
+        assert len(summary) <= _MG_K
+        n = len(ids)
+        assert 0 < err <= n // (_MG_K + 1) + 1
+        est0 = int(summary[summary.user_id == 0]["est"].sum())
+        assert 5000 - err <= est0 <= 5000   # undercount within bound
+
+    def test_bloom_audit_invariants(self, spark):
+        r = all_specs()["q_join_bloom_semi"].fn(spark, SF_SMALL).first()
+        assert r["no_false_negatives"] is True
+        assert r["n_candidates"] >= r["n_exact"]
+        assert r["n_false_pos"] == r["n_candidates"] - r["n_exact"]
+        assert 0 < r["bits_set"] <= 3 * r["n_keys"]
+
+    def test_asof_nearest_prefers_earlier_on_tie(self, spark,
+                                                 tmpdir_factory_local):
+        import datetime as dt
+
+        d = tmpdir_factory_local("nearest")
+        base = dt.datetime(2024, 1, 1)
+
+        def ts(sec):
+            return base + dt.timedelta(seconds=sec)
+
+        rows = [
+            (1, ts(10), 7, "click", 0.0, "{}"),
+            (2, ts(20), 7, "purchase", 0.0, "{}"),   # equidistant 10s
+            (3, ts(30), 7, "click", 0.0, "{}"),
+            (4, ts(100), 7, "purchase", 0.0, "{}"),  # only earlier click
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["event_id"]: r for r in
+               all_specs()["q_ts_asof_nearest"].fn(spark, d).collect()}
+        assert out[2]["delta_us"] == -10_000_000    # tie → earlier click
+        assert out[4]["nearest_click_us"] == out[2]["nearest_click_us"] \
+            + 20_000_000                             # click at t=30

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
 )
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
@@ -621,3 +622,429 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("payload", BinaryType()),
         ]))
     return wavs.mapInPandas(wav_decode_batch, schema=WAV_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q_dedup_vocab — order-insensitive vocabulary-fingerprint dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_vocab",
+    oracle="""
+        WITH t AS (SELECT doc_id,
+                          md5(array_to_string(
+                              list_sort(list_distinct(string_split(text, ' '))),
+                              ' ')) AS fingerprint
+                   FROM documents)
+        SELECT fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+               array_to_string(list_sort(array_agg(doc_id)), ',') AS member_ids
+        FROM t GROUP BY fingerprint HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup", "text", "north-star"),
+)
+def q_dedup_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-fingerprint dedup: documents whose DISTINCT term sets
+    are identical group together even when term order and repetition
+    differ — the canonicalization layer between exact-hash dedup (misses
+    reorderings) and MinHash (pays signature cost for what is an exact
+    equivalence). Key = md5 of the sorted distinct-term list; md5 and
+    lexicographic string sort are engine-identical, so the whole group
+    table hash-checks.
+
+    Scale shape: identical to exact dedup — per-row canonicalization is
+    a stateless JVM expression chain, then ONE hash-partitioned groupBy
+    on the 128-bit fingerprint. member_ids is a bounded per-group list
+    serialized to a string (driver canonicalizer contract: no arrays)."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("canonical_doc_id"),
+             F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+             .alias("member_ids"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_merge_cdc_delete — MERGE with tombstones (upsert + delete)
+# --------------------------------------------------------------------------
+# Deterministic delta derived from the snapshot itself so both engines
+# replay the identical change set: custkey%10==0 → delete tombstone,
+# %10∈{1,2} → update (+100.0 balance), %10==3 → insert under a shifted key.
+
+
+@query(
+    "q_merge_cdc_delete",
+    oracle="""
+        WITH delta AS (
+            SELECT c_custkey AS k, 'D' AS op,
+                   NULL AS name, CAST(NULL AS DOUBLE) AS bal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, 'U', c_name, c_acctbal + 100.0
+            FROM customer WHERE c_custkey % 10 IN (1, 2)
+            UNION ALL
+            SELECT c_custkey + 10000000, 'I',
+                   'NEW #' || CAST(c_custkey AS VARCHAR), 0.0
+            FROM customer WHERE c_custkey % 10 = 3
+        )
+        SELECT COALESCE(d.k, c.c_custkey) AS c_custkey,
+               CASE WHEN d.op IS NOT NULL THEN d.name
+                    ELSE c.c_name END AS c_name,
+               CASE WHEN d.op IS NOT NULL THEN d.bal
+                    ELSE c.c_acctbal END AS c_acctbal
+        FROM customer c FULL JOIN delta d ON c.c_custkey = d.k
+        WHERE COALESCE(d.op, '') <> 'D'
+    """,
+    tags=("cdc", "merge", "join"),
+)
+def q_merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE with tombstones — the delete-aware completion of
+    q_merge_upsert: one full-outer join applies inserts, updates, AND
+    deletes from a change feed onto a snapshot (Delta/Iceberg
+    MERGE ... WHEN MATCHED AND op='D' THEN DELETE semantics, expressed
+    relationally).
+
+    Scale shape: ONE key-partitioned full-outer join; the delta is
+    usually a small fraction of the snapshot, so AQE picks a broadcast
+    or skew-split automatically. The +100.0 double update is a single
+    identical IEEE op on both engines; no decimal round-trips."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    delta = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("name"),
+                F.lit(None).cast("double").alias("bal"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 10).isin(1, 2))
+            .select(F.col("c_custkey").alias("k"), F.lit("U").alias("op"),
+                    F.col("c_name").alias("name"),
+                    (F.col("c_acctbal") + F.lit(100.0)).alias("bal")))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 3)
+            .select((F.col("c_custkey") + 10_000_000).alias("k"),
+                    F.lit("I").alias("op"),
+                    F.concat(F.lit("NEW #"),
+                             F.col("c_custkey").cast("string")).alias("name"),
+                    F.lit(0.0).alias("bal")))
+    )
+    merged = c.join(delta, c.c_custkey == delta.k, "full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+            F.when(F.col("op").isNotNull(), F.col("name"))
+            .otherwise(F.col("c_name")).alias("c_name"),
+            F.when(F.col("op").isNotNull(), F.col("bal"))
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ts_asof_nearest — bidirectional (nearest-in-time) as-of join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_us(ts) AS ct
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.event_id, p.user_id, p.t, c.ct,
+                     abs(c.ct - p.t) AS d
+              FROM p JOIN c USING (user_id)),
+        m AS (SELECT event_id, MIN(d) AS md FROM j GROUP BY event_id)
+        SELECT j.event_id, j.user_id,
+               CAST(j.t AS BIGINT) AS t_us,
+               CAST(MIN(j.ct) AS BIGINT) AS nearest_click_us,
+               CAST(MIN(j.ct) - j.t AS BIGINT) AS delta_us
+        FROM j JOIN m ON j.event_id = m.event_id AND j.d = m.md
+        GROUP BY j.event_id, j.user_id, j.t
+    """,
+    tags=("timeseries", "join", "events"),
+)
+def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each purchase attaches the click
+    closest in EITHER direction (backward q_join_asof and forward
+    q_join_asof_forward pick a side; sensor alignment and attribution
+    often want whichever is nearer). Distance ties prefer the earlier
+    click, stated as exact BIGINT microsecond arithmetic.
+
+    Scale shape: the union+window formulation — ONE user-keyed sort
+    carries both a backward last(click) frame and a forward
+    first(click) frame (no time-range join, no fan-out); the oracle is
+    the independent join-and-argmin formulation, so the hash certifies
+    the window algebra against a different algorithm."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select("event_id", "user_id", "event_type", ep.alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    click_t = F.when(F.col("event_type") == "click", F.col("t"))
+    prev_c = F.last(click_t, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    next_c = F.first(click_t, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    scanned = base.select(
+        "event_id", "user_id", "event_type", "t",
+        prev_c.alias("prev_c"), next_c.alias("next_c"))
+    nearer = F.when(
+        F.col("next_c").isNull()
+        | (F.col("prev_c").isNotNull()
+           & ((F.col("t") - F.col("prev_c"))
+              <= (F.col("next_c") - F.col("t")))),
+        F.col("prev_c")).otherwise(F.col("next_c"))
+    return (
+        scanned.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_c").isNotNull() | F.col("next_c").isNotNull())
+        .select(
+            "event_id", "user_id", F.col("t").alias("t_us"),
+            nearer.alias("nearest_click_us"),
+            (nearer - F.col("t")).cast("long").alias("delta_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_events_heavy_hitters — exact heavy hitters + Misra-Gries merge contract
+# --------------------------------------------------------------------------
+# Threshold: a user is a heavy hitter when cnt·1200 > N (> 1/1200 of all
+# events — selective at every fixture SF). The MG summary uses k=1280
+# counters per partition, so the merged undercount is bounded by
+# N/1281 < N/1200 — every exact heavy hitter is GUARANTEED to survive the
+# sketch (the classical frequent-items bound), which is what the contract
+# columns certify.
+_HH_DENOM = 1200
+_MG_K = 1280
+
+MG_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("est", LongType()),
+    StructField("err", LongType()),
+])
+
+
+def mg_summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries frequent-items summary over user_id:
+    exact counts accumulate per Arrow batch; whenever more than k keys
+    are live, the (k+1)-th largest count c* is subtracted from every
+    counter and non-positive ones drop (each compression removes
+    >= (k+1)·c* mass, so the partition error Σc* <= n_p/(k+1)). Emits
+    (user_id, est, 0) per surviving key plus one (-1, 0, err) sentinel.
+    Mergeable: summing ests and errs across partitions preserves
+    est <= true and true - est <= Σerr."""
+    counts: dict[int, int] = {}
+    err = 0
+    for pdf in batches:
+        for u, c in pdf["user_id"].value_counts().items():
+            u = int(u)
+            counts[u] = counts.get(u, 0) + int(c)
+        if len(counts) > _MG_K:
+            vals = sorted(counts.values(), reverse=True)
+            c_star = vals[_MG_K]
+            counts = {u: c - c_star for u, c in counts.items() if c > c_star}
+            err += c_star
+    rows = [(u, c, 0) for u, c in counts.items()]
+    rows.append((-1, 0, err))
+    yield pd.DataFrame(rows, columns=["user_id", "est", "err"])
+
+
+@query(
+    "q_events_heavy_hitters",
+    oracle=f"""
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                   GROUP BY user_id),
+        n AS (SELECT SUM(cnt) AS total FROM c)
+        SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+               CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+               TRUE AS mg_found, TRUE AS mg_within_bound
+        FROM c CROSS JOIN n
+        WHERE cnt * {_HH_DENOM} > total
+    """,
+    tags=("events", "sketch", "agg"),
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items detection two ways: the exact heavy-hitter table
+    (users above 1/{den} of event volume, with exact ppm shares) plus a
+    distributed Misra-Gries sketch whose merge is checked against it —
+    the mergeable frequent-items rollup that replaces a full groupBy
+    when only the heavy tail matters at 100 TB.
+
+    Contract columns (the hll_ok pattern): ``mg_found`` = the heavy
+    hitter survived the merged k=256-counter sketch, ``mg_within_bound``
+    = its sketched estimate is <= the true count and within the summed
+    per-partition error of it. Both are THEOREMS of the MG bound
+    (undercount <= N/(k+1) < the HH threshold), so they are constant
+    TRUE for any partitioning — which makes the whole row, exact values
+    included, hash-checkable while still executing the sketch path for
+    real (mapInPandas per-partition summaries, one tiny merge shuffle).
+    """.replace("{den}", str(_HH_DENOM))
+    e = load(spark, sf_dir, "events").select("user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = exact.agg(F.sum("cnt").alias("total"))
+    hh = (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_DENOM > F.col("total"))
+        .select("user_id", "cnt",
+                F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+                F.col("total"))
+    )
+    summaries = e.mapInPandas(mg_summarize, schema=MG_SCHEMA)
+    merged = (
+        summaries.groupBy("user_id")
+        .agg(F.sum("est").alias("est"))
+        .filter(F.col("user_id") >= 0)
+    )
+    err_total = (
+        summaries.agg(F.sum("err").alias("err_total"))
+    )
+    return (
+        hh.join(merged, "user_id", "left")
+        .crossJoin(F.broadcast(err_total))
+        .select(
+            "user_id", "cnt", "share_ppm",
+            (F.coalesce(F.col("est"), F.lit(0)) > 0).alias("mg_found"),
+            ((F.coalesce(F.col("est"), F.lit(0)) <= F.col("cnt"))
+             & (F.col("cnt") - F.coalesce(F.col("est"), F.lit(0))
+                <= F.col("err_total"))).alias("mg_within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_bloom_semi — portable Bloom-filter runtime semi-join
+# --------------------------------------------------------------------------
+# m = 2^15 bits (one 4 KB bitmap), 3 affine hashes over the md5-derived
+# 60-bit base (the llm_dedup portable family): every position is exact
+# BIGINT arithmetic in any engine, so the candidate count — including the
+# exact number of false positives — is deterministic and DuckDB-checkable.
+_BLOOM_M = 1 << 15
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_AB = ((920174703, 1133990826), (1299721563, 684312702),
+             (470788213, 2063293911))
+_BLOOM_SEL = 7          # p_partkey % 10 == 7: exactly 10% of keys at any SF
+
+
+def _bloom_pos_sql(h: str) -> list[str]:
+    return [f"((({h}) * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
+            for a, b in _BLOOM_AB]
+
+
+def _bloom_oracle() -> str:
+    hs = (f"CAST(('0x' || substr(md5(CAST({{k}} AS VARCHAR)), 1, 15)) "
+          f"AS BIGINT) % {_BLOOM_P}")
+    s_pos = _bloom_pos_sql(hs.format(k="p_partkey"))
+    l_pos = _bloom_pos_sql("lh")
+    return f"""
+        WITH s AS (SELECT p_partkey FROM part
+                   WHERE p_partkey % 10 = {_BLOOM_SEL}),
+        pos AS (SELECT DISTINCT p FROM (
+            SELECT {s_pos[0]} AS p FROM s
+            UNION ALL SELECT {s_pos[1]} FROM s
+            UNION ALL SELECT {s_pos[2]} FROM s)),
+        li AS (SELECT l_partkey,
+                      {hs.format(k="l_partkey")} AS lh
+               FROM lineitem),
+        flags AS (SELECT l_partkey,
+                         ({l_pos[0]}) IN (SELECT p FROM pos)
+                         AND ({l_pos[1]}) IN (SELECT p FROM pos)
+                         AND ({l_pos[2]}) IN (SELECT p FROM pos)
+                             AS bloom_pass,
+                         l_partkey IN (SELECT p_partkey FROM s) AS is_exact
+                  FROM li)
+        SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_keys,
+               CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS bits_set,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+               CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact,
+               CAST(SUM(CASE WHEN bloom_pass AND NOT is_exact
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               TRUE AS no_false_negatives
+        FROM flags
+    """
+
+
+@query("q_join_bloom_semi", oracle=_bloom_oracle(),
+       tags=("join", "bloom", "scale"))
+def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join audit — THE shuffle-elimination
+    pattern at 100 TB: instead of broadcasting (or shuffling) the full
+    build-side key set into a fact-table join, broadcast one 4 KB bitmap
+    and let the probe side filter map-side; survivors (candidates) are a
+    superset of the true matches by construction, verified exactly
+    afterwards. The report row carries the full audit: key count, bits
+    set, candidate/exact/false-positive counts, and the no-false-
+    negatives guarantee.
+
+    DETERMINISM: the bitmap uses the portable md5-affine hash family
+    (llm_dedup's), so candidate and false-positive counts are exact
+    BIGINT-reproducible in DuckDB — the hash check certifies the actual
+    filter, not just its shape.
+
+    Scale shape: the build side collapses to <= 3·|S| distinct bit
+    positions (collected once, O(m) driver state — the same contract as
+    Spark's native InSubqueryExec/bloom runtime filters); the probe is
+    a stateless JVM expression over a 512-long literal array — no join,
+    no shuffle on the fact side until the final count aggregation.
+    """
+    part = load(spark, sf_dir, "part")
+    s = part.filter(F.col("p_partkey") % 10 == _BLOOM_SEL) \
+        .select("p_partkey")
+    h_s = (f"CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 15), "
+           f"16, 10) AS BIGINT) % {_BLOOM_P}")
+    pos_rows = (
+        s.select(F.explode(F.array(
+            *[F.expr(p) for p in _bloom_pos_sql(h_s)])).alias("p"))
+        .distinct().collect()
+    )
+    positions = sorted(int(r["p"]) for r in pos_rows)
+    n_keys = s.count()
+    words = [0] * (_BLOOM_M // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    h_l = (f"CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), "
+           f"16, 10) AS BIGINT) % {_BLOOM_P}")
+    tests = [
+        f"((element_at(bm, CAST(({p}) DIV 64 AS INT) + 1) "
+        f">> (({p}) % 64)) & 1) = 1"
+        for p in _bloom_pos_sql(h_l)
+    ]
+    flags = (
+        li.withColumn("bm", F.array(*[F.lit(w) for w in words]))
+        .withColumn("bloom_pass", F.expr(" AND ".join(tests)))
+        .drop("bm")
+        .join(F.broadcast(s.withColumn("is_exact", F.lit(True))),
+              F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select("bloom_pass",
+                F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"))
+    )
+    return flags.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(len(positions)).cast("long").alias("bits_set"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_exact"), 1)
+              .otherwise(0)).cast("long").alias("n_false_pos"),
+        F.min(F.when(F.col("is_exact"), F.col("bloom_pass"))
+              .otherwise(F.lit(True))).alias("no_false_negatives"),
+    )
