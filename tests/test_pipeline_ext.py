@@ -299,6 +299,27 @@ class TestPlans:
         assert plan.count("MapInPandas") == 2
         assert "Exchange" not in plan
 
+    def test_bloom_probe_side_never_joins_for_the_filter(self, spark):
+        # the bitmap rides as a literal: the ONLY join in the plan is the
+        # exact-verification broadcast; the fact side never sort-merges
+        plan = _plan(spark, "q_join_bloom_semi", mode="simple")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 1
+
+    def test_heavy_hitters_sketch_is_partition_local(self, spark):
+        # MG summaries run as one mapInPandas pass directly over the
+        # scan; only the tiny summary table shuffles afterwards
+        plan = _plan(spark, "q_events_heavy_hitters", mode="simple")
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_asof_nearest_single_window_sort(self, spark):
+        # both directional frames share ONE user-keyed sort: exactly one
+        # Window node, no joins anywhere
+        plan = _plan(spark, "q_ts_asof_nearest", mode="simple")
+        assert plan.count("Window") == 1
+        assert "Join" not in plan
+
 
 class TestBatch2:
     def test_vocab_dedup_groups_reordered_docs(self, spark,
