@@ -68,6 +68,15 @@ def test_decode_rejects_garbage_without_crashing():
     assert out.iloc[4].pixel_sum == 60
 
 
+def test_decode_valid_file_followed_by_garbage():
+    # regression: reduceat segment clamping used to truncate the LAST
+    # doc-with-rows' pixel_sum when a zero-row payload followed it
+    good = _bmp(2, 2, [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])])
+    out = _decode([good, b"", good[:30]])
+    assert list(out.bmp_ok) == [True, False, False]
+    assert out.iloc[0].pixel_sum == sum(range(1, 13))
+
+
 def test_decode_batch_of_only_tiny_payloads():
     # regression: a batch whose flat buffer is shorter than one header
     # must not crash the fixed-offset header gathers

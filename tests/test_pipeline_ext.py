@@ -81,6 +81,19 @@ class TestWavDecode:
         # n_bytes still reported for observability
         assert out[3]["n_bytes"] == 64
 
+    def test_valid_wav_followed_by_garbage_in_same_batch(self, spark):
+        # regression: reduceat segment clamping used to drop the final
+        # sample of the last valid WAV when an invalid payload followed
+        # it in the batch
+        out = _decode(spark, {
+            1: _wav_bytes([100, 200, 300]),
+            2: b"",
+            3: b"RIFFxxxx",
+        })
+        assert out[1]["wav_ok"] is True
+        assert out[1]["abs_energy"] == 600
+        assert not out[2]["wav_ok"] and not out[3]["wav_ok"]
+
     def test_non_pcm_format_rejected(self, spark):
         wav = bytearray(_wav_bytes([1, 2]))
         wav[20] = 3                           # audio_format = IEEE float
@@ -306,11 +319,13 @@ class TestPlans:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") == 1
 
-    def test_heavy_hitters_sketch_is_partition_local(self, spark):
-        # MG summaries run as one mapInPandas pass directly over the
-        # scan; only the tiny summary table shuffles afterwards
+    def test_heavy_hitters_sketch_materializes_once(self, spark):
+        # the MG summary is eagerly checkpointed (ONE sketch execution);
+        # the final plan reads the materialized summary (ExistingRDD) on
+        # both the est and err_total branches, and nothing sort-merges
         plan = _plan(spark, "q_events_heavy_hitters", mode="simple")
-        assert "MapInPandas" in plan
+        assert "ExistingRDD" in plan
+        assert "MapInPandas" not in plan     # not re-evaluated in-plan
         assert "SortMergeJoin" not in plan
 
     def test_asof_nearest_single_window_sort(self, spark):

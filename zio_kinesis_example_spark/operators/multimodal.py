@@ -262,11 +262,14 @@ def bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             row_start = starts[rep] + pix_off[rep] + ri * stride[rep]
             row_sums = _segment_sums(buf, row_start,
                                      row_start + row_bytes[rep])
-            # duplicate offsets (h_eff == 0 docs) yield garbage slots in
-            # reduceat's output; they are masked right after
-            seg = np.minimum(row_off[:-1], total - 1)
-            pixel_sum = np.where(
-                h_eff > 0, np.add.reduceat(row_sums, seg), 0)
+            # reduceat only over docs that OWN rows: their row_off values
+            # are strictly increasing and < total, so no segment is ever
+            # clamped or split. (Clamping zero-row docs' offsets to
+            # total-1 instead would truncate the PRECEDING doc's segment
+            # whenever a valid file is followed by an invalid one in the
+            # same batch.)
+            nz = h_eff > 0
+            pixel_sum[nz] = np.add.reduceat(row_sums, row_off[:-1][nz])
 
         # image row 0: last stored row when bottom-up, first when top-down
         r0 = np.where(topdown, 0, height - 1)

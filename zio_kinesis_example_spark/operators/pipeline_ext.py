@@ -51,14 +51,6 @@ from ..registry import query
 # sits under duplicated spans.
 _SPAN_K = 8
 
-_SPANS_EXPR = f"""
-    CASE WHEN size(terms) >= {_SPAN_K}
-         THEN transform(sequence(1, size(terms) - {_SPAN_K - 1}),
-                        i -> concat_ws(' ', slice(terms, i, {_SPAN_K})))
-         ELSE array()
-    END
-"""
-
 
 @query(
     "q_dedup_spans",
@@ -104,32 +96,10 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. At 100 TB the broadcast becomes a Bloom-filter semi-join
     (same plan shape, approximate membership, verified second pass).
     """
+    from ..api import repeated_spans
+
     d = load(spark, sf_dir, "documents")
-    spans = d.select(
-        "doc_id", F.split("text", " ").alias("terms")
-    ).select("doc_id", F.explode_outer(F.expr(_SPANS_EXPR)).alias("span"))
-    # explode_outer keeps short docs (<8 terms) as a NULL-span row so the
-    # final report covers every document without a second join back.
-    dup = (
-        spans.filter(F.col("span").isNotNull())
-        .groupBy("span")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span", F.lit(1).alias("is_dup"))
-    )
-    marked = spans.join(F.broadcast(dup), "span", "left")
-    agg = marked.groupBy("doc_id").agg(
-        F.count(F.col("span")).alias("n_spans"),
-        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long")
-        .alias("n_dup_spans"),
-    )
-    return agg.select(
-        "doc_id", "n_spans", "n_dup_spans",
-        F.when(F.col("n_spans") > 0,
-               F.round(F.col("n_dup_spans").cast("double")
-                       / F.col("n_spans"), 6))
-        .otherwise(F.lit(0.0)).alias("dup_share"),
-    )
+    return repeated_spans(d, "text", "doc_id", k=_SPAN_K, min_docs=2)
 
 
 # --------------------------------------------------------------------------
@@ -262,36 +232,14 @@ def q_curate_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size — so everything after the one partial-agged groupBy
     over the corpus is broadcast arithmetic on a bounded frame.
     """
+    from ..api import mix_drift_chi2
+
     d = load(spark, sf_dir, "documents")
-    m = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
-    lt = m.groupBy("lang").agg(F.sum("obs").alias("lang_tot"))
-    st = m.groupBy("source").agg(F.sum("obs").alias("src_tot"))
-    g = m.agg(F.sum("obs").alias("grand"))
-    grid = (
-        st.crossJoin(F.broadcast(lt))
-        .crossJoin(F.broadcast(g))
-        .join(F.broadcast(m), ["source", "lang"], "left")
-        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
-    )
-    exp = (F.col("src_tot") * F.col("lang_tot")).cast("double") / F.col("grand")
-    term = ((F.col("obs") - exp) * (F.col("obs") - exp)) / exp
-    folded = (
-        grid.select("source", "src_tot", "lang", term.alias("term"))
-        .groupBy("source")
-        .agg(
-            F.min("src_tot").alias("n_docs"),
-            F.count(F.lit(1)).cast("int").alias("n_langs"),
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("lang", "term"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["term"],
-            ).alias("chi2_raw"),
-        )
-    )
-    return folded.select(
-        "source", "n_docs", "n_langs",
-        F.round("chi2_raw", 6).alias("chi2"),
-        (F.col("chi2_raw") > F.lit(_CHI2_CRIT)).alias("drifted"),
+    return mix_drift_chi2(d, "source", "lang", critical=_CHI2_CRIT).select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("n_classes").alias("n_langs"),
+        "chi2", "drifted",
     )
 
 
@@ -351,41 +299,25 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how PQ assignment runs at 100 TB: codebooks broadcast,
     codes computed map-side, 8 bytes out per vector.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    from ..api import pq_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
         "vec_id",
         F.expr(
             f"transform(cast(embedding as array<double>), "
             f"x -> cast(floor(x * {_PQ_SCALE}.0D) as bigint))"
         ).alias("v"),
     )
-    cents = [
-        r["v"]
-        for r in e.orderBy("vec_id").limit(_PQ_K).collect()
-    ]
-
-    def sub_best(lo: int, cid_alias: str, d_alias: str):
-        # array of (distance, cid) structs over the literal codebook;
-        # array_min picks lowest distance, then lowest cid — JVM
-        # whole-stage-codegen folds, no shuffle.
-        structs = ", ".join(
-            "named_struct('d', aggregate(zip_with("
-            f"slice(v, {lo}, {_PQ_SUBDIM}), "
-            f"array({', '.join(str(c) for c in cv[lo - 1:lo - 1 + _PQ_SUBDIM])}), "
-            "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x), "
-            f"'c', {j})"
-            for j, cv in enumerate(cents)
-        )
-        return F.expr(f"array_min(array({structs}))").alias("_best")
-
-    out = (
-        e.withColumn("b0", sub_best(1, "code0", "d0"))
-        .withColumn("b1", sub_best(_PQ_SUBDIM + 1, "code1", "d1"))
-    )
-    return out.select(
+    cents = [r["v"] for r in q.orderBy("vec_id").limit(_PQ_K).collect()]
+    books = [[c[:_PQ_SUBDIM] for c in cents],
+             [c[_PQ_SUBDIM:] for c in cents]]
+    return pq_assign(emb, "embedding", "vec_id", books,
+                     scale=_PQ_SCALE).select(
         "vec_id",
-        F.col("b0.c").alias("code0"),
-        F.col("b1.c").alias("code1"),
-        (F.col("b0.d") + F.col("b1.d")).cast("long").alias("qerr"),
+        F.col("code_0").alias("code0"),
+        F.col("code_1").alias("code1"),
+        "qerr",
     )
 
 
@@ -540,12 +472,13 @@ def wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lo_idx = starts[rep] + data_off[rep] + 2 * si
             u = buf[lo_idx] | (buf[lo_idx + 1] << 8)
             s = np.where(u >= 32768, u - 65536, u)
-            seg = np.minimum(samp_off[:-1], total - 1)
-            abs_energy = np.where(
-                n_samples > 0,
-                np.add.reduceat(np.abs(s), seg), 0)
-            first_sample = np.where(
-                n_samples > 0, s[np.minimum(samp_off[:-1], total - 1)], 0)
+            # reduceat only over docs that own samples (strictly
+            # increasing offsets < total) — clamping empty docs' offsets
+            # would truncate the preceding doc's segment whenever a
+            # valid WAV is followed by an invalid payload in the batch
+            nz = n_samples > 0
+            abs_energy[nz] = np.add.reduceat(np.abs(s), samp_off[:-1][nz])
+            first_sample[nz] = s[samp_off[:-1][nz]]
 
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
@@ -879,20 +812,23 @@ def mg_summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items detection two ways: the exact heavy-hitter table
-    (users above 1/{den} of event volume, with exact ppm shares) plus a
+    (users above 1/1200 of event volume, with exact ppm shares) plus a
     distributed Misra-Gries sketch whose merge is checked against it —
     the mergeable frequent-items rollup that replaces a full groupBy
     when only the heavy tail matters at 100 TB.
 
     Contract columns (the hll_ok pattern): ``mg_found`` = the heavy
-    hitter survived the merged k=256-counter sketch, ``mg_within_bound``
+    hitter survived the merged k=1280-counter sketch, ``mg_within_bound``
     = its sketched estimate is <= the true count and within the summed
     per-partition error of it. Both are THEOREMS of the MG bound
-    (undercount <= N/(k+1) < the HH threshold), so they are constant
-    TRUE for any partitioning — which makes the whole row, exact values
-    included, hash-checkable while still executing the sketch path for
-    real (mapInPandas per-partition summaries, one tiny merge shuffle).
-    """.replace("{den}", str(_HH_DENOM))
+    (undercount <= N/(k+1) < the HH threshold) — but only within ONE
+    sketch execution, so the merged summary is eagerly checkpointed and
+    both the per-key estimates and the global error bound derive from
+    that single materialization (re-evaluating the mapInPandas subtree
+    twice could pair an est from one run with the err of another). The
+    exact values make the whole row hash-checkable while the sketch path
+    executes for real (per-partition summaries, one tiny merge shuffle).
+    """
     e = load(spark, sf_dir, "events").select("user_id")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
     tot = exact.agg(F.sum("cnt").alias("total"))
@@ -903,15 +839,16 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
                 F.col("total"))
     )
-    summaries = e.mapInPandas(mg_summarize, schema=MG_SCHEMA)
-    merged = (
-        summaries.groupBy("user_id")
-        .agg(F.sum("est").alias("est"))
-        .filter(F.col("user_id") >= 0)
+    # ONE sketch execution: the merged summary (<= |users|+partitions
+    # rows) is materialized eagerly; est and err_total both read it.
+    summaries = (
+        e.mapInPandas(mg_summarize, schema=MG_SCHEMA)
+        .groupBy("user_id")
+        .agg(F.sum("est").alias("est"), F.sum("err").alias("err"))
+        .localCheckpoint(eager=True)
     )
-    err_total = (
-        summaries.agg(F.sum("err").alias("err_total"))
-    )
+    merged = summaries.filter(F.col("user_id") >= 0).select("user_id", "est")
+    err_total = summaries.agg(F.sum("err").alias("err_total"))
     return (
         hh.join(merged, "user_id", "left")
         .crossJoin(F.broadcast(err_total))

@@ -991,17 +991,21 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed neighbor join: all point pairs within Chebyshev
     distance r on a derived 2D plane — the spatial/blocked-similarity
     join shape (and the query-side complement of q_layout_zorder's
-    storage clustering). One side explodes to its 3×3 neighbor cells and
-    the pair search becomes a hash EQUI-join on cell id with the exact
-    distance as residual — never a quadratic cross join.
+    storage clustering). One side probes its HALF-neighborhood (5 of the
+    9 neighbor cells) and the pair search becomes a hash EQUI-join on
+    cell id with the exact distance as residual — never a quadratic
+    cross join.
 
-    The ORACLE is a brute-force range self-join over the same points
-    (an independent algorithm — DuckDB plans it as an IEJoin), so the hash certifies the grid algebra:
-    cell size == radius ⇒ every qualifying pair shares one of the 9
-    neighbor cells, and each pair matches in EXACTLY one (the cell of b
-    is unique), so no dedup pass is needed.
+    Pair uniqueness: cell size == radius ⇒ every qualifying pair's cells
+    differ by at most 1 in each axis; for distinct cells exactly ONE of
+    the offsets {(1,0),(0,1),(1,1),(1,-1)} maps one cell onto the other,
+    and same-cell pairs keep the id_a < id_b guard — so each unordered
+    pair is emitted exactly once and the output only renormalizes ids to
+    id_a < id_b (no dedup exchange). The ORACLE is a brute-force range
+    self-join over the same points (an independent algorithm — DuckDB
+    plans it as an IEJoin), so the hash certifies the grid algebra.
 
-    Scale shape: shuffle keyed on cell id, fan-out fixed at 9×, residual
+    Scale shape: shuffle keyed on cell id, fan-out fixed at 5×, residual
     evaluated inside the join; cost ∝ Σ|cell|² over occupied cells
     (the honest blocked-join bound), never |points|².
     """

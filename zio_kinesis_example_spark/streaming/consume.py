@@ -70,7 +70,15 @@ def order_violations_frame(
     w = Window.partitionBy("shard_id").orderBy("seq")
     return (
         batch_df.select("shard_id", F.col("seq").cast("long").alias("seq"))
-        .withColumn("prev_seq", F.coalesce(F.lag("seq").over(w), hw))
+        # the effective predecessor is the max of the in-batch lag and
+        # the shard's high-water mark: a redelivered below-high-water
+        # record must not mask the mark and turn its contiguous
+        # successor (seq == hw + 1) into a spurious gap report
+        .withColumn(
+            "prev_seq",
+            F.greatest(F.coalesce(F.lag("seq").over(w), hw),
+                       F.coalesce(hw, F.lag("seq").over(w))),
+        )
         .filter(F.col("prev_seq").isNotNull()
                 & (F.col("seq") > F.col("prev_seq") + 1))
         .select("shard_id", "prev_seq", "seq")
