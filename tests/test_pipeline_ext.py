@@ -411,3 +411,44 @@ class TestBatch2:
         assert out[2]["delta_us"] == -10_000_000    # tie → earlier click
         assert out[4]["nearest_click_us"] == out[2]["nearest_click_us"] \
             + 20_000_000                             # click at t=30
+
+
+class TestBatch3:
+    def test_triangle_count_on_known_graph(self, spark):
+        # closed form on the fixture graph is unknown, but the census
+        # must satisfy the structural identities
+        r = all_specs()["q_graph_triangles"].fn(spark, SF_SMALL).first()
+        assert r["n_wedges"] >= 3 * r["n_triangles"]
+        assert 0 <= r["transitivity"] <= 1.0
+        assert r["n_nodes"] > 0 and r["n_edges"] > 0
+
+    def test_countmin_never_undercounts(self, spark):
+        out = all_specs()["q_agg_countmin"].fn(spark, SF_SMALL)
+        bad = out.filter(F.col("overcount") < 0).count()
+        assert bad == 0
+        assert out.filter(F.col("cm_est") < F.col("cnt")).count() == 0
+
+    def test_grid_knn_rank_contract(self, spark):
+        out = all_specs()["q_join_grid_knn"].fn(spark, SF_SMALL)
+        import pyspark.sql.functions as f
+        per = out.groupBy("id").agg(
+            f.count(f.lit(1)).alias("n"), f.max("rnk").alias("mx"),
+            f.min("rnk").alias("mn"))
+        assert per.filter("n > 3 OR mx > 3 OR mn != 1").count() == 0
+        # neighbors are within the radius
+        assert out.filter("cheb_dist > 5 OR nbr = id").count() == 0
+
+    def test_seasonal_residuals_center_on_zero(self, spark):
+        out = all_specs()["q_ts_seasonal"].fn(spark, SF_SMALL)
+        per_group = out.groupBy("event_type", "hod").agg(
+            F.round(F.sum("residual"), 2).alias("s"))
+        # residuals within each profile group sum to ~0 (exact up to the
+        # 6dp rounding of each residual)
+        mx = per_group.agg(F.max(F.abs(F.col("s")))).first()[0]
+        assert mx < 0.01
+
+    def test_session_stats_totals_match_event_count(self, spark):
+        out = all_specs()["q_events_session_stats"].fn(spark, SF_SMALL)
+        total_events = out.agg(F.sum("n_events")).first()[0]
+        from zio_kinesis_example_spark.catalog import load
+        assert total_events == load(spark, SF_SMALL, "events").count()

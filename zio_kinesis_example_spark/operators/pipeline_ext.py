@@ -985,3 +985,369 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_exact"), F.col("bloom_pass"))
               .otherwise(F.lit(True))).alias("no_false_negatives"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_graph_triangles — triangle census over the co-purchase graph
+# --------------------------------------------------------------------------
+_TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}),
+        deg AS (SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) GROUP BY node),
+        tri AS (SELECT COUNT(*) AS n FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
+                   AS n_wedges,
+               CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+               round(3.0 * (SELECT n FROM tri)
+                     / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+                   AS transitivity
+    """,
+    tags=("graph", "join", "analytics"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts co-occurring in
+    >= 2 orders): edge/wedge/triangle counts and global transitivity —
+    the third graph-algorithm shape next to connected components (BSP
+    fixpoint) and PageRank (power iteration): a bounded-depth JOIN
+    pyramid.
+
+    Triangles are counted once each via the ordered wedge join
+    (a < b < c: edges are stored lowest-id-first, wedges join
+    e1(a,b)⋈e2(b,c), closed by e3(a,c)) — the standard distributed
+    triangle algorithm; cost ∝ Σ deg(b)² over wedge middles, bounded
+    here by the min-support edge filter. The min-support groupBy both
+    shrinks the graph and de-skews the wedge join (hub parts appear in
+    many orders, but their edge lists collapse before the self-joins).
+
+    Scale shape: two shuffles (edge build, wedge join); the closing
+    check is a semi-join shape on (a, c). At billion-edge scale the
+    wedge join keys on b — the degree-ordered orientation used here is
+    exactly the standard skew mitigation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("ea"),
+                 F.col("b.l_partkey").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("ea", "eb")
+        # three consumers (degree table, wedge join both sides, closing
+        # semi-join) — materialize the bounded edge list once
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("ea").alias("node"))
+        .unionByName(e.select(F.col("eb").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
+        .join(e3, (F.col("e3.ea") == F.col("e1.ea"))
+              & (F.col("e3.eb") == F.col("e2.eb")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                    6).alias("transitivity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_countmin — Count-Min sketch with an EXACT oracle
+# --------------------------------------------------------------------------
+# d=3 rows × w=2048 counters, md5-affine row hashes. Because the merged
+# counter matrix is a pure aggregate of the data (cell[j][p] = Σ counts of
+# keys hashing to p under h_j), the sketch is partition-independent and
+# the DuckDB oracle rebuilds the IDENTICAL matrix in SQL — the estimates
+# themselves hash-check, not just a bound (stronger than the MG/HLL
+# contract pattern).
+_CM_W = 2048
+_CM_AB = ((1203071381, 946579823), (1528960981, 360922847),
+          (812176523, 1720754035))
+_CM_P = (1 << 31) - 1
+
+
+def _cm_pos_sql(h: str) -> list[str]:
+    return [f"((({h}) * {a} + {b}) % {_CM_P}) % {_CM_W}"
+            for a, b in _CM_AB]
+
+
+def _cm_oracle() -> str:
+    h = (f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+         f"AS BIGINT) % {_CM_P}")
+    pos = _cm_pos_sql(h)
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, cnt, {j} AS j, {p} AS pos FROM c"
+        for j, p in enumerate(pos))
+    return f"""
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                   GROUP BY user_id),
+        keyed AS ({rows}),
+        cm AS (SELECT j, pos, SUM(cnt) AS cell FROM keyed GROUP BY j, pos)
+        SELECT k.user_id, CAST(MIN(k.cnt) AS BIGINT) AS cnt,
+               CAST(MIN(cm.cell) AS BIGINT) AS cm_est,
+               CAST(MIN(cm.cell) - MIN(k.cnt) AS BIGINT) AS overcount
+        FROM keyed k JOIN cm ON k.j = cm.j AND k.pos = cm.pos
+        GROUP BY k.user_id
+    """
+
+
+@query("q_agg_countmin", oracle=_cm_oracle(), tags=("agg", "sketch"))
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries over user event counts — the OVERcount
+    twin of the Misra-Gries undercount sketch (q_events_heavy_hitters):
+    est(u) = min over d=3 rows of the 2048-cell counter the key hashes
+    into, always >= the true count, with collisions adding exactly the
+    colliding keys' mass.
+
+    Because the merged counter matrix is itself an aggregate (cell =
+    sum of counts hashing there), the sketch is partitioning-
+    independent and the oracle rebuilds the identical matrix with the
+    portable md5-affine hashes — estimates AND overcounts hash-check
+    exactly.
+
+    Scale shape: ONE user-keyed count (the same partial-agged groupBy a
+    plain count needs), then a 3-row fan-out into a <= d·w cell table
+    that BROADCASTs back for the min — the fact table never shuffles
+    twice. At 100 TB the counter build rides map-side partial
+    aggregation into 6144 cells; the whole sketch is one small
+    broadcast regardless of key cardinality.
+    """
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    h = (f"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), "
+         f"16, 10) AS BIGINT) % {_CM_P}")
+    pos = _cm_pos_sql(h)
+    keyed = c.select(
+        "user_id", "cnt",
+        F.posexplode(F.array(*[F.expr(p) for p in pos])).alias("j", "pos"),
+    )
+    cm = keyed.groupBy("j", "pos").agg(F.sum("cnt").alias("cell"))
+    return (
+        keyed.join(F.broadcast(cm), ["j", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cnt"),
+             F.min("cell").alias("cm_est"),
+             (F.min("cell") - F.min("cnt")).alias("overcount"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_grid_knn — k-nearest-neighbor join over the spatial grid
+# --------------------------------------------------------------------------
+_KNN_K = 3
+
+
+@query(
+    "q_join_grid_knn",
+    oracle=f"""
+        WITH pts AS (SELECT o_orderkey AS id,
+                            (o_orderkey * 2654435761) % 10000 AS x,
+                            (o_custkey * 1540483477) % 10000 AS y
+                     FROM orders),
+        pairs AS (SELECT a.id AS id, b.id AS nbr,
+                         GREATEST(abs(a.x - b.x), abs(a.y - b.y)) AS d
+                  FROM pts a JOIN pts b
+                    ON a.id <> b.id
+                   AND abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 5),
+        ranked AS (SELECT id, nbr, CAST(d AS BIGINT) AS cheb_dist,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY id ORDER BY d, nbr) AS rnk
+                   FROM pairs)
+        SELECT id, nbr, cheb_dist, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+    tags=("join", "spatial", "topk"),
+)
+def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor join (k=3, radius-bounded): each point's three
+    closest neighbors within Chebyshev radius 5, fully tie-broken —
+    the kNN companion of q_join_grid_neighbors' pair enumeration (ANN
+    blocking, spatial features, dedup candidate ranking).
+
+    Built on the SAME half-neighborhood grid pairs, symmetrized (each
+    unordered pair serves both endpoints), then ONE per-point window
+    rank. The oracle is the brute-force range self-join + rank — an
+    independent algorithm, so the hash certifies grid coverage AND the
+    tie-broken cut.
+
+    Scale shape: the grid join bounds candidates by Σ|cell|²; the rank
+    window shuffles only the radius-bounded pair list, and a per-point
+    candidate cap is the documented skew guard at billion-point scale.
+    """
+    from .relational import q_join_grid_neighbors
+
+    pairs = q_join_grid_neighbors(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "cheb_dist"
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "cheb_dist"
+    ))
+    w = Window.partitionBy("id").orderBy("cheb_dist", "nbr")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ts_seasonal — hour-of-day seasonal profile + residuals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_seasonal",
+    oracle="""
+        WITH s AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+                          SUM(CAST(round(value * 100) AS BIGINT)) AS svc,
+                          COUNT(*) AS cv
+                   FROM events GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type,
+               CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
+               e.value,
+               round(s.svc / (100.0 * s.cv), 6) AS seasonal,
+               round(e.value - s.svc / (100.0 * s.cv), 6) AS residual
+        FROM events e
+        JOIN s ON s.event_type = e.event_type
+              AND s.hod = EXTRACT(hour FROM e.ts)
+    """,
+    tags=("timeseries", "stats"),
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: the per-(type, hour-of-day) mean
+    profile and each event's residual against it — the detrending step
+    in front of any anomaly rule (q_events_anomaly_zscore flags raw
+    volumes; this separates time-of-day signal from noise on values).
+
+    DETERMINISM: values carry 2 decimal places, so the profile sums
+    EXACT BIGINT cents (a double Σvalue would depend on partition sum
+    order); the mean is then ONE identical double division
+    svc/(100·cv), and the residual one identical subtraction — both
+    rounded 6dp.
+
+    Scale shape: the 24×|types| profile is a partial-agged groupBy that
+    BROADCASTs back; the fact table never shuffles.
+    """
+    e = load(spark, sf_dir, "events")
+    prof = (
+        e.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
+             F.count(F.lit(1)).alias("cv"))
+    )
+    mean = F.col("svc") / (F.lit(100.0) * F.col("cv"))
+    return (
+        e.select("event_id", "event_type", F.hour("ts").alias("hod"),
+                 "value")
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_id", "event_type",
+            F.col("hod").cast("int").alias("hod"), "value",
+            F.round(mean, 6).alias("seasonal"),
+            F.round(F.col("value") - mean, 6).alias("residual"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_events_session_stats — per-user session rollup
+# --------------------------------------------------------------------------
+_SESS_GAP_US = 3_600_000_000
+
+
+@query(
+    "q_events_session_stats",
+    oracle=f"""
+        WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                          LAG(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              AS prev
+                   FROM events),
+        marked AS (SELECT user_id, t,
+                          CASE WHEN prev IS NULL
+                                    OR t - prev > {_SESS_GAP_US}
+                               THEN 1 ELSE 0 END AS is_start
+                   FROM o),
+        sess AS (SELECT user_id, t,
+                        SUM(is_start) OVER (
+                            PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM marked),
+        per AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                       MAX(t) - MIN(t) AS dur_us
+                FROM sess GROUP BY user_id, sid)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(dur_us) AS BIGINT) AS total_duration_us,
+               round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_session_events
+        FROM per GROUP BY user_id
+    """,
+    tags=("events", "sessionization"),
+)
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup over 1-hour-gap sessions: session count,
+    events, total in-session dwell time, mean session size — the
+    engagement report built ON TOP of q_win_session_batch's
+    gaps-and-islands primitive (which emits the sessions themselves).
+
+    Ties inside a user's stream are broken by event_id in the gap scan;
+    timestamps are exact BIGINT microseconds throughout, and the only
+    float is one final mean division rounded 6dp.
+
+    Scale shape: one user-keyed sort carries BOTH windows (gap lag +
+    running session-id cumsum — same exchange), then two partial-agged
+    rollups on the same user partitioning. No joins.
+    """
+    e = load(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", ep.alias("t"),
+        F.when(F.lag(ep).over(w).isNull()
+               | ((ep - F.lag(ep).over(w)) > _SESS_GAP_US), 1)
+        .otherwise(0).alias("is_start"),
+    )
+    wsid = (Window.partitionBy("user_id").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = marked.withColumn("sid", F.sum("is_start").over(wsid))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("dur_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("dur_us").alias("total_duration_us"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_session_events"),
+    )
