@@ -447,6 +447,26 @@ class TestBatch3:
         mx = per_group.agg(F.max(F.abs(F.col("s")))).first()[0]
         assert mx < 0.01
 
+    def test_session_stats_with_tied_timestamps(self, spark,
+                                                tmpdir_factory_local):
+        import datetime as dt
+
+        d = tmpdir_factory_local("sess")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 5, "view", 0.0, "{}"),
+            (2, t0, 5, "click", 0.0, "{}"),                # tied ts
+            (3, t0 + dt.timedelta(hours=2), 5, "view", 0.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        r = all_specs()["q_events_session_stats"].fn(spark, d).first()
+        assert r["n_sessions"] == 2
+        assert r["n_events"] == 3
+        assert r["total_duration_us"] == 0   # both sessions zero-width
+
     def test_session_stats_totals_match_event_count(self, spark):
         out = all_specs()["q_events_session_stats"].fn(spark, SF_SMALL)
         total_events = out.agg(F.sum("n_events")).first()[0]

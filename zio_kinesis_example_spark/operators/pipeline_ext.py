@@ -1286,19 +1286,19 @@ _SESS_GAP_US = 3_600_000_000
 @query(
     "q_events_session_stats",
     oracle=f"""
-        WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+        WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t,
                           LAG(epoch_us(ts)) OVER (
                               PARTITION BY user_id ORDER BY ts, event_id)
                               AS prev
                    FROM events),
-        marked AS (SELECT user_id, t,
+        marked AS (SELECT user_id, event_id, t,
                           CASE WHEN prev IS NULL
                                     OR t - prev > {_SESS_GAP_US}
                                THEN 1 ELSE 0 END AS is_start
                    FROM o),
         sess AS (SELECT user_id, t,
                         SUM(is_start) OVER (
-                            PARTITION BY user_id ORDER BY t
+                            PARTITION BY user_id ORDER BY t, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
                  FROM marked),
         per AS (SELECT user_id, sid, COUNT(*) AS n_events,
@@ -1332,12 +1332,14 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
-        "user_id", ep.alias("t"),
+        "user_id", "event_id", ep.alias("t"),
         F.when(F.lag(ep).over(w).isNull()
                | ((ep - F.lag(ep).over(w)) > _SESS_GAP_US), 1)
         .otherwise(0).alias("is_start"),
     )
-    wsid = (Window.partitionBy("user_id").orderBy("t")
+    # event_id tie-break: two events at the same microsecond must fold
+    # into the running session id in the same order on both engines
+    wsid = (Window.partitionBy("user_id").orderBy("t", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     sess = marked.withColumn("sid", F.sum("is_start").over(wsid))
     per = sess.groupBy("user_id", "sid").agg(
