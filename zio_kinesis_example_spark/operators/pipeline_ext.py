@@ -870,22 +870,38 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT arithmetic in any engine, so the candidate count — including the
 # exact number of false positives — is deterministic and DuckDB-checkable.
 _BLOOM_M = 1 << 15
-_BLOOM_P = (1 << 31) - 1
 _BLOOM_AB = ((920174703, 1133990826), (1299721563, 684312702),
              (470788213, 2063293911))
+
+# Shared portable-hash helpers: the base hash is llm_dedup's md5-derived
+# 60-bit family (single source of truth for BOTH engines' expressions);
+# affine maps mod P = 2^31-1 then fold into m buckets. Used by the Bloom
+# filter and the Count-Min sketch below.
+_HASH_P = (1 << 31) - 1
+
+
+def _h_spark(key_sql: str) -> str:
+    from .llm_dedup import _H0_SPARK
+
+    return f"{_H0_SPARK.format(c=f'CAST({key_sql} AS STRING)')} % {_HASH_P}"
+
+
+def _h_duck(key_sql: str) -> str:
+    from .llm_dedup import _H0_DUCK
+
+    return f"{_H0_DUCK.format(c=f'CAST({key_sql} AS VARCHAR)')} % {_HASH_P}"
+
+
+def _affine_pos(h: str, ab, m: int) -> list[str]:
+    """One bucket-position expression per (a, b) pair — identical SQL in
+    Spark and DuckDB (pure BIGINT arithmetic, every term < 2^62)."""
+    return [f"((({h}) * {a} + {b}) % {_HASH_P}) % {m}" for a, b in ab]
 _BLOOM_SEL = 7          # p_partkey % 10 == 7: exactly 10% of keys at any SF
 
 
-def _bloom_pos_sql(h: str) -> list[str]:
-    return [f"((({h}) * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
-            for a, b in _BLOOM_AB]
-
-
 def _bloom_oracle() -> str:
-    hs = (f"CAST(('0x' || substr(md5(CAST({{k}} AS VARCHAR)), 1, 15)) "
-          f"AS BIGINT) % {_BLOOM_P}")
-    s_pos = _bloom_pos_sql(hs.format(k="p_partkey"))
-    l_pos = _bloom_pos_sql("lh")
+    s_pos = _affine_pos(_h_duck("p_partkey"), _BLOOM_AB, _BLOOM_M)
+    l_pos = _affine_pos("lh", _BLOOM_AB, _BLOOM_M)
     return f"""
         WITH s AS (SELECT p_partkey FROM part
                    WHERE p_partkey % 10 = {_BLOOM_SEL}),
@@ -894,7 +910,7 @@ def _bloom_oracle() -> str:
             UNION ALL SELECT {s_pos[1]} FROM s
             UNION ALL SELECT {s_pos[2]} FROM s)),
         li AS (SELECT l_partkey,
-                      {hs.format(k="l_partkey")} AS lh
+                      {_h_duck("l_partkey")} AS lh
                FROM lineitem),
         flags AS (SELECT l_partkey,
                          ({l_pos[0]}) IN (SELECT p FROM pos)
@@ -942,11 +958,11 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     s = part.filter(F.col("p_partkey") % 10 == _BLOOM_SEL) \
         .select("p_partkey")
-    h_s = (f"CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 15), "
-           f"16, 10) AS BIGINT) % {_BLOOM_P}")
     pos_rows = (
         s.select(F.explode(F.array(
-            *[F.expr(p) for p in _bloom_pos_sql(h_s)])).alias("p"))
+            *[F.expr(p) for p in
+              _affine_pos(_h_spark("p_partkey"), _BLOOM_AB, _BLOOM_M)]))
+         .alias("p"))
         .distinct().collect()
     )
     positions = sorted(int(r["p"]) for r in pos_rows)
@@ -957,12 +973,10 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
-    h_l = (f"CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), "
-           f"16, 10) AS BIGINT) % {_BLOOM_P}")
     tests = [
         f"((element_at(bm, CAST(({p}) DIV 64 AS INT) + 1) "
         f">> (({p}) % 64)) & 1) = 1"
-        for p in _bloom_pos_sql(h_l)
+        for p in _affine_pos(_h_spark("l_partkey"), _BLOOM_AB, _BLOOM_M)
     ]
     flags = (
         li.withColumn("bm", F.array(*[F.lit(w) for w in words]))
@@ -1012,9 +1026,10 @@ _TRI_MIN_SUPPORT = 2
                CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
                    AS n_wedges,
                CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
-               round(3.0 * (SELECT n FROM tri)
-                     / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
-                   AS transitivity
+               CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                    THEN round(3.0 * (SELECT n FROM tri)
+                               / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+                    ELSE NULL END AS transitivity
     """,
     tags=("graph", "join", "analytics"),
 )
@@ -1075,8 +1090,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
-            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
-                    6).alias("transitivity"),
+            # zero-wedge guard: Spark yields NULL on 0/0 but DuckDB
+            # yields NaN — state the degenerate case explicitly
+            F.when(F.col("n_wedges") > 0,
+                   F.round(F.lit(3.0) * F.col("n_triangles")
+                           / F.col("n_wedges"), 6)).alias("transitivity"),
         )
     )
 
@@ -1093,18 +1111,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_W = 2048
 _CM_AB = ((1203071381, 946579823), (1528960981, 360922847),
           (812176523, 1720754035))
-_CM_P = (1 << 31) - 1
-
-
-def _cm_pos_sql(h: str) -> list[str]:
-    return [f"((({h}) * {a} + {b}) % {_CM_P}) % {_CM_W}"
-            for a, b in _CM_AB]
 
 
 def _cm_oracle() -> str:
-    h = (f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
-         f"AS BIGINT) % {_CM_P}")
-    pos = _cm_pos_sql(h)
+    pos = _affine_pos(_h_duck("user_id"), _CM_AB, _CM_W)
     rows = " UNION ALL ".join(
         f"SELECT user_id, cnt, {j} AS j, {p} AS pos FROM c"
         for j, p in enumerate(pos))
@@ -1144,9 +1154,7 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    h = (f"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), "
-         f"16, 10) AS BIGINT) % {_CM_P}")
-    pos = _cm_pos_sql(h)
+    pos = _affine_pos(_h_spark("user_id"), _CM_AB, _CM_W)
     keyed = c.select(
         "user_id", "cnt",
         F.posexplode(F.array(*[F.expr(p) for p in pos])).alias("j", "pos"),
@@ -1286,20 +1294,20 @@ _SESS_GAP_US = 3_600_000_000
 @query(
     "q_events_session_stats",
     oracle=f"""
-        WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        WITH o AS (SELECT user_id, epoch_us(ts) AS t,
                           LAG(epoch_us(ts)) OVER (
-                              PARTITION BY user_id ORDER BY ts, event_id)
-                              AS prev
+                              PARTITION BY user_id ORDER BY ts) AS prev
                    FROM events),
-        marked AS (SELECT user_id, event_id, t,
-                          CASE WHEN prev IS NULL
-                                    OR t - prev > {_SESS_GAP_US}
+        marked AS (SELECT user_id, t,
+                          CASE WHEN prev IS NOT NULL
+                                    AND t - prev > {_SESS_GAP_US}
                                THEN 1 ELSE 0 END AS is_start
                    FROM o),
         sess AS (SELECT user_id, t,
                         SUM(is_start) OVER (
-                            PARTITION BY user_id ORDER BY t, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
+                            PARTITION BY user_id ORDER BY t
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
                  FROM marked),
         per AS (SELECT user_id, sid, COUNT(*) AS n_events,
                        MAX(t) - MIN(t) AS dur_us
@@ -1317,39 +1325,27 @@ _SESS_GAP_US = 3_600_000_000
 def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session rollup over 1-hour-gap sessions: session count,
     events, total in-session dwell time, mean session size — the
-    engagement report built ON TOP of q_win_session_batch's
-    gaps-and-islands primitive (which emits the sessions themselves).
+    engagement report built directly ON q_win_session_batch's session
+    table (the gaps-and-islands primitive is defined exactly once; its
+    RANGE-frame cumsum also makes timestamp ties deterministic — tied
+    rows are frame peers and always land in the same session).
 
-    Ties inside a user's stream are broken by event_id in the gap scan;
-    timestamps are exact BIGINT microseconds throughout, and the only
-    float is one final mean division rounded 6dp.
+    Timestamps are exact BIGINT microseconds throughout; the only float
+    is one final mean division rounded 6dp.
 
-    Scale shape: one user-keyed sort carries BOTH windows (gap lag +
-    running session-id cumsum — same exchange), then two partial-agged
-    rollups on the same user partitioning. No joins.
+    Scale shape: q_win_session_batch plans ONE user-keyed sort shared
+    by both its windows; this adds two partial-agged rollups on the
+    same user partitioning. No joins.
     """
-    e = load(spark, sf_dir, "events")
-    ep = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = e.select(
-        "user_id", "event_id", ep.alias("t"),
-        F.when(F.lag(ep).over(w).isNull()
-               | ((ep - F.lag(ep).over(w)) > _SESS_GAP_US), 1)
-        .otherwise(0).alias("is_start"),
-    )
-    # event_id tie-break: two events at the same microsecond must fold
-    # into the running session id in the same order on both engines
-    wsid = (Window.partitionBy("user_id").orderBy("t", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    sess = marked.withColumn("sid", F.sum("is_start").over(wsid))
-    per = sess.groupBy("user_id", "sid").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("t") - F.min("t")).alias("dur_us"),
-    )
-    return per.groupBy("user_id").agg(
+    from .advanced import q_win_session_batch
+
+    s = q_win_session_batch(spark, sf_dir)
+    dur = (F.unix_micros(F.col("session_end").cast("timestamp"))
+           - F.unix_micros(F.col("session_start").cast("timestamp")))
+    return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
-        F.sum("dur_us").alias("total_duration_us"),
+        F.sum(dur).alias("total_duration_us"),
         F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6)
         .alias("avg_session_events"),
     )
