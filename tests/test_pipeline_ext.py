@@ -472,3 +472,53 @@ class TestBatch3:
         total_events = out.agg(F.sum("n_events")).first()[0]
         from zio_kinesis_example_spark.catalog import load
         assert total_events == load(spark, SF_SMALL, "events").count()
+
+
+class TestBatch4:
+    def test_incremental_dedup_split_covers_new_batch(self, spark):
+        out = all_specs()["q_dedup_incremental"].fn(spark, SF_SMALL)
+        rows = out.collect()
+        assert all(r["doc_id"] % 5 == 4 for r in rows)
+        for r in rows:
+            if r["dup_of_history"]:
+                assert r["canonical_doc_id"] % 5 != 4
+            else:
+                assert r["canonical_doc_id"] is None
+
+    def test_attribution_conserves_value(self, spark,
+                                         tmpdir_factory_local):
+        import datetime as dt
+
+        d = tmpdir_factory_local("attr")
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        rows = [
+            (1, ts(0), 5, "click", 0.0, "{}"),
+            (2, ts(30), 5, "click", 0.0, "{}"),
+            (3, ts(45), 5, "purchase", 10.0, "{}"),   # splits 5/5
+            (4, ts(200), 5, "purchase", 8.0, "{}"),   # no click in window
+            (5, ts(190), 5, "click", 0.0, "{}"),      # 10 min before #4
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["click_id"]: r for r in
+               all_specs()["q_events_attribution"].fn(spark, d).collect()}
+        assert out[1]["credit"] == 5.0 and out[2]["credit"] == 5.0
+        assert out[5]["credit"] == 8.0
+        assert out[5]["n_attributions"] == 1
+
+    def test_backlog_balances_to_zero(self, spark):
+        out = all_specs()["q_ts_backlog"].fn(spark, SF_SMALL)
+        from zio_kinesis_example_spark.catalog import load
+        n_li = load(spark, SF_SMALL, "lineitem").count()
+        sums = out.agg(F.sum("n_ordered"), F.sum("n_shipped")).first()
+        # every lineitem contributes exactly one +1 and one -1
+        assert sums[0] == sums[1] == n_li
+        last = out.orderBy(F.col("day").desc()).first()
+        # after the final day every ordered line has shipped
+        assert last["open_backlog"] == 0

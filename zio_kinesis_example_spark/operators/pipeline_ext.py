@@ -1349,3 +1349,201 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6)
         .alias("avg_session_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_incremental — new-batch dedup against the historical index
+# --------------------------------------------------------------------------
+# Deterministic ingest split: doc_id % 5 == 4 plays the "today's crawl"
+# batch; the rest is the historical corpus whose fingerprint index the new
+# batch checks against — the daily-ingest shape where dedup must NOT
+# rescan history, only probe its index.
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+        WITH hist AS (SELECT md5(text) AS fp, MIN(doc_id) AS canonical
+                      FROM documents WHERE doc_id % 5 <> 4 GROUP BY fp),
+        new AS (SELECT doc_id, md5(text) AS fp
+                FROM documents WHERE doc_id % 5 = 4)
+        SELECT new.doc_id,
+               hist.fp IS NOT NULL AS dup_of_history,
+               CAST(hist.canonical AS BIGINT) AS canonical_doc_id
+        FROM new LEFT JOIN hist ON new.fp = hist.fp
+    """,
+    tags=("dedup", "cdc", "north-star"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: each document in the new batch probes
+    the HISTORICAL fingerprint index (content hash → canonical doc) and
+    reports whether it duplicates history and whom — the daily-crawl
+    shape where the O(history) work happened once at index-build time
+    and each ingest pays only O(batch).
+
+    Scale shape: the history side collapses to its fingerprint index
+    via one partial-agged groupBy (in production this table is
+    maintained incrementally, not rebuilt); the probe is a left join
+    the new batch drives. AQE broadcasts whichever side is small; at
+    100 TB history the index is hash-bucketed and the probe co-locates
+    on fp (or pre-filters through q_join_bloom_semi's bitmap — the
+    composition these two queries document).
+    """
+    d = load(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp").agg(F.min("doc_id").alias("canonical"))
+    )
+    new = (
+        d.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    return (
+        new.join(hist, "fp", "left")
+        .select(
+            "doc_id",
+            F.col("canonical").isNotNull().alias("dup_of_history"),
+            F.col("canonical").alias("canonical_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_events_attribution — linear multi-touch attribution
+# --------------------------------------------------------------------------
+_ATTR_WINDOW_US = 3_600_000_000
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+        WITH c AS (SELECT event_id AS click_id, user_id,
+                          epoch_us(ts) AS ct
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt,
+                     value
+              FROM events WHERE event_type = 'purchase'),
+        pairs AS (SELECT c.click_id, c.user_id, p.purchase_id, p.value,
+                         COUNT(*) OVER (PARTITION BY p.purchase_id)
+                             AS n_touch
+                  FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.pt - c.ct BETWEEN 0 AND {_ATTR_WINDOW_US})
+        SELECT click_id, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_attributions,
+               round(list_reduce(
+                   array_agg(value / n_touch ORDER BY purchase_id),
+                   (x, y) -> x + y), 6) AS credit
+        FROM pairs GROUP BY click_id, user_id
+    """,
+    tags=("events", "join", "analytics"),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    equally across the user's clicks in the hour before it, and each
+    click reports its total earned credit — the ad-tech revenue
+    assignment built from an interval join plus a per-purchase touch
+    count.
+
+    DETERMINISM: value/n_touch is one identical division; each click's
+    credits then sum in EXPLICIT purchase_id order via the ordered fold
+    (``aggregate`` HOF ≡ ``list_reduce`` — the q_ts_ewma technique), so
+    the float chain is engine-identical.
+
+    Scale shape: the pair join is user-keyed with the time residual
+    inside the join (per-user click×purchase products — bounded by
+    per-user activity; at planetary scale block on (user, hour-bucket)
+    exactly as q_join_grid_neighbors blocks its plane). The touch count
+    rides a purchase-keyed window on the already-joined pairs.
+    """
+    e = load(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ep.alias("ct"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), ep.alias("pt"), "value")
+    pairs = c.join(
+        p, (F.col("user_id") == F.col("p_user"))
+        & ((F.col("pt") - F.col("ct")).between(0, _ATTR_WINDOW_US)))
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    shared = pairs.select(
+        "click_id", "user_id", "purchase_id",
+        (F.col("value") / n_touch).alias("share"),
+    )
+    return shared.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_attributions"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("purchase_id",
+                                                     "share"))),
+                F.lit(0.0), lambda acc, x: acc + x["share"]),
+            6).alias("credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ts_backlog — event-sourced daily open-item balance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_backlog",
+    oracle="""
+        WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+        deltas AS (
+            SELECT date_trunc('day', o.o_orderdate) AS day,
+                   CAST(1 AS BIGINT) AS ordered, CAST(0 AS BIGINT) AS shipped
+            FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT date_trunc('day', l_shipdate), 0, 1 FROM li),
+        daily AS (SELECT day, SUM(ordered) AS n_ordered,
+                         SUM(shipped) AS n_shipped
+                  FROM deltas GROUP BY day)
+        SELECT day,
+               CAST(n_ordered AS BIGINT) AS n_ordered,
+               CAST(n_shipped AS BIGINT) AS n_shipped,
+               CAST(SUM(n_ordered - n_shipped) OVER (
+                        ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_backlog
+        FROM daily
+    """,
+    tags=("timeseries", "events", "window"),
+)
+def q_ts_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced daily fulfillment balance: +1 when an order line is
+    placed (its order's date), −1 when it ships, cumulated into the
+    open-unshipped backlog per day — the running-balance shape behind
+    inventory, queue-depth, and account-ledger reports.
+
+    Scale shape: the ±1 deltas partial-aggregate into one row per
+    (day, direction) BEFORE any shuffle (the orderkey join is the only
+    fact-sized exchange), so the running-sum window sorts only the
+    bounded day table (~2,500 rows at any corpus size — a deliberate
+    single-partition window over a provably tiny input; the day-RANGE
+    repartition is the swap if the key domain were unbounded).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    placed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.date_trunc("day", "o_orderdate").alias("day"),
+                F.lit(1).cast("long").alias("ordered"),
+                F.lit(0).cast("long").alias("shipped"))
+    )
+    deltas = placed.unionByName(li.select(
+        F.date_trunc("day", "l_shipdate").alias("day"),
+        F.lit(0).cast("long").alias("ordered"),
+        F.lit(1).cast("long").alias("shipped"),
+    ))
+    daily = deltas.groupBy("day").agg(
+        F.sum("ordered").alias("n_ordered"),
+        F.sum("shipped").alias("n_shipped"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_ordered", "n_shipped",
+        F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)
+        .alias("open_backlog"),
+    )
