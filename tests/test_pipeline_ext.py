@@ -478,12 +478,32 @@ class TestBatch4:
     def test_incremental_dedup_split_covers_new_batch(self, spark):
         out = all_specs()["q_dedup_incremental"].fn(spark, SF_SMALL)
         rows = out.collect()
-        assert all(r["doc_id"] % 5 == 4 for r in rows)
+        assert rows and all(r["doc_id"] % 5 == 4 for r in rows)
         for r in rows:
             if r["dup_of_history"]:
                 assert r["canonical_doc_id"] % 5 != 4
             else:
                 assert r["canonical_doc_id"] is None
+
+    def test_incremental_dedup_detects_planted_duplicate(
+            self, spark, tmpdir_factory_local):
+        # the fixture corpus has no exact dup crossing the %5 split, so
+        # plant one: doc 9 (new batch) repeats doc 10's text (history)
+        d = tmpdir_factory_local("incr")
+        spark.createDataFrame(
+            [(9, "same text here"), (10, "same text here"),
+             (14, "only in the new batch"), (2, "unrelated history")],
+            ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")) \
+         .withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text").cast("long")) \
+         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in
+               all_specs()["q_dedup_incremental"].fn(spark, d).collect()}
+        assert set(out) == {9, 14}
+        assert out[9]["dup_of_history"] is True
+        assert out[9]["canonical_doc_id"] == 10
+        assert out[14]["dup_of_history"] is False
 
     def test_attribution_conserves_value(self, spark,
                                          tmpdir_factory_local):
@@ -499,8 +519,10 @@ class TestBatch4:
             (1, ts(0), 5, "click", 0.0, "{}"),
             (2, ts(30), 5, "click", 0.0, "{}"),
             (3, ts(45), 5, "purchase", 10.0, "{}"),   # splits 5/5
-            (4, ts(200), 5, "purchase", 8.0, "{}"),   # no click in window
+            (4, ts(200), 5, "purchase", 8.0, "{}"),   # one click in window
             (5, ts(190), 5, "click", 0.0, "{}"),      # 10 min before #4
+            (6, ts(400), 5, "purchase", 3.0, "{}"),   # NO click in window
+            #  → purchase 6's value earns no row (unattributed path)
         ]
         spark.createDataFrame(
             rows, "event_id long, ts timestamp_ntz, user_id long, "
@@ -511,6 +533,8 @@ class TestBatch4:
         assert out[1]["credit"] == 5.0 and out[2]["credit"] == 5.0
         assert out[5]["credit"] == 8.0
         assert out[5]["n_attributions"] == 1
+        # purchase 6 had no click within the hour → its 3.0 is nowhere
+        assert sum(r["credit"] for r in out.values()) == 18.0
 
     def test_backlog_balances_to_zero(self, spark):
         out = all_specs()["q_ts_backlog"].fn(spark, SF_SMALL)
