@@ -575,6 +575,22 @@ def test_order_violations_frame_executor_side(spark):
         .collect()
 
 
+def test_order_violations_redelivery_does_not_mask_high_water(spark):
+    """Regression: a redelivered below-high-water record must not become
+    the in-batch predecessor and turn its contiguous successor
+    (seq == hw + 1) into a spurious gap report."""
+    from zio_kinesis_example_spark.streaming.consume import (
+        order_violations_frame,
+    )
+    batch = spark.createDataFrame(
+        [("s0", 5), ("s0", 7),    # hw 6: 5 is redelivery, 7 = hw + 1 ok
+         ("s1", 2), ("s1", 9)],   # hw 6: 9 > hw + 1 → real gap from 6
+        "shard_id string, seq long")
+    viols = order_violations_frame(batch, {"s0": 6, "s1": 6}).collect()
+    got = {(v.shard_id, v.prev_seq, v.seq) for v in viols}
+    assert got == {("s1", 6, 9)}
+
+
 def test_connector_option_surfaces_match_golden():
     """Contract test pinning the full option maps the live-connector
     builders emit against tests/golden/connector_options.json (the
