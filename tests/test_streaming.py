@@ -620,3 +620,51 @@ def test_connector_option_surfaces_match_golden():
         "orders-topic", "broker1:9092,broker2:9092",
         starting_offsets="latest", max_offsets_per_trigger=5000,
     ) == golden["kafka"]["with_pacing"]
+
+
+def test_order_violations_unseen_shard_head_gap(spark):
+    """A shard with no high-water entry has implicit high-water 0
+    (producers emit seq 1 first): opening at seq 3 means the head of the
+    shard was skipped and must be flagged."""
+    from zio_kinesis_example_spark.streaming.consume import (
+        order_violations_frame,
+    )
+    batch = spark.createDataFrame(
+        [("s9", 3), ("s8", 1)], "shard_id string, seq long")
+    got = {(v.shard_id, v.prev_seq, v.seq)
+           for v in order_violations_frame(batch, {}).collect()}
+    assert got == {("s9", 0, 3)}
+
+
+def test_upsert_sink_null_field_update_is_not_masked(spark,
+                                                     tmpdir_factory_local):
+    """A later delta that legitimately nulls a field must win whole-row:
+    per-column coalesce would resurrect the stale base value."""
+    from zio_kinesis_example_spark.streaming import UpsertSink
+
+    state = tmpdir_factory_local("upsert-null")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id long, seq long, v string")
+    sink(base, batch_id=0)
+    delta = spark.createDataFrame(
+        [(1, 30, None)], "id long, seq long, v string")
+    sink(delta, batch_id=1)
+    rows = {r.id: r for r in sink.current(spark).collect()}
+    assert rows[1].seq == 30 and rows[1].v is None   # NULL update kept
+    assert rows[2].v == "b"                          # untouched key
+
+
+def test_decode_json_null_data_dead_letters(spark):
+    """A NULL payload (Kafka tombstone shape) must land in the dead
+    letter, not as an all-null 'valid' row."""
+    from zio_kinesis_example_spark.streaming import decode_json
+
+    env = spark.createDataFrame(
+        [("s0", "k0", 1, '{"id": 7, "partition_key": "k0", "data": "x"}'),
+         ("s0", "k1", 2, None)],
+        "shard_id string, partition_key string, seq long, data string")
+    valid, dead = decode_json(env)
+    assert [r.id for r in valid.collect()] == [7]
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1 and dead_rows[0].seq == 2

@@ -54,9 +54,13 @@ def order_violations_frame(
     per-shard lag window; for each shard's first row it comes from the
     previous batches' high-water mark (``high_water``, a per-shard map of
     size n_shards — broadcast as a literal; at huge shard counts this
-    would be a broadcast join against the state store instead). This is
-    the scale-shape twin of the driver-side per-record fold below, which
-    exists to mirror the reference's single-process semantics.
+    would be a broadcast join against the state store instead). A shard
+    with no map entry gets the IMPLICIT initial high-water 0 (matching
+    the driver fold's ``last_seq.get(shard, 0)``): producers emit seq 1
+    first, so an unseen shard opening at seq > 1 is a head-of-shard gap,
+    not a clean start. This is the scale-shape twin of the driver-side
+    per-record fold below, which exists to mirror the reference's
+    single-process semantics.
     """
     if high_water:
         hw_items = [
@@ -64,23 +68,22 @@ def order_violations_frame(
             for k, v in high_water.items()
             for x in (F.lit(k), F.lit(v).cast("long"))
         ]
-        hw = F.element_at(F.create_map(*hw_items), F.col("shard_id"))
+        hw = F.coalesce(
+            F.element_at(F.create_map(*hw_items), F.col("shard_id")),
+            F.lit(0).cast("long"),
+        )
     else:
-        hw = F.lit(None).cast("long")
+        hw = F.lit(0).cast("long")
     w = Window.partitionBy("shard_id").orderBy("seq")
     return (
         batch_df.select("shard_id", F.col("seq").cast("long").alias("seq"))
         # the effective predecessor is the max of the in-batch lag and
-        # the shard's high-water mark: a redelivered below-high-water
-        # record must not mask the mark and turn its contiguous
-        # successor (seq == hw + 1) into a spurious gap report
-        .withColumn(
-            "prev_seq",
-            F.greatest(F.coalesce(F.lag("seq").over(w), hw),
-                       F.coalesce(hw, F.lag("seq").over(w))),
-        )
-        .filter(F.col("prev_seq").isNotNull()
-                & (F.col("seq") > F.col("prev_seq") + 1))
+        # the shard's high-water mark (greatest() skips the NULL lag on
+        # each shard's first row): a redelivered below-high-water record
+        # must not mask the mark and turn its contiguous successor
+        # (seq == hw + 1) into a spurious gap report
+        .withColumn("prev_seq", F.greatest(F.lag("seq").over(w), hw))
+        .filter(F.col("seq") > F.col("prev_seq") + 1)
         .select("shard_id", "prev_seq", "seq")
     )
 
@@ -252,16 +255,26 @@ def consume_observed(
         if pending:
             # distributed detection; only the handful of matched ids ever
             # reach the driver (bounded by |fail_on_ids|)
-            hit = [
-                r.id for r in
-                batch_df.select("id")
-                .filter(F.col("id").isin([int(i) for i in pending]))
-                .collect()
-            ]
-            if hit:
-                for i in hit:
-                    pending.discard(i)
-                raise RuntimeError(f"injected failure at ids={sorted(hit)}")
+            # cache while a failure is pending: the detection scan and
+            # the sink write share one materialization instead of
+            # executing the batch's full plan twice
+            batch_df.persist()
+            try:
+                hit = [
+                    r.id for r in
+                    batch_df.select("id")
+                    .filter(F.col("id").isin([int(i) for i in pending]))
+                    .collect()
+                ]
+                if hit:
+                    for i in hit:
+                        pending.discard(i)
+                    raise RuntimeError(
+                        f"injected failure at ids={sorted(hit)}")
+                batch_df.write.format("noop").mode("overwrite").save()
+            finally:
+                batch_df.unpersist()
+            return
         batch_df.write.format("noop").mode("overwrite").save()
 
     res = ObservedResult()
@@ -293,7 +306,11 @@ def consume_observed(
             with contextlib.suppress(Exception):
                 if query.isActive:
                     query.stop()
-        tap.wait_stable("n", settle_s=0.5, timeout_s=15)
+        # wait for THIS query's terminated event: the ordered listener
+        # bus then guarantees all its progress is folded in (the settle
+        # heuristic alone can undercount when the whole bus lags)
+        if not tap.wait_terminated(str(query.runId), timeout_s=15):
+            tap.wait_stable("n", settle_s=0.5, timeout_s=5)
         res.processed = int(tap.total("n"))
         res.sum_id = int(tap.total("sum_id"))
         res.batches = tap.batches

@@ -64,6 +64,10 @@ class MetricsTap(StreamingQueryListener):
         #: two concurrent queries would otherwise cross-pollute
         #: batches/input_rows.
         self._run_id: str | None = run_id
+        #: Run ids whose onQueryTerminated has been processed. The listener
+        #: bus is ordered, so once a run's termination event lands here its
+        #: totals are final — the race-free signal wait_terminated uses.
+        self._terminated: set[str] = set()
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:
@@ -95,6 +99,8 @@ class MetricsTap(StreamingQueryListener):
         _log("idle", str(event.runId))
 
     def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            self._terminated.add(str(event.runId))
         _log("terminated", str(event.runId),
              error=str(event.exception) if event.exception else None)
 
@@ -115,13 +121,37 @@ class MetricsTap(StreamingQueryListener):
             time.sleep(poll_s)
         return self.total(key)
 
+    def wait_terminated(self, run_id: str, timeout_s: float = 20.0) -> bool:
+        """Block until ``run_id``'s onQueryTerminated has been processed
+        (or timeout). The listener bus delivers events in order, so a True
+        return guarantees every progress event of that run is already
+        folded into the totals — the race-free way to read final counts
+        (a settle heuristic can return early when the whole bus lags)."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if run_id in self._terminated:
+                    return True
+            time.sleep(0.05)
+        with self._lock:
+            return run_id in self._terminated
+
     def wait_stable(self, key: str, settle_s: float = 1.0,
                     timeout_s: float = 20.0) -> float:
         """Block until ``total(key)`` stops changing for ``settle_s`` —
-        drains in-flight events after a query terminates."""
+        drains in-flight events after a query terminates. Returns
+        immediately once the bound run's termination event has been
+        processed (totals are final then); the settle heuristic is the
+        fallback when no run is bound. Prefer :meth:`wait_terminated`
+        with an explicit run id where the caller has one."""
         deadline = time.monotonic() + timeout_s
         last, last_change = self.total(key), time.monotonic()
         while time.monotonic() < deadline:
+            with self._lock:
+                done = (self._run_id is not None
+                        and self._run_id in self._terminated)
+            if done:
+                return self.total(key)
             time.sleep(0.1)
             v = self.total(key)
             if v != last:

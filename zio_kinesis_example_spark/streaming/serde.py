@@ -43,7 +43,11 @@ def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
             {"columnNameOfCorruptRecord": _CORRUPT},
         ),
     )
-    ok = F.col(f"msg.{_CORRUPT}").isNull()
+    # data IS NULL (e.g. a Kafka tombstone) must dead-letter too:
+    # from_json(NULL) is a null struct whose corrupt field is null, so
+    # the corrupt-record check alone would route it to the valid side
+    # as an all-null payload row
+    ok = F.col("data").isNotNull() & F.col(f"msg.{_CORRUPT}").isNull()
     valid = (
         decoded.filter(ok)
         .select("*", "msg.*")

@@ -84,8 +84,14 @@ class UpsertSink:
         joined = b.join(
             d, F.col(f"b.{self.key}") == F.col(f"d.{self.key}"), "full_outer"
         )
+        # WHOLE-ROW replacement, not per-column coalesce: when the delta
+        # has the key, every field comes from the delta — a legitimate
+        # set-to-NULL update must not inherit the stale base value and
+        # produce a mixed row that never existed in the stream.
+        take_delta = F.col(f"d.{self.key}").isNotNull()
         return joined.select(*[
-            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(take_delta, F.col(f"d.{c}"))
+            .otherwise(F.col(f"b.{c}")).alias(c)
             for c in cols
         ])
 

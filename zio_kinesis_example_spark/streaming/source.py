@@ -165,14 +165,21 @@ def kinesis_source(spark: SparkSession, stream_name: str,
         **kinesis_reader_options(stream_name, region, initial_position,
                                  endpoint_url)
     )
-    # connector emits (data, streamName, partitionKey, sequenceNumber,
-    # approximateArrivalTimestamp); normalize to the envelope contract
+    # connector emits (data, streamName, partitionKey, shardId,
+    # sequenceNumber, approximateArrivalTimestamp); normalize to the
+    # envelope contract. Kinesis sequence numbers are ~56-digit decimal
+    # strings — they overflow BIGINT and DECIMAL(38), so the raw string
+    # is the ordering token (AWS keeps them fixed-width and increasing
+    # within a shard, so lexicographic order is numeric order) and the
+    # dense +1 ``seq`` is NULL: contiguity-gap semantics are a property
+    # of the hermetic producer, not of Kinesis.
     df = reader.load()
     from pyspark.sql import functions as F
     return df.select(
-        F.col("partitionKey").alias("shard_id"),
+        F.col("shardId").alias("shard_id"),
         F.col("partitionKey").alias("partition_key"),
-        F.col("sequenceNumber").cast("long").alias("seq"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("sequenceNumber").cast("string").alias("seq_str"),
         F.col("data").cast("string").alias("data"),
     )
 

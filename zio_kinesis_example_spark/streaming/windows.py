@@ -156,11 +156,17 @@ def run_available_now(sink_df: DataFrame, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
     if q.exception() is not None:
         raise RuntimeError(str(q.exception()))
+    if not finished:
+        # a timed-out drain is a FAILURE: returning the partial rows as
+        # success would silently truncate the caller's expectations
+        # (consume_observed applies the same rule)
+        raise TimeoutError(
+            f"run_available_now: query still running after {timeout_s}s")
     return rows_out
 
 
@@ -171,8 +177,9 @@ def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
     """Stream-stream join within an event-time interval: each purchase
     pairs with every click of the same user whose click_ts is in
     [purchase_ts - within, purchase_ts]. Expects pre-renamed sides:
-    clicks(user, click_id, click_ts), purchases(user, purchase_id,
-    purchase_ts).
+    clicks(user, click_id, click_ts), purchases(p_user, purchase_id,
+    purchase_ts) — the purchase-side key is ``p_user`` so the join
+    condition and final projection are unambiguous.
 
     ``how="left_outer"`` preserves unmatched clicks: a click with no
     purchase inside its interval is emitted with NULL purchase columns —
