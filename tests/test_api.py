@@ -217,3 +217,52 @@ def test_mix_drift_chi2_generic(spark):
            api.mix_drift_chi2(df, "grp", "cls", critical=3.84).collect()}
     assert out["skew"].chi2 > out["bal"].chi2
     assert out["skew"].n_rows == 40 and out["skew"].n_classes == 2
+
+
+def test_interval_overlap_join_generic(spark):
+    # left: [0, 10h], [30h, 31h]; right: [9h, 12h], [50h, 51h]
+    H = 3_600_000_000
+    left = spark.createDataFrame(
+        [(1, 0, 10 * H), (2, 30 * H, 31 * H)], "lid long, s_us long, e_us long")
+    right = spark.createDataFrame(
+        [(7, 9 * H, 12 * H), (8, 50 * H, 51 * H)],
+        "rid long, s_us long, e_us long")
+    rows = api.interval_overlap_join(left, right).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.l_lid, r.r_rid, r.overlap_us) == (1, 7, H)
+    # a pair spanning multiple shared day-buckets is emitted exactly once
+    wide_l = spark.createDataFrame([(1, 0, 72 * H)], "lid long, s_us long, e_us long")
+    wide_r = spark.createDataFrame([(7, 0, 72 * H)], "rid long, s_us long, e_us long")
+    wide = api.interval_overlap_join(wide_l, wide_r).collect()
+    assert len(wide) == 1 and wide[0].overlap_us == 72 * H
+
+
+def test_holt_smooth_generic(spark):
+    # a perfectly linear series: level tracks, trend converges to slope
+    rows = [("a", i, 10.0 + 2.0 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    out = {r.k: r for r in api.holt_smooth(df, ["k"], "i", "x").collect()}
+    r = out["a"]
+    assert r.n_points == 50
+    # slope recovered up to the decaying residue of the inexact binary
+    # 0.4/0.6 coefficients
+    assert abs(r.trend - 2.0) < 1e-4
+    assert abs(r.forecast_next - (10.0 + 2.0 * 50)) < 1e-3
+    # short series are dropped
+    short = spark.createDataFrame([("b", 1, 5.0)], "k string, i int, x double")
+    assert api.holt_smooth(short, ["k"], "i", "x").count() == 0
+
+
+def test_cusum_changepoint_generic(spark):
+    # level shift at position 11: 10 points of 5/h then 10 points of 50/h
+    rows = [("a", i, 5) for i in range(10)] + \
+           [("a", 10 + i, 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, i int, n long")
+    out = {r.k: r for r in
+           api.cusum_changepoint(df, ["k"], "i", "n").collect()}
+    r = out["a"]
+    assert r.cp_at == 9          # cumulative deviation peaks at the last low point
+    assert r.n_points == 20 and r.total == 550
+    # dev at i=10: |20*50 - 10*550| = 4500
+    assert r.dev_scaled == 4500

@@ -75,21 +75,25 @@ def test_serve_order_ignores_stale_artifact_names(monkeypatch):
 
 
 def test_round4_additions_serve_after_older_backlog():
-    """pipeline_ext registers last so its (unverified) queries sort after
-    every OTHER unverified query: the driver's budget certifies the
-    round-3 backlog before spending slots on round-4 additions."""
+    """pipeline_ext/pipeline_ext2 register last so their (unverified)
+    queries sort after every OTHER unverified query: the driver's budget
+    certifies the round-3 backlog before spending slots on round-4
+    additions — and pipeline_ext (first wave) before pipeline_ext2."""
     from zio_kinesis_example_spark.operators import pipeline_ext  # noqa: F401
     from zio_kinesis_example_spark.registry import all_specs
 
-    new = {n for n, s in all_specs().items()
-           if s.fn.__module__.endswith("pipeline_ext")}
-    assert new, "pipeline_ext queries should be registered"
+    wave1 = {n for n, s in all_specs().items()
+             if s.fn.__module__.endswith(".pipeline_ext")}
+    wave2 = {n for n, s in all_specs().items()
+             if s.fn.__module__.endswith(".pipeline_ext2")}
+    assert wave1 and wave2, "both extension waves should be registered"
     state = ent._verification_state()
     order = ent._serve_order()
     unverified = [n for n in order
                   if state.get(n, (0, "unseen"))[1] != "green"]
-    tail = unverified[-len(new):]
-    assert set(tail) == new
+    tail = unverified[-(len(wave1) + len(wave2)):]
+    assert set(tail) == wave1 | wave2
+    assert set(tail[-len(wave2):]) == wave2
 
 
 def test_serve_order_fronts_unverified(monkeypatch):

@@ -498,3 +498,114 @@ def mix_drift_chi2(df: DataFrame, group_col: str, class_col: str,
         F.round("__chi2", 6).alias("chi2"),
         (F.col("__chi2") > F.lit(critical)).alias("drifted"),
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          start_col: str = "s_us", end_col: str = "e_us",
+                          bucket_us: int = 86_400_000_000) -> DataFrame:
+    """Bucketized interval-overlap join (the q_join_interval_overlap
+    algorithm, reusable): every (left, right) row pair whose closed
+    integer-microsecond intervals ``[start_col, end_col]`` overlap.
+    Both inputs must carry BIGINT ``start_col``/``end_col``; all other
+    columns come back prefixed ``l_`` / ``r_`` plus ``overlap_us``.
+
+    Each interval explodes to the coarse buckets it covers (replication
+    = span/bucket_us), the join is an EQUI-join on bucket with the exact
+    predicate as residual, and pairs spanning several shared buckets are
+    kept once via the bucket-ownership rule (the pair is emitted only in
+    the bucket containing the overlap start) — no distinct needed.
+    Candidate cost Σ|bucket|², never |L|·|R|; tune ``bucket_us`` to the
+    interval-length scale, salt globally hot buckets."""
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        renamed = df.select(
+            [F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+        s, e = f"{prefix}{start_col}", f"{prefix}{end_col}"
+        return renamed.withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.col(s) - (F.col(s) % bucket_us),
+                                 F.col(e) - (F.col(e) % bucket_us),
+                                 F.lit(bucket_us))),
+        )
+    a, b = keyed(left, "l_"), keyed(right, "r_")
+    ls, le = f"l_{start_col}", f"l_{end_col}"
+    rs, re_ = f"r_{start_col}", f"r_{end_col}"
+    ov_start = F.greatest(ls, rs)
+    return (
+        a.join(b, ["__bucket"])
+        .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+        # ownership: emit only in the bucket where the overlap starts
+        .filter(ov_start - (ov_start % bucket_us) == F.col("__bucket"))
+        .withColumn("overlap_us",
+                    F.least(le, re_) - F.greatest(ls, rs))
+        .drop("__bucket")
+    )
+
+
+def holt_smooth(df: DataFrame, key_cols: list[str], order_col: str,
+                value_col: str, alpha: float = 0.4,
+                beta: float = 0.3) -> DataFrame:
+    """Holt double-exponential smoothing per key (the q_ts_holt
+    algorithm, reusable): lᵢ = αxᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁),
+    bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁, initialized l₁=x₁, b₁=x₂−x₁.
+    Series shorter than 2 points are dropped. Returns
+    (key_cols…, n_points, level, trend, forecast_next) at full double
+    precision (callers round for display). One shuffle: the series
+    collect; fold order comes from sort_array, not a window sort."""
+    a, ia = float(alpha), 1.0 - float(alpha)
+    bcoef, ib = float(beta), 1.0 - float(beta)
+    series = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr(f"transform(sort_array(collect_list(struct({order_col} "
+                   f"AS o, CAST({value_col} AS DOUBLE) AS x))), s -> s.x)")
+            .alias("__xs"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+    new_l = (f"CAST({a!r} AS DOUBLE) * x "
+             f"+ CAST({ia!r} AS DOUBLE) * (acc.l + acc.b)")
+    fold = F.expr(f"""
+        aggregate(
+            slice(__xs, 2, size(__xs) - 1),
+            named_struct('l', __xs[1], 'b', __xs[2] - __xs[1]),
+            (acc, x) -> named_struct(
+                'l', {new_l},
+                'b', CAST({bcoef!r} AS DOUBLE) * (({new_l}) - acc.l)
+                     + CAST({ib!r} AS DOUBLE) * acc.b))
+    """)
+    return (
+        series.withColumn("__st", fold)
+        .select(*key_cols, "n_points",
+                F.col("__st.l").alias("level"),
+                F.col("__st.b").alias("trend"),
+                (F.col("__st.l") + F.col("__st.b")).alias("forecast_next"))
+    )
+
+
+def cusum_changepoint(df: DataFrame, key_cols: list[str], order_col: str,
+                      count_col: str) -> DataFrame:
+    """Exact-integer CUSUM changepoint per key (the q_ts_changepoint
+    algorithm, reusable): the ``order_col`` position where the running
+    deviation of BIGINT ``count_col`` from the series mean peaks, using
+    the scaled form k·Σᵢ − i·Σ (never a float division). Returns
+    (key_cols…, cp_at, dev_scaled, n_points, total)."""
+    tot = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__k"), F.sum(count_col).alias("__s"))
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    c = (
+        df.join(F.broadcast(tot), key_cols)
+        .withColumn("__cum", F.sum(count_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__i", F.row_number().over(w).cast("long"))
+        .withColumn("__dev", F.abs(F.col("__k") * F.col("__cum")
+                                   - F.col("__i") * F.col("__s")))
+    )
+    rnw = Window.partitionBy(*key_cols).orderBy(F.desc("__dev"), order_col)
+    return (
+        c.withColumn("__rn", F.row_number().over(rnw))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, F.col(order_col).alias("cp_at"),
+                F.col("__dev").alias("dev_scaled"),
+                F.col("__k").alias("n_points"), F.col("__s").alias("total"))
+    )

@@ -1,0 +1,378 @@
+"""Round-4 (second wave) pipeline extensions — four primitives that round
+out under-represented shapes in the SURVEY.md §2.2 inventory:
+
+- ``q_join_interval_overlap`` bucketized interval-overlap self-join over the
+                          session table (concurrent-activity pairs) — the
+                          generic two-interval-set overlap join, distinct
+                          from the point-in-range / as-of family;
+- ``q_ts_holt``           Holt double-exponential smoothing (level + trend)
+                          — the two-state recursive smoother extending
+                          q_ts_ewma's single-state fold;
+- ``q_events_paths``      top user journey prefixes (ordered first-5 event
+                          types) — sequence mining next to the Markov
+                          transition matrix;
+- ``q_ts_changepoint``    exact-integer CUSUM changepoint detection per
+                          series — the offline change-detection twin of the
+                          3σ anomaly rule.
+
+Registered after pipeline_ext (registry import order) so the driver's
+budgeted correctness pass certifies earlier backlogs first.
+
+Reference parity note: the reference (zio-kinesis-example) has no batch
+surface — this module is north-star surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# q_join_interval_overlap — bucketized interval-overlap self-join
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+# The oracle derives the same session table as q_win_session_batch's oracle
+# (shared gaps-and-islands definition), then states overlap as the textbook
+# predicate self-join — the semantic definition the bucketized Spark plan
+# must reproduce exactly.
+_OVERLAP_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                        > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    s AS (
+        SELECT user_id,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS BIGINT) AS session_id,
+               ts
+        FROM g),
+    t AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        FROM s GROUP BY user_id, session_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+                AS BIGINT) AS overlap_us
+    FROM t a JOIN t b
+      ON a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("join", "interval", "session"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of DIFFERENT users whose activity
+    sessions (q_win_session_batch's 1-hour-gap islands — primitive defined
+    once, reused here) overlap in time, with pair counts and total overlap
+    microseconds. Touching endpoints count (closed intervals). This is the
+    general two-interval-set overlap join — the missing sibling of the
+    point-in-range join (q_join_range), the as-of family, and the interval
+    window frame.
+
+    DETERMINISM: all boundary math in integer microseconds; overlap width
+    = min(end) − max(start) summed as BIGINT — engine-exact.
+
+    Scale shape: the naive form is an inequality self-join (O(n²)
+    candidate space, not hash-partitionable). Instead each interval
+    EXPLODES to the coarse day buckets it covers (replication factor =
+    interval span / bucket, ~1 here), the join is an EQUI-join on bucket
+    with the exact overlap predicate as residual, and bucket-spanning
+    pairs are deduplicated before aggregation. Candidate cost is
+    Σ|bucket|² (bounded by per-day concurrency), never |sessions|² — the
+    same bucket-then-verify posture as the LSH/grid joins. A globally hot
+    bucket (flash-crowd day) is the documented salting candidate; bucket
+    width tunes replication vs bucket occupancy at 100 TB.
+    """
+    from .advanced import q_win_session_batch
+
+    s = q_win_session_batch(spark, sf_dir).select(
+        "user_id", "session_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+    )
+    b = s.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr(f"s_us DIV {_DAY_US}"),
+                             F.expr(f"e_us DIV {_DAY_US}"))),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.session_id").alias("sid_a"),
+            F.col("b.session_id").alias("sid_b"),
+            (F.least("a.e_us", "b.e_us")
+             - F.greatest("a.s_us", "b.s_us")).alias("ov"),
+        )
+        # A pair spanning k shared day buckets appears k times with
+        # identical values — dedup on the full row before aggregating.
+        .dropDuplicates(["user_a", "user_b", "sid_a", "sid_b", "ov"])
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("ov").cast("long").alias("overlap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ts_holt — Holt double-exponential smoothing (level + trend)
+# --------------------------------------------------------------------------
+
+# α (level) / β (trend) as decimal literals both engines parse to the same
+# nearest double; never computed as 1 − α (would still be exact here, but
+# literal symmetry keeps the op-order audit trivial).
+_HOLT_ORACLE = """
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hourly),
+    r AS (
+        SELECT i1.event_type, CAST(1 AS BIGINT) AS i, i1.n,
+               i1.x AS l, i2.x - i1.x AS b
+        FROM idx i1 JOIN idx i2
+          ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+        UNION ALL
+        SELECT r.event_type, r.i + 1, r.n,
+               0.4 * nx.x + 0.6 * (r.l + r.b) AS l,
+               0.3 * ((0.4 * nx.x + 0.6 * (r.l + r.b)) - r.l) + 0.7 * r.b
+                   AS b
+        FROM r JOIN idx nx
+          ON nx.event_type = r.event_type AND nx.i = r.i + 1)
+    SELECT event_type, n AS n_hours, round(l, 6) AS level,
+           round(b, 6) AS trend, round(l + b, 6) AS forecast_next
+    FROM r WHERE i = n
+"""
+
+
+@query(
+    "q_ts_holt",
+    oracle=_HOLT_ORACLE,
+    tags=("timeseries", "recursive"),
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per series (α=0.4, β=0.3): the
+    TWO-state recursive smoother (lᵢ = αxᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁);
+    bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁) over hourly event counts, plus the
+    one-step forecast l+b. Extends q_ts_ewma's single-state fold to a
+    STRUCT accumulator — the shape every multi-state recurrence
+    (Holt-Winters, Kalman-lite, drawdown) reuses.
+
+    DETERMINISM: series values are exact BIGINT counts cast to double;
+    both engines fold the identically-ordered series with the identical
+    literal-coefficient op chain (Spark `aggregate` HOF with a
+    named_struct accumulator ≡ DuckDB recursive CTE carrying (l, b)), so
+    every intermediate double is bit-identical; emitted 6dp. The oracle's
+    trend term re-states the new-level expression inline — same ops, same
+    order, same bits.
+
+    Scale shape: one partial-agged hourly rollup, then ONE shuffle to
+    collect each bounded series (sort_array gives fold order without a
+    window sort); per-series state is O(series length). Unbounded series
+    stream through applyInPandasWithState carrying (l, b) as state — the
+    streaming running-count pattern.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    series = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.expr("transform(sort_array(collect_list(struct(h, x))), "
+                   "s -> s.x)").alias("xs"),
+        )
+        .filter(F.col("n_hours") >= 2)
+    )
+    fold = F.expr("""
+        aggregate(
+            slice(xs, 2, size(xs) - 1),
+            named_struct('l', xs[1], 'b', xs[2] - xs[1]),
+            (acc, x) -> named_struct(
+                'l', CAST(0.4 AS DOUBLE) * x
+                     + CAST(0.6 AS DOUBLE) * (acc.l + acc.b),
+                'b', CAST(0.3 AS DOUBLE)
+                       * ((CAST(0.4 AS DOUBLE) * x
+                           + CAST(0.6 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+                     + CAST(0.7 AS DOUBLE) * acc.b))
+    """)
+    return (
+        series.withColumn("st", fold)
+        .select(
+            "event_type", "n_hours",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_events_paths — top user-journey prefixes
+# --------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+"""
+
+
+@query(
+    "q_events_paths",
+    oracle=_PATHS_ORACLE,
+    tags=("events", "sequence"),
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey prefixes: each user's first five event types in
+    (ts, event_id) order joined into a '>' path, ranked by how many users
+    share it. Sequence mining's simplest member — the whole-prefix view
+    next to q_events_markov's pairwise transition matrix.
+
+    DETERMINISM: order fully tie-broken by (ts, event_id); the top-20 cut
+    tie-broken by (n_users DESC, path).
+
+    Scale shape: one user-keyed window sort (shared prefix-filter),
+    per-user path built by sort_array on bounded (rn ≤ 5) structs — no
+    second sort; the path table partial-aggregates into the final count,
+    and the cut is a TakeOrderedAndProject heap, never a global sort.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(rn, "
+                   "event_type))), s -> s.event_type)"),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ts_changepoint — exact-integer CUSUM changepoint per series
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS s
+        FROM hourly GROUP BY 1),
+    c AS (
+        SELECT hourly.event_type, h,
+               CAST(SUM(n) OVER (PARTITION BY hourly.event_type ORDER BY h)
+                    AS BIGINT) AS cum,
+               CAST(row_number() OVER (PARTITION BY hourly.event_type
+                                       ORDER BY h) AS BIGINT) AS i,
+               k, s
+        FROM hourly JOIN tot ON hourly.event_type = tot.event_type),
+    d AS (
+        SELECT event_type, h, k, s, abs(k * cum - i * s) AS dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(k * cum - i * s) DESC, h)
+                   AS rn
+        FROM c)
+    SELECT event_type, h AS cp_hour, CAST(dev AS BIGINT) AS dev_scaled,
+           k AS n_hours, s AS n_events
+    FROM d WHERE rn = 1
+"""
+
+
+@query(
+    "q_ts_changepoint",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "anomaly"),
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per series: the hour where the running
+    deviation of hourly counts from the series mean peaks — the offline
+    level-shift detector next to q_events_anomaly_zscore's pointwise 3σ
+    rule and q_ts_seasonal's profile detrend.
+
+    DETERMINISM: the mean-deviation cumsum is kept as the SCALED integer
+    k·Σᵢnⱼ − i·Σn (k = #hours) — the float CUSUM Σ(nⱼ − μ) times k,
+    without ever dividing — so the argmax is BIGINT-exact; ties broken by
+    earliest hour. |k·cum| ≤ k·S < 2⁶³ comfortably at any realistic
+    series length.
+
+    Scale shape: raw events partial-aggregate to the bounded hourly table
+    before any shuffle; the per-type totals broadcast back; running sum +
+    row_number + the argmax rank share ONE (event_type, h)-sorted window
+    exchange (the cumsum pair) plus one rank window on the same
+    partitioning. Only the |series|-row table ever sorts.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    c = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .withColumn("cum", F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("i", F.row_number().over(w).cast("long"))
+    )
+    d = c.withColumn(
+        "dev", F.abs(F.col("k") * F.col("cum") - F.col("i") * F.col("s"))
+    )
+    rnw = Window.partitionBy("event_type").orderBy(F.desc("dev"), "h")
+    return (
+        d.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("h").alias("cp_hour"),
+            F.col("dev").alias("dev_scaled"),
+            F.col("k").alias("n_hours"), F.col("s").alias("n_events"),
+        )
+    )

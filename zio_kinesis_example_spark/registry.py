@@ -97,4 +97,6 @@ def _ensure_loaded() -> None:
     # backlog in the harness's unverified-first serve order, so the
     # driver's budget certifies older queries before these.
     from .operators import pipeline_ext  # noqa: F401
+    # pipeline_ext2 after pipeline_ext, for the same reason.
+    from .operators import pipeline_ext2  # noqa: F401
     _loaded = True
