@@ -397,3 +397,39 @@ def test_ann_bench_plans_skip_exact_twin(spark):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "BroadcastNestedLoopJoin" not in buf.getvalue(), name
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """The overlap join must plan as an EQUI join on the bucket key (hash
+    or sort-merge), never a nested-loop/cartesian product — the whole
+    point of the bucketize-then-verify rewrite."""
+    plan = _plan(spark, "q_join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_changepoint_totals_broadcast_and_shared_sort(spark):
+    """Per-series totals broadcast back into the hourly table; the cumsum
+    + row_number pair shares one (event_type, h) sort."""
+    plan = _plan(spark, "q_ts_changepoint")
+    assert "BroadcastExchange" in plan
+    # hourly rollup is two-phase: partial agg before its exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_events_paths_topk_heap(spark):
+    """The top-20 path cut is a TakeOrderedAndProject heap, not a global
+    sort."""
+    plan = _plan(spark, "q_events_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_holt_single_series_shuffle(spark):
+    """Holt's plan: partial-agged hourly rollup + ONE series-collect
+    exchange; the fold itself is a projection (no window sort)."""
+    plan = _plan(spark, "q_ts_holt")
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
