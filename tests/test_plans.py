@@ -433,3 +433,13 @@ def test_holt_single_series_shuffle(spark):
     plan = _plan(spark, "q_ts_holt")
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_join_zero_exchanges(spark):
+    """The pre-bucketed co-located join must read both bucketed scans and
+    plan join + per-key aggregation with NO exchange at all — the whole
+    point of paying the layout write once."""
+    plan = _plan(spark, "q_layout_bucketed_join")
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan

@@ -385,3 +385,81 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("n_hours"), F.col("s").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_layout_bucketed_join — pre-bucketed co-located join (zero-exchange read)
+# --------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
+                    key: str) -> str:
+    """Write ``table`` bucketed by ``key`` (once per (session, sf_dir) —
+    cheap tableExists probe) and return the catalog name. The write is
+    the one-time LAYOUT cost; every subsequent join/agg on ``key`` reads
+    the bucket files with their hash-partitioning already satisfied."""
+    import hashlib
+    import os
+    import tempfile
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"zke_bkt_{table}_{slug}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(tempfile.gettempdir(), "zke_bucketed", slug,
+                            table)
+        (load(spark, sf_dir, table)
+         .write.bucketBy(_BUCKETS, key).sortBy(key)
+         .option("path", path).mode("overwrite")
+         .format("parquet").saveAsTable(name))
+    return name
+
+
+@query(
+    "q_layout_bucketed_join",
+    oracle="""
+        SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(30,8)) AS VARCHAR) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+    """,
+    tags=("layout", "join"),
+)
+def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via PRE-BUCKETED table layout: orders and lineitem
+    are written bucketed by the join key (8 buckets, sorted within), then
+    the join AND the per-key aggregation run with ZERO exchanges — the
+    bucketed scans already satisfy the required hash partitioning. The
+    write is a one-time layout cost amortized over every subsequent
+    keyed join/agg; this is the query-side complement of q_layout_zorder
+    (which optimizes scan pruning, while bucketing optimizes shuffle
+    elimination) and the batch analogue of co-partitioned stream state.
+
+    Results are identical to the plain shuffled join (the oracle IS the
+    plain join) — only the physical plan changes; the plan test pins the
+    exchange-free shape.
+
+    Scale shape: at 100 TB the bucket count scales with data (buckets ≈
+    total size / target file size); both fact tables bucketed on the
+    same key join machine-locally forever after. Exact-decimal money
+    rule for the revenue sum (order-independent), emitted as VARCHAR.
+    """
+    ot = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    lt = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = spark.table(ot).select("o_orderkey")
+    li = spark.table(lt).select("l_orderkey", "l_extendedprice")
+    # merge hint: at test SFs Catalyst would broadcast the small orders
+    # side, which hides the layout story (and still costs a broadcast +
+    # a post-join agg exchange). The sort-merge join over two co-bucketed
+    # scans is the 100 TB plan — zero exchanges end-to-end.
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(30,8)").cast("string").alias("revenue"),
+        )
+    )
