@@ -443,3 +443,23 @@ def test_bucketed_join_zero_exchanges(spark):
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan
+
+
+def test_cooccurrence_pairs_no_self_join(spark):
+    """Basket pair expansion (q_basket_affinity's candidate stage) runs
+    as the one-shuffle collect_set + codegen fan-out — the plan must
+    contain NO join on the pair path and exactly two hash exchanges
+    (basket build, pair count); the old distinct + self-join paid four."""
+    from zio_kinesis_example_spark.api import cooccurrence_pairs
+    from zio_kinesis_example_spark.catalog import load
+
+    li = load(spark, SF_SMALL, "lineitem")
+    df = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+    # both aggregations are two-phase (partial before each exchange)
+    assert "partial_collect_set" in plan and "partial_count" in plan

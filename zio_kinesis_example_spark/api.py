@@ -500,6 +500,41 @@ def mix_drift_chi2(df: DataFrame, group_col: str, class_col: str,
     )
 
 
+def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
+                       min_support: int = 1) -> DataFrame:
+    """Distinct unordered item pairs per group, counted across groups:
+    (item_a, item_b, together) with item_a < item_b and ``together`` =
+    number of groups containing both — the candidate-pair primitive
+    behind market-basket lift (q_basket_affinity) and co-occurrence
+    graph edges (q_graph_triangles).
+
+    ONE group-keyed shuffle builds each group's sorted distinct item
+    set (collect_set dedups in the partial aggregate), then the pair
+    fan-out runs map-side inside whole-stage codegen (JVM higher-order
+    functions, no self-join, no second exchange of the input), and the
+    pair count partial-aggregates into the only other shuffle. Cost is
+    the same Sum |group|^2 a self-join pays, without the distinct's
+    extra exchange or the join's build side. Skew guard at scale: a
+    per-group item cap (slice) before the fan-out bounds hub groups.
+    """
+    baskets = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__arr"))
+    )
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(__arr, (x, i) -> "
+        "transform(slice(__arr, i + 2, size(__arr)), "
+        "y -> struct(x AS item_a, y AS item_b))))"
+    )).alias("__p")).select("__p.item_a", "__p.item_b")
+    out = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    if min_support > 1:
+        out = out.filter(F.col("together") >= min_support)
+    return out
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           start_col: str = "s_us", end_col: str = "e_us",
                           bucket_us: int = 86_400_000_000) -> DataFrame:

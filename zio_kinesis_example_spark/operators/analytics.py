@@ -560,25 +560,24 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DETERMINISM: all counts exact; lift is integer products and one
     double division, rounded 6dp.
 
-    Scale shape: the basket table shuffles ONCE on orderkey; the
-    self-join cost is Σ|basket|² (baskets are small — ~4 items — so
-    this is linear in practice, the documented honest bound); supports
-    broadcast back; min-support prunes before the lift join.
+    Scale shape: ONE orderkey shuffle builds each basket's sorted
+    distinct item set (collect_set dedups map-side), the pair fan-out
+    runs inside whole-stage codegen (JVM higher-order functions — no
+    self-join, no distinct's extra exchange), and the pair count
+    partial-aggregates into the only other shuffle. Cost is the same
+    Σ|basket|² a self-join pays (baskets are ~4 items, so linear in
+    practice) minus two exchanges; supports broadcast back.
     """
+    from ..api import cooccurrence_pairs
+
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a = items.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, ["k"])
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("together"))
-        .filter(F.col("together") >= _BASKET_MIN_SUPPORT)
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey",
+                           min_support=_BASKET_MIN_SUPPORT)
+        .withColumnsRenamed({"item_a": "part_a", "item_b": "part_b"})
     )
     sa = supp.select(F.col("l_partkey").alias("part_a"),
                      F.col("s").alias("sa"))

@@ -1044,26 +1044,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a < b < c: edges are stored lowest-id-first, wedges join
     e1(a,b)⋈e2(b,c), closed by e3(a,c)) — the standard distributed
     triangle algorithm; cost ∝ Σ deg(b)² over wedge middles, bounded
-    here by the min-support edge filter. The min-support groupBy both
-    shrinks the graph and de-skews the wedge join (hub parts appear in
-    many orders, but their edge lists collapse before the self-joins).
+    here by the min-support edge filter. Edges come from the single-
+    shuffle co-occurrence fan-out (api.cooccurrence_pairs: basket
+    collect_set + codegen pair expansion — no self-join); min-support
+    both shrinks the graph and de-skews the wedge join (hub parts
+    appear in many orders, but their edge lists collapse first).
 
     Scale shape: two shuffles (edge build, wedge join); the closing
     check is a semi-join shape on (a, c). At billion-edge scale the
     wedge join keys on b — the degree-ordered orientation used here is
     exactly the standard skew mitigation.
     """
+    from ..api import cooccurrence_pairs
+
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
     e = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("ea"),
-                 F.col("b.l_partkey").alias("eb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
-        .select("ea", "eb")
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey",
+                           min_support=_TRI_MIN_SUPPORT)
+        .select(F.col("item_a").alias("ea"), F.col("item_b").alias("eb"))
         # three consumers (degree table, wedge join both sides, closing
         # semi-join) — materialize the bounded edge list once
         .localCheckpoint(eager=True)
