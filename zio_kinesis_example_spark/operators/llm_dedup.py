@@ -919,6 +919,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = flagged.drop("changed")
         if changed == 0:
             break
+    # ONE eager checkpoint makes the returned frame independent of the
+    # loop caches AND O(1) to analyze: without it the final plan chains
+    # up to 2 un-checkpointed rounds back through the whole edge build
+    # (~300 Exchange nodes at sf0.01) and every downstream action pays
+    # Catalyst analysis of that monster even though the cache serves the
+    # data. Recompute is a cache read, so the extra job is tiny.
+    labels = labels.localCheckpoint(eager=True)
+    persisted.unpersist()
     edges.unpersist()
     return labels
 
