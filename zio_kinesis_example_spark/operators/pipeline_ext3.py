@@ -1,0 +1,457 @@
+"""Round-4 (third wave) pipeline extensions — four training-data ops that
+deepen the north-star families with shapes the inventory lacked:
+
+- ``q_text_ccnet_buckets``  CCNet-style head/middle/tail corpus split by
+                            per-language LM surprisal terciles — the
+                            standard quality partitioning in front of web
+                            corpus curation (extends q_text_unigram_logprob
+                            from a score to the split itself);
+- ``q_sample_hardneg``      hard-negative mining: per query vector, the
+                            top-k most-similar vectors with a DIFFERENT
+                            label — the contrastive-training companion of
+                            q_sim_cosine_topk's same-corpus top-k;
+- ``q_embed_covariance``    exact upper-triangular covariance matrix of the
+                            embedding dimensions (whitening / PCA prep) via
+                            an int64 Arrow matmul kernel;
+- ``q_embed_silhouette``    label-cluster silhouette margins against own vs
+                            best-other centroid — the mislabel audit
+                            extending q_embed_cohesion's own-centroid view.
+
+Registered after pipeline_ext2 (registry import order) so the driver's
+budgeted correctness pass certifies earlier backlogs first.
+
+Reference parity note: the reference (zio-kinesis-example) has no batch
+surface — this module is north-star surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# q_text_ccnet_buckets — per-language surprisal terciles
+# --------------------------------------------------------------------------
+# Bucket by NTILE over the ROUNDED score (6dp, the same value both engines
+# already hash-agree on via q_text_unigram_logprob) with doc_id as the tie
+# break: rank arithmetic is then pure integer bucketing — no float
+# threshold ever decides a bucket boundary.
+_CCNET_ORACLE = """
+    WITH tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    tot AS (SELECT SUM(n) AS t FROM tf),
+    d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+    bpt AS (
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               round(-SUM(log2(CAST(tf.n AS DOUBLE) / tot.t)) / COUNT(*), 6)
+                   AS bits_per_token
+        FROM d JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY d.doc_id
+    ),
+    ranked AS (
+        SELECT doc.doc_id, doc.lang, bpt.n_terms, bpt.bits_per_token,
+               NTILE(3) OVER (PARTITION BY doc.lang
+                              ORDER BY bpt.bits_per_token, doc.doc_id) AS t3
+        FROM documents doc JOIN bpt ON doc.doc_id = bpt.doc_id
+    )
+    SELECT doc_id, lang, n_terms, bits_per_token,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+
+
+@query("q_text_ccnet_buckets", oracle=_CCNET_ORACLE,
+       tags=("text", "curation", "lm", "north-star"))
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus split: each document assigned head / middle /
+    tail by its unigram-LM surprisal tercile WITHIN its language — the
+    standard web-curation partitioning (keep head+middle, drop or
+    down-weight tail) that normalizes 'surprising' across languages
+    instead of applying one global threshold.
+
+    DETERMINISM: the surprisal is q_text_unigram_logprob's hash-verified
+    6dp score; the tercile is NTILE over (rounded score, doc_id) — rank
+    arithmetic on an already-engine-agreed ordering, so no float
+    threshold decides a boundary.
+
+    Scale shape: the vocabulary-sized term-frequency table broadcasts
+    into the per-doc explode (corpus never shuffles for the score); the
+    NTILE window is one |lang|-partitioned exchange of doc-sized rows.
+    At 100 TB the exact NTILE becomes approx_percentile cut points per
+    language (same plan minus the global sort; sketch-level boundary
+    drift on a split that is heuristic anyway).
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.agg(F.sum("n").alias("t"))
+    bpt = (
+        terms.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                -F.sum(F.log2(F.col("n").cast("double") / F.col("t")))
+                / F.count(F.lit(1)), 6).alias("bits_per_token"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .join(bpt, "doc_id")
+        .withColumn("t3", F.ntile(3).over(w))
+        .select(
+            "doc_id", "lang", "n_terms", "bits_per_token",
+            F.when(F.col("t3") == 1, "head")
+            .when(F.col("t3") == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_sample_hardneg — contrastive hard-negative mining
+# --------------------------------------------------------------------------
+_HN_K = 5
+_HN_QUERY_FILTER = "vec_id % 50 = 0"  # q_sim_cosine_topk's query set
+
+
+@query(
+    "q_sample_hardneg",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE {_HN_QUERY_FILTER}),
+        pairs AS (SELECT query_id, query_label,
+                         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                         list_cosine_similarity(qe,
+                             CAST(e.embedding AS DOUBLE[])) AS s
+                  FROM q, embeddings e WHERE e.label <> q.query_label),
+        ranked AS (SELECT query_id, query_label, neighbor_id,
+                          neighbor_label, round(s, 6) AS cosine,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY s DESC,
+                                                           neighbor_id)
+                               AS BIGINT) AS rnk
+                   FROM pairs)
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               cosine, rnk
+        FROM ranked WHERE rnk <= {_HN_K}
+    """,
+    tags=("similarity", "sampling", "north-star"),
+)
+def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-{k} most-cosine-similar vectors carrying a DIFFERENT label —
+    the negatives that actually teach an embedding model (random
+    negatives are trivially separable; the hard ones sit just across
+    the boundary).
+
+    DETERMINISM: q_sim_cosine_topk's contract — ranking on the full-
+    precision cosine tie-broken by neighbor_id, score emitted 6dp.
+
+    Scale shape: the query set broadcasts (it is the small side by
+    construction — a mining run scores a sample of anchors, not the
+    corpus against itself); the corpus is spread across partitions
+    before the per-pair fold so the scoring parallelizes; the top-k is
+    a per-query window over the label-filtered candidate stream. At
+    corpus scale the candidate stream runs per ANN bucket
+    (q_sim_ann_lsh) instead of brute-force — same window, bounded
+    candidates.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    q = e.filter(F.expr(_HN_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+    na = F.expr("aggregate(qe, 0D, (s, v) -> s + v * v)")
+    nb = F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)")
+    pairs = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (dot / F.sqrt(na * nb)).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _HN_K)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                F.round("s", 6).alias("cosine"), "rnk")
+    )
+
+
+q_sample_hardneg.__doc__ = q_sample_hardneg.__doc__.format(k=_HN_K)
+
+# --------------------------------------------------------------------------
+# q_embed_covariance — exact dimension-covariance matrix
+# --------------------------------------------------------------------------
+_COV_SCALE = 1_000_000
+_COV_DIM = 64
+
+
+def _cov_kernel(batches):
+    """Arrow batch → upper-triangular int64 Gram matrix rows (i, j, sxy).
+
+    One BLAS-shaped integer matmul per batch (the sanctioned Python fast
+    path, like lsh_signatures_udf): M.T @ M on the quantized int64
+    matrix is exact — |q| <= 1e6 and batches are <= 10k rows, so every
+    accumulator stays far inside int64. Each batch emits at most
+    dim*(dim+1)/2 rows regardless of row count, so the downstream
+    shuffle is O(dim^2 * n_partitions), independent of the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(_COV_DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        gram = m.T @ m
+        yield pd.DataFrame({
+            "di": (iu[0] + 1).astype("int32"),
+            "dj": (iu[1] + 1).astype("int32"),
+            "sxy": gram[iu],
+        })
+
+
+@query(
+    "q_embed_covariance",
+    oracle=f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {_COV_SCALE}.0) AS BIGINT))
+                              AS q
+                   FROM embeddings),
+        e AS (SELECT vec_id, i, q[i] AS x
+              FROM v CROSS JOIN generate_series(1, {_COV_DIM}) t(i)),
+        n AS (SELECT COUNT(*) AS n FROM embeddings),
+        sums AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
+        gram AS (SELECT a.i AS di, b.i AS dj, SUM(a.x * b.x) AS sxy
+                 FROM e a JOIN e b
+                   ON a.vec_id = b.vec_id AND a.i <= b.i
+                 GROUP BY 1, 2),
+        cov AS (SELECT g.di, g.dj, n.n,
+                       CAST(n.n AS HUGEINT) * g.sxy
+                           - CAST(sa.sx AS HUGEINT) * sb.sx AS num
+                FROM gram g
+                JOIN sums sa ON sa.i = g.di
+                JOIN sums sb ON sb.i = g.dj
+                CROSS JOIN n)
+        SELECT CAST(di AS INT) AS di, CAST(dj AS INT) AS dj,
+               CAST(n AS BIGINT) AS n,
+               CAST(num AS VARCHAR) AS cov_num,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * {_COV_SCALE}.0
+                        * {_COV_SCALE}.0), 6) + 0.0 AS cov
+        FROM cov
+    """,
+    tags=("embedding", "stats", "north-star"),
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding dimensions (upper
+    triangle, dim*(dim+1)/2 rows) — the input to whitening / PCA /
+    anisotropy diagnostics on an embedding corpus.
+
+    DETERMINISM: vectors quantize to scaled int64 (floor(x*1e6), the
+    q_embed_kmeans rule); the Gram matrix is an exact integer matmul;
+    the covariance numerator n*Sxy - Sx*Sy is exact DECIMAL(38,0) /
+    HUGEINT (it exceeds int64 beyond ~sf1) emitted as VARCHAR, and the
+    double `cov` is ONE identical conversion + division chain, 6dp.
+
+    Scale shape: the Arrow kernel emits <= dim^2/2 rows PER BATCH no
+    matter how many vectors the batch holds — the shuffle is
+    O(dim^2 * partitions), independent of corpus size, and the final
+    aggregate is dim^2/2 groups. The per-dim mean sums ride a separate
+    posexplode partial agg that collapses to dim rows. This is the
+    textbook single-pass distributed covariance (sufficient statistics,
+    never centering the data).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+               f"x -> CAST(floor(x * {_COV_SCALE}.0D) AS BIGINT))").alias("v")
+    )
+    gram = (
+        e.mapInPandas(_cov_kernel, "di int, dj int, sxy long")
+        .groupBy("di", "dj").agg(F.sum("sxy").alias("sxy"))
+    )
+    sums = (
+        e.select(F.posexplode("v").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("x").alias("sx"))
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    dec = "decimal(38,0)"
+    num = (F.col("n").cast(dec) * F.col("sxy").cast(dec)
+           - F.col("sa").cast(dec) * F.col("sb").cast(dec))
+    return (
+        gram
+        .join(F.broadcast(sums.select(F.col("i").alias("di"),
+                                      F.col("sx").alias("sa"))), "di")
+        .join(F.broadcast(sums.select(F.col("i").alias("dj"),
+                                      F.col("sx").alias("sb"))), "dj")
+        .crossJoin(F.broadcast(n))
+        .withColumn("num", num)
+        .select(
+            "di", "dj", "n",
+            F.col("num").cast("string").alias("cov_num"),
+            # + 0.0 normalizes IEEE negative zero: round(-1e-9, 6) is
+            # -0.0 in DuckDB but 0.0 in Spark, and the value hash sees
+            # the sign bit
+            (F.round(
+                F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.col("n")
+                   * float(_COV_SCALE) * float(_COV_SCALE)), 6)
+             + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_embed_silhouette — own-vs-best-other centroid margins
+# --------------------------------------------------------------------------
+_SIL_SCALE = 1_000_000
+
+
+@query(
+    "q_embed_silhouette",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {_SIL_SCALE}.0) AS BIGINT))
+                              AS q
+                   FROM embeddings),
+        e AS (SELECT vec_id, label, i, q[i] AS x
+              FROM v CROSS JOIN generate_series(1, 64) t(i)),
+        cent AS (SELECT label AS clabel, i, SUM(x) AS c
+                 FROM e GROUP BY 1, 2),
+        nv AS (SELECT vec_id, SUM(x * x) AS nv FROM e GROUP BY vec_id),
+        nc AS (SELECT clabel, SUM(c * c) AS nc FROM cent GROUP BY clabel),
+        dots AS (SELECT e.vec_id, e.label, cent.clabel,
+                        SUM(e.x * cent.c) AS dot
+                 FROM e JOIN cent ON e.i = cent.i
+                 GROUP BY 1, 2, 3),
+        cs AS (SELECT d.vec_id, d.label, d.clabel,
+                      CASE WHEN nv.nv > 0 AND nc.nc > 0
+                           THEN CAST(d.dot AS DOUBLE)
+                                / (sqrt(CAST(nv.nv AS DOUBLE))
+                                   * sqrt(CAST(nc.nc AS DOUBLE)))
+                           ELSE 0.0 END AS cos
+               FROM dots d JOIN nv USING (vec_id)
+               JOIN nc ON nc.clabel = d.clabel),
+        m AS (SELECT vec_id, label,
+                     CAST(floor({_SIL_SCALE}.0 *
+                         (MAX(CASE WHEN label = clabel THEN cos END)
+                          - MAX(CASE WHEN label <> clabel THEN cos END)))
+                          AS BIGINT) AS msc
+              FROM cs GROUP BY vec_id, label)
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN msc < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative,
+               CAST(MIN(msc) AS BIGINT) AS min_margin_scaled,
+               round(CAST(SUM(msc) AS DOUBLE)
+                     / ({_SIL_SCALE}.0 * COUNT(*)), 6) + 0.0 AS avg_margin
+        FROM m GROUP BY label
+    """,
+    tags=("embedding", "quality", "north-star"),
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine silhouette margins per label cluster: each vector's cosine
+    to its OWN label centroid minus its best cosine to any OTHER
+    centroid, rolled up per label (count, negatives, worst, average) —
+    negative margin = the vector sits closer to a foreign cluster, the
+    canonical mislabel / boundary audit (extends q_embed_cohesion,
+    which only sees the own-centroid side).
+
+    DETERMINISM: quantized int64 components make centroid sums, dots,
+    and norms exact integers; each cosine is the identical double chain
+    dot / (sqrt(nv) * sqrt(nc)) (norms converted separately — their
+    int64 product can overflow); the margin is floor-scaled back to
+    int64 so the per-label sum is exact and the average is ONE double
+    division. Zero-norm degenerates are CASE-guarded (Spark NULL vs
+    DuckDB NaN rule).
+
+    Scale shape: centroids are a posexplode partial agg collapsing to
+    |labels|*dim rows, rebuilt as arrays and BROADCAST; scoring is one
+    stateless pass over |corpus| x |labels| generated rows (labels are
+    few); the rollup partial-aggregates per label. The corpus never
+    shuffles.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+               f"x -> CAST(floor(x * {_SIL_SCALE}.0D) AS BIGINT))").alias("v"),
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy(F.col("label").alias("clabel"), "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("clabel")
+        .agg(F.expr("transform(sort_array(collect_list(struct(i, s))), "
+                    "p -> p.s)").alias("c"))
+    )
+    dot = F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
+                 "(a, t) -> a + t)")
+    nv = F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")
+    nc = F.expr("aggregate(c, 0L, (a, x) -> a + x * x)")
+    cs = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "clabel",
+            F.when(
+                (nv > 0) & (nc > 0),
+                dot.cast("double")
+                / (F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double"))),
+            ).otherwise(F.lit(0.0)).alias("cos"),
+        )
+    )
+    m = (
+        cs.groupBy("vec_id", "label")
+        .agg(
+            F.floor(
+                F.lit(float(_SIL_SCALE))
+                * (F.max(F.when(F.col("label") == F.col("clabel"),
+                                F.col("cos")))
+                   - F.max(F.when(F.col("label") != F.col("clabel"),
+                                  F.col("cos"))))
+            ).cast("long").alias("msc")
+        )
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("msc") < 0, 1).otherwise(0)).cast("long")
+            .alias("n_negative"),
+            F.min("msc").alias("min_margin_scaled"),
+            (F.round(
+                F.sum("msc").cast("double")
+                / (F.lit(float(_SIL_SCALE)) * F.count(F.lit(1))), 6)
+             + F.lit(0.0)).alias("avg_margin"),
+        )
+    )
