@@ -114,3 +114,32 @@ def test_hardneg_broadcasts_queries_and_uses_window_topk(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_time_to_convert_orderings(spark):
+    rows = {r.step_pair: r for r in _run(spark, "q_events_time_to_convert")
+            .collect()}
+    assert set(rows) <= {"view->click", "click->purchase", "view->purchase"}
+    for r in rows.values():
+        assert 0 < r.min_us <= r.p50_us <= r.p90_us <= r.max_us
+        assert r.min_us <= r.avg_us <= r.max_us
+    if {"view->click", "view->purchase"} <= set(rows):
+        # purchase funnel users are a subset of click funnel users
+        assert (rows["view->purchase"].n_users
+                <= rows["view->click"].n_users)
+
+
+def test_canonical_accounts_every_document_and_picks_longest(spark):
+    canon = _run(spark, "q_dedup_canonical").collect()
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "n_chars").collect())
+    assert sum(r.n_members for r in canon) == len(docs)
+    labels = {r.doc_id: r.cluster_id
+              for r in _run(spark, "q_dedup_clusters").collect()}
+    chars = {d.doc_id: d.n_chars for d in docs}
+    for r in canon:
+        members = [d for d, c in labels.items() if c == r.cluster_id]
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r.rep_doc_id == best
+        assert r.rep_n_chars == chars[best]
+        assert r.n_dropped == len(members) - 1

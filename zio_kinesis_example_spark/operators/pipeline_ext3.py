@@ -455,3 +455,209 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.lit(0.0)).alias("avg_margin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_events_time_to_convert — funnel latency percentiles
+# --------------------------------------------------------------------------
+# p50/p90 are PERCENTILE_DISC-style picks (smallest duration whose rank
+# covers the quantile) stated as pure integer rank arithmetic
+# (k*rn >= q*n), so no float interpolation ever decides a statistic.
+_TTC_ORACLE = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id),
+    durs AS (
+        SELECT 'view->click' AS step_pair, c.user_id,
+               epoch_us(c.t2) - epoch_us(v.t1) AS dur_us
+        FROM c JOIN v USING (user_id)
+        UNION ALL
+        SELECT 'click->purchase', p.user_id,
+               epoch_us(p.t3) - epoch_us(c.t2)
+        FROM p JOIN c USING (user_id)
+        UNION ALL
+        SELECT 'view->purchase', p.user_id,
+               epoch_us(p.t3) - epoch_us(v.t1)
+        FROM p JOIN v USING (user_id)),
+    ranked AS (
+        SELECT step_pair, dur_us,
+               row_number() OVER (PARTITION BY step_pair
+                                  ORDER BY dur_us, user_id) AS rn,
+               COUNT(*) OVER (PARTITION BY step_pair) AS n
+        FROM durs)
+    SELECT step_pair,
+           CAST(MIN(n) AS BIGINT) AS n_users,
+           CAST(MIN(dur_us) AS BIGINT) AS min_us,
+           CAST(MIN(CASE WHEN 2 * rn >= n THEN dur_us END) AS BIGINT)
+               AS p50_us,
+           CAST(MIN(CASE WHEN 10 * rn >= 9 * n THEN dur_us END) AS BIGINT)
+               AS p90_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_us,
+           round(CAST(SUM(dur_us) AS DOUBLE) / MIN(n), 6) AS avg_us
+    FROM ranked GROUP BY step_pair
+"""
+
+
+@query("q_events_time_to_convert", oracle=_TTC_ORACLE,
+       tags=("events", "funnel", "stats"))
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: for q_funnel's strictly-ordered view → click →
+    purchase stages, the per-step-pair conversion-time distribution
+    (count, min, p50, p90, max, mean) — the 'how long does conversion
+    take' companion to q_funnel's 'how many convert'.
+
+    DETERMINISM: durations are exact integer microseconds; p50/p90 are
+    discrete picks by integer rank arithmetic (2*rn >= n, 10*rn >= 9*n)
+    tie-broken by user_id — no float interpolation; the mean is ONE
+    double division of an exact integer sum.
+
+    Scale shape: three user-keyed partial-agged groupBys reproduce the
+    funnel stage times (each rides the same user_id partitioning); the
+    percentile window shuffles only converted-user rows partitioned by
+    the 3 step pairs — at extreme user counts the discrete pick swaps
+    to approx_percentile per pair (same output columns, sketch bounds).
+    """
+    e = load(spark, sf_dir, "events")
+
+    def us(c):
+        # NTZ -> timestamp under the session's UTC (catalog.configure),
+        # so unix_micros matches DuckDB's epoch_us on the same instant
+        return F.unix_micros(F.col(c).cast("timestamp"))
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.join(v, "user_id")
+         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("t2")))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    durs = (
+        c.join(v, "user_id")
+        .select(F.lit("view->click").alias("step_pair"), "user_id",
+                (us("t2") - us("t1")).alias("dur_us"))
+        .unionByName(
+            p.join(c, "user_id")
+            .select(F.lit("click->purchase").alias("step_pair"), "user_id",
+                    (us("t3") - us("t2")).alias("dur_us")))
+        .unionByName(
+            p.join(v, "user_id")
+            .select(F.lit("view->purchase").alias("step_pair"), "user_id",
+                    (us("t3") - us("t1")).alias("dur_us")))
+    )
+    wr = Window.partitionBy("step_pair").orderBy("dur_us", "user_id")
+    wn = Window.partitionBy("step_pair")
+    ranked = durs.select(
+        "step_pair", "dur_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("step_pair")
+        .agg(
+            F.min("n").alias("n_users"),
+            F.min("dur_us").alias("min_us"),
+            F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("dur_us")))
+            .alias("p50_us"),
+            F.min(F.when(10 * F.col("rn") >= 9 * F.col("n"),
+                         F.col("dur_us"))).alias("p90_us"),
+            F.max("dur_us").alias("max_us"),
+            F.round(F.sum("dur_us").cast("double") / F.min("n"), 6)
+            .alias("avg_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_canonical — keep-best representative per near-dup cluster
+# --------------------------------------------------------------------------
+# The cluster definition is q_dedup_clusters' (shared recursive-CTE
+# oracle); canonicalization picks the representative a curation pipeline
+# actually keeps: the LONGEST member (most content preserved), doc_id
+# as the tie break.
+_CANON_ORACLE = """
+    WITH RECURSIVE
+    p AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(terms) >= 3
+                   THEN list_transform(generate_series(1, len(terms) - 2),
+                                       i -> array_to_string(terms[i:i+2], ' '))
+                   ELSE [array_to_string(terms, ' ')] END) AS sh
+          FROM p),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+    e0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING COUNT(*) * 1.0 /
+                  (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.5),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM e0
+          UNION ALL SELECT doc_b, doc_a FROM e0),
+    r AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+    ),
+    labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM r GROUP BY src),
+    members AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+                FROM labels l JOIN documents d USING (doc_id)),
+    best AS (SELECT cluster_id, doc_id AS rep_doc_id,
+                    n_chars AS rep_n_chars,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id) AS rk
+             FROM members)
+    SELECT m.cluster_id,
+           CAST(b.rep_doc_id AS BIGINT) AS rep_doc_id,
+           CAST(b.rep_n_chars AS BIGINT) AS rep_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM members m JOIN best b
+      ON b.cluster_id = m.cluster_id AND b.rk = 1
+    GROUP BY m.cluster_id, b.rep_doc_id, b.rep_n_chars
+"""
+
+
+@query("q_dedup_canonical", oracle=_CANON_ORACLE,
+       tags=("dedup", "curation", "north-star"))
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization after near-dup clustering: per connected
+    component of the exact-Jaccard (>= 0.5) graph, the representative a
+    pipeline KEEPS — the longest member (n_chars, doc_id tie-break) —
+    plus member/dropped counts. This is the step that turns
+    q_dedup_clusters' labels into an actual curation decision (min-id
+    representatives discard the best copy whenever a longer mirror has
+    a higher id).
+
+    DETERMINISM: cluster labels are the hash-verified CC fixpoint;
+    the representative pick is an integer argmax with a total order.
+
+    Scale shape: the label frame (already checkpointed, vertex-sized)
+    joins documents once on doc_id; the argmax is one cluster-keyed
+    window over |docs| rows riding the same exchange as the rollup.
+    """
+    from .llm_dedup import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(d, "doc_id")
+    wb = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    return (
+        members.withColumn("rk", F.row_number().over(wb))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .alias("rep_doc_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .alias("rep_n_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
