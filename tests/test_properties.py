@@ -248,3 +248,35 @@ def test_asof_forward_matches_model(spark, clicks, purchases):
     )
     got = {r.event_id: r.purchase_id for r in res.collect()}
     assert got == _asof_forward_model(c_rows, p_rows)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 8),            # group
+                            st.integers(0, 12)),          # item
+                  min_size=1, max_size=80),
+    min_support=st.integers(1, 3),
+)
+def test_cooccurrence_pairs_matches_model(spark, rows, min_support):
+    """cooccurrence_pairs ≡ the brute-force model: count, over groups,
+    every unordered pair of distinct items co-present in the group."""
+    from zio_kinesis_example_spark.api import cooccurrence_pairs
+
+    model = {}
+    by_group = {}
+    for g, i in set(rows):
+        by_group.setdefault(g, set()).add(i)
+    for items in by_group.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                k = (s[x], s[y])
+                model[k] = model.get(k, 0) + 1
+    model = {k: v for k, v in model.items() if v >= min_support}
+
+    df = spark.createDataFrame(rows, "g int, item int")
+    got = {(r.item_a, r.item_b): r.together
+           for r in cooccurrence_pairs(df, "g", "item",
+                                       min_support=min_support).collect()}
+    assert got == model
