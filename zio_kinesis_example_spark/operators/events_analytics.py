@@ -49,9 +49,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_funnel",
-    oracle="""
+# Shared funnel-stage CTE (strictly-ordered view->click->purchase first
+# occurrences) — reused by q_events_time_to_convert's oracle so both
+# queries agree on what "converted" means.
+_DUCK_FUNNEL_CTE = """
         WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
                    WHERE event_type = 'view' GROUP BY user_id),
         c AS (SELECT e.user_id, MIN(e.ts) AS t2
@@ -61,7 +62,12 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         p AS (SELECT e.user_id, MIN(e.ts) AS t3
               FROM events e JOIN c ON e.user_id = c.user_id
               WHERE e.event_type = 'purchase' AND e.ts > c.t2
-              GROUP BY e.user_id)
+              GROUP BY e.user_id)"""
+
+
+@query(
+    "q_funnel",
+    oracle=_DUCK_FUNNEL_CTE + """
         SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
                CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
                CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after

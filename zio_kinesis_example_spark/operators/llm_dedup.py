@@ -799,9 +799,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs(e)
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="""
+# ONE definition of what a "cluster" is: the shared recursive-CTE
+# fragment (shingle graph + transitive closure) behind the
+# q_dedup_clusters / q_dedup_cluster_sizes / q_dedup_canonical
+# oracles — edits to the clustering rule cannot silently diverge
+# between the paired oracles.
+_DUCK_CLUSTERS_CTE = """
         WITH RECURSIVE
         p AS (
             SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
@@ -823,7 +826,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id AS src, doc_id AS dst FROM documents
             UNION
             SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
-        )
+        )"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_DUCK_CLUSTERS_CTE + """
         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
         FROM r GROUP BY src
     """,
@@ -933,29 +941,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_cluster_sizes",
-    oracle="""
-        WITH RECURSIVE
-        p AS (
-            SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
-        s AS (SELECT doc_id,
-                     list_distinct(CASE WHEN len(terms) >= 3
-                       THEN list_transform(generate_series(1, len(terms) - 2),
-                                           i -> array_to_string(terms[i:i+2], ' '))
-                       ELSE [array_to_string(terms, ' ')] END) AS sh
-              FROM p),
-        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
-        e0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2
-               HAVING COUNT(*) * 1.0 /
-                      (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.5),
-        e AS (SELECT doc_a AS a, doc_b AS b FROM e0
-              UNION ALL SELECT doc_b, doc_a FROM e0),
-        r AS (
-            SELECT doc_id AS src, doc_id AS dst FROM documents
-            UNION
-            SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
-        ),
+    oracle=_DUCK_CLUSTERS_CTE + """,
         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
                    FROM r GROUP BY src),
         sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size

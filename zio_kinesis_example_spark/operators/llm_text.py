@@ -290,9 +290,10 @@ def q_text_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_unigram_logprob",
-    oracle="""
+# Shared unigram-LM CTE (corpus term frequencies + per-doc term stream)
+# and the per-doc surprisal SELECT — reused by q_text_ccnet_buckets's
+# oracle so the split is built on the SAME hash-verified score.
+_DUCK_UNIGRAM_CTE = """
         WITH tf AS (
             SELECT term, CAST(COUNT(*) AS BIGINT) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS term
@@ -301,14 +302,21 @@ def q_text_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tot AS (SELECT SUM(n) AS t FROM tf),
         d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents)
+              FROM documents)"""
+
+_DUCK_BPT_SELECT = """
         SELECT d.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_terms,
                round(-SUM(log2(CAST(tf.n AS DOUBLE) / tot.t)) / COUNT(*), 6)
                    AS bits_per_token
         FROM d JOIN tf USING (term) CROSS JOIN tot
         GROUP BY d.doc_id
-    """,
+    """
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=_DUCK_UNIGRAM_CTE + _DUCK_BPT_SELECT,
     tags=("text", "quality", "lm"),
 )
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Round-4 (third wave) pipeline extensions — four training-data ops that
+"""Round-4 (third wave) pipeline extensions — six training-data ops that
 deepen the north-star families with shapes the inventory lacked:
 
 - ``q_text_ccnet_buckets``  CCNet-style head/middle/tail corpus split by
@@ -15,7 +15,12 @@ deepen the north-star families with shapes the inventory lacked:
                             an int64 Arrow matmul kernel;
 - ``q_embed_silhouette``    label-cluster silhouette margins against own vs
                             best-other centroid — the mislabel audit
-                            extending q_embed_cohesion's own-centroid view.
+                            extending q_embed_cohesion's own-centroid view;
+- ``q_events_time_to_convert``  funnel latency distribution per step pair
+                            (discrete integer-rank percentiles on exact
+                            microsecond durations);
+- ``q_dedup_canonical``     keep-BEST representative per near-dup cluster
+                            (the curation decision on top of the CC labels).
 
 Registered after pipeline_ext2 (registry import order) so the driver's
 budgeted correctness pass certifies earlier backlogs first.
@@ -39,24 +44,12 @@ from ..registry import query
 # Bucket by NTILE over the ROUNDED score (6dp, the same value both engines
 # already hash-agree on via q_text_unigram_logprob) with doc_id as the tie
 # break: rank arithmetic is then pure integer bucketing — no float
-# threshold ever decides a bucket boundary.
-_CCNET_ORACLE = """
-    WITH tf AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS n
-        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        GROUP BY term
-    ),
-    tot AS (SELECT SUM(n) AS t FROM tf),
-    d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-    bpt AS (
-        SELECT d.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_terms,
-               round(-SUM(log2(CAST(tf.n AS DOUBLE) / tot.t)) / COUNT(*), 6)
-                   AS bits_per_token
-        FROM d JOIN tf USING (term) CROSS JOIN tot
-        GROUP BY d.doc_id
-    ),
+# threshold ever decides a bucket boundary. The score CTEs are the SHARED
+# fragments from llm_text (one definition of the surprisal on both sides).
+from .llm_text import _DUCK_BPT_SELECT, _DUCK_UNIGRAM_CTE  # noqa: E402
+
+_CCNET_ORACLE = _DUCK_UNIGRAM_CTE + """,
+        bpt AS (""" + _DUCK_BPT_SELECT + """),
     ranked AS (
         SELECT doc.doc_id, doc.lang, bpt.n_terms, bpt.bits_per_token,
                NTILE(3) OVER (PARTITION BY doc.lang
@@ -91,21 +84,13 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     language (same plan minus the global sort; sketch-level boundary
     drift on a split that is heuristic anyway).
     """
+    from .llm_text import q_text_unigram_logprob
+
     d = load(spark, sf_dir, "documents")
-    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    tot = tf.agg(F.sum("n").alias("t"))
-    bpt = (
-        terms.join(F.broadcast(tf), "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.round(
-                -F.sum(F.log2(F.col("n").cast("double") / F.col("t")))
-                / F.count(F.lit(1)), 6).alias("bits_per_token"),
-        )
-    )
+    # the split is BUILT ON the hash-verified surprisal query — one
+    # definition of the score, so a scoring change can't silently
+    # diverge from the bucketing that claims to use it
+    bpt = q_text_unigram_logprob(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
     return (
         d.select("doc_id", "lang")
@@ -123,8 +108,10 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_sample_hardneg — contrastive hard-negative mining
 # --------------------------------------------------------------------------
+from .llm_similarity import _QUERY_FILTER as _HN_QUERY_FILTER  # noqa: E402
+from .llm_similarity import _emb, cosine  # noqa: E402
+
 _HN_K = 5
-_HN_QUERY_FILTER = "vec_id % 50 = 0"  # q_sim_cosine_topk's query set
 
 
 @query(
@@ -153,7 +140,7 @@ _HN_QUERY_FILTER = "vec_id % 50 = 0"  # q_sim_cosine_topk's query set
 )
 def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,
-    the top-{k} most-cosine-similar vectors carrying a DIFFERENT label —
+    the top-5 most-cosine-similar vectors carrying a DIFFERENT label —
     the negatives that actually teach an embedding model (random
     negatives are trivially separable; the hard ones sit just across
     the boundary).
@@ -170,19 +157,12 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_sim_ann_lsh) instead of brute-force — same window, bounded
     candidates.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
+    e = _emb(spark, sf_dir)
     q = e.filter(F.expr(_HN_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("emb").alias("qe"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
-    na = F.expr("aggregate(qe, 0D, (s, v) -> s + v * v)")
-    nb = F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)")
     pairs = (
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
@@ -191,7 +171,7 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "query_label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            (dot / F.sqrt(na * nb)).alias("s"),
+            cosine("qe", "emb").alias("s"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -204,8 +184,6 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_sample_hardneg.__doc__ = q_sample_hardneg.__doc__.format(k=_HN_K)
-
 # --------------------------------------------------------------------------
 # q_embed_covariance — exact dimension-covariance matrix
 # --------------------------------------------------------------------------
@@ -213,30 +191,40 @@ _COV_SCALE = 1_000_000
 _COV_DIM = 64
 
 
+# int64 matmul is exact while chunk_rows * (max|q|)^2 < 2^63; 65536 rows
+# of |q| <= 1e6 components bound each accumulator at ~6.6e16 — safe even
+# if someone raises arrow.maxRecordsPerBatch far past its 10k default.
+_COV_CHUNK_ROWS = 65536
+
+
 def _cov_kernel(batches):
     """Arrow batch → upper-triangular int64 Gram matrix rows (i, j, sxy).
 
-    One BLAS-shaped integer matmul per batch (the sanctioned Python fast
+    One BLAS-shaped integer matmul per chunk (the sanctioned Python fast
     path, like lsh_signatures_udf): M.T @ M on the quantized int64
-    matrix is exact — |q| <= 1e6 and batches are <= 10k rows, so every
-    accumulator stays far inside int64. Each batch emits at most
-    dim*(dim+1)/2 rows regardless of row count, so the downstream
-    shuffle is O(dim^2 * n_partitions), independent of the corpus.
+    matrix is exact — chunks are capped at _COV_CHUNK_ROWS so every
+    accumulator stays inside int64 regardless of the configured Arrow
+    batch size; cross-chunk summation happens downstream in
+    DECIMAL(38,0). Each chunk emits at most dim*(dim+1)/2 rows
+    regardless of row count, so the downstream shuffle is
+    O(dim^2 * n_chunks), independent of the corpus.
     """
     import numpy as np
     import pandas as pd
 
     iu = np.triu_indices(_COV_DIM)
     for pdf in batches:
-        if not len(pdf):
-            continue
-        m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        gram = m.T @ m
-        yield pd.DataFrame({
-            "di": (iu[0] + 1).astype("int32"),
-            "dj": (iu[1] + 1).astype("int32"),
-            "sxy": gram[iu],
-        })
+        for start in range(0, len(pdf), _COV_CHUNK_ROWS):
+            chunk = pdf["v"].iloc[start:start + _COV_CHUNK_ROWS]
+            if not len(chunk):
+                continue
+            m = np.stack(chunk.to_numpy()).astype(np.int64)
+            gram = m.T @ m
+            yield pd.DataFrame({
+                "di": (iu[0] + 1).astype("int32"),
+                "dj": (iu[1] + 1).astype("int32"),
+                "sxy": gram[iu],
+            })
 
 
 @query(
@@ -251,7 +239,8 @@ def _cov_kernel(batches):
               FROM v CROSS JOIN generate_series(1, {_COV_DIM}) t(i)),
         n AS (SELECT COUNT(*) AS n FROM embeddings),
         sums AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
-        gram AS (SELECT a.i AS di, b.i AS dj, SUM(a.x * b.x) AS sxy
+        gram AS (SELECT a.i AS di, b.i AS dj,
+                        SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
                  FROM e a JOIN e b
                    ON a.vec_id = b.vec_id AND a.i <= b.i
                  GROUP BY 1, 2),
@@ -297,7 +286,11 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram = (
         e.mapInPandas(_cov_kernel, "di int, dj int, sxy long")
-        .groupBy("di", "dj").agg(F.sum("sxy").alias("sxy"))
+        # DECIMAL(38,0), not long: the cross-chunk total wraps int64
+        # around ~3e7 vectors (per-chunk partials are int64-safe by the
+        # kernel's chunk cap; the global sum is not)
+        .groupBy("di", "dj")
+        .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"))
     )
     sums = (
         e.select(F.posexplode("v").alias("i0", "x"))
@@ -350,9 +343,10 @@ _SIL_SCALE = 1_000_000
         cent AS (SELECT label AS clabel, i, SUM(x) AS c
                  FROM e GROUP BY 1, 2),
         nv AS (SELECT vec_id, SUM(x * x) AS nv FROM e GROUP BY vec_id),
-        nc AS (SELECT clabel, SUM(c * c) AS nc FROM cent GROUP BY clabel),
+        nc AS (SELECT clabel, SUM(CAST(c AS HUGEINT) * c) AS nc
+               FROM cent GROUP BY clabel),
         dots AS (SELECT e.vec_id, e.label, cent.clabel,
-                        SUM(e.x * cent.c) AS dot
+                        SUM(CAST(e.x AS HUGEINT) * cent.c) AS dot
                  FROM e JOIN cent ON e.i = cent.i
                  GROUP BY 1, 2, 3),
         cs AS (SELECT d.vec_id, d.label, d.clabel,
@@ -415,10 +409,16 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("transform(sort_array(collect_list(struct(i, s))), "
                     "p -> p.s)").alias("c"))
     )
-    dot = F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
-                 "(a, t) -> a + t)")
+    # dot and nc fold in DECIMAL(38,0): centroid components grow with the
+    # per-label count n, so x*c (~n*1e12) wraps int64 around n ~ 1.4e5
+    # and c*c (~n^2*1e12) around n ~ 4e4 — the oracle mirrors with
+    # HUGEINT. nv is per-vector (<= 64e12) and stays BIGINT.
+    dot = F.expr("aggregate(zip_with(v, c, "
+                 "(x, y) -> CAST(x AS DECIMAL(38,0)) * y), "
+                 "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)")
     nv = F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")
-    nc = F.expr("aggregate(c, 0L, (a, x) -> a + x * x)")
+    nc = F.expr("aggregate(c, CAST(0 AS DECIMAL(38,0)), "
+                "(a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)")
     cs = (
         e.crossJoin(F.broadcast(cent))
         .select(
@@ -463,17 +463,11 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p50/p90 are PERCENTILE_DISC-style picks (smallest duration whose rank
 # covers the quantile) stated as pure integer rank arithmetic
 # (k*rn >= q*n), so no float interpolation ever decides a statistic.
-_TTC_ORACLE = """
-    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
-               WHERE event_type = 'view' GROUP BY user_id),
-    c AS (SELECT e.user_id, MIN(e.ts) AS t2
-          FROM events e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click' AND e.ts > v.t1
-          GROUP BY e.user_id),
-    p AS (SELECT e.user_id, MIN(e.ts) AS t3
-          FROM events e JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase' AND e.ts > c.t2
-          GROUP BY e.user_id),
+# Funnel-stage CTEs are events_analytics' SHARED fragment: one definition
+# of "converted" for q_funnel and this latency rollup.
+from .events_analytics import _DUCK_FUNNEL_CTE  # noqa: E402
+
+_TTC_ORACLE = _DUCK_FUNNEL_CTE + """,
     durs AS (
         SELECT 'view->click' AS step_pair, c.user_id,
                epoch_us(c.t2) - epoch_us(v.t1) AS dur_us
@@ -506,7 +500,7 @@ _TTC_ORACLE = """
 
 
 @query("q_events_time_to_convert", oracle=_TTC_ORACLE,
-       tags=("events", "funnel", "stats"))
+       tags=("events", "funnel", "stats", "north-star"))
 def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: for q_funnel's strictly-ordered view → click →
     purchase stages, the per-step-pair conversion-time distribution
@@ -578,32 +572,12 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_dedup_canonical — keep-best representative per near-dup cluster
 # --------------------------------------------------------------------------
-# The cluster definition is q_dedup_clusters' (shared recursive-CTE
-# oracle); canonicalization picks the representative a curation pipeline
-# actually keeps: the LONGEST member (most content preserved), doc_id
-# as the tie break.
-_CANON_ORACLE = """
-    WITH RECURSIVE
-    p AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
-    s AS (SELECT doc_id,
-                 list_distinct(CASE WHEN len(terms) >= 3
-                   THEN list_transform(generate_series(1, len(terms) - 2),
-                                       i -> array_to_string(terms[i:i+2], ' '))
-                   ELSE [array_to_string(terms, ' ')] END) AS sh
-          FROM p),
-    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
-    e0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-           HAVING COUNT(*) * 1.0 /
-                  (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.5),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM e0
-          UNION ALL SELECT doc_b, doc_a FROM e0),
-    r AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
-    ),
+# The cluster definition is llm_dedup's SHARED recursive-CTE fragment —
+# canonicalization and the cluster labels cannot disagree about what a
+# "cluster" is.
+from .llm_dedup import _DUCK_CLUSTERS_CTE  # noqa: E402
+
+_CANON_ORACLE = _DUCK_CLUSTERS_CTE + """,
     labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
                FROM r GROUP BY src),
     members AS (SELECT l.cluster_id, l.doc_id, d.n_chars
