@@ -556,9 +556,10 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT e.vec_id, e.label,
                    list_sum(list_transform(list_zip(e.v, cent.c),
-                       p -> p[1] * p[2])) AS dot,
+                       p -> CAST(p[1] AS HUGEINT) * p[2])) AS dot,
                    list_sum(list_transform(e.v, x -> x * x)) AS nv,
-                   list_sum(list_transform(cent.c, x -> x * x)) AS nc
+                   list_sum(list_transform(cent.c,
+                       x -> CAST(x AS HUGEINT) * x)) AS nc
             FROM e JOIN cent USING (label)
         )
         SELECT label,
@@ -581,11 +582,12 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DETERMINISM (q_embed_kmeans' rule): vectors quantize to scaled
     BIGINTs, so centroid component sums, dot products, and norms are all
-    EXACT integers (|v·c| ≤ 64·(10⁶)²·|n| bounded within int64 —
-    centroid sums here are unnormalized totals ~2·10⁹ per component at
-    sf0.1... wait, products reach 64·10⁶·2·10⁹ ≈ 1.3·10¹⁷ < 2⁶³ ✓);
-    cosine is then two double conversions + one division + one sqrt —
-    identical rounding both engines, emitted 6dp.
+    EXACT integers. The centroid-side terms grow with the per-label
+    member count n (x·c ~ n·10¹², c² ~ n²·10¹²), so dot and nc fold in
+    DECIMAL(38,0) — HUGEINT in the oracle — which stays exact to any
+    realistic n; nv is per-vector (≤ 64·10¹²) and stays BIGINT. Cosine
+    is then two conversions + one division + one sqrt — identical
+    rounding both engines, emitted 6dp.
 
     Scale shape: centroids via posexplode + partial-agged (label, dim)
     sums collapsing to |labels|·dim rows, rebuilt and broadcast back;
@@ -612,10 +614,16 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(cent), "label")
         .select(
             "label",
-            F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
-                   "(a, t) -> a + t)").alias("dot"),
+            # dot and nc fold in DECIMAL(38,0) (HUGEINT in the oracle):
+            # centroid components grow with the per-label member count n,
+            # so x*c (~n*1e12) wraps int64 around n ~ 1.4e5 and c*c
+            # around n ~ 4e4. nv is per-vector (<= 64e12): BIGINT-safe.
+            F.expr("aggregate(zip_with(v, c, "
+                   "(x, y) -> CAST(x AS DECIMAL(38,0)) * y), "
+                   "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)").alias("dot"),
             F.expr("aggregate(v, 0L, (a, x) -> a + x * x)").alias("nv"),
-            F.expr("aggregate(c, 0L, (a, x) -> a + x * x)").alias("nc"),
+            F.expr("aggregate(c, CAST(0 AS DECIMAL(38,0)), "
+                   "(a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)").alias("nc"),
         )
     )
     cos = (F.col("dot").cast("double")
