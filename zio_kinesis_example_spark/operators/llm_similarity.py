@@ -545,21 +545,22 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ),
         comp AS (
-            SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS s
+            SELECT label, i,
+                   CAST(CAST(SUM(v[i]) AS BIGINT) // COUNT(*) AS BIGINT)
+                       AS cm
             FROM e, unnest(generate_series(1, {_KM_DIM})) AS t(i)
             GROUP BY label, i
         ),
         cent AS (
-            SELECT label, array_agg(s ORDER BY i) AS c FROM comp
+            SELECT label, array_agg(cm ORDER BY i) AS c FROM comp
             GROUP BY label
         ),
         scored AS (
             SELECT e.vec_id, e.label,
                    list_sum(list_transform(list_zip(e.v, cent.c),
-                       p -> CAST(p[1] AS HUGEINT) * p[2])) AS dot,
+                       p -> p[1] * p[2])) AS dot,
                    list_sum(list_transform(e.v, x -> x * x)) AS nv,
-                   list_sum(list_transform(cent.c,
-                       x -> CAST(x AS HUGEINT) * x)) AS nc
+                   list_sum(list_transform(cent.c, x -> x * x)) AS nc
             FROM e JOIN cent USING (label)
         )
         SELECT label,
@@ -581,49 +582,49 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     or polysemous groups; the per-label companion to q_embed_kmeans).
 
     DETERMINISM (q_embed_kmeans' rule): vectors quantize to scaled
-    BIGINTs, so centroid component sums, dot products, and norms are all
-    EXACT integers. The centroid-side terms grow with the per-label
-    member count n (x·c ~ n·10¹², c² ~ n²·10¹²), so dot and nc fold in
-    DECIMAL(38,0) — HUGEINT in the oracle — which stays exact to any
-    realistic n; nv is per-vector (≤ 64·10¹²) and stays BIGINT. Cosine
-    is then two conversions + one division + one sqrt — identical
-    rounding both engines, emitted 6dp.
+    BIGINTs and the centroid is the truncated-integer MEAN (both
+    engines truncate toward zero), so |c| ≤ SCALE independent of the
+    member count and every dot/norm fold is int64-exact at any corpus
+    size (raw component SUMS would wrap around ~4·10⁴ members, and the
+    decimal fallback measured ~4× slower). Cosine is then two double
+    conversions + one division + one sqrt — identical rounding both
+    engines, emitted 6dp.
 
     Scale shape: centroids via posexplode + partial-agged (label, dim)
     sums collapsing to |labels|·dim rows, rebuilt and broadcast back;
-    scoring is one stateless pass. Using the UNnormalized centroid sum
-    keeps everything integer — cosine is scale-invariant, so dividing by
-    the member count would change nothing but exactness.
+    scoring is one stateless pass. Cosine is scale-invariant, so the
+    mean-vs-sum centroid choice only moves quantization noise (≤ 1/SCALE
+    per component); the mean keeps the arithmetic bounded.
     """
     e = _emb(spark, sf_dir).select(
         "vec_id", "label",
         F.expr(f"transform(emb, x -> cast(floor(x * {_KM_SCALE}.0D) as bigint))")
         .alias("v"),
     )
+    # MEAN centroid in truncating integer division (both engines
+    # truncate toward zero), NOT the raw component sum: |c| stays
+    # <= SCALE no matter how many members a label has, so every fold
+    # below is int64-exact at ANY corpus size — the decimal/HUGEINT
+    # alternative measured ~4x slower (interpreted decimal lambdas).
     comp = (
         e.select("label", F.posexplode("v").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.sum("x").alias("s"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select("label", "i", F.expr("s DIV cnt").alias("cm"))
     )
     cent = (
         comp.groupBy("label")
-        .agg(F.expr("transform(sort_array(collect_list(struct(i, s))), "
-                    "p -> p.s)").alias("c"))
+        .agg(F.expr("transform(sort_array(collect_list(struct(i, cm))), "
+                    "p -> p.cm)").alias("c"))
     )
     scored = (
         e.join(F.broadcast(cent), "label")
         .select(
             "label",
-            # dot and nc fold in DECIMAL(38,0) (HUGEINT in the oracle):
-            # centroid components grow with the per-label member count n,
-            # so x*c (~n*1e12) wraps int64 around n ~ 1.4e5 and c*c
-            # around n ~ 4e4. nv is per-vector (<= 64e12): BIGINT-safe.
-            F.expr("aggregate(zip_with(v, c, "
-                   "(x, y) -> CAST(x AS DECIMAL(38,0)) * y), "
-                   "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)").alias("dot"),
+            F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
+                   "(a, t) -> a + t)").alias("dot"),
             F.expr("aggregate(v, 0L, (a, x) -> a + x * x)").alias("nv"),
-            F.expr("aggregate(c, CAST(0 AS DECIMAL(38,0)), "
-                   "(a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)").alias("nc"),
+            F.expr("aggregate(c, 0L, (a, x) -> a + x * x)").alias("nc"),
         )
     )
     cos = (F.col("dot").cast("double")

@@ -340,13 +340,13 @@ _SIL_SCALE = 1_000_000
                    FROM embeddings),
         e AS (SELECT vec_id, label, i, q[i] AS x
               FROM v CROSS JOIN generate_series(1, 64) t(i)),
-        cent AS (SELECT label AS clabel, i, SUM(x) AS c
+        cent AS (SELECT label AS clabel, i,
+                        CAST(SUM(x) // COUNT(*) AS BIGINT) AS c
                  FROM e GROUP BY 1, 2),
         nv AS (SELECT vec_id, SUM(x * x) AS nv FROM e GROUP BY vec_id),
-        nc AS (SELECT clabel, SUM(CAST(c AS HUGEINT) * c) AS nc
-               FROM cent GROUP BY clabel),
+        nc AS (SELECT clabel, SUM(c * c) AS nc FROM cent GROUP BY clabel),
         dots AS (SELECT e.vec_id, e.label, cent.clabel,
-                        SUM(CAST(e.x AS HUGEINT) * cent.c) AS dot
+                        SUM(e.x * cent.c) AS dot
                  FROM e JOIN cent ON e.i = cent.i
                  GROUP BY 1, 2, 3),
         cs AS (SELECT d.vec_id, d.label, d.clabel,
@@ -382,8 +382,10 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical mislabel / boundary audit (extends q_embed_cohesion,
     which only sees the own-centroid side).
 
-    DETERMINISM: quantized int64 components make centroid sums, dots,
-    and norms exact integers; each cosine is the identical double chain
+    DETERMINISM: quantized int64 components and truncated-integer MEAN
+    centroids (both engines truncate toward zero) keep |c| <= SCALE
+    independent of member counts, so dots and norms are int64-exact at
+    any corpus size; each cosine is the identical double chain
     dot / (sqrt(nv) * sqrt(nc)) (norms converted separately — their
     int64 product can overflow); the margin is floor-scaled back to
     int64 so the per-label sum is exact and the average is ONE double
@@ -401,24 +403,24 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
                f"x -> CAST(floor(x * {_SIL_SCALE}.0D) AS BIGINT))").alias("v"),
     )
+    # MEAN centroid in truncating integer division (both engines
+    # truncate toward zero): |c| <= SCALE independent of the member
+    # count, so every fold below is int64-exact at ANY corpus size —
+    # q_embed_cohesion's rule (raw sums wrap around ~4e4 members, and
+    # the decimal fallback measured ~4x slower).
     cent = (
         e.select("label", F.posexplode("v").alias("i", "x"))
         .groupBy(F.col("label").alias("clabel"), "i")
-        .agg(F.sum("x").alias("s"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select("clabel", "i", F.expr("s DIV cnt").alias("cm"))
         .groupBy("clabel")
-        .agg(F.expr("transform(sort_array(collect_list(struct(i, s))), "
-                    "p -> p.s)").alias("c"))
+        .agg(F.expr("transform(sort_array(collect_list(struct(i, cm))), "
+                    "p -> p.cm)").alias("c"))
     )
-    # dot and nc fold in DECIMAL(38,0): centroid components grow with the
-    # per-label count n, so x*c (~n*1e12) wraps int64 around n ~ 1.4e5
-    # and c*c (~n^2*1e12) around n ~ 4e4 — the oracle mirrors with
-    # HUGEINT. nv is per-vector (<= 64e12) and stays BIGINT.
-    dot = F.expr("aggregate(zip_with(v, c, "
-                 "(x, y) -> CAST(x AS DECIMAL(38,0)) * y), "
-                 "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)")
+    dot = F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
+                 "(a, t) -> a + t)")
     nv = F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")
-    nc = F.expr("aggregate(c, CAST(0 AS DECIMAL(38,0)), "
-                "(a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)")
+    nc = F.expr("aggregate(c, 0L, (a, x) -> a + x * x)")
     cs = (
         e.crossJoin(F.broadcast(cent))
         .select(
