@@ -91,7 +91,13 @@ def test_covariance_kernel_output_is_corpus_size_independent(spark):
         "v": [np.arange(_COV_DIM, dtype=np.int64) for _ in range(5000)]})
     out = list(_cov_kernel(iter([batch])))
     assert len(out) == 1
-    assert len(out[0]) == _COV_DIM * (_COV_DIM + 1) // 2
+    # second moments + first moments + row count, one row set per chunk
+    assert len(out[0]) == _COV_DIM * (_COV_DIM + 1) // 2 + _COV_DIM + 1
+    df = out[0]
+    assert df[(df.di == 0) & (df.dj == 0)].sxy.iloc[0] == 5000
+    first = df[(df.dj == 0) & (df.di > 0)]
+    assert len(first) == _COV_DIM
+    assert first[first.di == 3].sxy.iloc[0] == 2 * 5000  # col idx 2, value 2
 
 
 def test_silhouette_accounts_every_vector(spark):

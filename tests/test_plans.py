@@ -463,3 +463,67 @@ def test_cooccurrence_pairs_no_self_join(spark):
     assert plan.count("Arguments: hashpartitioning") == 2
     # both aggregations are two-phase (partial before each exchange)
     assert "partial_collect_set" in plan and "partial_count" in plan
+
+
+def test_covariance_is_single_pass_over_checkpointed_moments(spark):
+    """All sufficient statistics (second moments, first moments, row
+    count) ride ONE kernel pass, checkpointed once: the returned plan
+    must never rescan the corpus — no parquet scan, no MapInPandas,
+    only bounded joins over the <= dim^2 moment rows."""
+    plan = _plan(spark, "q_embed_covariance", mode="simple")
+    assert "Scan parquet" not in plan
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan
+    # the kernel-side pipeline itself: map-side partial agg of decimal
+    # partials before its single exchange
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from zio_kinesis_example_spark.catalog import load
+    from zio_kinesis_example_spark.operators.pipeline_ext3 import (
+        _COV_SCALE, _cov_kernel)
+    e = load(spark, SF_SMALL, "embeddings").select(
+        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+               f"x -> CAST(floor(x * {_COV_SCALE}.0D) AS BIGINT))")
+        .alias("v"))
+    partials = (e.mapInPandas(_cov_kernel, "di int, dj int, sxy long")
+                .groupBy("di", "dj")
+                .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        partials.explain("formatted")
+    kplan = buf.getvalue()
+    assert "MapInPandas" in kplan
+    assert "partial_sum(cast(sxy" in kplan
+    assert kplan.count("Arguments: hashpartitioning") == 1
+
+
+def test_ccnet_single_lang_window_no_corpus_shuffle(spark):
+    """The surprisal score broadcasts its tf table (corpus never
+    shuffles before the per-doc aggregate) and the tercile split adds
+    exactly ONE lang-partitioned window sort."""
+    plan = _plan(spark, "q_text_ccnet_buckets", mode="simple")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_count(1), partial_sum(LOG2" in plan
+
+
+def test_time_to_convert_shares_one_sort_across_windows(spark):
+    """row_number and the per-pair count windows ride ONE step_pair
+    exchange and ONE sort; the percentile picks are then plain
+    two-phase aggregation."""
+    plan = _plan(spark, "q_events_time_to_convert")
+    assert plan.count("Arguments: hashpartitioning(step_pair") == 1
+    # one physical Sort feeds both Window nodes
+    assert plan.count("+- Sort ") == 1
+    assert "partial_min" in plan
+
+
+def test_canonical_argmax_rides_cluster_exchange(spark):
+    """After the checkpointed label frame, the argmax window and the
+    per-cluster rollup share a single cluster_id exchange."""
+    plan = _plan(spark, "q_dedup_canonical")
+    assert plan.count("Arguments: hashpartitioning(cluster_id") == 1
+    assert "Window" in plan

@@ -220,10 +220,16 @@ def _cov_kernel(batches):
                 continue
             m = np.stack(chunk.to_numpy()).astype(np.int64)
             gram = m.T @ m
+            # second moments (dj > 0), first moments (dj = 0), row count
+            # (di = dj = 0) all ride the SAME pass — the corpus is
+            # scanned exactly once for every sufficient statistic
             yield pd.DataFrame({
-                "di": (iu[0] + 1).astype("int32"),
-                "dj": (iu[1] + 1).astype("int32"),
-                "sxy": gram[iu],
+                "di": np.concatenate([iu[0] + 1,
+                                      np.arange(1, _COV_DIM + 1), [0]])
+                .astype("int32"),
+                "dj": np.concatenate([iu[1] + 1,
+                                      np.zeros(_COV_DIM + 1)]).astype("int32"),
+                "sxy": np.concatenate([gram[iu], m.sum(0), [len(m)]]),
             })
 
 
@@ -272,32 +278,35 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT (it exceeds int64 beyond ~sf1) emitted as VARCHAR, and the
     double `cov` is ONE identical conversion + division chain, 6dp.
 
-    Scale shape: the Arrow kernel emits <= dim^2/2 rows PER BATCH no
-    matter how many vectors the batch holds — the shuffle is
-    O(dim^2 * partitions), independent of corpus size, and the final
-    aggregate is dim^2/2 groups. The per-dim mean sums ride a separate
-    posexplode partial agg that collapses to dim rows. This is the
-    textbook single-pass distributed covariance (sufficient statistics,
-    never centering the data).
+    Scale shape: the Arrow kernel emits <= dim^2/2 + dim + 1 rows PER
+    CHUNK no matter how many vectors it holds — second moments, first
+    moments, and the row count all ride the SAME single corpus pass, so
+    the shuffle is O(dim^2 * chunks), independent of corpus size, and
+    the final aggregate is dim^2 groups checkpointed once for the three
+    consumers (the returned plan never rescans the corpus; plan-tested).
+    This is the textbook single-pass distributed covariance (sufficient
+    statistics, never centering the data).
     """
     e = load(spark, sf_dir, "embeddings").select(
         F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
                f"x -> CAST(floor(x * {_COV_SCALE}.0D) AS BIGINT))").alias("v")
     )
-    gram = (
+    # DECIMAL(38,0), not long: the cross-chunk totals wrap int64 around
+    # ~3e7 vectors (per-chunk partials are int64-safe by the kernel's
+    # chunk cap; the global sums are not). ONE eager checkpoint of the
+    # <= dim^2/2 + dim + 1 moment rows serves all three consumers below
+    # without re-running the corpus scan — the whole covariance is a
+    # single pass over the data.
+    moments = (
         e.mapInPandas(_cov_kernel, "di int, dj int, sxy long")
-        # DECIMAL(38,0), not long: the cross-chunk total wraps int64
-        # around ~3e7 vectors (per-chunk partials are int64-safe by the
-        # kernel's chunk cap; the global sum is not)
         .groupBy("di", "dj")
         .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"))
+        .localCheckpoint(eager=True)
     )
-    sums = (
-        e.select(F.posexplode("v").alias("i0", "x"))
-        .groupBy((F.col("i0") + 1).alias("i"))
-        .agg(F.sum("x").alias("sx"))
-    )
-    n = e.agg(F.count(F.lit(1)).alias("n"))
+    gram = moments.filter(F.col("dj") > 0)
+    sums = moments.filter((F.col("dj") == 0) & (F.col("di") > 0))         .select(F.col("di").alias("i"), F.col("sxy").alias("sx"))
+    n = (moments.filter((F.col("di") == 0) & (F.col("dj") == 0))
+         .select(F.col("sxy").cast("long").alias("n")))
     dec = "decimal(38,0)"
     num = (F.col("n").cast(dec) * F.col("sxy").cast(dec)
            - F.col("sa").cast(dec) * F.col("sb").cast(dec))
