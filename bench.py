@@ -43,6 +43,7 @@ def warmup(spark, sf_dir: str) -> None:
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from zio_kinesis_example_spark.api import clear_shared_cache
     from zio_kinesis_example_spark.registry import all_specs
     times: dict[str, float] = {}
     for name, spec in sorted(all_specs().items()):
@@ -57,9 +58,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            # drop any cache an iterative query left behind (e.g. the
-            # final labels frame of q_dedup_clusters)
+            # drop any cache an iterative query left behind AND the
+            # dedup family's shared intermediates (signature tables, CC
+            # labels): clearCache alone can't see checkpoint-backed
+            # frames, and the bench contract is per-query cold — each
+            # timed run pays its own materializations
             spark.catalog.clearCache()
+            clear_shared_cache()
         times[name] = round(best, 3)
     return times
 
