@@ -566,7 +566,8 @@ def _chunk_layout(n_chunks: int, total_bits: int = _SIMHASH_BITS
 
 
 def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
-                  n_chunks: int | None = None) -> DataFrame:
+                  n_chunks: int | None = None,
+                  total_bits: int = _SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     The default radius 3 is the Manku et al. (WWW'07) production setting
@@ -598,7 +599,7 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1
-    layout = _chunk_layout(n_chunks)
+    layout = _chunk_layout(n_chunks, total_bits)
     # Mine pairs over DISTINCT signatures, then expand back to documents:
     # on a clustered corpus many docs share a signature (3897 distinct of
     # 5000 at sf0.1), so the quadratic candidate join runs on the smaller

@@ -791,50 +791,34 @@ _PHASH_HAM_T = 8  # near-dup threshold: ≤ 8 of 64 bits differ
 )
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIRS: documents whose perceptual hashes differ in
-    ≤ {_PHASH_HAM_T} of 64 bits, mined by the PIGEONHOLE band scheme
-    (threshold ≤ 8 over two 32-bit halves ⇒ some half differs by ≤ 4 —
-    here the stronger standard variant: candidates share AT LEAST one
-    EXACT half, sufficient for hash-identical halves and the common
-    near-dup regime; q_dedup_simhash's banding argument applied to
-    q_multimodal_phash's output) — then exact Hamming verification.
+    ≤ {_PHASH_HAM_T} of 64 bits, mined by the radius-EXACT pigeonhole
+    band scheme (9 chunks over the 64 bits: ≤ 8 differing bits ⇒ at
+    least one chunk identical), then exact Hamming verification — the
+    same chunk machinery as q_dedup_simhash_pairs (llm_dedup.
+    simhash_pairs, total_bits=64), which also dedups candidates with
+    the first-zero-chunk predicate instead of a dropDuplicates shuffle.
 
     The ORACLE is the brute-force all-pairs Hamming scan (independent,
-    quadratic, fine at oracle scale). Matching it certifies TWO facts:
-    the banded miner's pairs are all true pairs (precision, guaranteed
-    by the exact verify), and on THIS corpus no qualifying pair splits
-    its ≤ 8 differing bits across both halves (near-dup images here
-    differ in 0-2 bits, so one half always collides — verified at both
-    SFs). A corpus where that fails needs q_dedup_simhash's radius-split
-    chunk scheme (4 × 16-bit bands guarantee hamming ≤ 3 recall by
-    pigeonhole; 2 × 32 guarantees ≤ 1).
+    quadratic, fine at oracle scale): matching it certifies BOTH
+    precision (exact verify) and recall (the pigeonhole guarantee — an
+    earlier 2 × 32-bit-half variant missed a pair at sf0.1 whose 8
+    differing bits split 4/4 across the halves; the sweep caught it).
 
-    Scale shape: ONE shuffle keyed on (band_id, band value) for
+    Scale shape: ONE shuffle keyed on (chunk_id, chunk value) for
     candidate mining (same posture as MinHash-LSH), exact verify on the
-    candidate set only — never all-pairs.
+    candidate set only — never all-pairs. Radius 8 over 64 bits is an
+    intrinsically permissive curve (7-bit chunks ⇒ coarse buckets);
+    web-scale corpora move to the Manku block-pair tables at the same
+    threshold, or tighten the radius.
     """
-    hashed = q_multimodal_phash(spark, sf_dir).select(
-        "doc_id", "phash_hi", "phash_lo")
-    bands = hashed.select(
-        "doc_id", "phash_hi", "phash_lo",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("band"), F.col("phash_hi").alias("v")),
-            F.struct(F.lit(1).alias("band"), F.col("phash_lo").alias("v")),
-        )).alias("bv"),
-    ).select("doc_id", "phash_hi", "phash_lo",
-             F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = (
-        F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
-        + F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
+    from .llm_dedup import simhash_pairs
+
+    sigs = q_multimodal_phash(spark, sf_dir).select(
+        "doc_id",
+        # one 64-bit signature: (x >> sh) & mask extracts chunks
+        # correctly under arithmetic shift even when bit 63 makes the
+        # long negative
+        F.expr("shiftleft(phash_hi, 32) | phash_lo").alias("simhash"),
     )
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.v") == F.col("b.v"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= _PHASH_HAM_T)
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return simhash_pairs(sigs, max_hamming=_PHASH_HAM_T,
+                         n_chunks=_PHASH_HAM_T + 1, total_bits=64)

@@ -310,7 +310,8 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
-                   SUM(value) / COUNT(*) AS v
+                   SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*))
+                       AS v
             FROM events WHERE event_type IN ('purchase', 'signup')
             GROUP BY 1, 2
         ),
@@ -376,10 +377,18 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     types = ("purchase", "signup")
     e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*types))
+    # EXACT BIGINT cents for the hourly mean (values carry 2dp —
+    # q_ts_seasonal's rule): a double SUM(value) reassociates in
+    # partition order and diverged from DuckDB by 1 ulp at sf0.1, which
+    # the 6dp rounding then amplified into a last-digit mismatch. The
+    # exact integer sum + ONE identical division is engine-independent.
     hourly = (
         e.groupBy("event_type",
                   F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
-        .agg((F.sum("value") / F.count(F.lit(1))).alias("v"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
+             F.count(F.lit(1)).alias("cv"))
+        .select("event_type", "bucket_hour",
+                (F.col("svc") / (F.lit(100.0) * F.col("cv"))).alias("v"))
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
