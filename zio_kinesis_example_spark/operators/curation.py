@@ -560,9 +560,13 @@ def q_curate_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               round(SUM(CASE WHEN e.value < b.lo THEN b.lo
-                              WHEN e.value > b.hi THEN b.hi
-                              ELSE e.value END), 6) AS winsorized_sum
+               round(SUM(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                              THEN CAST(round(e.value * 100) AS BIGINT)
+                              ELSE 0 END) / 100.0
+                     + SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                       * MIN(b.lo)
+                     + SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                       * MIN(b.hi), 6) AS winsorized_sum
         FROM events e JOIN b USING (event_type)
         GROUP BY e.event_type
     """,
@@ -576,9 +580,11 @@ def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DETERMINISM: exact interpolated percentiles (q_agg_percentile's
     operator) feed fence arithmetic that is the identical IEEE op chain
-    on both engines; the clipped sum is rounded 6dp (float-emission
-    rule). Boundary comparisons use the fences themselves, so a value
-    equal to a fence is NOT an outlier on either engine.
+    on both engines; the clipped sum decomposes into exact-cent integer
+    sums plus count-times-fence terms (one multiply each), so no double
+    ever accumulates in partition order. Boundary comparisons use the
+    fences themselves, so a value equal to a fence is NOT an outlier on
+    either engine.
 
     Scale shape: the per-group bounds collapse to |groups| rows and
     broadcast back into a single stateless pass + partial agg; at 100 TB
@@ -595,11 +601,12 @@ def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo"),
         (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi"),
     )
-    clipped = (
-        F.when(F.col("value") < F.col("lo"), F.col("lo"))
-        .when(F.col("value") > F.col("hi"), F.col("hi"))
-        .otherwise(F.col("value"))
-    )
+    # the clipped sum DECOMPOSES into exact integer arithmetic: in-range
+    # values are exact cents (2dp data), each fence contributes count x
+    # fence with ONE multiply — summing clipped doubles directly would
+    # reassociate in partition order and diverge between engines once
+    # groups grow (q_ts_interpolate's sf0.1 lesson)
+    in_range = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
     return (
         e.join(F.broadcast(b), "event_type")
         .groupBy("event_type")
@@ -608,7 +615,15 @@ def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when((F.col("value") < F.col("lo"))
                          | (F.col("value") > F.col("hi")), 1)
                   .otherwise(0)).cast("long").alias("n_outliers"),
-            F.round(F.sum(clipped), 6).alias("winsorized_sum"),
+            F.round(
+                F.sum(F.when(in_range,
+                             F.round(F.col("value") * 100).cast("long"))
+                      .otherwise(F.lit(0))) / F.lit(100.0)
+                + F.sum(F.when(F.col("value") < F.col("lo"), 1)
+                        .otherwise(0)) * F.min("lo")
+                + F.sum(F.when(F.col("value") > F.col("hi"), 1)
+                        .otherwise(0)) * F.min("hi"), 6)
+            .alias("winsorized_sum"),
         )
     )
 

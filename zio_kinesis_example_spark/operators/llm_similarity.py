@@ -565,8 +565,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
-               round(AVG(CAST(dot AS DOUBLE)
-                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))), 6)
+               round(SUM(CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE)))
+                         AS BIGINT)) / (1000000.0 * COUNT(*)), 6)
                    AS avg_cohesion,
                round(MIN(CAST(dot AS DOUBLE)
                          / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))), 6)
@@ -629,8 +630,16 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (F.col("dot").cast("double")
            / F.sqrt(F.col("nv").cast("double") * F.col("nc").cast("double")))
+    # the mean sums floor-scaled int64 cosines, not raw doubles: a
+    # double sum reassociates in partition order and diverges between
+    # engines once groups grow (q_ts_interpolate's sf0.1 lesson); the
+    # scaled-int sum is exact and the mean is ONE double division.
+    # min over identical doubles is order-independent: safe as-is.
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(cos), 6).alias("avg_cohesion"),
+        F.round(
+            F.sum(F.floor(F.lit(1_000_000.0) * cos).cast("long"))
+            / (F.lit(1_000_000.0) * F.count(F.lit(1))), 6)
+        .alias("avg_cohesion"),
         F.round(F.min(cos), 6).alias("min_cohesion"),
     )
