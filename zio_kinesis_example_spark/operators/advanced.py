@@ -292,7 +292,8 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(value), 6) AS sum_value
+               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+                   AS sum_value
         FROM s
         GROUP BY user_id, session_id
     """,
@@ -327,7 +328,10 @@ def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # exact-cent sum (2dp data): a raw double sum reassociates in
+        # partition order and can flip the 6dp rounding as groups grow
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0), 6).alias("sum_value"),
     )
 
 
@@ -347,7 +351,8 @@ def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events)
         SELECT window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(value), 6) AS sum_value
+               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+                   AS sum_value
         FROM x
         WHERE ts >= window_start
           AND ts < window_start + INTERVAL 10 MINUTE
@@ -367,7 +372,8 @@ def q_win_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 6).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events",
                 "sum_value")
@@ -631,7 +637,8 @@ _SALT_BUCKETS = 8
     oracle="""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(value), 6) AS sum_value
+               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+                   AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -659,7 +666,8 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 6).alias("sum_value"),
         )
     )
 
@@ -1088,8 +1096,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(count_if(value > 0.5) AS BIGINT) AS n_hi,
-               round(SUM(CASE WHEN value > 0.5 THEN value ELSE 0 END), 6)
-                   AS sum_hi,
+               round(SUM(CASE WHEN value > 0.5
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) / 100.0, 6) AS sum_hi,
                bool_and(value >= 0) AS all_nonneg,
                bool_or(value > 0.99) AS any_extreme,
                round(median(value), 6) AS med_value
@@ -1107,7 +1116,9 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.expr("count_if(value > 0.5)").alias("n_hi"),
         F.round(
-            F.sum(F.when(F.col("value") > 0.5, F.col("value")).otherwise(0.0)),
+            F.sum(F.when(F.col("value") > 0.5,
+                         F.round(F.col("value") * 100).cast("long"))
+                  .otherwise(F.lit(0))) / F.lit(100.0),
             6,
         ).alias("sum_hi"),
         F.expr("bool_and(value >= 0)").alias("all_nonneg"),
