@@ -121,3 +121,33 @@ def compare_all(spark: SparkSession, sf_dir: str,
             results.append(CompareResult(name, False,
                                          f"EXCEPTION {type(e).__name__}: {e}"))
     return results
+
+
+def main() -> None:
+    """Full-registry parity sweep: ``python -m
+    zio_kinesis_example_spark.tools.oracle [sf_dir]``.
+
+    Run once per round at sf0.1 (~15 min on local[16]) in addition to
+    the sf0.01 driver gate: larger groups expose partition-order float
+    reassociation and banding-recall defects the small SF cannot (the
+    round-4 sweep caught both kinds). Exits non-zero on any mismatch.
+    """
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    sf_dir = _sys.argv[1] if len(_sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "32").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    res = compare_all(spark, sf_dir)
+    bad = [r for r in res if not r.ok]
+    for r in res:
+        print(("OK  " if r.ok else "FAIL") + f" {r.name}"
+              + ("" if r.ok else f"  {r.detail[:160]}"))
+    print(f"checked {len(res)}, failures {len(bad)}")
+    _sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
