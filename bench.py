@@ -59,10 +59,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # drop any cache an iterative query left behind AND the
-            # dedup family's shared intermediates (signature tables, CC
-            # labels): clearCache alone can't see checkpoint-backed
-            # frames, and the bench contract is per-query cold — each
-            # timed run pays its own materializations
+            # dedup family's shared-intermediate registry (signature
+            # tables, CC labels): clearing the registry guarantees the
+            # next run REBUILDS from scratch (the bench contract is
+            # per-query cold) — checkpoint-backed frames are invisible
+            # to clearCache, and their blocks free later via GC once
+            # the registry drops the reference
             spark.catalog.clearCache()
             clear_shared_cache()
         times[name] = round(best, 3)

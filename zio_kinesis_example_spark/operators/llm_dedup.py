@@ -133,7 +133,9 @@ _DUCK_MINHASH = (
 # pipeline performs — not a local-only trick. If an outside caller ran
 # clearCache() (bench.py does between timed runs), the frame is
 # re-persisted lazily; nothing here is correctness-bearing.
-_SHARED: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+_SHARED: dict[tuple[str, str, str],
+              tuple[SparkSession, DataFrame, bool]] = {}
+_SHARED_KEY_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
 # RLock, not Lock: a build() may itself request a shared frame (the minhash
 # bucket build starts from the shared shingle frame), re-entering _shared
 # on the same thread.
@@ -148,38 +150,65 @@ def _session_stopped(spark: SparkSession) -> bool:
         return True
 
 
-def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+def _shared(spark: SparkSession, sf_dir: str, key: str, build,
+            persist: bool = True) -> DataFrame:
+    """Memoize a per-(session, sf_dir) intermediate.
+
+    ``persist=False`` is for builds that return an already-materialized
+    frame (the CC label fixpoint eagerly localCheckpoints its result) —
+    persisting again would store the same rows twice on the executors.
+
+    The GLOBAL lock guards only the registry dict; build() runs under a
+    PER-KEY lock so a long materializing build (the CC fixpoint runs
+    whole Spark jobs) never blocks threads building unrelated frames.
+    """
+    k = (spark.sparkContext.applicationId, sf_dir, key)
     with _SHARED_LOCK:
         # evict entries whose owning session is gone: their DataFrame
         # handles are dead weight keyed by stale applicationIds
-        for k, (sess, _) in list(_SHARED.items()):
+        for sk, (sess, _, _) in list(_SHARED.items()):
             if _session_stopped(sess):
-                del _SHARED[k]
-        k = (spark.sparkContext.applicationId, sf_dir, key)
-        entry = _SHARED.get(k)
+                del _SHARED[sk]
+                _SHARED_KEY_LOCKS.pop(sk, None)
+        key_lock = _SHARED_KEY_LOCKS.setdefault(k, threading.RLock())
+    with key_lock:
+        with _SHARED_LOCK:
+            entry = _SHARED.get(k)
         if entry is None:
-            df = build().persist()
-            _SHARED[k] = (spark, df)
+            df = build()
+            if persist:
+                df = df.persist()
+            with _SHARED_LOCK:
+                _SHARED[k] = (spark, df, persist)
         else:
             df = entry[1]
-            lvl = df.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                df.persist()
+            if entry[2]:
+                lvl = df.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    df.persist()
         return df
 
 
 def clear_shared_cache(unpersist: bool = True) -> int:
     """Drop every cached dedup intermediate, optionally unpersisting live
-    frames (frees executor storage pinned by the family's shared scans);
-    returns the number of entries dropped. Callers that interleave dedup
-    runs with storage-sensitive work should call this between phases."""
+    frames; returns the number of entries dropped. Callers that
+    interleave dedup runs with storage-sensitive work should call this
+    between phases.
+
+    Scope note: this guarantees the NEXT access rebuilds from scratch
+    (timing coldness — the registry forgets the frames). unpersist()
+    frees CacheManager storage, but blocks behind a localCheckpoint
+    (cc_labels) are only released when the JVM object is GC'd via the
+    ContextCleaner — dropping the reference here is what makes that
+    possible, not immediate."""
     with _SHARED_LOCK:
         n = len(_SHARED)
-        for _, (sess, df) in list(_SHARED.items()):
+        for _, (sess, df, _) in list(_SHARED.items()):
             if unpersist and not _session_stopped(sess):
                 with contextlib.suppress(Exception):
                     df.unpersist()
         _SHARED.clear()
+        _SHARED_KEY_LOCKS.clear()
         return n
 
 
@@ -946,7 +975,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         return labels
 
-    return _shared(spark, sf_dir, "cc_labels", build)
+    # persist=False: build() returns an eagerly checkpointed frame —
+    # already materialized and recompute-free; persisting again would
+    # store the vertex table twice on the executors
+    return _shared(spark, sf_dir, "cc_labels", build, persist=False)
 
 
 @query(

@@ -610,7 +610,12 @@ _CANON_ORACLE = _DUCK_CLUSTERS_CTE + """,
 
 
 @query("q_dedup_canonical", oracle=_CANON_ORACLE,
-       tags=("dedup", "curation", "north-star"))
+       tags=("dedup", "curation", "north-star"),
+       # excluded from the timing loop for q_dedup_cluster_sizes' reason:
+       # under the per-query-cold bench contract each timed run would
+       # re-pay the entire CC fixpoint just to time a window + rollup;
+       # q_dedup_clusters IS the loop's benchmark
+       bench=False)
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization after near-dup clustering: per connected
     component of the exact-Jaccard (>= 0.5) graph, the representative a

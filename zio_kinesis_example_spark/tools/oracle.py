@@ -134,11 +134,12 @@ def main() -> None:
     """
     import sys as _sys
 
-    from pyspark.sql import SparkSession
-
     sf_dir = _sys.argv[1] if len(_sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = (SparkSession.builder.master("local[16]")
-             .config("spark.sql.shuffle.partitions", "32").getOrCreate())
+    # the project session, not a bare one: Arrow collect (the sweep
+    # toPandas-es multi-million-row frames), 8g driver heap, broadcast
+    # threshold — the same plans every other entry point gets
+    from ..session import get_spark
+    spark = get_spark(cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     res = compare_all(spark, sf_dir)
     bad = [r for r in res if not r.ok]
