@@ -162,3 +162,45 @@ def test_exact_dedup_on_planted_exact_copies(spark, tmpdir_factory_local):
     dup_groups = groups.filter(F.col("n") > 1).collect()
     assert len(dup_groups) == 1
     assert dup_groups[0].keep == 0 and dup_groups[0].n == 2
+
+
+def test_shared_registry_concurrent_keys_do_not_serialize(spark):
+    """_shared builds run under PER-KEY locks: two threads building
+    DIFFERENT keys must both complete (no deadlock through the global
+    registry lock) and each build must run exactly once."""
+    import threading
+
+    from zio_kinesis_example_spark.operators.llm_dedup import (
+        _shared, clear_shared_cache)
+
+    clear_shared_cache()
+    calls = {"a": 0, "b": 0}
+    barrier = threading.Barrier(2, timeout=30)
+    results = {}
+
+    def make_build(key):
+        def build():
+            calls[key] += 1
+            # rendezvous INSIDE both builds: only possible if neither
+            # build holds a lock the other needs
+            barrier.wait()
+            return spark.range(5).withColumnRenamed("id", key)
+        return build
+
+    def run(key):
+        results[key] = _shared(
+            spark, "/tmp/test-sfdir", f"test_{key}", make_build(key),
+            persist=False)
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert calls == {"a": 1, "b": 1}
+    assert results["a"].count() == 5 and results["b"].count() == 5
+    # second access reuses the entry without rebuilding
+    _shared(spark, "/tmp/test-sfdir", "test_a", make_build("a"),
+            persist=False)
+    assert calls["a"] == 1
+    clear_shared_cache()
