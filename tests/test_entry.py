@@ -88,15 +88,18 @@ def test_round4_additions_serve_after_older_backlog():
              if s.fn.__module__.endswith(".pipeline_ext2")}
     wave3 = {n for n, s in all_specs().items()
              if s.fn.__module__.endswith(".pipeline_ext3")}
-    assert wave1 and wave2 and wave3, "all extension waves registered"
+    wave4 = {n for n, s in all_specs().items()
+             if s.fn.__module__.endswith(".pipeline_ext4")}
+    assert wave1 and wave2 and wave3 and wave4, "all waves registered"
     state = ent._verification_state()
     order = ent._serve_order()
     unverified = [n for n in order
                   if state.get(n, (0, "unseen"))[1] != "green"]
-    tail = unverified[-(len(wave1) + len(wave2) + len(wave3)):]
-    assert set(tail) == wave1 | wave2 | wave3
-    assert set(tail[-len(wave3):]) == wave3
-    assert set(tail[-(len(wave2) + len(wave3)):-len(wave3)]) == wave2
+    n_all = len(wave1) + len(wave2) + len(wave3) + len(wave4)
+    tail = unverified[-n_all:]
+    assert set(tail) == wave1 | wave2 | wave3 | wave4
+    assert set(tail[-len(wave4):]) == wave4
+    assert set(tail[-(len(wave3) + len(wave4)):-len(wave4)]) == wave3
 
 
 def test_serve_order_fronts_unverified(monkeypatch):

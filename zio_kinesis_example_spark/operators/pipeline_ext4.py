@@ -1,0 +1,259 @@
+"""Round-4 (fourth wave) pipeline extensions — three diagnostics that
+close remaining reporting shapes:
+
+- ``q_ts_autocorr``       per-series autocorrelation at business-relevant
+                          lags (1h, 2h, 24h) over the hourly rollup — the
+                          seasonality/memory diagnostic in front of any
+                          forecasting choice (q_ts_holt assumes trend;
+                          this measures whether the assumption holds);
+- ``q_events_power_users``  Pareto concentration: per activity decile,
+                          user counts, event counts, and exact
+                          parts-per-million share — the 'top 10% of users
+                          drive X% of events' audit;
+- ``q_curate_dedup_rate_by_source``  near-dup drop rate per source from
+                          the shared CC labels — the per-provider dedup
+                          scorecard a curation pipeline reports.
+
+Registered after pipeline_ext3 (registry import order) so the driver's
+budgeted correctness pass certifies earlier backlogs first.
+
+Reference parity note: the reference (zio-kinesis-example) has no batch
+surface — this module is north-star surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# q_ts_autocorr — lag autocorrelation of the hourly mean series
+# --------------------------------------------------------------------------
+_AC_LAGS = (1, 2, 24)
+
+# The hourly series has a FIXED length (the fixture's one-month span, ~720
+# points) at every scale factor, so the per-series folds are bounded; they
+# still run as ORDERED folds (sort_array / array_agg ORDER BY — the chi2
+# rule) so the float sums associate identically on both engines.
+_AC_ORACLE = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*))
+                   AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               list_reduce(list_prepend(0.0,
+                   list_transform(array_agg(x ORDER BY h), v -> v)),
+                   (a, v) -> a + v) / COUNT(*) AS mean
+        FROM hourly GROUP BY event_type
+    ),
+    d AS (
+        SELECT h.event_type, h.h, h.x - s.mean AS dx
+        FROM hourly h JOIN stats s USING (event_type)
+    ),
+    lagged AS (
+        SELECT event_type, h, dx,
+               {", ".join(
+                   f"lag(dx, {lg}) OVER (PARTITION BY event_type ORDER BY h)"
+                   f" AS dx{lg}" for lg in _AC_LAGS)}
+        FROM d
+    ),
+    folded AS (
+        SELECT event_type,
+               list_reduce(list_prepend(0.0,
+                   list_transform(array_agg(dx * dx ORDER BY h), v -> v)),
+                   (a, v) -> a + v) AS den,
+               {", ".join(
+                   "list_reduce(list_prepend(0.0, "
+                   f"list_transform(array_agg(CASE WHEN dx{lg} IS NOT NULL "
+                   f"THEN dx * dx{lg} ELSE 0.0 END ORDER BY h), v -> v)), "
+                   f"(a, v) -> a + v) AS num{lg}" for lg in _AC_LAGS)}
+        FROM lagged GROUP BY event_type
+    )
+    SELECT event_type,
+           {", ".join(
+               f"round(CASE WHEN den > 0 THEN num{lg} / den ELSE 0.0 END, 6)"
+               f" + 0.0 AS r{lg}" for lg in _AC_LAGS)}
+    FROM folded
+"""
+
+
+@query("q_ts_autocorr", oracle=_AC_ORACLE, tags=("timeseries", "stats"))
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly mean-value series at
+    lags 1h / 2h / 24h — the memory/seasonality diagnostic (r24 near
+    r1 means a daily cycle dominates; all near zero means white noise)
+    that decides between q_ts_ewma, q_ts_holt, and q_ts_seasonal.
+
+    DETERMINISM: hourly means are exact-cent sums + one division
+    (q_ts_seasonal's rule); every cross-product fold runs ORDERED by
+    hour (sort_array fold ≡ DuckDB array_agg ORDER BY + list_reduce —
+    the chi2 rule), so the 6dp ratios agree bit-for-bit. Zero-variance
+    series are CASE-guarded; negative zero normalized (+ 0.0).
+
+    Scale shape: the raw table collapses to |types| x |hours| rows in
+    ONE partial-agged shuffle; the series length is calendar-bounded
+    (~720 points/month regardless of SF) so the ordered folds are O(1)
+    per series. Lags ride one window sort shared across all three.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
+             F.count(F.lit(1)).alias("cv"))
+        .select("event_type", "h",
+                (F.col("svc") / (F.lit(100.0) * F.col("cv"))).alias("x"))
+    )
+
+    def ofold(term):
+        return F.expr(
+            "aggregate(sort_array(collect_list(struct(h, "
+            f"{term} AS t))), 0D, (a, s) -> a + s.t)")
+
+    stats = (hourly.groupBy("event_type")
+             .agg((ofold("x") / F.count(F.lit(1))).alias("mean")))
+    d = (hourly.join(F.broadcast(stats), "event_type")
+         .select("event_type", "h", (F.col("x") - F.col("mean")).alias("dx")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = d.select(
+        "event_type", "h", "dx",
+        *[F.lag("dx", lg).over(w).alias(f"dx{lg}") for lg in _AC_LAGS],
+    )
+    folded = lagged.groupBy("event_type").agg(
+        ofold("dx * dx").alias("den"),
+        *[ofold(f"CASE WHEN dx{lg} IS NOT NULL THEN dx * dx{lg} "
+                "ELSE 0D END").alias(f"num{lg}") for lg in _AC_LAGS],
+    )
+    return folded.select(
+        "event_type",
+        *[(F.round(F.when(F.col("den") > 0,
+                          F.col(f"num{lg}") / F.col("den"))
+                   .otherwise(F.lit(0.0)), 6) + F.lit(0.0)).alias(f"r{lg}")
+          for lg in _AC_LAGS],
+    )
+
+
+# --------------------------------------------------------------------------
+# q_events_power_users — Pareto concentration by activity decile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_power_users",
+    oracle="""
+        WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY user_id),
+        t AS (SELECT SUM(n_events) AS total FROM c),
+        ranked AS (SELECT user_id, n_events,
+                          NTILE(10) OVER (ORDER BY n_events DESC, user_id)
+                              AS decile
+                   FROM c)
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST((SUM(n_events) * 1000000) // t.total AS BIGINT)
+                   AS share_ppm
+        FROM ranked CROSS JOIN t
+        GROUP BY decile, t.total
+    """,
+    tags=("events", "stats", "reporting"),
+)
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: users ranked into deciles by event count,
+    with each decile's user count, event count, and exact
+    parts-per-million share of all events — the Pareto audit ('the top
+    decile drives N% of traffic') behind rate limits, bot triage, and
+    sampling-weight decisions.
+
+    DETERMINISM: pure integer arithmetic end to end — counts, a
+    tie-broken NTILE (count desc, user_id), and integer-ppm shares
+    (q_curate_mix_report's rule). No float exists anywhere.
+
+    Scale shape: one user-keyed partial-agged count, then the decile
+    window over |users| count rows (not events); the global total rides
+    a one-row broadcast. At extreme user counts the exact NTILE swaps
+    for approx_percentile rank cuts (same columns, sketch boundaries).
+    """
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    t = c.agg(F.sum("n_events").alias("total"))
+    ranked = c.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("n_events").desc(), F.col("user_id"))),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .groupBy("decile", "total")
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.sum("n_events").alias("n_events"))
+        .select(
+            "decile", "n_users", "n_events",
+            F.expr("(n_events * 1000000) DIV total").alias("share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_curate_dedup_rate_by_source — per-source near-dup scorecard
+# --------------------------------------------------------------------------
+# Cluster definition is llm_dedup's SHARED recursive fragment; a document
+# is DROPPED when it is not its cluster's representative (cluster_id is
+# the minimum reachable doc_id, so representative <=> doc_id=cluster_id).
+from .llm_dedup import _DUCK_CLUSTERS_CTE  # noqa: E402
+
+_DEDUP_RATE_ORACLE = _DUCK_CLUSTERS_CTE + """,
+        labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                   FROM r GROUP BY src)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST((SUM(CASE WHEN l.doc_id <> l.cluster_id
+                          THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS drop_ppm
+    FROM labels l JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+
+
+@query("q_curate_dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE,
+       tags=("curation", "dedup", "reporting", "north-star"))
+def q_curate_dedup_rate_by_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Near-dup drop rate per source: how much of each provider's
+    contribution the min-id dedup policy removes (doc kept iff it is
+    its cluster's representative) — the per-provider scorecard that
+    decides which feeds get renegotiated, re-crawled, or down-weighted.
+
+    DETERMINISM: cluster labels are the hash-verified CC fixpoint;
+    everything else is integer counts and integer-ppm shares.
+
+    Scale shape: reuses the SHARED checkpointed label frame (the
+    fixpoint runs once per session across the whole cluster family);
+    one doc_id join against the documents dimension and one source
+    rollup riding partial aggregation.
+    """
+    from .llm_dedup import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dropped = F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+    return (
+        labels.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(dropped).cast("long").alias("n_dropped"))
+        .select(
+            "source", "n_docs", "n_dropped",
+            F.expr("(n_dropped * 1000000) DIV n_docs").alias("drop_ppm"),
+        )
+    )
