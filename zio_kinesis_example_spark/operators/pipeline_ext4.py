@@ -226,7 +226,11 @@ _DEDUP_RATE_ORACLE = _DUCK_CLUSTERS_CTE + """,
 
 
 @query("q_curate_dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE,
-       tags=("curation", "dedup", "reporting", "north-star"))
+       tags=("curation", "dedup", "reporting", "north-star"),
+       # excluded from the timing loop for q_dedup_cluster_sizes' reason:
+       # per-query-cold bench would re-pay the whole CC fixpoint to time
+       # a join + rollup; q_dedup_clusters IS the loop's benchmark
+       bench=False)
 def q_curate_dedup_rate_by_source(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Near-dup drop rate per source: how much of each provider's
