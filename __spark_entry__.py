@@ -30,6 +30,7 @@ import os
 import re
 import sys
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,12 +40,16 @@ sys.path.insert(0, _ROOT)
 from zio_kinesis_example_spark.registry import all_specs  # noqa: E402
 
 
+@lru_cache(maxsize=1)
 def _verification_state() -> dict[str, tuple[int, str]]:
     """name -> (round, status) from its latest CORRECTNESS_r*.json row.
 
     status ∈ {"green", "rows_only", "failed"}: a hash-match is green, a
     rows-only row (driver records err="no_oracle" with spark_rows set) is
     rows_only, anything else (exception, mismatch) is failed.
+
+    Cached per process: the artifacts are immutable within one driver run,
+    and both ``queries()`` and ``oracle_sql()`` need the same snapshot.
     """
     state: dict[str, tuple[int, str]] = {}
     for p in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):

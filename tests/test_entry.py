@@ -74,32 +74,54 @@ def test_serve_order_ignores_stale_artifact_names(monkeypatch):
     assert len(order) == len(set(order))
 
 
-def test_round4_additions_serve_after_older_backlog():
-    """pipeline_ext/pipeline_ext2 register last so their (unverified)
-    queries sort after every OTHER unverified query: the driver's budget
-    certifies the round-3 backlog before spending slots on round-4
-    additions — and pipeline_ext (first wave) before pipeline_ext2."""
+def test_wave_additions_serve_after_older_backlog(monkeypatch):
+    """pipeline_ext* waves register last so their queries sort after every
+    OTHER unverified query: the driver's budget certifies the older backlog
+    before spending slots on wave additions — and earlier waves before later
+    ones. Asserted against a SYNTHETIC all-unverified state: the real
+    CORRECTNESS_r*.json artifacts are written by the driver AFTER the
+    builder's last commit, so any test reading them can be falsified
+    post-hoc (this exact test broke that way in round 4)."""
     from zio_kinesis_example_spark.operators import pipeline_ext  # noqa: F401
     from zio_kinesis_example_spark.registry import all_specs
 
-    wave1 = {n for n, s in all_specs().items()
-             if s.fn.__module__.endswith(".pipeline_ext")}
-    wave2 = {n for n, s in all_specs().items()
-             if s.fn.__module__.endswith(".pipeline_ext2")}
-    wave3 = {n for n, s in all_specs().items()
-             if s.fn.__module__.endswith(".pipeline_ext3")}
-    wave4 = {n for n, s in all_specs().items()
-             if s.fn.__module__.endswith(".pipeline_ext4")}
-    assert wave1 and wave2 and wave3 and wave4, "all waves registered"
-    state = ent._verification_state()
+    waves = []
+    for mod in (".pipeline_ext", ".pipeline_ext2",
+                ".pipeline_ext3", ".pipeline_ext4"):
+        waves.append({n for n, s in all_specs().items()
+                      if s.fn.__module__.endswith(mod)})
+    assert all(waves), "all waves registered"
+    monkeypatch.setattr(ent, "_verification_state", lambda: {})
+
     order = ent._serve_order()
-    unverified = [n for n in order
-                  if state.get(n, (0, "unseen"))[1] != "green"]
-    n_all = len(wave1) + len(wave2) + len(wave3) + len(wave4)
-    tail = unverified[-n_all:]
-    assert set(tail) == wave1 | wave2 | wave3 | wave4
-    assert set(tail[-len(wave4):]) == wave4
-    assert set(tail[-(len(wave3) + len(wave4)):-len(wave4)]) == wave3
+    n_all = sum(len(w) for w in waves)
+    tail = order[-n_all:]
+    assert set(tail) == set().union(*waves)
+    # within the tail, wave K occupies the slots before wave K+1
+    pos = 0
+    for w in waves:
+        assert set(tail[pos:pos + len(w)]) == w
+        pos += len(w)
+
+
+def test_verification_state_reads_artifacts_once(monkeypatch):
+    """_verification_state is lru_cached: queries() + oracle_sql() in the
+    same process must scan the CORRECTNESS_r*.json glob at most once."""
+    calls = {"n": 0}
+    real_glob = ent.glob.glob
+
+    def counting_glob(pattern):
+        calls["n"] += 1
+        return real_glob(pattern)
+
+    monkeypatch.setattr(ent.glob, "glob", counting_glob)
+    ent._verification_state.cache_clear()
+    try:
+        ent.queries()
+        ent.oracle_sql()
+        assert calls["n"] <= 1
+    finally:
+        ent._verification_state.cache_clear()
 
 
 def test_serve_order_fronts_unverified(monkeypatch):

@@ -501,7 +501,8 @@ def mix_drift_chi2(df: DataFrame, group_col: str, class_col: str,
 
 
 def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
-                       min_support: int = 1) -> DataFrame:
+                       min_support: int = 1,
+                       max_items_per_group: int | None = None) -> DataFrame:
     """Distinct unordered item pairs per group, counted across groups:
     (item_a, item_b, together) with item_a < item_b and ``together`` =
     number of groups containing both — the candidate-pair primitive
@@ -514,13 +515,20 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
     functions, no self-join, no second exchange of the input), and the
     pair count partial-aggregates into the only other shuffle. Cost is
     the same Sum |group|^2 a self-join pays, without the distinct's
-    extra exchange or the join's build side. Skew guard at scale: a
-    per-group item cap (slice) before the fan-out bounds hub groups.
+    extra exchange or the join's build side. Skew guard at scale:
+    ``max_items_per_group`` slices each group's sorted item set to the
+    first N items before the fan-out, bounding a hub group's pair count
+    at N^2 instead of |group|^2 (sorted order makes the kept subset
+    deterministic; counts for pairs of dropped items become approximate
+    for capped groups only).
     """
     baskets = (
         df.groupBy(F.col(group_col).alias("__g"))
         .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__arr"))
     )
+    if max_items_per_group is not None:
+        baskets = baskets.withColumn(
+            "__arr", F.slice("__arr", 1, int(max_items_per_group)))
     pairs = baskets.select(F.explode(F.expr(
         "flatten(transform(__arr, (x, i) -> "
         "transform(slice(__arr, i + 2, size(__arr)), "

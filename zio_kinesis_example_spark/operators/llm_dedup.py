@@ -179,7 +179,19 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build,
             if persist:
                 df = df.persist()
             with _SHARED_LOCK:
-                _SHARED[k] = (spark, df, persist)
+                # Re-validate before storing: clear_shared_cache() may have
+                # dropped our key lock mid-build, letting another thread run
+                # a duplicate build and register first. Keep whichever frame
+                # is registered and unpersist the loser, so neither persisted
+                # frame leaks until session end.
+                existing = _SHARED.get(k)
+                if existing is not None and existing[1] is not df:
+                    if persist and not _session_stopped(spark):
+                        with contextlib.suppress(Exception):
+                            df.unpersist()
+                    df = existing[1]
+                else:
+                    _SHARED[k] = (spark, df, persist)
         else:
             df = entry[1]
             if entry[2]:

@@ -128,7 +128,8 @@ _HN_K = 5
         ranked AS (SELECT query_id, query_label, neighbor_id,
                           neighbor_label, round(s, 6) AS cosine,
                           CAST(row_number() OVER (PARTITION BY query_id
-                                                  ORDER BY s DESC,
+                                                  ORDER BY CAST(floor(s * 1000000.0)
+                                                                AS BIGINT) DESC,
                                                            neighbor_id)
                                AS BIGINT) AS rnk
                    FROM pairs)
@@ -145,8 +146,14 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives are trivially separable; the hard ones sit just across
     the boundary).
 
-    DETERMINISM: q_sim_cosine_topk's contract — ranking on the full-
-    precision cosine tie-broken by neighbor_id, score emitted 6dp.
+    DETERMINISM: ranking on the QUANTIZED score floor(1e6·cosine)
+    tie-broken by neighbor_id (the q_embed_cohesion pattern), because
+    Spark computes dot/sqrt(na·nb) while DuckDB's
+    list_cosine_similarity computes dot/(norm_a·norm_b) — identical
+    mathematically but ulps apart in float, so a full-precision ORDER BY
+    could pick different rows at the k-boundary on near-ties. Quantizing
+    to 1e-6 makes the ordering engine-agreed by construction; the score
+    itself is emitted 6dp.
 
     Scale shape: the query set broadcasts (it is the small side by
     construction — a mining run scores a sample of anchors, not the
@@ -175,7 +182,8 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("neighbor_id"))
+        F.floor(F.col("s") * F.lit(1_000_000.0)).cast("long").desc(),
+        F.col("neighbor_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _HN_K)

@@ -49,7 +49,6 @@ _AC_ORACLE = f"""
     ),
     stats AS (
         SELECT event_type,
-               COUNT(*) AS n,
                list_reduce(list_prepend(0.0,
                    list_transform(array_agg(x ORDER BY h), v -> v)),
                    (a, v) -> a + v) / COUNT(*) AS mean
