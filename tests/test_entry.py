@@ -86,8 +86,8 @@ def test_wave_additions_serve_after_older_backlog(monkeypatch):
     from zio_kinesis_example_spark.registry import all_specs
 
     waves = []
-    for mod in (".pipeline_ext", ".pipeline_ext2",
-                ".pipeline_ext3", ".pipeline_ext4"):
+    for mod in (".pipeline_ext", ".pipeline_ext2", ".pipeline_ext3",
+                ".pipeline_ext4", ".pipeline_ext5"):
         waves.append({n for n, s in all_specs().items()
                       if s.fn.__module__.endswith(mod)})
     assert all(waves), "all waves registered"

@@ -1,0 +1,106 @@
+"""The real PPM (P6) codec: decode hand-written fixtures (not just the
+module's own encoder output) — whitespace runs, CRLF, comments in every
+legal position — and reject garbage without crashing."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from zio_kinesis_example_spark.operators.multimodal import (
+    ppm_decode_batch, ppm_encode_batch,
+)
+
+
+def _decode(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return pd.concat(ppm_decode_batch(iter([pdf]))).reset_index(drop=True)
+
+
+def test_decode_handwritten_minimal():
+    # 2x1 image, canonical single-space header
+    pix = bytes([10, 20, 30, 40, 50, 60])
+    r = _decode([b"P6\n2 1\n255\n" + pix]).iloc[0]
+    assert bool(r.ppm_ok)
+    assert (r.width, r.height, r.maxval) == (2, 1, 255)
+    assert r.header_len == 11
+    assert r.row0_sum == r.pixel_sum == sum(pix)
+
+
+def test_decode_whitespace_runs_and_crlf():
+    # arbitrary whitespace runs between tokens are legal, including CRLF
+    pix = bytes([1, 2, 3])
+    r = _decode([b"P6\r\n  1\t\t1 \r\n 255 " + pix]).iloc[0]
+    assert bool(r.ppm_ok)
+    assert (r.width, r.height, r.maxval) == (1, 1, 255)
+    assert r.pixel_sum == 6
+
+
+def test_decode_comments_everywhere():
+    # '#'-to-newline comments wherever whitespace is legal — including a
+    # comment containing digits, which must NOT leak into a token
+    pix = bytes([5, 6, 7, 8, 9, 10])
+    hdr = b"P6\n# made by 99 elves\n2\n# h next\n1 # inline\n255\n"
+    r = _decode([hdr + pix]).iloc[0]
+    assert bool(r.ppm_ok)
+    assert (r.width, r.height, r.maxval) == (2, 1, 255)
+    assert r.header_len == len(hdr)
+    assert r.pixel_sum == sum(pix)
+
+
+def test_decode_non_255_maxval_and_row0():
+    # maxval 15 is legal (single-byte samples); row0 = first w*3 bytes
+    row0 = bytes([1, 1, 1, 2, 2, 2])
+    row1 = bytes([3, 3, 3, 4, 4, 4])
+    r = _decode([b"P6 2 2 15 " + row0 + row1]).iloc[0]
+    assert bool(r.ppm_ok) and r.maxval == 15
+    assert r.row0_sum == sum(row0)
+    assert r.pixel_sum == sum(row0) + sum(row1)
+
+
+def test_decode_rejects_garbage_without_crashing():
+    good = b"P6\n1 1\n255\n" + bytes([7, 8, 9])
+    out = _decode([
+        b"",                          # empty
+        b"P6",                        # magic only
+        b"P5\n1 1\n255\n\x00",        # P5 is not P6
+        b"P6\n1 1\n70000\n" + b"\x00" * 3,   # maxval out of byte range
+        b"P6\n1 x\n255\n\x00\x00\x00",       # non-numeric token
+        b"P6\n12#\n1\n255\n" + b"\x00" * 36,  # '#' inside a number
+        good[:-1],                    # truncated pixel plane
+        good,                         # valid, mixed into the same batch
+    ])
+    assert list(out.ppm_ok) == [False] * 7 + [True]
+    assert out.iloc[7].pixel_sum == 24
+
+
+def test_decode_batch_of_only_tiny_payloads():
+    out = _decode([b"", b"P6", b"x"])
+    assert list(out.ppm_ok) == [False, False, False]
+
+
+def test_encode_decode_round_trip_batch():
+    texts = [b"hello world", b"x", b"abcdefghijklmnopqrstuvwxyz0123"]
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "payload": texts})
+    encoded = pd.concat(ppm_encode_batch(iter([pdf]))).reset_index(drop=True)
+    out = _decode(list(encoded.payload))
+    dims = {0: (17, 7), 1: (24, 10), 2: (31, 13)}
+    for i, t in enumerate(texts):
+        r = out.iloc[i]
+        w, h = dims[i]
+        assert bool(r.ppm_ok) and (r.width, r.height) == (w, h)
+        n = w * h * 3
+        assert r.pixel_sum == sum(t[k % len(t)] for k in range(n))
+        assert r.row0_sum == sum(t[k % len(t)] for k in range(w * 3))
+
+
+def test_encoder_emits_genuine_ppm_bytes():
+    # class 2 (doc_id % 3 == 2) embeds a header comment — assert the raw
+    # bytes really carry it, and that the plane starts right after
+    pdf = pd.DataFrame({"doc_id": [2], "payload": [b"spark"]})
+    enc = pd.concat(ppm_encode_batch(iter([pdf]))).iloc[0].payload
+    hdr = b"P6\n# x\n31 13\n255\n"
+    assert enc[: len(hdr)] == hdr
+    assert len(enc) == len(hdr) + 31 * 13 * 3
+    t = b"spark"
+    assert enc[len(hdr):len(hdr) + 5] == bytes(
+        t[k % len(t)] for k in range(5))

@@ -382,6 +382,14 @@ def test_bmp_codec_plan_is_exchange_free(spark):
     assert plan.count("MapInPandas") == 2
 
 
+def test_ppm_codec_plan_is_exchange_free(spark):
+    """Same contract for the PPM round trip: a pure map pipeline, no
+    Exchange at any scale, both kernels Arrow-batched."""
+    plan = _plan(spark, "q_multimodal_decode_ppm", "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
 def test_ann_bench_plans_skip_exact_twin(spark):
     """bench.py must time the pure ANN plans, not the recall-contract
     forms: the bench_fn plans contain no per-pair brute-force crossJoin

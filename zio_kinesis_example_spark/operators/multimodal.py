@@ -288,6 +288,155 @@ def bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+# --- Real dependency-free codec #2: binary PPM (P6) -----------------------
+#
+# PPM exercises the OTHER half of real-format parsing the fixed-layout BMP
+# cannot: a VARIABLE-LENGTH ASCII header — magic "P6", then width, height
+# and maxval as decimal tokens separated by arbitrary whitespace runs, with
+# '#'-to-newline comments allowed wherever whitespace is, then exactly one
+# whitespace byte before the raw RGB plane (no row padding — the stride
+# hazard belongs to BMP; the tokenizer hazard belongs here). The decoder is
+# a vectorized per-byte state machine over the first _PPM_SCAN bytes of
+# every payload in the Arrow batch (numpy column sweeps — never per-row
+# Python), so a batch of n files parses in O(_PPM_SCAN) passes of O(n).
+# Size class 2's encoder header embeds a comment line, so comment handling
+# is exercised by the oracle-checked path, not only by fixtures.
+
+_PPM_DIMS = ((17, 7), (24, 10), (31, 13))  # (width, height) by doc_id % 3
+_PPM_HEADERS = (b"P6\n17 7\n255\n", b"P6\n24 10\n255\n",
+                b"P6\n# x\n31 13\n255\n")
+_PPM_SCAN = 64  # header must terminate within this prefix
+
+PPM_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ppm_ok", BooleanType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("maxval", IntegerType()),
+    StructField("header_len", IntegerType()),
+    StructField("row0_sum", LongType()),
+    StructField("pixel_sum", LongType()),
+])
+
+
+def ppm_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload=text bytes) → (doc_id, payload=real P6 PPM bytes).
+
+    Pixel rule: RGB-plane byte k = text_byte[k mod len(text)], row-major
+    top-down (P6 stores rows first-to-last, unpadded). Class 2's header
+    carries a '# x' comment line the decoder must skip."""
+    import numpy as np
+
+    for pdf in batches:
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        doc_id = pdf["doc_id"].to_numpy()
+        out: list = [None] * len(doc_id)
+        cls = doc_id % len(_PPM_DIMS)
+        for c, (w, h) in enumerate(_PPM_DIMS):
+            sel = np.nonzero(cls == c)[0]
+            if len(sel) == 0:
+                continue
+            hdr = np.frombuffer(_PPM_HEADERS[c], dtype=np.uint8)
+            k = np.arange(w * h * 3, dtype=np.int64)
+            idx = starts[sel][:, None] + (
+                k[None, :] % np.maximum(lens[sel], 1)[:, None])
+            pix = buf[idx].astype(np.uint8)
+            files = np.concatenate(
+                [np.broadcast_to(hdr, (len(sel), len(hdr))), pix], axis=1)
+            for j, i in enumerate(sel):
+                out[i] = files[j].tobytes()
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def ppm_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real P6 parse, vectorized: magic check, then a per-byte state
+    machine (numpy column sweep across the batch) tokenizing width /
+    height / maxval through arbitrary whitespace runs and '#'-comments,
+    locating the single post-maxval whitespace that starts the RGB
+    plane. Handles any single-byte-maxval P6, not just this module's
+    encoder output (tests/test_multimodal_ppm.py decodes hand-written
+    fixtures with CRLF runs, comments, and garbage)."""
+    import numpy as np
+
+    ws = (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
+
+    for pdf in batches:
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        n = len(starts)
+        # (n, SCAN) matrix of header-prefix bytes; out-of-range → 0 pad
+        buf2 = np.concatenate([buf, np.zeros(_PPM_SCAN, dtype=np.int64)])
+        col = np.arange(_PPM_SCAN, dtype=np.int64)
+        inrange = col[None, :] < lens[:, None]
+        mat = buf2[np.where(inrange, starts[:, None] + col[None, :],
+                            len(buf2) - 1)]
+
+        magic = (lens >= 2) & (mat[:, 0] == 0x50) & (mat[:, 1] == 0x36)
+        cur = np.zeros(n, dtype=np.int64)
+        started = np.zeros(n, dtype=bool)
+        in_comment = np.zeros(n, dtype=bool)
+        ncomplete = np.zeros(n, dtype=np.int64)
+        vals = np.zeros((n, 3), dtype=np.int64)
+        data_off = np.full(n, -1, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        for j in range(2, _PPM_SCAN):
+            c = mat[:, j]
+            live = (data_off < 0) & ~bad & magic
+            if not live.any():
+                break
+            isws = np.isin(c, ws)
+            isdig = (c >= 0x30) & (c <= 0x39)
+            ishash = c == 0x23
+            # comment bytes are skipped wholesale; newline ends the comment
+            skip = live & in_comment
+            in_comment = np.where(skip & (c == 0x0A), False, in_comment)
+            proc = live & ~skip
+            d = proc & isdig
+            cur = np.where(d, cur * 10 + (c - 0x30), cur)
+            end_tok = proc & isws & started
+            for t in range(3):
+                m = end_tok & (ncomplete == t)
+                vals[m, t] = cur[m]
+            ncomplete = np.where(end_tok, ncomplete + 1, ncomplete)
+            # the whitespace byte completing token 3 IS the single
+            # separator before the RGB plane
+            data_off = np.where(end_tok & (ncomplete == 3), j + 1, data_off)
+            started = np.where(end_tok, False, np.where(d, True, started))
+            cur = np.where(end_tok, 0, cur)
+            in_comment = np.where(proc & ishash & ~started, True, in_comment)
+            # '#' inside a number, or any byte that is not whitespace /
+            # digit / comment-start, is malformed
+            bad |= proc & ((ishash & started)
+                           | (~isws & ~isdig & ~ishash))
+
+        width, height, maxval = vals[:, 0], vals[:, 1], vals[:, 2]
+        ok = (magic & ~bad & (data_off >= 0)
+              & (width > 0) & (width < (1 << 16))
+              & (height > 0) & (height < (1 << 16))
+              & (maxval > 0) & (maxval < 256))     # single-byte samples
+        row_bytes = np.where(ok, width * 3, 0)
+        plane = np.where(ok, row_bytes * height, 0)
+        off = np.where(ok, data_off, 0)
+        ok &= lens >= off + plane
+        plane = np.where(ok, plane, 0)
+        row_bytes = np.where(ok, row_bytes, 0)
+        p0 = starts + np.where(ok, off, 0)
+        row0_sum = _segment_sums(buf, p0, p0 + row_bytes)
+        pixel_sum = _segment_sums(buf, p0, p0 + plane)
+
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "ppm_ok": ok.astype(bool),
+            "n_bytes": lens,
+            "width": width.astype("int32"),
+            "height": height.astype("int32"),
+            "maxval": maxval.astype("int32"),
+            "header_len": np.where(ok, off, 0).astype("int32"),
+            "row0_sum": np.where(ok, row0_sum, 0),
+            "pixel_sum": np.where(ok, pixel_sum, 0),
+        })
+
+
 @query(
     "q_multimodal_meta",
     oracle="""

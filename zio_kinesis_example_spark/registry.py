@@ -103,4 +103,6 @@ def _ensure_loaded() -> None:
     from .operators import pipeline_ext3  # noqa: F401
     # pipeline_ext4 after pipeline_ext3, for the same reason.
     from .operators import pipeline_ext4  # noqa: F401
+    # pipeline_ext5 after pipeline_ext4, for the same reason.
+    from .operators import pipeline_ext5  # noqa: F401
     _loaded = True
