@@ -668,3 +668,97 @@ def test_decode_json_null_data_dead_letters(spark):
     assert [r.id for r in valid.collect()] == [7]
     dead_rows = dead.collect()
     assert len(dead_rows) == 1 and dead_rows[0].seq == 2
+
+
+def test_incremental_dedup_streaming_twin(spark, tmpdir_factory_local):
+    """Streaming twin of q_dedup_incremental (pipeline_ext.py) composed
+    with the CDC upsert sink: each micro-batch of crawled documents
+    probes the fingerprint index built by every PRIOR batch (dup-of-
+    history verdict + canonical pointer), then registers only its
+    first-seen fingerprints — so history's canonical assignment is
+    stable forever, across restarts of the same checkpoint. This is the
+    daily-crawl loop the two batch queries document: O(history) index
+    work happened in earlier batches; each ingest pays O(batch)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, UpsertSink, decode_json, shard_source,
+    )
+
+    src = tmpdir_factory_local("incdedup-src")
+    ckpt = tmpdir_factory_local("incdedup-ckpt")
+    state = tmpdir_factory_local("incdedup-state")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    # 40 distinct texts cycling over doc_ids: later docs duplicate history
+    prod = ShardDirProducer(
+        src, n_shards=2, batch_size=50,
+        payload_fn=lambda i: {"doc_id": i, "text": f"t{i % 40}"},
+    )
+    index = UpsertSink(state, key="fp", seq_col="canonical")
+    verdicts: dict[int, tuple[bool, int | None]] = {}
+
+    def ingest(batch, batch_id):
+        s = batch.sparkSession
+        delta = batch.select("doc_id", F.md5("text").alias("fp"))
+        hist = index.current(s)
+        if hist is None:
+            hist = s.createDataFrame(
+                [], "fp string, canonical long")
+        probed = (
+            delta.join(hist, "fp", "left")
+            .select("doc_id",
+                    F.col("canonical").isNotNull().alias("dup"),
+                    "canonical")
+        )
+        for r in probed.collect():   # test-harness mirror of the report sink
+            verdicts[r.doc_id] = (r.dup, r.canonical)
+        # register ONLY first-seen fingerprints: history's canonical is
+        # immutable (anti-join before the upsert keeps batch collisions
+        # from overwriting an older canonical)
+        fresh = (
+            delta.join(hist, "fp", "left_anti")
+            .groupBy("fp").agg(F.min("doc_id").alias("canonical"))
+        )
+        index(fresh, batch_id)
+
+    def run():
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        q = (
+            valid.select("doc_id", "text")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    # run 1: docs 1..40 — every fingerprint is new
+    prod.produce_all(40)
+    run()
+    assert all(not verdicts[i][0] for i in range(1, 41))
+    idx1 = {r.fp: r.canonical for r in index.current(spark).collect()}
+    assert len(idx1) == 40
+
+    # run 2 (restart, same checkpoint): docs 41..200 all duplicate
+    # history; canonical must point at the run-1 doc of the same residue
+    prod.produce_all(200, start=41)
+    run()
+    for i in range(41, 201):
+        dup, canonical = verdicts[i]
+        assert dup, f"doc {i} should duplicate history"
+        want = i % 40 if i % 40 >= 1 else 40
+        assert canonical == want, (i, canonical, want)
+    # index unchanged: canonicals are stable across ingests
+    idx2 = {r.fp: r.canonical for r in index.current(spark).collect()}
+    assert idx2 == idx1
+
+    # run 3: no new data — no new verdicts, index untouched
+    n_before = len(verdicts)
+    run()
+    assert len(verdicts) == n_before
+    assert {r.fp: r.canonical
+            for r in index.current(spark).collect()} == idx1
