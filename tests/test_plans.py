@@ -535,3 +535,22 @@ def test_canonical_argmax_rides_cluster_exchange(spark):
     plan = _plan(spark, "q_dedup_canonical")
     assert plan.count("Arguments: hashpartitioning(cluster_id") == 1
     assert "Window" in plan
+
+
+def test_shuffle_epoch_plan_is_per_shard_sorted(spark):
+    """q_shuffle_epoch must never plan the naive global-row_number shape
+    (a single-partition window): exactly one Window over a shard-keyed
+    sort, and the sort's partitioning comes from the shard hash
+    exchange, not a coalesce-to-1."""
+    plan = _plan(spark, "q_shuffle_epoch")
+    import re
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_split_assign_plan_is_stateless(spark):
+    """q_split_assign is a pure projection: no Exchange, no Sort, no
+    aggregation — the shape that scales to any corpus for free."""
+    plan = _plan(spark, "q_split_assign", "simple")
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
