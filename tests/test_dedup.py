@@ -204,3 +204,31 @@ def test_shared_registry_concurrent_keys_do_not_serialize(spark):
             persist=False)
     assert calls["a"] == 1
     clear_shared_cache()
+
+
+def test_shared_registry_race_loser_is_unpersisted(spark):
+    """clear_shared_cache() mid-build race (ADVICE r4): if another
+    thread registers an entry for the same key while our build is in
+    flight, the store step must keep the REGISTERED frame and unpersist
+    our duplicate — neither persisted frame may leak. Simulated
+    deterministically: the build itself plants a competing entry (as if
+    a rival thread won after our key lock was dropped by a clear)."""
+    from zio_kinesis_example_spark.operators.llm_dedup import (
+        _SHARED, _SHARED_LOCK, _shared, clear_shared_cache)
+
+    clear_shared_cache()
+    rival = spark.range(3).withColumnRenamed("id", "rival")
+    mine = spark.range(7).withColumnRenamed("id", "mine")
+    key = (spark.sparkContext.applicationId, "/tmp/test-sfdir", "test_race")
+
+    def build():
+        with _SHARED_LOCK:
+            _SHARED[key] = (spark, rival, False)
+        return mine
+
+    got = _shared(spark, "/tmp/test-sfdir", "test_race", build)
+    # the registered (rival) frame wins; ours was discarded + unpersisted
+    assert got is rival
+    lvl = mine.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "loser frame leaked persist"
+    clear_shared_cache()
