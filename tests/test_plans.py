@@ -554,3 +554,11 @@ def test_split_assign_plan_is_stateless(spark):
     plan = _plan(spark, "q_split_assign", "simple")
     assert "Exchange" not in plan
     assert "Sort" not in plan
+
+
+def test_seqlen_buckets_two_phase_single_exchange(spark):
+    """q_text_seqlen_buckets: partial HashAggregate below one exchange on
+    the ≤10-value bucket key — the corpus collapses map-side."""
+    plan = _plan(spark, "q_text_seqlen_buckets", "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -280,3 +280,84 @@ def test_cooccurrence_pairs_matches_model(spark, rows, min_support):
            for r in cooccurrence_pairs(df, "g", "item",
                                        min_support=min_support).collect()}
     assert got == model
+
+
+# --- codec fuzz: arbitrary bytes must never crash a decoder ---------------
+#
+# The three real-format decoders (BMP, WAV, PPM) are vectorized numpy
+# kernels full of offset arithmetic over untrusted buffers — the classic
+# out-of-bounds surface. Property: for ANY byte payloads (including
+# truncated valid prefixes and pure noise), the kernel returns one row per
+# input with ok=False for malformed files, and never raises.
+
+def _fuzz_decode(decoder, payloads):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)),
+                        "payload": payloads})
+    out = pd.concat(decoder(iter([pdf]))).reset_index(drop=True)
+    assert len(out) == len(payloads)
+    return out
+
+
+def _codec_corpus(data_strategy):
+    from hypothesis import strategies as st
+
+    # mix pure noise with magic-prefixed noise so header parsing runs
+    return st.lists(
+        st.one_of(
+            st.binary(max_size=200),
+            st.binary(max_size=120).map(lambda b: b"BM" + b),
+            st.binary(max_size=120).map(lambda b: b"P6\n" + b),
+            st.binary(max_size=120).map(lambda b: b"RIFF" + b),
+        ),
+        min_size=1, max_size=8,
+    )
+
+
+def test_fuzz_bmp_decoder_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zio_kinesis_example_spark.operators.multimodal import (
+        bmp_decode_batch)
+
+    @given(_codec_corpus(st.binary))
+    @settings(max_examples=60, deadline=None)
+    def run(payloads):
+        out = _fuzz_decode(bmp_decode_batch, payloads)
+        assert out.bmp_ok.dtype == bool
+
+    run()
+
+
+def test_fuzz_ppm_decoder_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zio_kinesis_example_spark.operators.multimodal import (
+        ppm_decode_batch)
+
+    @given(_codec_corpus(st.binary))
+    @settings(max_examples=60, deadline=None)
+    def run(payloads):
+        out = _fuzz_decode(ppm_decode_batch, payloads)
+        assert out.ppm_ok.dtype == bool
+
+    run()
+
+
+def test_fuzz_wav_decoder_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zio_kinesis_example_spark.operators.pipeline_ext import (
+        wav_decode_batch)
+
+    @given(_codec_corpus(st.binary))
+    @settings(max_examples=60, deadline=None)
+    def run(payloads):
+        out = _fuzz_decode(wav_decode_batch, payloads)
+        assert len(out.columns) > 1
+
+    run()
