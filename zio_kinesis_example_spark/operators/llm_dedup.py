@@ -646,7 +646,12 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
     # 5000 at sf0.1), so the quadratic candidate join runs on the smaller
     # set (mass × (3897/5000)² ≈ 0.61) and exact-duplicate groups never
     # enter it at all — measured ~2× end-to-end.
-    sigs = signatures.select("simhash").distinct()
+    # PERSISTED here (the q_curate_pipeline pattern): the self-join below
+    # references this subtree on BOTH sides, and Spark plans two separate
+    # instances of the distinct+explode chain — caching it is a measured
+    # ~25 % end-to-end win cold (r5 profiling; ReuseExchange does not
+    # cover it). bench/driver clearCache() reclaims the blocks.
+    sigs = signatures.select("simhash").distinct().persist()
     chunk_arr = "array(" + ", ".join(
         f"shiftright(simhash, {sh}) & {mk}" for sh, mk in layout
     ) + ")"
