@@ -266,3 +266,27 @@ def test_cusum_changepoint_generic(spark):
     assert r.n_points == 20 and r.total == 550
     # dev at i=10: |20*50 - 10*550| = 4500
     assert r.dev_scaled == 4500
+
+
+def test_cooccurrence_pairs_cap_bounds_hub_groups(spark):
+    """max_items_per_group slices each group's SORTED item set before the
+    pair fan-out: a hub group with many items contributes at most
+    cap*(cap-1)/2 pairs, over its lexicographically-first cap items
+    (deterministic), while small groups are unaffected."""
+    rows = [("hub", f"i{k:02d}") for k in range(10)] + \
+           [("s", "a"), ("s", "b")]
+    df = spark.createDataFrame(rows, "g string, item string")
+
+    full = api.cooccurrence_pairs(df, "g", "item").collect()
+    assert len(full) == 45 + 1          # C(10,2) + C(2,2)
+
+    capped = api.cooccurrence_pairs(
+        df, "g", "item", max_items_per_group=4).collect()
+    pairs = {(r.item_a, r.item_b) for r in capped}
+    hub_pairs = {p for p in pairs if p[0].startswith("i")}
+    assert len(hub_pairs) == 6          # C(4,2)
+    # kept subset = first 4 sorted items
+    assert hub_pairs == {(a, b)
+                         for i, a in enumerate([f"i{k:02d}" for k in range(4)])
+                         for b in [f"i{k:02d}" for k in range(4)][i + 1:]}
+    assert ("a", "b") in pairs          # small group untouched

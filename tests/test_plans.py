@@ -562,3 +562,21 @@ def test_seqlen_buckets_two_phase_single_exchange(spark):
     plan = _plan(spark, "q_text_seqlen_buckets", "simple")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_autocorr_three_lags_share_one_window_sort(spark):
+    """q_ts_autocorr's lag-1/2/24 columns must ride ONE window over one
+    (event_type, hour) sort — three separate Window nodes would triple
+    the series sort."""
+    plan = _plan(spark, "q_ts_autocorr", "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_power_users_single_window_sort(spark):
+    """q_events_power_users' decile assignment runs one Window over one
+    sort of the per-user aggregate (corpus-sized input collapses to
+    |users| rows before any sort)."""
+    plan = _plan(spark, "q_events_power_users", "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Sort [") == 1
