@@ -104,3 +104,32 @@ def test_encoder_emits_genuine_ppm_bytes():
     t = b"spark"
     assert enc[len(hdr):len(hdr) + 5] == bytes(
         t[k % len(t)] for k in range(5))
+
+
+def test_encoders_zero_fill_empty_payloads():
+    """An empty payload has no bytes to cycle: all three encoders must
+    emit zero-filled planes for it, never bytes aliased from the NEXT
+    document in the flat batch buffer (the int-mod-by-zero hazard)."""
+    import warnings
+
+    from zio_kinesis_example_spark.operators.multimodal import (
+        bmp_decode_batch, bmp_encode_batch)
+    from zio_kinesis_example_spark.operators.pipeline_ext import (
+        wav_encode_batch)
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "payload": [b"", b"\xff" * 9]})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # mod-by-zero would warn
+        ppm = pd.concat(ppm_encode_batch(iter([pdf.copy()])))
+        bmp = pd.concat(bmp_encode_batch(iter([pdf.copy()])))
+        wav = pd.concat(wav_encode_batch(iter([pdf.copy()])))
+    # PPM class 0: header then plane — all zero for the empty doc
+    hdr_len = 12
+    assert set(ppm.iloc[0].payload[hdr_len:]) == {0}
+    assert 0xFF in set(ppm.iloc[1].payload[13:])
+    # BMP: pixel area zero except 0xAB stride pads
+    dec = pd.concat(bmp_decode_batch(iter([pd.DataFrame({
+        "doc_id": [0], "payload": [bmp.iloc[0].payload]})])))
+    assert bool(dec.iloc[0].bmp_ok) and dec.iloc[0].pixel_sum == 0
+    # WAV: PCM section zero (after the 53-byte fixed head)
+    assert set(wav.iloc[0].payload[-10:]) == {0}

@@ -189,8 +189,15 @@ def bmp_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             row_bytes = w * 3
             stride = (row_bytes + 3) // 4 * 4
             k = np.arange(h * row_bytes, dtype=np.int64)
-            idx = starts[sel][:, None] + (k[None, :] % lens[sel][:, None])
-            pix = buf[idx].astype(np.uint8).reshape(len(sel), h, row_bytes)
+            # guard: an empty payload has no bytes to cycle — modulo by
+            # max(len,1) avoids int-mod-by-zero, and the explicit zero
+            # mask below keeps it from aliasing the NEXT doc's bytes in
+            # the flat buffer (its start == the next start)
+            idx = starts[sel][:, None] + (
+                k[None, :] % np.maximum(lens[sel], 1)[:, None])
+            pix = buf[idx].astype(np.uint8)
+            pix[lens[sel] == 0] = 0
+            pix = pix.reshape(len(sel), h, row_bytes)
             area = np.full((len(sel), h, stride), _BMP_PAD, dtype=np.uint8)
             area[:, :, :row_bytes] = pix[:, ::-1, :]   # bottom-up storage
             hdr = np.broadcast_to(_bmp_header(w, h, stride),
@@ -339,9 +346,11 @@ def ppm_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             hdr = np.frombuffer(_PPM_HEADERS[c], dtype=np.uint8)
             k = np.arange(w * h * 3, dtype=np.int64)
+            # empty-payload guard: see bmp_encode_batch
             idx = starts[sel][:, None] + (
                 k[None, :] % np.maximum(lens[sel], 1)[:, None])
             pix = buf[idx].astype(np.uint8)
+            pix[lens[sel] == 0] = 0
             files = np.concatenate(
                 [np.broadcast_to(hdr, (len(sel), len(hdr))), pix], axis=1)
             for j, i in enumerate(sel):

@@ -370,8 +370,11 @@ def wav_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     continue
                 data_bytes = frames * ch * 2
                 k = np.arange(data_bytes, dtype=np.int64)
+                # empty-payload guard: see bmp_encode_batch
                 pcm = buf[starts[sel][:, None]
-                          + (k[None, :] % lens[sel][:, None])].astype(np.uint8)
+                          + (k[None, :] % np.maximum(lens[sel], 1)[:, None])
+                          ].astype(np.uint8)
+                pcm[lens[sel] == 0] = 0
                 riff_size = 4 + (8 + 16) + (8 + _WAV_JUNK + 1) + 8 + data_bytes
                 hdr = struct.pack(
                     "<4sI4s" "4sIHHIIHH" "4sI", b"RIFF", riff_size, b"WAVE",
