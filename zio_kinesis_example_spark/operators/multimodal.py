@@ -754,8 +754,11 @@ def phash_batch(batches):
     pos = np.arange(72, dtype=np.int64)           # 8 rows × 9 cols
     for pdf in batches:
         buf, starts, lens = _flat_batch(pdf["payload"])
-        idx = starts[:, None] + (pos[None, :] % lens[:, None])
+        # empty-payload guard (query path filters them; the kernel must
+        # still not mod-by-zero as a reusable function): hash = 0
+        idx = starts[:, None] + (pos[None, :] % np.maximum(lens, 1)[:, None])
         px = buf[idx].reshape(len(pdf), 8, 9).astype(np.int16)
+        px[lens == 0] = 0
         bits = (px[:, :, :8] < px[:, :, 1:]).reshape(len(pdf), 64)
         k = np.arange(32, dtype=np.int64)
         lo = (bits[:, :32] * (1 << k)).sum(axis=1)
