@@ -361,3 +361,26 @@ def test_fuzz_wav_decoder_never_crashes():
         assert len(out.columns) > 1
 
     run()
+
+
+def test_flat_batch_segment_sums_match_python():
+    """The flat-buffer primitives every codec kernel builds on: for ANY
+    list of byte payloads, _flat_batch offsets partition the buffer
+    exactly and _segment_sums equals the per-payload Python sum —
+    including empty payloads adjacent to full ones (the reduceat
+    clamping regression class)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zio_kinesis_example_spark.operators.multimodal import (
+        _flat_batch, _segment_sums)
+
+    @given(st.lists(st.binary(max_size=64), min_size=1, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def run(payloads):
+        buf, starts, lens = _flat_batch(payloads)
+        assert list(lens) == [len(p) for p in payloads]
+        got = _segment_sums(buf, starts, starts + lens)
+        assert list(got) == [sum(p) for p in payloads]
+
+    run()
