@@ -580,3 +580,21 @@ def test_power_users_single_window_sort(spark):
     plan = _plan(spark, "q_events_power_users", "simple")
     assert plan.count("Window") == 1
     assert plan.count("Sort [") == 1
+
+
+def test_wav_codec_plan_is_exchange_free(spark):
+    """Same contract as BMP/PPM for the WAV round trip: a pure map
+    pipeline — two Arrow-batched kernels, no Exchange at any scale."""
+    plan = _plan(spark, "q_multimodal_wav_decode", "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_ts_asof_nearest_is_union_window_not_join(spark):
+    """Nearest-in-time as-of must be the union+window formulation (the
+    q_join_asof shape): no join operator, one exchange, one sort, one
+    Window — a range join here would explode O(left x right) per key."""
+    plan = _plan(spark, "q_ts_asof_nearest", "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1
