@@ -232,3 +232,31 @@ def test_shared_registry_race_loser_is_unpersisted(spark):
     lvl = mine.storageLevel
     assert not (lvl.useMemory or lvl.useDisk), "loser frame leaked persist"
     clear_shared_cache()
+
+
+def test_shared_registry_race_same_plan_keeps_winner_cached(spark):
+    """The REAL duplicate-build race produces two frames with the SAME
+    logical plan. Spark's CacheManager is plan-keyed, so unpersisting
+    the loser would evict the winner's cache entry too — the store step
+    must detect plan equality and skip the unpersist (code-review r5
+    finding on the first version of this fix)."""
+    from zio_kinesis_example_spark.operators.llm_dedup import (
+        _SHARED, _SHARED_LOCK, _shared, clear_shared_cache)
+
+    clear_shared_cache()
+    rival = spark.range(9).withColumnRenamed("id", "v").persist()
+    rival.count()                       # winner's cache, materialized
+    key = (spark.sparkContext.applicationId, "/tmp/test-sfdir", "test_race2")
+
+    def build():
+        with _SHARED_LOCK:
+            _SHARED[key] = (spark, rival, True)
+        # identical plan, distinct object — the true race shape
+        return spark.range(9).withColumnRenamed("id", "v")
+
+    got = _shared(spark, "/tmp/test-sfdir", "test_race2", build)
+    assert got is rival
+    lvl = rival.storageLevel
+    assert lvl.useMemory or lvl.useDisk, \
+        "same-plan loser unpersist evicted the winner's cache"
+    clear_shared_cache()

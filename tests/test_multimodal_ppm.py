@@ -78,6 +78,19 @@ def test_decode_batch_of_only_tiny_payloads():
     assert list(out.ppm_ok) == [False, False, False]
 
 
+def test_decode_rejects_int64_wrapping_dimension_token():
+    """A 20-digit width token wraps int64 to a small value (2^64+10 ≡ 10)
+    — the tokenizer must reject it long before the wrap instead of
+    accepting a mis-parsed geometry as ppm_ok (code-review r5 finding)."""
+    wrapped = str(2**64 + 10).encode()        # ≡ 10 mod 2^64
+    payload = b"P6\n" + wrapped + b" 1\n255\n" + b"\x00" * 30
+    out = _decode([payload])
+    assert not bool(out.iloc[0].ppm_ok)
+    # a legitimately large-but-legal token still parses
+    ok = _decode([b"P6\n10 1\n255\n" + b"\x00" * 30])
+    assert bool(ok.iloc[0].ppm_ok) and ok.iloc[0].width == 10
+
+
 def test_encode_decode_round_trip_batch():
     texts = [b"hello world", b"x", b"abcdefghijklmnopqrstuvwxyz0123"]
     pdf = pd.DataFrame({"doc_id": [0, 1, 2], "payload": texts})

@@ -182,11 +182,23 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build,
                 # Re-validate before storing: clear_shared_cache() may have
                 # dropped our key lock mid-build, letting another thread run
                 # a duplicate build and register first. Keep whichever frame
-                # is registered and unpersist the loser, so neither persisted
-                # frame leaks until session end.
+                # is registered; unpersist the loser ONLY when its plan
+                # differs from the winner's — Spark's CacheManager is
+                # PLAN-keyed (uncacheQuery matches by sameResult), so for
+                # the common same-build race the duplicate persist() was a
+                # no-op on the winner's entry and unpersisting the loser
+                # would evict the winner's cache too. When plan equality
+                # cannot be determined, prefer a possible (bounded) leak
+                # over evicting the registered frame.
                 existing = _SHARED.get(k)
                 if existing is not None and existing[1] is not df:
-                    if persist and not _session_stopped(spark):
+                    same_plan = True
+                    with contextlib.suppress(Exception):
+                        same_plan = bool(
+                            df._jdf.queryExecution().analyzed().sameResult(
+                                existing[1]._jdf.queryExecution().analyzed()))
+                    if persist and not same_plan \
+                            and not _session_stopped(spark):
                         with contextlib.suppress(Exception):
                             df.unpersist()
                     df = existing[1]
@@ -221,7 +233,27 @@ def clear_shared_cache(unpersist: bool = True) -> int:
                     df.unpersist()
         _SHARED.clear()
         _SHARED_KEY_LOCKS.clear()
+        for sess, df in _LOOSE_PERSISTS:
+            if unpersist and not _session_stopped(sess):
+                with contextlib.suppress(Exception):
+                    df.unpersist()
+        _LOOSE_PERSISTS.clear()
         return n
+
+
+#: Query-internal persisted frames (no registry key — e.g. the distinct-
+#: signature frame simhash_pairs caches per call): registered here so
+#: clear_shared_cache() gives library/test callers the same release hook
+#: the bench and driver loops already use.
+_LOOSE_PERSISTS: list[tuple[SparkSession, DataFrame]] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """persist() a frame and register it for clear_shared_cache release."""
+    df = df.persist()
+    with _SHARED_LOCK:
+        _LOOSE_PERSISTS.append((df.sparkSession, df))
+    return df
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -650,8 +682,9 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
     # references this subtree on BOTH sides, and Spark plans two separate
     # instances of the distinct+explode chain — caching it is a measured
     # ~25 % end-to-end win cold (r5 profiling; ReuseExchange does not
-    # cover it). bench/driver clearCache() reclaims the blocks.
-    sigs = signatures.select("simhash").distinct().persist()
+    # cover it). Tracked so clear_shared_cache() (and therefore bench,
+    # the driver loop, and library callers) can release the blocks.
+    sigs = _track_persist(signatures.select("simhash").distinct())
     chunk_arr = "array(" + ", ".join(
         f"shiftright(simhash, {sh}) & {mk}" for sh, mk in layout
     ) + ")"

@@ -402,6 +402,11 @@ def ppm_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             proc = live & ~skip
             d = proc & isdig
             cur = np.where(d, cur * 10 + (c - 0x30), cur)
+            # overflow guard: a token longer than ~10 digits would wrap
+            # int64 after enough columns and could alias to a small
+            # "valid" dimension — reject as soon as the value exceeds any
+            # legal field (dims/maxval are all < 2^16), long before wrap
+            bad |= d & (cur > 1_000_000_000)
             end_tok = proc & isws & started
             for t in range(3):
                 m = end_tok & (ncomplete == t)

@@ -109,27 +109,47 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_sample_hardneg — contrastive hard-negative mining
 # --------------------------------------------------------------------------
 from .llm_similarity import _QUERY_FILTER as _HN_QUERY_FILTER  # noqa: E402
-from .llm_similarity import _emb, cosine  # noqa: E402
+from .llm_similarity import _emb  # noqa: E402
 
 _HN_K = 5
+_HN_SCALE = 1_000_000
 
 
 @query(
     "q_sample_hardneg",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS query_id, label AS query_label,
-                          CAST(embedding AS DOUBLE[]) AS qe
-                   FROM embeddings WHERE {_HN_QUERY_FILTER}),
+        WITH base AS (
+            SELECT vec_id, label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {_HN_SCALE}.0) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, label, qv,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qv, x -> x * x)),
+                       (a, v) -> a + v) AS nn
+            FROM base
+        ),
+        q AS (SELECT vec_id AS query_id, label AS query_label,
+                     qv AS qa, nn AS na
+              FROM nrm WHERE {_HN_QUERY_FILTER}),
         pairs AS (SELECT query_id, query_label,
                          e.vec_id AS neighbor_id, e.label AS neighbor_label,
-                         list_cosine_similarity(qe,
-                             CAST(e.embedding AS DOUBLE[])) AS s
-                  FROM q, embeddings e WHERE e.label <> q.query_label),
+                         CASE WHEN q.na = 0 OR e.nn = 0 THEN -2.0
+                              ELSE CAST(list_reduce(
+                                       list_prepend(CAST(0 AS BIGINT),
+                                           list_transform(
+                                               generate_series(1, len(qa)),
+                                               i -> qa[i] * e.qv[i])),
+                                       (a, v) -> a + v) AS DOUBLE)
+                                   / sqrt(CAST(q.na AS DOUBLE)
+                                          * CAST(e.nn AS DOUBLE)) END AS s
+                  FROM q, nrm e WHERE e.label <> q.query_label),
         ranked AS (SELECT query_id, query_label, neighbor_id,
-                          neighbor_label, round(s, 6) AS cosine,
+                          neighbor_label, round(s, 6) + 0.0 AS cosine,
                           CAST(row_number() OVER (PARTITION BY query_id
-                                                  ORDER BY CAST(floor(s * 1000000.0)
-                                                                AS BIGINT) DESC,
+                                                  ORDER BY s DESC,
                                                            neighbor_id)
                                AS BIGINT) AS rnk
                    FROM pairs)
@@ -146,14 +166,16 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives are trivially separable; the hard ones sit just across
     the boundary).
 
-    DETERMINISM: ranking on the QUANTIZED score floor(1e6·cosine)
-    tie-broken by neighbor_id (the q_embed_cohesion pattern), because
-    Spark computes dot/sqrt(na·nb) while DuckDB's
-    list_cosine_similarity computes dot/(norm_a·norm_b) — identical
-    mathematically but ulps apart in float, so a full-precision ORDER BY
-    could pick different rows at the k-boundary on near-ties. Quantizing
-    to 1e-6 makes the ordering engine-agreed by construction; the score
-    itself is emitted 6dp.
+    DETERMINISM: the score is computed from QUANTIZED integer inputs on
+    both engines — components floor(x·1e6) as BIGINT, integer dot and
+    integer norms (exact: |q| ≤ 5.8e5, dim 64 → every sum < 2^53), then
+    the IDENTICAL float chain double(dot)/sqrt(double(na)·double(nb)).
+    IEEE ops on bit-identical inputs are bit-identical in any engine,
+    so the full-precision ORDER BY (tie-broken by neighbor_id) selects
+    the same rows by construction — unlike floor-of-differently-computed
+    floats, which still disagrees when a score straddles a 1e-6
+    boundary by a ulp (code-review r5 finding). Zero-norm vectors score
+    -2.0 (below every cosine) on both sides.
 
     Scale shape: the query set broadcasts (it is the small side by
     construction — a mining run scores a sample of anchors, not the
@@ -164,11 +186,24 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_sim_ann_lsh) instead of brute-force — same window, bounded
     candidates.
     """
-    e = _emb(spark, sf_dir)
+    quant = f"transform(emb, x -> cast(floor(x * {_HN_SCALE}.0D) as bigint))"
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.expr(quant).alias("qv"),
+    ).withColumn(
+        "nn", F.expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
     q = e.filter(F.expr(_HN_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
-        F.col("emb").alias("qe"),
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    dot = F.expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), 0L, "
+                 "(a, v) -> a + v)")
+    s = F.when(
+        (F.col("na") == 0) | (F.col("nn") == 0), F.lit(-2.0)
+    ).otherwise(
+        dot.cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nn").cast("double"))
     )
     pairs = (
         e.repartition(spark.sparkContext.defaultParallelism)
@@ -178,17 +213,16 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "query_label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            cosine("qe", "emb").alias("s"),
+            s.alias("s"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.floor(F.col("s") * F.lit(1_000_000.0)).cast("long").desc(),
-        F.col("neighbor_id"))
+        F.col("s").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _HN_K)
         .select("query_id", "query_label", "neighbor_id", "neighbor_label",
-                F.round("s", 6).alias("cosine"), "rnk")
+                (F.round("s", 6) + F.lit(0.0)).alias("cosine"), "rnk")
     )
 
 

@@ -196,15 +196,18 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     how every production splitter does it at corpus scale.
     """
     d = load(spark, sf_dir, "documents")
+    # reuse the expression variable rather than F.col("bucket"): the
+    # lateral-column-alias lookup would silently rebind to a source
+    # column if documents ever gained a `bucket` field
     bucket = (F.expr(_H0_SPARK.format(c="text")) % _SPLIT_BUCKETS) \
         .cast("int")
     return d.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
-        .when(F.col("bucket") < _SPLIT_VAL, "val")
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
         .otherwise("test").alias("split"),
-    ).select("doc_id", "bucket", "split")
+    )
 
 
 # --------------------------------------------------------------------------
