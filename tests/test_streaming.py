@@ -762,3 +762,86 @@ def test_incremental_dedup_streaming_twin(spark, tmpdir_factory_local):
     assert len(verdicts) == n_before
     assert {r.fp: r.canonical
             for r in index.current(spark).collect()} == idx1
+
+
+def test_flagged_decode_keeps_gap_detection_honest(spark,
+                                                   tmpdir_factory_local):
+    """Dead-lettered records consume transport seqs: with the split
+    decode form their seqs vanish from the valid stream and every
+    corrupt record would read as a spurious forward gap. The in-band
+    form (decode_json_flagged) keeps them visible — zero violations on
+    a perfectly ordered corrupt stream, record effects only for the
+    decodable rows (code-review r5 finding)."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, consume_count, decode_json_flagged, shard_source,
+    )
+
+    src = tmpdir_factory_local("flagged-src")
+    ckpt = tmpdir_factory_local("flagged-ckpt")
+    n, corrupt_every = 400, 50
+    prod = ShardDirProducer(src, n_shards=4, corrupt_every=corrupt_every)
+    prod.produce_all(n)
+
+    flagged = decode_json_flagged(shard_source(spark, src))
+    res = consume_count(flagged, target=n - n // corrupt_every,
+                        checkpoint_dir=ckpt, trigger_s=0.2, timeout_s=60)
+    assert not res.failed, res.error
+    assert res.order_violations == []          # the point of the in-band form
+    assert res.distinct == n - n // corrupt_every
+    assert all(i % corrupt_every != 0 for i in res.ids)
+
+
+def test_decode_json_missing_required_field_dead_letters(spark):
+    """Structurally valid JSON lacking the schema's required first field
+    ('{}', '{"foo": 1}', 'null') must dead-letter, not enter the valid
+    stream as a NULL-id row that poisons keyed sinks downstream."""
+    from zio_kinesis_example_spark.streaming import decode_json
+
+    env = spark.createDataFrame(
+        [("s0", "k0", 1, '{"id": 7}'),
+         ("s0", "k1", 2, "{}"),
+         ("s0", "k2", 3, '{"foo": 1}'),
+         ("s0", "k3", 4, "null")],
+        "shard_id string, partition_key string, seq long, data string")
+    valid, dead = decode_json(env)
+    assert [r.id for r in valid.collect()] == [7]
+    assert sorted(r.seq for r in dead.collect()) == [2, 3, 4]
+
+
+def test_upsert_sink_null_key_merges_as_one_group(spark,
+                                                  tmpdir_factory_local):
+    """A NULL key must behave like any other key value in the merge:
+    the delta's data wins whole-row, and repeated NULL-key batches
+    update ONE row instead of appending an all-NULL row per batch."""
+    from zio_kinesis_example_spark.streaming import UpsertSink
+
+    state = tmpdir_factory_local("upsert-nullkey")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    sink(spark.createDataFrame([(None, 1, "a"), (7, 1, "x")],
+                               "id int, seq int, v string"), 0)
+    sink(spark.createDataFrame([(None, 2, "b")],
+                               "id int, seq int, v string"), 1)
+    rows = sorted(((r.id, r.seq, r.v)
+                   for r in sink.current(spark).collect()),
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [(7, 1, "x"), (None, 2, "b")]
+
+
+def test_upsert_sink_gc_keeps_current_and_previous(spark,
+                                                   tmpdir_factory_local):
+    """Superseded snapshot versions are deleted after each successful
+    swap — only the current version and its immediate predecessor (the
+    replay margin) remain on disk."""
+    import os
+
+    from zio_kinesis_example_spark.streaming import UpsertSink
+
+    state = tmpdir_factory_local("upsert-gc")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    for b in range(4):
+        sink(spark.createDataFrame([(1, b, f"v{b}")],
+                                   "id int, seq int, v string"), b)
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert dirs == ["v2", "v3"]
+    assert sink.current_version() == "v3"
+    assert [r.v for r in sink.current(spark).collect()] == ["v3"]

@@ -262,3 +262,49 @@ def test_pattern_matches_stateful_across_batches(spark, tmpdir_factory_local):
     assert got == [4, 5]
     m4 = next(r for r in emitted if r.purchase_id == 4)
     assert m4.view_ts.minute == 10
+
+
+def test_pattern_stateful_rejects_late_pre_view_purchase(spark,
+                                                         tmpdir_factory_local):
+    """A LATE purchase whose event time PRECEDES the stored view must
+    not match: cross-batch out-of-order delivery used to satisfy
+    ts - view <= window with a negative difference and emit a
+    'view then purchase' instance that never happened in event time
+    (code-review r5 finding). An in-window purchase after the same view
+    still matches."""
+    from pyspark.sql import functions as F
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+    from zio_kinesis_example_spark.streaming.windows import (
+        TESTMSG_CEP_SCHEMA, pattern_matches_stateful, run_available_now,
+        with_event_time,
+    )
+
+    src = tmpdir_factory_local("cep-late-src")
+    ckpt = tmpdir_factory_local("cep-late-ckpt")
+    t = {
+        1: ("2024-01-01 01:00:00", "view"),      # batch 1: anchor
+        2: ("2024-01-01 00:50:00", "purchase"),  # batch 2: LATE, pre-view
+        3: ("2024-01-01 01:10:00", "purchase"),  # batch 2: real match
+    }
+    prod = ShardDirProducer(
+        src, n_shards=1,
+        payload_fn=lambda i: {"id": i, "event_ts": t[i][0],
+                              "event_type": t[i][1]})
+
+    def drain() -> list:
+        valid, _ = decode_json(shard_source(spark, src), TESTMSG_CEP_SCHEMA)
+        ev = with_event_time(valid).select(
+            F.col("shard_id").alias("user"), "id", "event_type", "event_ts")
+        out: list = []
+        run_available_now(pattern_matches_stateful(ev), ckpt, out,
+                          output_mode="append")
+        return out
+
+    prod.produce(1, 1)
+    emitted = drain()
+    prod.produce(2, 2)
+    emitted += drain()
+    assert sorted(r.purchase_id for r in emitted) == [3]

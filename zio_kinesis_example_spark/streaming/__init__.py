@@ -25,7 +25,7 @@ from .source import (  # noqa: F401
     ENVELOPE_SCHEMA, ShardDirProducer, kafka_reader_options, kafka_source,
     kinesis_reader_options, kinesis_source, shard_source,
 )
-from .serde import decode_json, TESTMSG_SCHEMA  # noqa: F401
+from .serde import decode_json, decode_json_flagged, TESTMSG_SCHEMA  # noqa: F401
 from .consume import (  # noqa: F401
     ConsumeResult, ObservedResult, consume_count, consume_observed,
 )

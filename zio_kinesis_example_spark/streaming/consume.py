@@ -77,6 +77,11 @@ def order_violations_frame(
     w = Window.partitionBy("shard_id").orderBy("seq")
     return (
         batch_df.select("shard_id", F.col("seq").cast("long").alias("seq"))
+        # transports whose positions are not dense integers (kinesis_source
+        # emits seq NULL; the ordering token is seq_str) carry no
+        # contiguity contract — skip them explicitly rather than relying
+        # on NULL comparisons to filter silently
+        .filter(F.col("seq").isNotNull())
         # the effective predecessor is the max of the in-batch lag and
         # the shard's high-water mark (greatest() skips the NULL lag on
         # each shard's first row): a redelivered below-high-water record
@@ -134,7 +139,11 @@ def consume_count(
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         # Gap/order detection runs executor-side: only violation rows —
-        # normally none — cross to the driver.
+        # normally none — cross to the driver. With the in-band decode
+        # form (decode_json_flagged) the detection sees EVERY transport
+        # seq including decode failures — on the split form a corrupt
+        # record's dead-lettered seq would read as a spurious gap.
+        flagged = "decode_ok" in batch_df.columns
         with lock:
             hw_snapshot = dict(state.last_seq)
         viols = order_violations_frame(batch_df, hw_snapshot).collect()
@@ -144,8 +153,9 @@ def consume_count(
         # mirror the reference's single-process processRecord. Production
         # consumption is consume_observed — executor-side, observe()-
         # counted, nothing collected.
+        cols = ["shard_id", "seq", "id"] + (["decode_ok"] if flagged else [])
         rows = (
-            batch_df.select("shard_id", "seq", "id")
+            batch_df.select(*cols)
             .orderBy("shard_id", "seq")
             .collect()
         )
@@ -155,14 +165,20 @@ def consume_count(
                 f"{v.shard_id}: gap {v.prev_seq} -> {v.seq}" for v in viols
             )
             for r in rows:
+                # transport-level: the high-water advances on every
+                # consumed seq, decodable or not; NULL seq (string-
+                # ordered transports, kinesis_source) has no contract
+                if r.seq is not None:
+                    prev = state.last_seq.get(r.shard_id, 0)
+                    state.last_seq[r.shard_id] = max(prev, r.seq)
+                if flagged and not r.decode_ok:
+                    continue          # dead-lettered: no record effects
                 # per-record effect (reference processRecord: count + observe)
                 state.processed += 1
                 state.ids[r.id] += 1
                 if r.id in fail_pending:
                     fail_pending.discard(r.id)
                     raise RuntimeError(f"injected failure at id={r.id}")
-                prev = state.last_seq.get(r.shard_id, 0)
-                state.last_seq[r.shard_id] = max(prev, r.seq)
 
     query = (
         decoded.writeStream.foreachBatch(fb)
@@ -193,6 +209,13 @@ def consume_count(
             if query.exception() is not None:
                 state.failed = True
                 state.error = str(query.exception())
+            elif state.distinct < target:
+                # a timed-out run is a FAILURE, not a success — the same
+                # rule consume_observed and run_available_now enforce
+                state.failed = True
+                state.error = (
+                    f"timeout after {timeout_s}s: {state.distinct}/{target} "
+                    "distinct records before the deadline")
     finally:
         try:
             if query.isActive:
@@ -239,8 +262,6 @@ def consume_observed(
     shape). Returns processed (≥ distinct under redelivery) from the tap.
     """
     import uuid
-
-    from pyspark.sql import functions as F
 
     from .observe import tapped
 

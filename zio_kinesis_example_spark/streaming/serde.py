@@ -32,6 +32,12 @@ def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
     decode-error test. The explicit corrupt-record column is the real
     typed error channel — the circe ``Either[Error, TestMsg]`` analogue
     (TestMsgJsonSerde.scala:17-22).
+
+    The schema's FIRST field is treated as required (TestMsg.id is a
+    non-optional constructor field): structurally valid JSON that lacks
+    it ('{}', '{"foo": 1}', 'null') is a decode FAILURE — circe would
+    Left-fail a missing required field, and an id-less "valid" row would
+    otherwise flow NULL keys into downstream keyed sinks.
     """
     schema_with_err = StructType(
         list(schema.fields) + [StructField(_CORRUPT, StringType())]
@@ -47,7 +53,10 @@ def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
     # from_json(NULL) is a null struct whose corrupt field is null, so
     # the corrupt-record check alone would route it to the valid side
     # as an all-null payload row
-    ok = F.col("data").isNotNull() & F.col(f"msg.{_CORRUPT}").isNull()
+    required = schema.fields[0].name
+    ok = (F.col("data").isNotNull()
+          & F.col(f"msg.{_CORRUPT}").isNull()
+          & F.col(f"msg.{required}").isNotNull())
     valid = (
         decoded.filter(ok)
         .select("*", "msg.*")
@@ -55,3 +64,37 @@ def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
     )
     dead = decoded.filter(~ok).drop("msg")
     return valid, dead
+
+
+def decode_json_flagged(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
+                        ) -> DataFrame:
+    """Single-stream variant of :func:`decode_json`: every envelope row
+    stays in-band, with a ``decode_ok`` flag and NULL payload fields on
+    failures.
+
+    Use this form when the consumer asserts TRANSPORT-level invariants
+    (per-shard seq contiguity): the split form removes dead-lettered
+    rows' seqs from the valid stream, so every corrupt record would
+    read as a spurious forward gap. consume_count detects the flag —
+    gap/high-water tracking runs over all rows, per-record effects only
+    over the decodable ones.
+    """
+    schema_with_err = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType())]
+    )
+    decoded = df.withColumn(
+        "msg",
+        F.from_json(
+            F.col("data"), schema_with_err,
+            {"columnNameOfCorruptRecord": _CORRUPT},
+        ),
+    )
+    required = schema.fields[0].name
+    ok = (F.col("data").isNotNull()
+          & F.col(f"msg.{_CORRUPT}").isNull()
+          & F.col(f"msg.{required}").isNotNull())
+    return (
+        decoded.withColumn("decode_ok", ok)   # while msg still exists
+        .select("*", "msg.*")
+        .drop("msg", _CORRUPT)
+    )

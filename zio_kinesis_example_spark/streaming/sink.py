@@ -80,15 +80,23 @@ class UpsertSink:
         if base is None:
             return delta
         cols = delta.columns
-        b, d = base.alias("b"), delta.alias("d")
+        # NULL-safe key equality + an explicit delta-presence marker:
+        # a NULL key (decoded NULL id, NULL Kafka record key) must merge
+        # as ONE group like any other key value. A plain == join never
+        # matches NULL, and keying take_delta on d.key IS NOT NULL would
+        # discard a NULL-key delta's data in favor of all-NULL base
+        # columns — appending a garbage row per batch.
+        b = base.alias("b")
+        d = delta.withColumn("__dp", F.lit(1)).alias("d")
         joined = b.join(
-            d, F.col(f"b.{self.key}") == F.col(f"d.{self.key}"), "full_outer"
+            d, F.col(f"b.{self.key}").eqNullSafe(F.col(f"d.{self.key}")),
+            "full_outer",
         )
         # WHOLE-ROW replacement, not per-column coalesce: when the delta
         # has the key, every field comes from the delta — a legitimate
         # set-to-NULL update must not inherit the stale base value and
         # produce a mixed row that never existed in the stream.
-        take_delta = F.col(f"d.{self.key}").isNotNull()
+        take_delta = F.col("d.__dp").isNotNull()
         return joined.select(*[
             F.when(take_delta, F.col(f"d.{c}"))
             .otherwise(F.col(f"b.{c}")).alias(c)
@@ -98,6 +106,7 @@ class UpsertSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         delta = self._dedupe_batch(batch)
+        prev = self.current_version()
         merged = self._merge(self.current(spark), delta)
         version = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(
@@ -107,3 +116,18 @@ class UpsertSink:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer_path())
+        self._gc(keep={version, prev})
+
+    def _gc(self, keep: set[str | None]) -> None:
+        """Delete superseded snapshot versions, keeping the current one
+        and its immediate predecessor (the replay safety margin:
+        Structured Streaming re-runs at most the last uncommitted batch,
+        which re-merges onto the predecessor). Without this a long
+        stream holds O(batches) full snapshot copies."""
+        import shutil
+
+        for name in os.listdir(self.base_dir):
+            if (name.startswith("v") and name not in keep
+                    and os.path.isdir(os.path.join(self.base_dir, name))):
+                shutil.rmtree(os.path.join(self.base_dir, name),
+                              ignore_errors=True)

@@ -153,9 +153,14 @@ def kinesis_source(spark: SparkSession, stream_name: str,
     """The real-Kinesis twin of :func:`shard_source` (reference op 1,
     DynamicConsumer.shardedStream, FlattenChunksTest.scala:35-40):
     requires the spark-sql-kinesis connector jar on the cluster (not
-    available in this hermetic environment — tests use shard_source;
-    everything downstream of either source is identical because both
-    emit the same envelope columns).
+    available in this hermetic environment — tests use shard_source).
+    Both sources emit the same envelope columns, with one contract
+    difference consumers must honor: ``seq`` is NULL here (Kinesis
+    positions are ~56-digit strings, carried in ``seq_str``; dense
+    +1 contiguity is a property of the hermetic producer only), so
+    consume_count's high-water fold and order_violations_frame skip
+    NULL-seq rows rather than asserting gap semantics Kinesis never
+    promised.
 
     Consumer offsets live in Spark's checkpointLocation rather than a
     DynamoDB lease table — the engine's replacement for the KCL

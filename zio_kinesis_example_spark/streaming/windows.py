@@ -285,7 +285,12 @@ def pattern_matches_stateful(events: DataFrame) -> DataFrame:
                 elif et == "error":
                     le = ts_us
                 elif et == "purchase":
-                    if (lv and ts_us - lv <= _CEP_WITHIN_US
+                    # 0 <= ts - view <= window: the lower bound rejects a
+                    # LATE purchase whose event time precedes the stored
+                    # view (cross-batch out-of-order delivery) — without
+                    # it the automaton emits a "view then purchase" match
+                    # that never happened in event time
+                    if (lv and 0 <= ts_us - lv <= _CEP_WITHIN_US
                             and (not le or le < lv)):
                         out_id.append(int(row["id"]))
                         out_pts.append(row["event_ts"])
