@@ -290,3 +290,109 @@ def test_cooccurrence_pairs_cap_bounds_hub_groups(spark):
                          for i, a in enumerate([f"i{k:02d}" for k in range(4)])
                          for b in [f"i{k:02d}" for k in range(4)][i + 1:]}
     assert ("a", "b") in pairs          # small group untouched
+
+
+def test_merge_upsert_delta_wins_whole_row(spark):
+    """A matched delta row replaces the base row WHOLE-ROW (SQL MERGE
+    'UPDATE SET *'): a field intentionally set to NULL must not
+    resurrect the stale base value, and NULL keys merge as one group
+    (code-review r5 findings)."""
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (None, "n0", "y")], "k int, v string, w string")
+    delta = spark.createDataFrame(
+        [(1, None, "x2"), (None, "n1", None)], "k int, v string, w string")
+    rows = {r.k: (r.v, r.w)
+            for r in api.merge_upsert(base, delta, "k").collect()}
+    assert rows[1] == (None, "x2")        # NULL field kept, not coalesced
+    assert rows[None] == ("n1", None)     # one NULL-key row, delta wins
+    assert len(rows) == 2
+
+
+def test_salted_join_negative_and_null_salt(spark):
+    """pmod + NULL fallback: a hash-valued (often negative) or NULL salt
+    must never drop fact rows — the docstring promises semantic
+    equivalence with the plain join (code-review r5 finding)."""
+    fact = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "fid long, k long")
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "dk long, name string")
+    plain = sorted((r.fid, r.name)
+                   for r in fact.join(dim, fact.k == dim.dk).collect())
+    hashed = api.salted_join(fact, dim, "k", "dk",
+                             salt_col=F.hash(F.col("fid")), n_buckets=8)
+    assert sorted((r.fid, r.name) for r in hashed.collect()) == plain
+    nulled = api.salted_join(
+        fact, dim, "k", "dk",
+        salt_col=F.when(F.col("fid") % 2 == 0, F.col("fid")), n_buckets=8)
+    assert sorted((r.fid, r.name) for r in nulled.collect()) == plain
+
+
+def test_temperature_sample_and_kmeans_large_ids(spark):
+    """Snowflake-scale ids must not overflow the rank hash under ANSI
+    mode (the old (id * knuth) % 2^32 multiply threw
+    ARITHMETIC_OVERFLOW above ~3.47e9)."""
+    big = 4_000_000_000_000_000_000
+    df = spark.createDataFrame(
+        [(big + i, "g", [float(i), 1.0]) for i in range(10)],
+        "id long, g string, vec array<double>")
+    out = api.temperature_sample(df, "g", "id", budget=5)
+    assert out.count() == 5
+    fitted = api.kmeans_fit(df, "vec", "id", k=2, iters=1)
+    assert fitted.select("cluster_id").distinct().count() <= 2
+
+
+def test_kmeans_fit_clear_errors(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="exceeds"):
+        api.kmeans_fit(df, "vec", "id", k=5)
+    empty = df.filter("id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        api.kmeans_fit(empty, "vec", "id", k=1)
+
+
+def test_asof_join_ties_deterministic(spark):
+    """Two right rows at the identical timestamp: the match must be the
+    same on every run/partitioning (greatest payload wins), not
+    shuffle-order-dependent (code-review r5 finding)."""
+    left = spark.createDataFrame([("A", _ts(10))], "k string, t timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(5), 9.9), ("A", _ts(5), 10.1)],
+        "k string, rt timestamp, px double")
+    for _ in range(3):
+        out = api.asof_join(left.repartition(4), right.repartition(3),
+                            key="k", left_ts="t", right_ts="rt",
+                            right_cols=["px"]).collect()
+        assert [r.asof_px for r in out] == [10.1]
+
+
+def test_zorder_key_signed_inputs(spark):
+    """Negative coordinates must interleave into non-negative z-values
+    with locality preserved inside the aligned window (the sign-
+    preserving % used to emit negative, non-interleaved keys)."""
+    df = spark.createDataFrame(
+        [(-3, -3), (-3, -2), (-2, -3), (100, 100)], "a long, b long")
+    out = api.zorder_key(df, "a", "b", bits=16).collect()
+    zs = {(r.a, r.b): r.zval for r in out}
+    assert all(z >= 0 for z in zs.values())
+    # neighbors in the same aligned window stay close; the far point isn't
+    near = [zs[(-3, -3)], zs[(-3, -2)], zs[(-2, -3)]]
+    assert max(near) - min(near) <= 8
+
+
+def test_holt_smooth_nonlinear_and_two_point(spark):
+    """The textbook init (l1=x1, b1=x2-x1) on a NON-linear series — the
+    old x2/x3 init canceled exactly on linear data, hiding the bug —
+    and the 2-point series that used to throw INVALID_ARRAY_INDEX."""
+    rows = [("a", i, x) for i, x in enumerate([1.0, 10.0, 2.0, 8.0])]
+    out = {r.k: r for r in api.holt_smooth(
+        spark.createDataFrame(rows, "k string, i int, x double"),
+        ["k"], "i", "x").collect()}
+    assert abs(out["a"].level - 14.696) < 1e-9
+    assert abs(out["a"].trend - 5.6208) < 1e-9
+    two = spark.createDataFrame([("b", 0, 3.0), ("b", 1, 7.0)],
+                                "k string, i int, x double")
+    r = api.holt_smooth(two, ["k"], "i", "x").collect()[0]
+    # l1=3, b1=4; then fold x2=7: l=.4*7+.6*7=7, b=.3*4+.7*4=4
+    assert (r.level, r.trend) == (7.0, 4.0)

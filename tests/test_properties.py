@@ -176,8 +176,12 @@ def test_temperature_sample_invariants(spark, rows, budget):
     for g, k in kept.items():
         assert k <= targets[g]
         assert k == min(targets[g], n_g[g])
-    # deterministic prefix: kept ids are the target-smallest by hash rank
-    knuth, u32 = 2654435761, 4294967296
+    # deterministic prefix: kept ids are the target-smallest by hash
+    # rank (the impl ranks on xxhash64 — read the same hash back from
+    # Spark rather than re-implementing it in Python)
+    from pyspark.sql import functions as F
+    hashes = {r.id: r.h for r in
+              df.select("id", F.xxhash64("id").alias("h")).collect()}
     by_g = {}
     for i, g in rows:
         by_g.setdefault(f"g{g}", []).append(i)
@@ -185,7 +189,7 @@ def test_temperature_sample_invariants(spark, rows, budget):
     for r in out:
         kept_ids[r.grp].add(r.id)
     for g, ids in by_g.items():
-        ids.sort(key=lambda i: ((i * knuth) % u32, i))
+        ids.sort(key=lambda i: (hashes[i], i))
         want = set(ids[:targets.get(g, 0)])
         assert kept_ids.get(g, set()) == want
 

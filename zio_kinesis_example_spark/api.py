@@ -66,9 +66,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast(payload_type).alias("__payload"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
+    # __payload as the final sort key: two right rows sharing the same
+    # right_ts would otherwise reach last() in shuffle-dependent order
+    # and the matched payload would flip between runs (struct ordering
+    # is field-wise, so the GREATEST payload wins deterministically;
+    # left rows' NULL payload cannot tie — they differ in __kind)
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__kind")
+        .orderBy("__ts", "__kind", "__payload")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     matched = (
@@ -108,9 +113,15 @@ def sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
 
 def pack_sequences(df: DataFrame, part_cols: list[str], order_col: str,
                    size_col: str, bin_size: int) -> DataFrame:
-    """Assign each row to a fixed-capacity bin per partition by running
-    cumulative size (first-fit in ``order_col`` order): adds ``seq_bin``.
-    The window-cumsum formulation — no driver loop, no pairwise search."""
+    """Assign each row to a bin per partition by CONTIGUOUS OFFSET
+    BUCKETING: ``seq_bin = floor(cumulative_size_before / bin_size)`` in
+    ``order_col`` order. An item whose size straddles a bin boundary
+    belongs to the bin its offset starts in, so a bin may exceed
+    ``bin_size`` by up to one item — the token-packing convention where
+    sequences are SPLIT at the boundary by the consumer. For strict
+    fixed-capacity bins (no overflow ever), close the bin when the
+    running total would exceed capacity — a sequential scan per
+    partition (applyInPandas), not this window cumsum."""
     w = (
         Window.partitionBy(*part_cols).orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -138,13 +149,22 @@ def stratified_sample(df: DataFrame, stratum_cols: list[str],
 
 def merge_upsert(base: DataFrame, delta: DataFrame,
                  key: str) -> DataFrame:
-    """MERGE: delta rows win on key collision, inserts pass through,
-    unmatched base rows survive. Columns = base's columns."""
+    """MERGE: delta rows win WHOLE-ROW on key collision (the SQL
+    ``WHEN MATCHED THEN UPDATE SET *`` contract), inserts pass through,
+    unmatched base rows survive. Columns = base's columns.
+
+    Whole-row via a delta-presence marker, not per-column coalesce: a
+    delta that intentionally sets a field to NULL must not resurrect
+    the stale base value as a column-wise chimera of two versions.
+    NULL keys merge null-safely as one group (the UpsertSink rule)."""
     b = base.alias("b")
-    d = delta.alias("d")
-    return b.join(d, F.col(f"b.{key}") == F.col(f"d.{key}"), "full_outer") \
+    d = delta.withColumn("__dp", F.lit(1)).alias("d")
+    take_delta = F.col("d.__dp").isNotNull()
+    return b.join(d, F.col(f"b.{key}").eqNullSafe(F.col(f"d.{key}")),
+                  "full_outer") \
         .select(*[
-            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(take_delta, F.col(f"d.{c}"))
+            .otherwise(F.col(f"b.{c}")).alias(c)
             for c in base.columns
         ])
 
@@ -152,11 +172,20 @@ def merge_upsert(base: DataFrame, delta: DataFrame,
 def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
                 dim_key: str, salt_col: Column,
                 n_buckets: int = 8) -> DataFrame:
-    """Skew-resistant equi-join: fact side salted by ``salt_col % n``,
+    """Skew-resistant equi-join: fact side salted by ``pmod(salt_col, n)``,
     dim side replicated n ways. Semantically identical to the plain
-    join; a hot key fans out over n tasks."""
+    join; a hot key fans out over n tasks.
+
+    pmod + a NULL fallback, not ``%``: Spark's ``%`` keeps the dividend's
+    sign, so a negative salt (F.hash is a common choice and goes
+    negative) would land in {-(n-1)..-1} — outside the dim side's
+    replicated {0..n-1} — and silently DROP the fact row; a NULL salt
+    would drop it the same way."""
     spark = fact.sparkSession
-    f = fact.withColumn("__salt", (salt_col % n_buckets).cast("int"))
+    f = fact.withColumn(
+        "__salt",
+        F.coalesce(F.pmod(salt_col, F.lit(n_buckets)), F.lit(0))
+        .cast("int"))
     d = dim.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("__salt"))
     )
@@ -226,12 +255,17 @@ def zorder_key(df: DataFrame, col_a: str, col_b: str,
     higher-order-function fold drops out of codegen; measured 8×
     slower)."""
     mod = 1 << bits
+    # pmod, not %: SQL % keeps the dividend's sign, so negative
+    # coordinates would emit negative non-interleaved bit terms and the
+    # z-curve locality property silently breaks for signed keys. pmod
+    # wraps negatives into [0, 2^bits) — order-preserving within any
+    # aligned 2^bits window, which is all the interleave ever sees.
     terms = []
     for i in range(bits):
         terms.append(
-            f"((({col_a} % {mod}) DIV {1 << i}) % 2) * {1 << (2 * i)}L")
+            f"((pmod({col_a}, {mod}) DIV {1 << i}) % 2) * {1 << (2 * i)}L")
         terms.append(
-            f"((({col_b} % {mod}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}L")
+            f"((pmod({col_b}, {mod}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}L")
     return df.withColumn(alias, F.expr(" + ".join(terms)))
 
 
@@ -267,7 +301,6 @@ def temperature_sample(df: DataFrame, group_col: str, id_col: str,
     targets are engine-exact), selecting each group's smallest-hash-rank
     prefix — deterministic, seedless, reproducible. T→∞ flattens the
     mix; T=1 keeps source proportions."""
-    knuth, u32 = 2654435761, 4294967296
     w_ = (
         df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
         .select(group_col,
@@ -279,8 +312,11 @@ def temperature_sample(df: DataFrame, group_col: str, id_col: str,
     tgt = (w_.crossJoin(F.broadcast(tot))
            .select(group_col,
                    F.expr(f"(__w * {budget}) DIV __tw").alias("__target")))
+    # xxhash64, not (id * knuth) % 2^32: the Knuth multiply overflows
+    # int64 (a hard ARITHMETIC_OVERFLOW under default ANSI mode) for ids
+    # above ~3.47e9 — i.e. on any snowflake-style id column
     win = Window.partitionBy(group_col).orderBy(
-        (F.col(id_col) * knuth) % u32, id_col)
+        F.xxhash64(F.col(id_col)), id_col)
     return (
         df.withColumn("__rk", F.row_number().over(win))
         .join(F.broadcast(tgt), group_col)
@@ -298,15 +334,22 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     scan + one partial-agged (cluster, dim) mean — no lineage growth,
     corpus-size-independent driver state (the q_embed_kmeans codebook
     trainer, reusable)."""
-    knuth, u32 = 2654435761, 4294967296
     q = df.select(
         F.col(id_col).alias("__id"),
         F.expr(f"transform(cast({vec_col} as array<double>), "
                f"x -> cast(floor(x * {scale}.0D) as bigint))").alias("__v"),
     ).persist()
-    dim = len(q.first()["__v"])
-    init = (q.orderBy((F.col("__id") * knuth) % u32, "__id")
+    first = q.first()
+    if first is None:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
+    dim = len(first["__v"])
+    # xxhash64 seeding, not (id * knuth) % 2^32: the Knuth multiply
+    # overflows int64 under ANSI mode for ids above ~3.47e9
+    init = (q.orderBy(F.xxhash64(F.col("__id")), "__id")
             .limit(k).collect())
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the {len(init)} input rows")
     cents = {i: list(r["__v"]) for i, r in enumerate(init)}
 
     def assigned():
@@ -608,10 +651,15 @@ def holt_smooth(df: DataFrame, key_cols: list[str], order_col: str,
     )
     new_l = (f"CAST({a!r} AS DOUBLE) * x "
              f"+ CAST({ia!r} AS DOUBLE) * (acc.l + acc.b)")
+    # init l=x1, b=x2-x1: Spark [] indexing is 0-BASED (__xs[0] is x1).
+    # The earlier __xs[1]/__xs[2] init computed from x2/x3 (wrong level
+    # and trend on short/non-linear series; exponentially forgotten on
+    # long ones) and threw INVALID_ARRAY_INDEX on 2-point series under
+    # ANSI mode.
     fold = F.expr(f"""
         aggregate(
             slice(__xs, 2, size(__xs) - 1),
-            named_struct('l', __xs[1], 'b', __xs[2] - __xs[1]),
+            named_struct('l', __xs[0], 'b', __xs[1] - __xs[0]),
             (acc, x) -> named_struct(
                 'l', {new_l},
                 'b', CAST({bcoef!r} AS DOUBLE) * (({new_l}) - acc.l)

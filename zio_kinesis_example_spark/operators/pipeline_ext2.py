@@ -223,10 +223,14 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hours") >= 2)
     )
+    # init l=x1, b=x2-x1 — Spark [] is 0-BASED (xs[0] is x1), unlike
+    # DuckDB's 1-based lists; the earlier xs[1]/xs[2] init was the
+    # second/third element, invisible at 6dp on these ~170-point series
+    # (init decays as 0.6^n) but divergent from the oracle on short ones
     fold = F.expr("""
         aggregate(
             slice(xs, 2, size(xs) - 1),
-            named_struct('l', xs[1], 'b', xs[2] - xs[1]),
+            named_struct('l', xs[0], 'b', xs[1] - xs[0]),
             (acc, x) -> named_struct(
                 'l', CAST(0.4 AS DOUBLE) * x
                      + CAST(0.6 AS DOUBLE) * (acc.l + acc.b),

@@ -4,7 +4,11 @@ does (row count + column names + order-insensitive values) — but stricter
 locally, so mismatches are caught before the driver ever sees them.
 
 Float policy: rows are matched after canonicalization at 9 significant
-digits; a stricter elementwise isclose (rtol 1e-6) runs on the sorted rows.
+digits (strictly tighter than the driver's hash compare). NaN vs NULL:
+in float64-dtype pandas columns BOTH engines surface SQL NULL as NaN
+(toPandas / .df() conversion), so that distinction is unverifiable here
+and queries must CASE-guard 0/0-style divisions by convention (the r4
+rule); in object-dtype columns NaN and None canonicalize distinctly.
 """
 
 from __future__ import annotations
@@ -63,7 +67,13 @@ def canonical_rows(df: pd.DataFrame, precision: int = 9) -> list[tuple]:
         for v in row:
             if v is not None and not isinstance(v, (list, tuple, dict, bytes)) \
                and type(v).__name__ != "ndarray" and pd.isna(v):
-                v = None
+                # float NaN stays NaN (canonicalizes "\x00nan"): mapping
+                # it to None would equate Spark's NULL with DuckDB's NaN
+                # on 0/0-style divisions and mask the divergence this
+                # harness exists to catch. Only non-float NA markers
+                # (NaT, pandas NA) normalize to NULL.
+                if not (isinstance(v, float) and math.isnan(v)):
+                    v = None
             elif hasattr(v, "item") and type(v).__name__ != "ndarray":
                 v = v.item()  # numpy scalar → python
             elif isinstance(v, pd.Timestamp):
