@@ -34,8 +34,13 @@ from ..registry import query
 @query(
     "q_join_asof",
     oracle="""
-        WITH c AS (SELECT user_id, ts, event_id FROM events
-                   WHERE event_type = 'click'),
+        -- c pre-deduped to ONE click per (user, ts) — max event_id, the
+        -- Spark side's tie-break: DuckDB ASOF picks a physical-row-order-
+        -- dependent candidate among equal-ts ties, so ties must be
+        -- resolved BEFORE the join for the oracle to be deterministic
+        WITH c AS (SELECT user_id, ts, MAX(event_id) AS event_id
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, ts),
              p AS (SELECT user_id, ts, event_id FROM events
                    WHERE event_type = 'purchase')
         SELECT p.event_id AS purchase_id,
@@ -583,7 +588,10 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
             FROM customer WHERE c_custkey % 10 = 0),
         inserts AS (
-            SELECT c_custkey + 1000000 AS c_custkey,
+            -- negated keys: disjoint from the (positive) base key domain
+            -- at EVERY scale factor, unlike a fixed +1e6 offset which
+            -- collides with live custkeys once customer exceeds 1M rows
+            SELECT -c_custkey AS c_custkey,
                    'new_' || c_name AS c_name,
                    0.0 AS c_acctbal
             FROM customer WHERE c_custkey % 100 = 0),
@@ -611,8 +619,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
     )
     inserts = (
+        # negated keys: disjoint from the positive base domain at any SF
+        # (a fixed offset collides once customer outgrows it)
         c.filter(F.col("c_custkey") % 100 == 0)
-        .select((F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        .select((-F.col("c_custkey")).alias("c_custkey"),
                 F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
                 F.lit(0.0).alias("c_acctbal"))
     )
@@ -739,6 +749,19 @@ _MIX_HI = 0.90
 _MIX_LO = 0.25
 _KNUTH = 2654435761  # Knuth multiplicative hash constant
 _U32 = 4294967296
+_K16 = (_KNUTH * 65536) % _U32  # 16-bit-shifted Knuth constant mod 2^32
+
+
+def _knuth_draw(key: str, div: str) -> str:
+    """(key · KNUTH) mod 2^32 as a 16-bit-split expression: identical to
+    the direct product for any key < 2^32 (every fixture key) but free
+    of the int64 overflow the direct multiply hits for keys above
+    ~3.47e9 under ANSI mode — snowflake-scale ids are in the queries'
+    claimed 100 TB domain. ``div`` is the integer-division spelling
+    ('DIV' Spark, '//' DuckDB). Non-negative keys only (both engines'
+    % keeps the dividend sign)."""
+    return (f"((({key}) % 65536) * {_KNUTH} "
+            f"+ ((({key}) {div} 65536) % 65536) * {_K16}) % {_U32}")
 
 
 @query(
@@ -746,7 +769,7 @@ _U32 = 4294967296
     oracle=f"""
         SELECT doc_id, lang, source
         FROM documents
-        WHERE (doc_id * {_KNUTH}) % {_U32}
+        WHERE {_knuth_draw("doc_id", "//")}
               < CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 10
                           THEN {_MIX_HI} * {_U32}
                           ELSE {_MIX_LO} * {_U32} END AS BIGINT)
@@ -762,7 +785,7 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the mixture-weighting step of a training-corpus builder; at
     100 TB it is a stateless map — no shuffle at all."""
     d = load(spark, sf_dir, "documents")
-    draw = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_U32)
+    draw = F.expr(_knuth_draw("doc_id", "DIV"))
     src_num = F.substring("source", 4, 10).cast("int")
     threshold = F.when(src_num < 10, F.lit(int(_MIX_HI * _U32))) \
         .otherwise(F.lit(int(_MIX_LO * _U32))).cast("long")
@@ -786,7 +809,7 @@ _TEMP_BUDGET = 250  # kept-doc budget for the temperature-resampled mix
         r AS (SELECT doc_id, lang, source,
                      row_number() OVER (
                          PARTITION BY lang
-                         ORDER BY (doc_id * {_KNUTH}) % {_U32}, doc_id)
+                         ORDER BY {_knuth_draw("doc_id", "//")}, doc_id)
                          AS rk
               FROM documents)
         SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS BIGINT) AS rk
@@ -825,7 +848,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("target"))
     )
     win = Window.partitionBy("lang").orderBy(
-        (F.col("doc_id") * _KNUTH) % _U32, "doc_id")
+        F.expr(_knuth_draw("doc_id", "DIV")), "doc_id")
     r = d.select("doc_id", "lang", "source").withColumn(
         "rk", F.row_number().over(win).cast("long"))
     return (
@@ -1167,12 +1190,10 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     times the sketch-only plan via ``bench_fn``.
     """
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-    merged = daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    )
+    # the SAME plan bench.py times — calling the shared builder (not a
+    # re-statement) so a future sketch-parameter tune cannot silently
+    # desynchronize the benched plan from the correctness-checked one
+    merged = _sketch_merge_plan(spark, sf_dir)
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
@@ -1257,7 +1278,7 @@ _PRI_K = 100  # sample size for priority sampling
         SELECT o_orderkey, o_totalprice, priority
         FROM (
             SELECT o_orderkey, o_totalprice,
-                   (((o_orderkey * {_KNUTH}) % {_U32}) * 10000)
+                   (({_knuth_draw("o_orderkey", "//")}) * 10000)
                        // CAST(round(o_totalprice * 100) AS BIGINT)
                        AS priority
             FROM orders
@@ -1290,7 +1311,7 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     return (
         o.select("o_orderkey", "o_totalprice",
-                 F.expr(f"(((o_orderkey * {_KNUTH}) % {_U32}) * 10000) "
+                 F.expr(f"(({_knuth_draw('o_orderkey', 'DIV')}) * 10000) "
                         f"DIV cast(round(o_totalprice * 100) as bigint)")
                  .alias("priority"))
         .orderBy("priority", "o_orderkey")
@@ -1581,10 +1602,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_asof_forward",
     oracle="""
+        -- p pre-deduped to ONE purchase per (user, ts) — MIN event_id,
+        -- the Spark side's first()-over-ascending tie-break (see
+        -- q_join_asof's oracle note on DuckDB ASOF tie nondeterminism)
         WITH c AS (SELECT user_id, ts, event_id FROM events
                    WHERE event_type = 'click'),
-             p AS (SELECT user_id, ts, event_id FROM events
-                   WHERE event_type = 'purchase')
+             p AS (SELECT user_id, ts, MIN(event_id) AS event_id
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts)
         SELECT c.event_id AS click_id,
                c.user_id  AS user_id,
                c.ts       AS click_ts,

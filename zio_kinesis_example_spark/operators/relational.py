@@ -452,24 +452,36 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_having",
     oracle="""
-        SELECT o_custkey, SUM(o_totalprice) AS total_spent,
+        SELECT o_custkey,
+               round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0,
+                     6) AS total_spent,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY o_custkey
-        HAVING SUM(o_totalprice) > 500000
+        HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 50000000
     """,
     tags=("agg",),
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING)."""
+    """Post-aggregation filter (HAVING).
+
+    DETERMINISM: the threshold compares the exact BIGINT cent sum, not
+    an engine-summed double — a customer whose exact total sits ON the
+    500k boundary could otherwise land on opposite sides of the strict
+    > in the two engines (row-set corruption, which 9-sig-digit float
+    canonicalization cannot absorb); the emitted total is the same cent
+    sum divided once."""
     o = load(spark, sf_dir, "orders")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sum("o_totalprice").alias("total_spent"),
+            F.round(cents / F.lit(100.0), 6).alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
+            cents.alias("__cents"),
         )
-        .filter(F.col("total_spent") > 500000)
+        .filter(F.col("__cents") > 50_000_000)
+        .drop("__cents")
     )
 
 
@@ -561,7 +573,8 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               SUM(value) AS sum_value
+               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+                   AS sum_value
         FROM events
         GROUP BY 1
     """,
@@ -570,13 +583,19 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch emulation of a 1-hour tumbling event-time window (the
     streaming version lives in streaming/ with withWatermark; this is the
-    oracle-checkable batch equivalent, SURVEY.md §2.2 streaming table)."""
+    oracle-checkable batch equivalent, SURVEY.md §2.2 streaming table).
+
+    DETERMINISM: the hourly sum is an exact BIGINT cent sum (value is
+    2dp data) + one division — the q_win_session_batch rule; a raw
+    double SUM over groups that grow with SF re-associates differently
+    per engine and eventually crosses the 9-sig-digit parity boundary."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 6).alias("sum_value"),
         )
     )
 
@@ -664,21 +683,33 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_subquery_scalar",
     oracle="""
+        WITH s AS (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS tc,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders)
         SELECT o_orderkey, o_totalprice
-        FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        FROM orders, s
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * s.n > s.tc
     """,
     tags=("subquery",),
 )
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above the global average price. The scalar aggregate is a
     1-row broadcast (cross join with a singleton), not a driver collect —
-    the 100 TB-safe shape for uncorrelated scalar subqueries."""
+    the 100 TB-safe shape for uncorrelated scalar subqueries.
+
+    DETERMINISM: membership is decided by the cross-multiplied integer
+    comparison cents·n > Σcents (exact rational form of price > avg) —
+    comparing against an engine-summed double average could flip rows
+    sitting exactly on the mean. Integer-safe while cents·n < 2^63
+    (~5e7 cents × n ≤ 1.8e11 rows)."""
     o = load(spark, sf_dir, "orders")
-    avg_df = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    tot = o.agg(
+        F.sum(cents).alias("__tc"), F.count(F.lit(1)).alias("__n"))
     return (
-        o.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        o.crossJoin(F.broadcast(tot))
+        .filter(cents * F.col("__n") > F.col("__tc"))
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -973,8 +1004,8 @@ _GRID_KY = 1540483477
     oracle=f"""
         WITH pts AS (
             SELECT o_orderkey AS id,
-                   (o_orderkey * {_GRID_KX}) % 10000 AS x,
-                   (o_custkey * {_GRID_KY}) % 10000 AS y
+                   ((o_orderkey % 10000) * {_GRID_KX % 10000}) % 10000 AS x,
+                   ((o_custkey % 10000) * {_GRID_KY % 10000}) % 10000 AS y
             FROM orders
         )
         SELECT a.id AS id_a, b.id AS id_b,
@@ -1010,10 +1041,16 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the honest blocked-join bound), never |points|².
     """
     o = load(spark, sf_dir, "orders")
+    # keys reduced mod 10^4 BEFORE the multiply — (a·b) mod m ==
+    # ((a mod m)·(b mod m)) mod m, so the coordinates are identical for
+    # every key, but the direct product overflows int64 (a hard ANSI
+    # error) for keys above ~3.47e9, inside the claimed 100 TB domain
     pts = o.select(
         F.col("o_orderkey").alias("id"),
-        ((F.col("o_orderkey") * _GRID_KX) % 10000).alias("x"),
-        ((F.col("o_custkey") * _GRID_KY) % 10000).alias("y"),
+        ((F.col("o_orderkey") % 10000) * (_GRID_KX % 10000) % 10000)
+        .alias("x"),
+        ((F.col("o_custkey") % 10000) * (_GRID_KY % 10000) % 10000)
+        .alias("y"),
     )
     # HALF-neighborhood probe: instead of exploding to all 9 neighbor
     # cells, probe only {(0,0), (1,0), (0,1), (1,1), (1,-1)} — every
@@ -1043,9 +1080,12 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, ["cx", "cy"])
+        # no id_a != id_b conjunct: a self-pair can only arise via the
+        # (0,0) same-cell probe, where id_a < id_b already rejects it;
+        # cross-cell probes join a point's cell+offset to a DIFFERENT
+        # cell, so the same point can never meet itself there
         .filter(
             (~F.col("same_cell") | (F.col("id_a") < F.col("id_b")))
-            & (F.col("id_a") != F.col("id_b"))
             & (F.abs(F.col("xa") - F.col("xb")) <= _GRID_R)
             & (F.abs(F.col("ya") - F.col("yb")) <= _GRID_R)
         )
