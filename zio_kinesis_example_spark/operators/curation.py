@@ -674,11 +674,6 @@ def q_curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w"), F.size(F.split("text", " ")).alias("n"))
-    n_chunks = F.expr(
-        f"CASE WHEN n <= {_CHUNK_LEN} THEN 1 "
-        f"ELSE cast(ceil(cast(n - {_CHUNK_LEN} as double) "
-        f"/ {_CHUNK_STRIDE}) as int) + 1 END"
-    )
     return (
         d.select(
             "doc_id", "n", "w",

@@ -427,6 +427,10 @@ def _signatures_from_exploded(exploded: DataFrame,
     r = n_hashes // bands
     if r != 2:
         raise ValueError("portable band combine assumes r == 2 slots/band")
+    if n_hashes > len(_MH_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(_MH_A)} fixed affine "
+            "permutations (_MH_A/_MH_B); extend the tables to widen")
     hashed = exploded.select(
         "doc_id",
         (F.expr(_H0_SPARK.format(c="sh")) % _P31).alias("h"),

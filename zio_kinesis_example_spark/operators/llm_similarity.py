@@ -340,6 +340,16 @@ _KM_ITERS = 3        # fixed Lloyd iterations (fixpoint variant: loop + stop)
 _KM_SCALE = 1_000_000
 _KM_DIM = 64
 _KM_HASH = 2654435761  # Knuth multiplicative hash, computable in ANSI SQL
+_KM_K16 = (_KM_HASH * 65536) % 4294967296
+
+
+def _km_draw(div: str) -> str:
+    """(vec_id · KNUTH) mod 2^32 via the 16-bit split (advanced.py's
+    _knuth_draw pattern): identical to the direct product for vec_id
+    < 2^32 — every fixture key — but overflow-free for snowflake-scale
+    ids, where the raw multiply is a hard ANSI ArithmeticException."""
+    return (f"((vec_id % 65536) * {_KM_HASH} "
+            f"+ ((vec_id {div} 65536) % 65536) * {_KM_K16}) % 4294967296")
 
 
 def _kmeans_oracle() -> str:
@@ -354,10 +364,10 @@ def _kmeans_oracle() -> str:
                          x -> CAST(floor(x * {_KM_SCALE}.0) AS BIGINT)) AS v
               FROM embeddings),
         c0 AS (SELECT CAST(ROW_NUMBER() OVER (
-                          ORDER BY (vec_id * {_KM_HASH}) % 4294967296, vec_id)
+                          ORDER BY {_km_draw("//")}, vec_id)
                           - 1 AS INT) AS cid, v AS cv
                FROM (SELECT vec_id, v FROM e
-                     ORDER BY (vec_id * {_KM_HASH}) % 4294967296, vec_id
+                     ORDER BY {_km_draw("//")}, vec_id
                      LIMIT {_KM_K}))"""]
     for i in range(1, _KM_ITERS + 1):
         ctes.append(f"""
@@ -421,7 +431,7 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     init = (
-        e.orderBy((F.col("vec_id") * _KM_HASH) % F.lit(4294967296), "vec_id")
+        e.orderBy(F.expr(_km_draw("DIV")), "vec_id")
         .limit(_KM_K)
         .collect()
     )
@@ -466,7 +476,10 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = last.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("aggregate(v, 0L, (s, t) -> s + t)")).alias("mem_sum"),
-    )
+    # materialize the K-row stats WHILE e is still cached — unpersisting
+    # first made the caller's action re-scan and re-quantize the corpus
+    # without the cache this function just built
+    ).localCheckpoint(eager=True)
     cent_rows = spark.createDataFrame(
         [(cid, sum(cents[cid])) for cid in range(_KM_K)],
         "cid int, cent_sum long",
