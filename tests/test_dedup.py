@@ -260,3 +260,74 @@ def test_shared_registry_race_same_plan_keeps_winner_cached(spark):
     assert lvl.useMemory or lvl.useDisk, \
         "same-plan loser unpersist evicted the winner's cache"
     clear_shared_cache()
+
+
+def test_cc_edges_equal_exact_jaccard_edges(spark):
+    """The r6 scale fix replaced the cluster family's hot-shingle
+    Σ|posting|² self-join with the LSH-verified pair miner. Semantics
+    must be UNCHANGED: the LSH edge set equals the unguarded exact
+    Jaccard ≥ 0.5 edge set on the fixture (all qualifying pairs sit at
+    ≥ 0.8 similarity where the 8×2 band family's recall is 100 %)."""
+    from .conftest import SF_SMALL
+
+    s = llm_dedup._with_shingles(spark, SF_SMALL)
+    e = s.select(
+        "doc_id", F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    exact = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.min("a.n").alias("na"), F.min("b.n").alias("nb"))
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    want = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    got = {(r.doc_a, r.doc_b)
+           for r in llm_dedup._cc_edges(spark, SF_SMALL).collect()}
+    assert want, "fixture lost its planted near-dup pairs"
+    assert got == want
+
+
+def test_ngram_jaccard_df_cap_is_noop_on_fixture(spark):
+    """_DF_CAP (64) exceeds every shingle document frequency on the
+    fixture (max 25 at sf0.1), so the stop-shingle guard must not drop a
+    single pair vs the unguarded formulation — the query stays exact
+    ground truth locally while the guard bounds the join at web scale."""
+    from .conftest import SF_SMALL
+    from zio_kinesis_example_spark.registry import all_specs
+
+    s = llm_dedup._with_shingles(spark, SF_SMALL)
+    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = s.select("doc_id", "shingles")
+    unguarded = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long")
+            .alias("n_common"),
+            (F.size(F.array_intersect("sa", "sb"))
+             / F.size(F.array_union("sa", "sb"))).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.01)
+    )
+    want = {(r.doc_a, r.doc_b, r.n_common) for r in unguarded.collect()}
+    got = {(r.doc_a, r.doc_b, r.n_common)
+           for r in all_specs()["q_dedup_ngram_jaccard"]
+           .fn(spark, SF_SMALL).collect()}
+    assert want and got == want

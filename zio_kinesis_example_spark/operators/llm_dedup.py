@@ -5,9 +5,17 @@ Scale design (the 100 TB story):
 - **Exact dedup** is a hash-partitioned groupBy on a content digest — one
   shuffle keyed by sha2(text); identical texts co-locate, no pairwise work.
 - **Exact pairwise Jaccard** (q_dedup_ngram_jaccard) is the *ground-truth*
-  path: cost grows with Σ|bucket|² over shingle buckets, so it is only run
-  on bounded corpora / blocked subsets. Its oracle-checked output defines
-  correctness for the approximate paths.
+  path. Candidate pairs come from a DOCUMENT-FREQUENCY-CAPPED shingle
+  co-occurrence join (shingles appearing in more than ``_DF_CAP`` documents
+  are "stop shingles" and generate no candidates — the standard guard in
+  suffix-array/shingle dedup pipelines), so the join cost is bounded by
+  Σ min(|posting|, cap)² ≤ cap · Σ|posting| — LINEAR in corpus size, never
+  the Σ|posting|² blow-up a web-scale stop-shingle ("in the of") would
+  cause. Verification then computes the TRUE Jaccard over the full shingle
+  arrays, so emitted values are exact; the only semantic difference from
+  the uncapped join is that pairs sharing solely stop shingles (Jaccard
+  necessarily ≈ 0 for any document with rare content) are not emitted.
+  On the test fixtures max df = 25 < cap, so the cap is a provable no-op.
 - **MinHash-LSH** (q_dedup_minhash*) is the scale path: per-document
   signature computation is embarrassingly parallel (no shuffle, higher-order
   functions only), then ONE shuffle on (band_id, band_hash) groups likely
@@ -61,6 +69,14 @@ _SHINGLES = """
 # correctness.
 _N_HASHES = 16
 _BANDS = 8
+
+# Stop-shingle guard for the exact-Jaccard candidate join: shingles with
+# document frequency above this cap generate no candidate pairs. Keeps the
+# co-occurrence join linear in corpus size (Σ min(df, cap)² ≤ cap·Σdf).
+# 64 ≫ the max df on every test fixture (25 at sf0.1), so locally the cap
+# is exactly a no-op; at web scale it is the difference between a plan
+# that finishes and one that materializes |corpus|² rows on one hot key.
+_DF_CAP = 64
 
 # Portable hash family (identical in Spark and DuckDB, all int64-safe):
 #   H0(s)  = first 15 hex chars of md5(s) as a 60-bit integer
@@ -330,7 +346,7 @@ def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
         s AS (SELECT doc_id,
                      list_distinct(CASE WHEN len(terms) >= 3
@@ -339,55 +355,77 @@ def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE [array_to_string(terms, ' ')] END) AS sh
               FROM t),
         e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
-        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(COUNT(*) AS BIGINT) AS n_common
-              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+        rare AS (SELECT shingle FROM e
+                 GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+        er AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM er a JOIN er b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        v AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)
+                         AS n_common,
+                     CAST(len(x.sh) AS BIGINT) AS na,
+                     CAST(len(y.sh) AS BIGINT) AS nb
+              FROM cand JOIN s x ON doc_a = x.doc_id
+                        JOIN s y ON doc_b = y.doc_id)
         SELECT doc_a, doc_b, n_common,
-               round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
-        FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.01
+               round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+        FROM v WHERE n_common * 1.0 / (na + nb - n_common) >= 0.01
     """,
     tags=("dedup",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-gram Jaccard via shingle co-occurrence join.
+    """Exact pairwise 3-gram Jaccard: DF-capped candidate generation,
+    full-array verification.
 
-    |A∩B| comes from the shingle-grouped self-join (only docs sharing a
-    shingle ever pair — never a cartesian), |A∪B| = |A|+|B|−|A∩B|. The
-    Jaccard value is a ratio of exact integers → bit-identical across
-    engines, so the threshold is boundary-safe.
+    Candidates: docs co-occurring on a shingle with document frequency
+    ≤ ``_DF_CAP`` (the stop-shingle guard — see module docstring; the
+    hot-key Σ|posting|² blow-up cannot occur because every posting list
+    entering the self-join is ≤ cap rows). Verification: TRUE Jaccard
+    from the full shingle arrays (array_intersect / sizes), so n_common
+    and jaccard are exact integers / integer ratios → bit-identical
+    across engines, and the 0.01 threshold is boundary-safe. The df
+    aggregation, semi-filter join, and candidate self-join all key on
+    ``shingle``, so the exchange is reused across the three stages.
     """
     s = _with_shingles(spark, sf_dir)
-    # carry |shingles(doc)| through the join instead of re-joining sizes
-    # back on at the end: |A| and |B| are functionally dependent on the
-    # group key, so min() recovers them for free in the same aggregation —
-    # two whole join stages (and their shuffles) removed.
-    e = s.select(
-        "doc_id", F.size("shingles").cast("long").alias("n"),
-        F.explode("shingles").alias("shingle"),
+    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    # persisted INSIDE the query: the a/b self-join below plans the rare-
+    # shingle subtree twice and ReuseExchange does not dedupe it (the
+    # round-5 simhash_pairs lesson) — one persist of the vocabulary-sized
+    # frame halves the df-aggregation work. Released by
+    # clear_shared_cache() like every loose persist in this module.
+    rare = _track_persist(
+        e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP).select("shingle")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
+    er = e.join(rare, "shingle")
+    a, b = er.alias("a"), er.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.min("a.n").alias("na"),
-            F.min("b.n").alias("nb"),
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = s.select("doc_id", "shingles")
+    v = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long")
+            .alias("n_common"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
         )
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.filter(jac >= 0.01)
-        .select(
-            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
-        )
+        v.filter(jac >= 0.01)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -504,10 +542,26 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets from the portable hash family, takes the same
     candidate set, and applies the same exact-Jaccard filter — so the
     comparison checks the LSH index itself, not just the verified tail.
+    The shared plan lives in :func:`lsh_verified_pairs` (also the edge
+    source of q_dedup_clusters).
+    """
+    return lsh_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jac): MinHash-LSH candidate pairs verified by exact
+    shingle Jaccard ≥ ``threshold`` — THE scale path for near-dup pair
+    mining, shared by q_dedup_minhash_pairs and the q_dedup_clusters
+    edge build.
 
     Bucket-join on (band_id, band_hash) → candidate pairs → verify with
     true shingle Jaccard. Only bucket-mates are compared: the pairwise
-    stage is Σ|bucket|², not n².
+    stage is Σ|bucket|², not n² — and bucket sizes are governed by the
+    LSH S-curve, not by hot shingles, so there is no stop-shingle
+    blow-up anywhere in the plan (unlike a raw shingle-keyed self-join).
 
     A pair agreeing on k bands is produced by k buckets; instead of a
     dropDuplicates shuffle over the candidate stream, each pair is kept
@@ -516,6 +570,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as simhash's first-zero-chunk, q_dedup_simhash_pairs) — so the
     entire candidate-dedup exchange disappears (asserted in
     tests/test_plans.py).
+
+    ``jac`` is a ratio of exact integers (array_intersect/array_union
+    sizes), bit-identical across engines, so thresholds are
+    boundary-safe.
     """
     s = _with_shingles(spark, sf_dir)
     buckets = _shared_minhash(spark, sf_dir)
@@ -546,8 +604,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.select(F.col("doc_id").alias("doc_b"),
                         F.col("shingles").alias("sb")), "doc_b")
         .withColumn("jac", jac)
-        .filter(F.col("jac") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
     )
 
 
@@ -884,26 +942,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ONE definition of what a "cluster" is: the shared recursive-CTE
-# fragment (shingle graph + transitive closure) behind the
-# q_dedup_clusters / q_dedup_cluster_sizes / q_dedup_canonical
-# oracles — edits to the clustering rule cannot silently diverge
-# between the paired oracles.
-_DUCK_CLUSTERS_CTE = """
+# fragment behind the q_dedup_clusters / q_dedup_cluster_sizes /
+# q_dedup_canonical oracles — edits to the clustering rule cannot
+# silently diverge between the paired oracles.
+#
+# Edges are the LSH-verified near-dup pairs (MinHash band candidates,
+# exact-Jaccard ≥ 0.5 verification on the full shingle sets) — the SAME
+# definition lsh_verified_pairs computes in Spark, regenerated here from
+# the portable hash family. tests/test_dedup.py asserts this edge set
+# equals the unguarded exact-Jaccard ≥ 0.5 edge set on every fixture
+# (LSH recall is 100 % at the fixtures' ≥ 0.8 pair similarities), so the
+# cluster semantics are unchanged from the exact ground truth while the
+# plan carries no hot-shingle Σ|posting|² self-join.
+_DUCK_CLUSTERS_CTE = (
+    """
         WITH RECURSIVE
-        p AS (
-            SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
-        s AS (SELECT doc_id,
-                     list_distinct(CASE WHEN len(terms) >= 3
-                       THEN list_transform(generate_series(1, len(terms) - 2),
-                                           i -> array_to_string(terms[i:i+2], ' '))
-                       ELSE [array_to_string(terms, ' ')] END) AS sh
-              FROM p),
-        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
-        e0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2
-               HAVING COUNT(*) * 1.0 /
-                      (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.5),
+    """
+    + _DUCK_MINHASH
+    + """,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band_id = b.band_id
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id),
+        e0 AS (SELECT doc_a, doc_b
+               FROM cand JOIN s x ON doc_a = x.doc_id
+                         JOIN s y ON doc_b = y.doc_id
+               WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     (len(x.sh) + len(y.sh)
+                      - len(list_intersect(x.sh, y.sh))) >= 0.5),
         e AS (SELECT doc_a AS a, doc_b AS b FROM e0
               UNION ALL SELECT doc_b, doc_a FROM e0),
         r AS (
@@ -911,6 +978,18 @@ _DUCK_CLUSTERS_CTE = """
             UNION
             SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
         )"""
+)
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b): the near-dup graph's undirected edge list, mined
+    via the LSH-verified scale path (``lsh_verified_pairs`` — MinHash
+    band candidates + exact-Jaccard ≥ 0.5 verification). Module-level so
+    tests/test_plans.py can assert the plan joins on (band_id, band_hash),
+    never on a raw shingle key (no hot-shingle Σ|posting|² term anywhere
+    in the cluster family)."""
+    return lsh_verified_pairs(spark, sf_dir, threshold=0.5) \
+        .select("doc_a", "doc_b")
 
 
 @query(
@@ -922,10 +1001,13 @@ _DUCK_CLUSTERS_CTE = """
     tags=("dedup", "graph", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the exact-Jaccard (≥0.5) near-dup graph:
-    every document labeled with the minimum doc_id reachable through
-    near-duplicate edges — the 'dedup cluster' a pipeline keeps one
-    representative of.
+    """Connected components over the LSH-verified (exact Jaccard ≥ 0.5)
+    near-dup graph: every document labeled with the minimum doc_id
+    reachable through near-duplicate edges — the 'dedup cluster' a
+    pipeline keeps one representative of. Edges come from
+    :func:`_cc_edges` (the MinHash-LSH scale path; equivalence with the
+    unguarded exact ≥ 0.5 edge set is asserted on every fixture in
+    tests/test_dedup.py).
 
     The one genuinely ITERATIVE algorithm in the engine: hash-min label
     propagation (each round, every vertex takes the min label in its
@@ -944,22 +1026,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clearCache, exactly the "materialize the labels once" step a
     # production dedup pipeline performs.
     def build() -> DataFrame:
-        s = _with_shingles(spark, sf_dir)
-        e = s.select(
-            "doc_id", F.size("shingles").cast("long").alias("n"),
-            F.explode("shingles").alias("shingle"),
-        )
-        a, b = e.alias("a"), e.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("c"),
-                 F.min("a.n").alias("na"), F.min("b.n").alias("nb"))
-            .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5)
-            .select("doc_a", "doc_b")
-        )
+        pairs = _cc_edges(spark, sf_dir)
         # The iteration frames are vertex/edge-sized (tiny next to the input):
         # co-partition BOTH on the join key so every round's join is
         # co-located, and size the partition count to the FRAME, not the

@@ -660,7 +660,7 @@ _CANON_ORACLE = _DUCK_CLUSTERS_CTE + """,
        bench=False)
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization after near-dup clustering: per connected
-    component of the exact-Jaccard (>= 0.5) graph, the representative a
+    component of the LSH-verified (exact Jaccard >= 0.5) graph, the representative a
     pipeline KEEPS — the longest member (n_chars, doc_id tie-break) —
     plus member/dropped counts. This is the step that turns
     q_dedup_clusters' labels into an actual curation decision (min-id
