@@ -475,8 +475,10 @@ def test_upsert_sink_replayed_batch_is_idempotent(spark, tmpdir_factory_local):
     """At-least-once → exactly-once state: re-delivering a batch (same
     batch_id, after a crash before the offset commit) must leave the
     snapshot unchanged — the merge re-applies the same delta onto a
-    snapshot that already contains it, and the replayed version directory
-    overwrites itself, never a newer one."""
+    snapshot that already contains it. The replay lands in a FRESH
+    generation directory of the same batch version (v1.g1), never
+    in-place over the directory the merge is lazily reading, and never
+    over a newer batch's version."""
     from zio_kinesis_example_spark.streaming import UpsertSink
 
     state = tmpdir_factory_local("upsert-replay")
@@ -495,7 +497,11 @@ def test_upsert_sink_replayed_batch_is_idempotent(spark, tmpdir_factory_local):
 
     sink(b1, 1)  # crash-replay of batch 1
     assert sorted(map(tuple, sink.current(spark).collect())) == snap1
-    assert sink.current_version() == "v1"
+    assert sink.current_version() == "v1.g1"
+
+    sink(b1, 1)  # second replay: next generation, still idempotent
+    assert sorted(map(tuple, sink.current(spark).collect())) == snap1
+    assert sink.current_version() == "v1.g2"
 
 
 def test_end_to_end_pipeline_composed(spark, tmpdir_factory_local):

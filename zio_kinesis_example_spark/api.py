@@ -53,7 +53,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """For each left row, attach the right row with the greatest
     ``right_ts`` strictly less than ``left_ts`` (per key). Union + one
     window scan: one shuffle on ``key``, no range-join explosion.
-    Attached columns come back as ``asof_<name>`` (NULL when no match)."""
+    Attached columns come back as ``asof_<name>`` (NULL when no match).
+
+    Tie-break contract: two right rows sharing (key, right_ts) are
+    resolved by ordering on the STRUCT of ``right_cols`` — field-wise,
+    in the order the caller lists them — and the greatest payload wins.
+    This makes the result deterministic but (a) dependent on the
+    ``right_cols`` ordering the caller passes, and (b) restricted to
+    ORDERABLE payload types: a ``right_cols`` entry of MapType (or any
+    other unorderable type) raises AnalysisException at plan time. For
+    an explicit policy, pre-dedupe the right side per (key, right_ts)
+    with ``dedup_latest`` before calling."""
     r = right.select(
         F.col(key), F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__kind"),
@@ -156,7 +166,15 @@ def merge_upsert(base: DataFrame, delta: DataFrame,
     Whole-row via a delta-presence marker, not per-column coalesce: a
     delta that intentionally sets a field to NULL must not resurrect
     the stale base value as a column-wise chimera of two versions.
-    NULL keys merge null-safely as one group (the UpsertSink rule)."""
+    NULL keys merge null-safely as one group (the UpsertSink rule).
+
+    PRECONDITION (SQL MERGE's cardinality rule): the delta must carry
+    at most ONE row per key — including at most one NULL-key row, since
+    the null-safe join treats NULL as an ordinary key value. A delta
+    with k rows for a key that matches m base rows produces k·m merged
+    rows, exactly the ambiguity standard MERGE rejects with an error;
+    pre-dedupe with ``dedup_latest`` (what UpsertSink does) when the
+    delta may hold multiple versions per key."""
     b = base.alias("b")
     d = delta.withColumn("__dp", F.lit(1)).alias("d")
     take_delta = F.col("d.__dp").isNotNull()

@@ -263,12 +263,27 @@ def clear_shared_cache(unpersist: bool = True) -> int:
 #: the bench and driver loops already use.
 _LOOSE_PERSISTS: list[tuple[SparkSession, DataFrame]] = []
 
+#: Backstop for library callers that never call clear_shared_cache():
+#: once the registry exceeds this many entries the oldest are evicted
+#: (unpersisted) on the next _track_persist call, so a long-lived session
+#: pins at most a bounded set of cache blocks. Eviction is performance-
+#: only (the frame recomputes); the cap is generous because CacheManager
+#: is plan-keyed and an evicted old frame whose plan equals a LIVE
+#: entry's would drop that entry's blocks too.
+_LOOSE_PERSISTS_CAP = 32
+
 
 def _track_persist(df: DataFrame) -> DataFrame:
-    """persist() a frame and register it for clear_shared_cache release."""
+    """persist() a frame and register it for clear_shared_cache release
+    (or capped LRU eviction — see _LOOSE_PERSISTS_CAP)."""
     df = df.persist()
     with _SHARED_LOCK:
         _LOOSE_PERSISTS.append((df.sparkSession, df))
+        while len(_LOOSE_PERSISTS) > _LOOSE_PERSISTS_CAP:
+            sess, old = _LOOSE_PERSISTS.pop(0)
+            if not _session_stopped(sess):
+                with contextlib.suppress(Exception):
+                    old.unpersist()
     return df
 
 
@@ -746,6 +761,9 @@ def simhash_pairs(signatures: DataFrame, max_hamming: int = 3,
     # ~25 % end-to-end win cold (r5 profiling; ReuseExchange does not
     # cover it). Tracked so clear_shared_cache() (and therefore bench,
     # the driver loop, and library callers) can release the blocks.
+    # LIBRARY CALLERS: each call with a distinct input pins one cache
+    # entry for the session — call clear_shared_cache() between phases,
+    # or rely on the _LOOSE_PERSISTS_CAP backstop evicting the oldest.
     sigs = _track_persist(signatures.select("simhash").distinct())
     chunk_arr = "array(" + ", ".join(
         f"shiftright(simhash, {sh}) & {mk}" for sh, mk in layout

@@ -511,8 +511,12 @@ def _bmp_oracle() -> str:
     w = "CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 22 ELSE 33 END"
     h = "CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 9 ELSE 12 END"
     stride = "CASE doc_id % 3 WHEN 0 THEN 48 WHEN 1 THEN 68 ELSE 100 END"
-    cyc = ("list_sum(list_transform(generate_series(0, {n} - 1), "
-           "k -> ascii(substring(text, (k % length(text)) + 1, 1))))")
+    # empty-text guard: the encode kernel zero-fills an empty payload's
+    # pixel plane, while an unguarded k % length(text) is a mod-by-zero
+    # (NULL) here — the CASE keeps the hash green on empty documents
+    cyc = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
+           "list_sum(list_transform(generate_series(0, {n} - 1), "
+           "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
     return f"""
         SELECT doc_id,
                TRUE AS bmp_ok,

@@ -43,10 +43,18 @@ class UpsertSink:
     ...  .start())
     """
 
-    def __init__(self, base_dir: str, key: str, seq_col: str):
+    def __init__(self, base_dir: str, key: str, seq_col: str,
+                 keep_versions: int = 2):
+        """``keep_versions`` is the GC safety margin: how many snapshot
+        generations survive each batch (minimum 2 — current + the replay
+        predecessor). Raise it when external readers hold lazy frames
+        from ``current()`` across more than one trigger interval; a
+        frame whose version is GC'd fails with FileNotFoundException at
+        its next action."""
         self.base_dir = base_dir
         self.key = key
         self.seq_col = seq_col
+        self.keep_versions = max(2, keep_versions)
         os.makedirs(base_dir, exist_ok=True)
 
     # -- snapshot bookkeeping ------------------------------------------
@@ -61,7 +69,14 @@ class UpsertSink:
             return None
 
     def current(self, spark: SparkSession) -> DataFrame | None:
-        """The committed snapshot, or None before the first batch."""
+        """The committed snapshot, or None before the first batch.
+
+        READER CONTRACT: the returned frame is a LAZY view of one
+        snapshot version. Consume it (action or persist-materialize)
+        within ``keep_versions - 1`` further batches — after that the
+        version directory is GC'd and any later action on the frame
+        fails with FileNotFoundException. Long-lived readers should
+        raise ``keep_versions`` at construction."""
         v = self.current_version()
         if v is None:
             return None
@@ -109,9 +124,21 @@ class UpsertSink:
         prev = self.current_version()
         merged = self._merge(self.current(spark), delta)
         version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, version)
-        )
+        # Replay guard: if this batch's version directory already exists
+        # (pointer swapped, offsets uncommitted, stream restarted — or
+        # the pointer still names it), NEVER overwrite it in place: the
+        # merge above lazily READS the current snapshot while the write
+        # streams out, so an in-place overwrite would consume files it
+        # is deleting. Write a fresh generation and swap the pointer to
+        # it instead — the atomic-pointer contract makes the extra
+        # directory invisible to readers until the swap.
+        if os.path.exists(os.path.join(self.base_dir, version)):
+            gen = 1
+            while os.path.exists(
+                    os.path.join(self.base_dir, f"{version}.g{gen}")):
+                gen += 1
+            version = f"{version}.g{gen}"
+        merged.write.parquet(os.path.join(self.base_dir, version))
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
@@ -119,15 +146,23 @@ class UpsertSink:
         self._gc(keep={version, prev})
 
     def _gc(self, keep: set[str | None]) -> None:
-        """Delete superseded snapshot versions, keeping the current one
-        and its immediate predecessor (the replay safety margin:
+        """Delete superseded snapshot versions, keeping the newest
+        ``keep_versions`` directories (always including the current one
+        and its immediate predecessor — the replay safety margin:
         Structured Streaming re-runs at most the last uncommitted batch,
         which re-merges onto the predecessor). Without this a long
         stream holds O(batches) full snapshot copies."""
         import shutil
 
-        for name in os.listdir(self.base_dir):
-            if (name.startswith("v") and name not in keep
-                    and os.path.isdir(os.path.join(self.base_dir, name))):
+        dirs = [
+            name for name in os.listdir(self.base_dir)
+            if name.startswith("v")
+            and os.path.isdir(os.path.join(self.base_dir, name))
+        ]
+        dirs.sort(
+            key=lambda n: os.path.getmtime(os.path.join(self.base_dir, n)))
+        survivors = set(dirs[-self.keep_versions:]) | keep
+        for name in dirs:
+            if name not in survivors:
                 shutil.rmtree(os.path.join(self.base_dir, name),
                               ignore_errors=True)
