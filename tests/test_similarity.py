@@ -63,3 +63,28 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
     # every query produced k candidates (cells are dense enough)
     assert set(got) == set(truth)
+
+
+def test_ivf_trained_centroids_beat_hash_sample(spark):
+    """The r6 FAISS-parity fix: the Lloyd-trained coarse quantizer
+    (default train_iters) must reach recall@k >= the raw hash-sample
+    seed (train_iters=0) against the exact baseline — training may tie
+    but never degrade on the fixture."""
+    from .conftest import SF_ORACLE
+    from zio_kinesis_example_spark.operators.llm_similarity import _ann_ivf_plan
+
+    exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in truth.values())
+
+    def recall(plan) -> float:
+        got: dict[int, set[int]] = {}
+        for r in plan.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / total
+
+    base = recall(_ann_ivf_plan(spark, SF_ORACLE, train_iters=0))
+    trained = recall(_ann_ivf_plan(spark, SF_ORACLE))
+    assert trained >= base, (trained, base)

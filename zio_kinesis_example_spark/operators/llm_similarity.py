@@ -191,6 +191,8 @@ def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NLIST = 32      # FIXED centroid count — independent of corpus size
 _IVF_NPROBE = 3      # query-side cells probed
+_IVF_TRAIN_ITERS = 2  # Lloyd iterations refining the hash-sample seed
+_IVF_TRAIN_SCALE = 1_000_000  # component quantization for exact int means
 
 # Measured overall recall@5 vs the exact baseline (deterministic: fixed
 # planes / fixed hash-sampled centroids, no run-to-run variance):
@@ -255,25 +257,90 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _ann_lsh_plan(spark, sf_dir), _LSH_RECALL_FLOOR)
 
 
-def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign_udf(Cn, n_cells: int):
+    """Pandas UDF assigning each vector its ``n_cells`` nearest centroids
+    (one numpy matmul per Arrow batch, (n × nlist) with nlist a constant).
+    ``Cn`` is the row-normalized centroid matrix — O(nlist·dim) floats
+    shipped in the UDF closure, the FAISS coordinator-codebook shape."""
+    import numpy as np
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Cn.T                                      # (n, nlist)
+        order = np.argsort(-sims, axis=1)[:, :n_cells]
+        return pd.Series(list(order.astype("int32")))
+    return assign
+
+
+def _train_ivf_centroids(e: DataFrame, C0, iters: int):
+    """Lloyd-refine the hash-sample seed ``C0`` into a trained coarse
+    quantizer (the r5 FAISS-parity gap: q_embed_kmeans' algorithm, IVF's
+    nlist). Per iteration: ONE corpus scan assigning each vector its
+    nearest current centroid (matmul UDF), then a partial-agged
+    (cell, dim) shuffle of SCALED-INTEGER component sums — the
+    q_embed_kmeans determinism rule: int64 sums are associative, so the
+    truncated-integer mean is bit-identical no matter the aggregation
+    order, making the trained codebook (hence cell layout and recall)
+    run-to-run stable. Driver state per round: ≤ nlist·dim rows.
+    Empty cells keep their previous centroid. Overflow bound:
+    |component| ≤ ~few · SCALE(1e6) ⇒ a cell needs > ~1e12 members to
+    overflow int64 — not reachable even at 100 TB."""
+    import numpy as np
+
+    C = C0.astype(np.float64)
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assigned = e.select(
+            F.element_at(_ivf_assign_udf(Cn, 1)(F.col("emb")), 1)
+            .alias("cell"),
+            F.col("emb"),
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("emb").alias("dim", "x"))
+            .select(
+                "cell", "dim",
+                (F.col("x") * _IVF_TRAIN_SCALE).cast("long").alias("xi"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        newC = C.copy()
+        for r in stats:
+            # toward-zero truncated integer mean (Spark DIV semantics),
+            # then back to float once per cell/dim
+            newC[r.cell, r.dim] = (r.s // r.c
+                                   if r.s >= 0 else -((-r.s) // r.c)
+                                   ) / _IVF_TRAIN_SCALE
+        C = newC
+    return C
+
+
+def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
+                  train_iters: int = _IVF_TRAIN_ITERS) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to LSH (q_sim_ann_lsh).
 
-    Coarse quantizer = the nlist=32 corpus vectors with the smallest
-    xxhash64(vec_id) — a deterministic fixed-size hash-sample (the
-    TRAINED codebook variant is q_embed_kmeans; swap its centroids in
-    here for FAISS-parity recall), so the
-    driver-side state is O(nlist·dim) floats NO MATTER the corpus size
-    (the plan is a TakeOrderedAndProject: executors each keep their local
-    top-nlist by hash, the driver merges nlist rows total). This is the
-    FAISS shape: a small trained codebook on the coordinator, assignment
-    fully distributed. Cell assignment is one numpy matmul per Arrow
-    batch ((n × nlist), bounded because nlist is a constant); the probe
-    joins queries (exploded over their nprobe nearest cells) to corpus
-    vectors on cell id — ONE shuffle keyed by cell, candidate count
-    ≈ corpus·nprobe/nlist per query (nprobe=3/nlist=32 ≈ 9% of the
-    corpus; recall/cost dial). Exact cosine re-rank inside cells; recall
-    vs the brute-force baseline asserted in tests/test_similarity.py.
+    Coarse quantizer = a TRAINED codebook: seeded by the nlist=32 corpus
+    vectors with the smallest xxhash64(vec_id) (a deterministic
+    fixed-size hash-sample; the seed plan is a TakeOrderedAndProject —
+    executors each keep their local top-nlist by hash, the driver merges
+    nlist rows total), then refined by ``train_iters`` Lloyd rounds
+    (_train_ivf_centroids — q_embed_kmeans' integer-exact mean update at
+    IVF's nlist; pass train_iters=0 for the raw hash-sample baseline).
+    Driver-side state stays O(nlist·dim) floats NO MATTER the corpus
+    size. This is the FAISS shape: a small trained codebook on the
+    coordinator, assignment fully distributed. Cell assignment is one
+    numpy matmul per Arrow batch ((n × nlist), bounded because nlist is
+    a constant); the probe joins queries (exploded over their nprobe
+    nearest cells) to corpus vectors on cell id — ONE shuffle keyed by
+    cell, candidate count ≈ corpus·nprobe/nlist per query
+    (nprobe=3/nlist=32 ≈ 9% of the corpus; recall/cost dial). Exact
+    cosine re-rank inside cells; recall vs the brute-force baseline —
+    and trained ≥ hash-sample baseline — asserted in
+    tests/test_similarity.py.
     """
     import numpy as np
 
@@ -285,18 +352,13 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     C = np.stack([r.emb for r in cents])                      # (nlist, dim)
+    if train_iters > 0:
+        C = _train_ivf_centroids(e.select("emb"), C, train_iters)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     nprobe = min(_IVF_NPROBE, len(cents))
 
     def make_assign(n_cells: int):
-        @pandas_udf(ArrayType(IntegerType()))
-        def assign(emb: pd.Series) -> pd.Series:
-            X = np.stack(emb.to_numpy())
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            sims = Xn @ Cn.T                                  # (n, nlist)
-            order = np.argsort(-sims, axis=1)[:, :n_cells]
-            return pd.Series(list(order.astype("int32")))
-        return assign
+        return _ivf_assign_udf(Cn, n_cells)
 
     corpus = e.withColumn("cells", make_assign(1)(F.col("emb"))) \
         .select("vec_id", "emb", F.element_at("cells", 1).alias("cell"))
