@@ -105,4 +105,6 @@ def _ensure_loaded() -> None:
     from .operators import pipeline_ext4  # noqa: F401
     # pipeline_ext5 after pipeline_ext4, for the same reason.
     from .operators import pipeline_ext5  # noqa: F401
+    # round-6 additions, last for the same serve-order reason.
+    from .operators import multimodal_png  # noqa: F401
     _loaded = True
