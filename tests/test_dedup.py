@@ -331,3 +331,53 @@ def test_ngram_jaccard_df_cap_is_noop_on_fixture(spark):
            for r in all_specs()["q_dedup_ngram_jaccard"]
            .fn(spark, SF_SMALL).collect()}
     assert want and got == want
+
+
+def test_largestar_smallstar_equals_hash_min_on_fixture(spark):
+    """The r6 production CC variant (api.connected_components,
+    large-star/small-star) must reach the exact same fixpoint labels as
+    the hash-min loop (q_dedup_clusters) on the fixture's LSH near-dup
+    graph, isolated documents included."""
+    from .conftest import SF_SMALL
+    from zio_kinesis_example_spark.api import connected_components
+    from zio_kinesis_example_spark.catalog import load
+    from zio_kinesis_example_spark.registry import all_specs
+
+    want = {(r.doc_id, r.cluster_id)
+            for r in all_specs()["q_dedup_clusters"]
+            .fn(spark, SF_SMALL).collect()}
+    got_df = connected_components(
+        llm_dedup._cc_edges(spark, SF_SMALL), "doc_a", "doc_b",
+        vertices=load(spark, SF_SMALL, "documents"))
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    assert want and got == want
+
+
+def test_largestar_smallstar_round_count_beats_hash_min_on_path(spark):
+    """The measured win that justifies the second CC: hash-min needs
+    O(diameter) rounds (a 40-node path label crawls one hop per round),
+    star contraction collapses it in O(log n)-ish alternations."""
+    from zio_kinesis_example_spark.api import connected_components
+
+    n = 40
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    labels, rounds = connected_components(path, return_rounds=True)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    # hash-min would take ~n rounds on this graph; star contraction must
+    # land well under diameter/2 (measured: 7 rounds for n=40)
+    assert rounds <= 12, rounds
+
+
+def test_largestar_smallstar_handles_dupes_selfloops_and_isolates(spark):
+    from zio_kinesis_example_spark.api import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 5), (3, 5), (10, 11)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (3, 5, 10, 11, 99)],
+                                  "doc_id long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components(
+               edges, vertices=verts).collect()}
+    assert got == {(3, 3), (5, 3), (10, 10), (11, 10), (99, 99)}
