@@ -96,6 +96,35 @@ def bench_stream(spark, n_records: int = 100_000, n_shards: int = 32) -> float:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def bench_stream_fold_mirror(spark, n_records: int = 100_000,
+                             n_shards: int = 32) -> float:
+    """Throughput of the TEST-HARNESS MIRROR (consume_count: per-record
+    driver-side fold, the reference's single-process processRecord
+    semantics) on the same 100k/32-shard run — committed alongside the
+    production consume_observed number so the two paths' costs are both
+    on record. The observed path is the headline; this one exists to
+    quantify what the collect() mirror gives up."""
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source,
+    )
+    from zio_kinesis_example_spark.streaming.consume import consume_count
+    src = tempfile.mkdtemp(prefix="zke-foldbench-src")
+    ckpt = tempfile.mkdtemp(prefix="zke-foldbench-ckpt")
+    try:
+        producer = ShardDirProducer(src, n_shards=n_shards, batch_size=500)
+        producer.produce_all(n_records)
+        valid, _ = decode_json(shard_source(spark, src))
+        t0 = time.perf_counter()
+        res = consume_count(valid, n_records, ckpt, timeout_s=600)
+        dt = time.perf_counter() - t0
+        if res.failed or res.processed < n_records:
+            return 0.0
+        return round(n_records / dt, 1)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def bench_stream_with_errors(spark, n_records: int = 100_000,
                              n_shards: int = 32,
                              files_per_trigger: int = 25) -> float:
@@ -156,6 +185,7 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     stream_rps = bench_stream(spark)
     stream_rps_err = bench_stream_with_errors(spark)
+    stream_rps_fold = bench_stream_fold_mirror(spark)
     spark.stop()
 
     result = {
@@ -168,9 +198,13 @@ def main() -> None:
         "n_queries": len(queries),
         "stream_records_per_sec": stream_rps,
         "stream_records_per_sec_with_errors": stream_rps_err,
+        "stream_records_per_sec_fold_mirror": stream_rps_fold,
         "stream_config": "100k records / 32 shards (reference params); "
-                         "with-errors twin: 3 injected failures + "
-                         "checkpoint restarts",
+                         "headline + with-errors use the production "
+                         "executor-side consume_observed path (3 injected "
+                         "failures + checkpoint restarts for the errors "
+                         "twin); fold_mirror is the driver-side "
+                         "consume_count test harness for comparison",
     }
     line = json.dumps(result)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
