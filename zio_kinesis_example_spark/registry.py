@@ -107,4 +107,5 @@ def _ensure_loaded() -> None:
     from .operators import pipeline_ext5  # noqa: F401
     # round-6 additions, last for the same serve-order reason.
     from .operators import multimodal_png  # noqa: F401
+    from .operators import multimodal_gif  # noqa: F401
     _loaded = True
