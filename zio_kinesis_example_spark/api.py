@@ -747,8 +747,15 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     Fixpoint detection: (count, Σ xxhash64(u, v)) of the canonical edge
     set, ONE aggregate per round (an exact set-equality join would be a
-    second shuffle). Lineage is truncated with cache + periodic
-    localCheckpoint exactly like the hash-min loop.
+    second shuffle). Lineage is truncated with an EAGER localCheckpoint
+    EVERY round — unlike hash-min's every-3 cadence: here each round's
+    plan references the previous round's subtree ~8× (small reads large
+    twice, large reads nbrs twice, nbrs reads e twice), so un-truncated
+    lineage grows 8^rounds and Catalyst's plan stringification OOMs by
+    round 3 on a non-trivial edge build. The checkpointed frames are
+    edge-sized; superseded rounds are freed by the ContextCleaner when
+    unreferenced (never unpersist a localCheckpoint — that deletes its
+    backing blocks).
 
     Returns (vertex_col, cluster_id) — cluster_id = min reachable id,
     self for isolated vertices (supply ``vertices`` to include ids with
@@ -769,8 +776,9 @@ def connected_components(edges: DataFrame, src: str = "src",
             .distinct()
         )
 
-    e = orient(edges, src, dst).repartition(n_parts, "u").cache()
-    prev_sig, persisted, rounds = None, e, 0
+    e = orient(edges, src, dst).repartition(n_parts, "u") \
+        .localCheckpoint(eager=True)
+    prev_sig, rounds = None, 0
     while True:
         rounds += 1
         nbrs = e.unionByName(
@@ -797,15 +805,13 @@ def connected_components(edges: DataFrame, src: str = "src",
             .distinct()
             .repartition(n_parts, "u")
         )
-        small = (small.localCheckpoint() if rounds % 3 == 0
-                 else small.cache())
+        small = small.localCheckpoint(eager=True)
         sig = small.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: exact and overflow-free under ANSI mode
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        persisted.unpersist()
-        persisted, e = small, small
+        e = small
         if (sig.n, sig.h) == prev_sig:
             break
         prev_sig = (sig.n, sig.h)
@@ -824,5 +830,4 @@ def connected_components(edges: DataFrame, src: str = "src",
         )
         out = out.unionByName(iso)
     out = out.localCheckpoint(eager=True)
-    persisted.unpersist()
     return (out, rounds) if return_rounds else out

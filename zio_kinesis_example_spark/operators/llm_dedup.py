@@ -1155,3 +1155,30 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long")
         .alias("n_docs"),
     )
+
+@query(
+    "q_dedup_clusters_largestar",
+    oracle=_DUCK_CLUSTERS_CTE + """
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+        FROM r GROUP BY src
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same connected components as q_dedup_clusters, computed by the
+    PRODUCTION-scale algorithm: alternating large-star/small-star
+    contraction (api.connected_components, Kiveris et al.) instead of
+    hash-min label propagation. Identical fixpoint — identical oracle —
+    but O(log² n) rounds instead of O(component diameter): on long-chain
+    graphs (boilerplate-template corpora) the hash-min loop's round count
+    is the scale ceiling, and this path removes it (measured: a 40-node
+    path converges in 7 rounds vs ~39; equivalence pinned in
+    tests/test_dedup.py). Registered separately so the driver certifies
+    BOTH CC engines against the recursive-CTE ground truth; deliberately
+    does NOT reuse the hash-min family's shared label cache."""
+    # lazy import: api.py re-exports this module's surface at top level
+    from ..api import connected_components
+
+    return connected_components(
+        _cc_edges(spark, sf_dir), "doc_a", "doc_b",
+        vertices=load(spark, sf_dir, "documents"), vertex_col="doc_id")
