@@ -485,9 +485,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(octet_length(encode(text)) % 640 AS INT) AS width,
                CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
-               CAST(list_sum(list_transform(
+               CAST(COALESCE(list_sum(list_transform(
                        generate_series(1, least(16, length(text))),
-                       i -> ascii(substring(text, i, 1)))) AS BIGINT)
+                       i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
                    AS checksum16
         FROM documents
     """,

@@ -526,9 +526,12 @@ def _wav_oracle() -> str:
                CAST({rate} AS INT) AS sample_rate,
                16 AS bits,
                CAST({frames} AS BIGINT) AS n_frames,
-               CAST({sample.format(n=1)}[1] AS BIGINT) AS first_sample,
-               CAST(list_sum(list_transform({sample.format(n=n_samples)},
-                        s -> abs(s))) AS BIGINT) AS abs_energy
+               CAST(CASE WHEN length(text) = 0 THEN 0
+                    ELSE {sample.format(n=1)}[1] END AS BIGINT)
+                   AS first_sample,
+               CAST(CASE WHEN length(text) = 0 THEN 0
+                    ELSE list_sum(list_transform({sample.format(n=n_samples)},
+                        s -> abs(s))) END AS BIGINT) AS abs_energy
         FROM documents
     """
 
