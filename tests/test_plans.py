@@ -632,3 +632,20 @@ def test_ngram_jaccard_self_join_is_df_capped(spark):
     assert f"<= {_DF_CAP})" in plan, "df cap filter missing from the plan"
     # the capped join still keys on shingle — but only after the guard
     assert any("Join" in l and "shingle#" in l for l in plan.splitlines())
+
+
+def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
+    """The round-6 compressed-codec round trips must plan as: pruned
+    parquet scan → ONE round-robin exchange (the explicit core-spread
+    for per-file deflate/LZW CPU) → two chained mapInPandas stages. Any
+    second exchange or an unpruned scan is a regression."""
+    for name in ("q_multimodal_decode_png", "q_multimodal_decode_gif"):
+        plan = _plan(spark, name)
+        # formatted mode names each node twice (tree + detail): "X (n)"
+        # in the tree, "(n) X" in the detail — count tree entries only
+        assert plan.count("Exchange (") == 1, name
+        assert "RoundRobinPartitioning" in plan, name
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "text" in read_schema and "doc_id" in read_schema, name
+        assert "lang" not in read_schema, name  # pruned
+        assert plan.count("MapInPandas (") == 2, name
