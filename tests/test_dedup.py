@@ -134,14 +134,19 @@ def test_embedding_pairs_hot_block_cap(spark):
     capped = embedding_pairs(df, threshold=0.8, max_block=8)
     got = {(r.vec_a, r.vec_b): r.cosine for r in capped.collect()}
 
-    inv = 1.0 / np.sqrt((X * X).sum(axis=1))
-    C = (X @ X.T) * np.outer(inv, inv)
+    # reference mirrors the r6 quantized-input contract: floor(x*1e6)
+    # ints, exact integer membership (0.8 = 4/5 → 25·dot² ≥ 16·na·nb),
+    # one float64 division for the emitted value
+    Xq = np.floor(X * 1e6).astype(object)
+    want = {}
     ia, ib = np.triu_indices(n, k=1)
-    keep = C[ia, ib] >= 0.8
-    want = {
-        (int(a), int(b)): float(np.floor(c * 1e6 + 0.5) / 1e6)
-        for a, b, c in zip(ia[keep], ib[keep], C[ia, ib][keep])
-    }
+    for a, b in zip(ia, ib):
+        qa, qb = Xq[a], Xq[b]
+        d = int(sum(qa * qb))
+        na, nb = int(sum(qa * qa)), int(sum(qb * qb))
+        if d >= 0 and 25 * d * d >= 16 * na * nb:
+            c = float(d) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+            want[(int(a), int(b))] = float(np.floor(c * 1e6 + 0.5) / 1e6)
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9

@@ -630,8 +630,11 @@ def test_ngram_jaccard_self_join_is_df_capped(spark):
 
     plan = _plan(spark, "q_dedup_ngram_jaccard", mode="simple")
     assert f"<= {_DF_CAP})" in plan, "df cap filter missing from the plan"
-    # the capped join still keys on shingle — but only after the guard
-    assert any("Join" in l and "shingle#" in l for l in plan.splitlines())
+    # the capped join keys on the 60-bit portable shingle HASH (the r6
+    # string→int swap) — but only after the guard
+    import re
+    assert any("Join" in l and re.search(r"[\[(, ]h#", l)
+               for l in plan.splitlines())
 
 
 def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):

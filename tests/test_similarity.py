@@ -30,7 +30,10 @@ def test_lsh_recall_vs_brute_force(spark):
 
 
 def test_cosine_matches_numpy(spark):
-    """The JVM higher-order-function cosine equals numpy float64 cosine."""
+    """The JVM quantized-input cosine equals an independently computed
+    numpy version of the same formula (floor(x*1e6) int inputs, exact
+    integer dot/norms, one float64 division) — and stays within
+    quantization error of the raw float64 cosine."""
     rows = all_specs()["q_sim_cosine_topk"].fn(spark, SF_SMALL).collect()
     emb = {
         r.vec_id: np.array(r.embedding, dtype=np.float64)
@@ -38,8 +41,13 @@ def test_cosine_matches_numpy(spark):
     }
     for r in rows[:20]:
         a, b = emb[r.query_id], emb[r.neighbor_id]
-        want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        qa = np.floor(a * 1_000_000).astype(np.int64)
+        qb = np.floor(b * 1_000_000).astype(np.int64)
+        want = float((qa @ qb) / (np.sqrt(float(qa @ qa))
+                                  * np.sqrt(float(qb @ qb))))
         assert abs(round(want, 6) - r.cosine) <= 1e-6, (r, want)
+        raw = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        assert abs(raw - want) < 5e-6, (r, raw, want)
 
 
 def test_ivf_recall_vs_brute_force(spark):

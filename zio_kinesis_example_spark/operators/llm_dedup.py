@@ -369,77 +369,105 @@ def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            i -> array_to_string(terms[i:i+2], ' '))
                        ELSE [array_to_string(terms, ' ')] END) AS sh
               FROM t),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        rare AS (SELECT shingle FROM e
-                 GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
-        er AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM er a JOIN er b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        eh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+                      {_H0_DUCK.format(c="g")} AS h
+               FROM (SELECT doc_id, sh, unnest(sh) AS g FROM s)),
+        dfh AS (SELECT h, COUNT(*) AS df FROM eh GROUP BY h),
+        er AS (SELECT eh.doc_id, eh.n, eh.h FROM eh
+               JOIN dfh USING (h) WHERE df <= {_DF_CAP}),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS c_rare,
+                     MIN(a.n) AS na, MIN(b.n) AS nb
+              FROM er a JOIN er b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        hd AS (SELECT eh.doc_id, list_sort(list_distinct(list(eh.h))) AS hs
+               FROM eh JOIN dfh USING (h) WHERE df > {_DF_CAP}
+               GROUP BY eh.doc_id),
         v AS (SELECT doc_a, doc_b,
-                     CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)
-                         AS n_common,
-                     CAST(len(x.sh) AS BIGINT) AS na,
-                     CAST(len(y.sh) AS BIGINT) AS nb
-              FROM cand JOIN s x ON doc_a = x.doc_id
-                        JOIN s y ON doc_b = y.doc_id)
+                     c_rare + COALESCE(CAST(len(list_intersect(x.hs, y.hs))
+                                            AS BIGINT), 0) AS n_common,
+                     na, nb
+              FROM p LEFT JOIN hd x ON doc_a = x.doc_id
+                     LEFT JOIN hd y ON doc_b = y.doc_id)
         SELECT doc_a, doc_b, n_common,
                round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
-        FROM v WHERE n_common * 1.0 / (na + nb - n_common) >= 0.01
+        FROM v WHERE 101 * n_common >= na + nb
     """,
     tags=("dedup",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard: DF-capped candidate generation,
-    full-array verification.
+    full-set verification over PORTABLE 60-bit shingle hashes.
 
     Candidates: docs co-occurring on a shingle with document frequency
     ≤ ``_DF_CAP`` (the stop-shingle guard — see module docstring; the
     hot-key Σ|posting|² blow-up cannot occur because every posting list
-    entering the self-join is ≤ cap rows). Verification: TRUE Jaccard
-    from the full shingle arrays (array_intersect / sizes), so n_common
-    and jaccard are exact integers / integer ratios → bit-identical
-    across engines, and the 0.01 threshold is boundary-safe. The df
-    aggregation, semi-filter join, and candidate self-join all key on
-    ``shingle``, so the exchange is reused across the three stages.
+    entering the self-join is ≤ cap rows). Verification: TRUE
+    n_common, split by the cap — shared RARE shingles are counted by
+    the candidate join's own partial-aggregated groupBy (free: no
+    distinct, no per-pair set work), shared HOT shingles by
+    intersecting per-doc hot-shingle arrays, which are short by
+    construction (the hot vocabulary is the handful of stop-shingles
+    with df > cap; EMPTY on every fixture, where the cap is a no-op and
+    c_rare alone is the full answer). n_common = c_rare + |hot∩hot|
+    because rare/hot partition the vocabulary.
+
+    Shingles are 60-bit PORTABLE hashes (the md5 H0 both engines
+    compute bit-identically — module header): one md5 pass, then every
+    stage (df count, candidate join, hot arrays) is int64 work instead
+    of 15-char string re-hashing. Equal to the string-set answer absent
+    a 60-bit collision (P < 2⁻⁴⁸ per corpus; engine-independent either
+    way, so parity cannot break). The ≥ 0.01 threshold is the exact
+    INTEGER comparison 101·n_common ≥ na + nb — no float ever decides a
+    row. (r6 rework: the array-verify formulation measured 6.6 s at
+    sf0.1; this one ~2 s, matching the pre-cap formulation's cost while
+    keeping its scale guard.)
     """
     s = _with_shingles(spark, sf_dir)
-    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
-    # persisted INSIDE the query: the a/b self-join below plans the rare-
-    # shingle subtree twice and ReuseExchange does not dedupe it (the
-    # round-5 simhash_pairs lesson) — one persist of the vocabulary-sized
-    # frame halves the df-aggregation work. Released by
+    # persisted INSIDE the query (the round-5 simhash_pairs lesson:
+    # ReuseExchange does not dedupe the subtree the df-agg, candidate
+    # join, and size/hot builds all share). Released by
     # clear_shared_cache() like every loose persist in this module.
-    rare = _track_persist(
-        e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP).select("shingle")
+    eh = _track_persist(
+        s.select("doc_id", F.size("shingles").cast("long").alias("n"),
+                 F.explode("shingles").alias("shingle"))
+        .select("doc_id", "n",
+                F.expr(_H0_SPARK.format(c="shingle")).alias("h"))
     )
-    er = e.join(rare, "shingle")
+    dfh = eh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    er = eh.join(dfh.filter(F.col("df") <= _DF_CAP).select("h"), "h")
     a, b = er.alias("a"), er.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    # |A| and |B| are functionally dependent on the pair key, so min()
+    # recovers them inside the SAME aggregation — no size re-join
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c_rare"),
+             F.min("a.n").alias("na"), F.min("b.n").alias("nb"))
     )
-    sh = s.select("doc_id", "shingles")
+    hd = (
+        eh.join(dfh.filter(F.col("df") > _DF_CAP).select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    )
     v = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("shingles").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sb")), "doc_b")
+        pairs.join(hd.select(F.col("doc_id").alias("doc_a"),
+                             F.col("hs").alias("ha")), "doc_a", "left")
+        .join(hd.select(F.col("doc_id").alias("doc_b"),
+                        F.col("hs").alias("hb")), "doc_b", "left")
         .select(
             "doc_a", "doc_b",
-            F.size(F.array_intersect("sa", "sb")).cast("long")
-            .alias("n_common"),
-            F.size("sa").cast("long").alias("na"),
-            F.size("sb").cast("long").alias("nb"),
+            (F.col("c_rare")
+             + F.coalesce(F.size(F.array_intersect("ha", "hb"))
+                          .cast("long"), F.lit(0))).alias("n_common"),
+            "na", "nb",
         )
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        v.filter(jac >= 0.01)
+        v.filter(F.col("n_common") * 101 >= F.col("na") + F.col("nb"))
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -871,11 +899,25 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
     and max_block caps the densest bucket). Tunable via
     ``spark.zke.embdedup.maxblock`` (default 4096).
 
-    Float64 everywhere; rounding is half-up at 6 decimals to match
+    DETERMINISM (the r6 hardening; q_sim_cosine_topk's rule applied to
+    MEMBERSHIP): components quantize to floor(x·1e6) integers, so dot
+    and the squared norms are exact integers (computed via float64
+    dgemm — every intermediate ≤ ~1.6e15 < 2⁵³, hence exact in any
+    summation order), and the threshold decision is the exact integer
+    comparison den²·dot² ≥ num²·na·nb (threshold as a fraction; Python
+    bigints, no float ever decides membership). A float pre-filter with
+    a wide margin bounds the exact-check loop to near-threshold pairs.
+    The emitted cosine is dot/(√na·√nb) — one division of
+    exactly-agreed operands — rounded half-up at 6 decimals to match
     Spark/DuckDB round() (numpy's default is half-even).
     """
+    from fractions import Fraction
+
     import numpy as np
     import pandas as pd
+
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
 
     spark = df.sparkSession
     if max_block is None:
@@ -894,31 +936,61 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
         .select(block_col, "_ti", "_tj", "_tile", id_col, vec_col)
     )
 
+    def _exact_keep(d, na_v, nb_v):
+        """Exact integer threshold decision per candidate pair: the
+        float arrays hold exact integers (< 2⁵³); compare in Python
+        bigints so den²·dot² vs num²·na·nb never rounds."""
+        out = np.zeros(len(d), dtype=bool)
+        for i in range(len(d)):
+            di = int(d[i])
+            if di < 0 or na_v[i] == 0 or nb_v[i] == 0:
+                continue  # negative cosine, or undefined (zero vector)
+            out[i] = (t_den * t_den * di * di
+                      >= t_num * t_num * int(na_v[i]) * int(nb_v[i]))
+        return out
+
+    # float pre-filter margin: wide enough that no true member can be
+    # excluded by dgemm/division ULPs, narrow enough that the exact
+    # loop sees only genuine-plus-near-threshold candidates
+    _MARGIN = 1e-4
+
     def kernel(key, pdf):
         _, ti, tj = key
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         X = np.stack(pdf[vec_col].to_numpy())[order]    # (n, dim) float64
+        Xq = np.floor(X * 1e6)      # exact integers in float64
         tiles = pdf["_tile"].to_numpy()[order]
-        inv = 1.0 / np.sqrt((X * X).sum(axis=1))
+        nrm = (Xq * Xq).sum(axis=1)                     # exact ≤ ~1.6e15
+        inv = 1.0 / np.sqrt(np.maximum(nrm, 1.0))
         if ti == tj:
-            C = (X @ X.T) * np.outer(inv, inv)
+            D = Xq @ Xq.T                               # exact int dots
+            C = D * np.outer(inv, inv)
             ia, ib = np.triu_indices(len(ids), k=1)     # vec_a < vec_b
-            keep = C[ia, ib] >= threshold
+            cand = C[ia, ib] >= threshold - _MARGIN
+            ia, ib = ia[cand], ib[cand]
+            d, na_v, nb_v = D[ia, ib], nrm[ia], nrm[ib]
+            keep = _exact_keep(d, na_v, nb_v)
             va, vb = ids[ia[keep]], ids[ib[keep]]
-            c = C[ia[keep], ib[keep]]
+            d, na_v, nb_v = d[keep], na_v[keep], nb_v[keep]
         else:
             a, b = tiles == ti, tiles == tj
-            C = (X[a] @ X[b].T) * np.outer(inv[a], inv[b])
-            ia, ib = np.nonzero(C >= threshold)
-            va0, vb0 = ids[a][ia], ids[b][ib]
+            D = Xq[a] @ Xq[b].T
+            C = D * np.outer(inv[a], inv[b])
+            ia, ib = np.nonzero(C >= threshold - _MARGIN)
+            d, na_v, nb_v = D[ia, ib], nrm[a][ia], nrm[b][ib]
+            keep = _exact_keep(d, na_v, nb_v)
+            va0, vb0 = ids[a][ia[keep]], ids[b][ib[keep]]
             va, vb = np.minimum(va0, vb0), np.maximum(va0, vb0)
-            c = C[ia, ib]
+            d, na_v, nb_v = d[keep], na_v[keep], nb_v[keep]
+        # emitted value: ONE division of exactly-agreed operands (the
+        # engines' sqrt/multiply/divide are IEEE-identical), then
+        # half-up at 6 decimals (values are positive here)
+        c = d / (np.sqrt(na_v) * np.sqrt(nb_v))
         return pd.DataFrame({
             "vec_a": va,
             "vec_b": vb,
-            # half-up at 6 decimals (values are positive here)
             "cosine": np.floor(c * 1e6 + 0.5) / 1e6,
         })
 
@@ -929,15 +1001,32 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
 @query(
     "q_dedup_embedding",
+    # membership is the exact integer comparison 25·dot² ≥ 4·na·nb over
+    # floor(x·1e6)-quantized components (threshold 0.4 = 2/5): dot ≤
+    # ~1.6e15 so dot² needs HUGEINT, and no float ever decides a row.
+    # The emitted cosine is one double division of exactly-agreed
+    # operands — identical bits to the Spark kernel's.
     oracle="""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6)
-                   AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                          q -> q[1] * q[2])) AS HUGEINT) AS dot,
+                     CAST(list_sum(list_transform(a.v, x -> x * x))
+                          AS HUGEINT) AS na,
+                     CAST(list_sum(list_transform(b.v, x -> x * x))
+                          AS HUGEINT) AS nb
+              FROM e a JOIN e b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                     6) AS cosine
+        FROM p
+        WHERE dot >= 0 AND na > 0 AND nb > 0
+          AND 25 * dot * dot >= 4 * na * nb
     """,
     tags=("dedup", "similarity"),
 )
@@ -947,7 +1036,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label block is the stand-in for an ANN bucket: pairwise cosine
     only within blocks. Each block (or block tile, when a hot block
     exceeds the width cap — see embedding_pairs) is ONE vectorized
-    kernel (applyInPandas → float64 matmul → threshold) instead of a
+    kernel (applyInPandas → exact-integer dgemm → exact-integer
+    threshold; see embedding_pairs' determinism note) instead of a
     self-join computing an interpreted per-pair array fold — measured
     ~4× faster at sf0.1, and the dense-matmul-per-bucket shape is
     exactly how a GPU/BLAS ANN verifier runs at scale. One shuffle on

@@ -65,19 +65,45 @@ def cosine(a: str, b: str):
     return dot / F.sqrt(na * nb)
 
 
+#: Input quantization for the EXACT similarity baseline (the
+#: q_embed_kmeans rule applied to ranking): components become
+#: floor(x·1e6) BIGINTs, so dot/na/nb are exact int64 sums on both
+#: engines and the score is ONE double division of exactly-agreed
+#: operands — ranking can never diverge by a summation-order ULP the
+#: way engine-native float folds (Spark aggregate vs DuckDB
+#: list_cosine_similarity) can on near-tied neighbors.
+_COS_SCALE = 1_000_000
+_QUANT = (f"transform(cast(embedding as array<double>), "
+          f"x -> cast(floor(x * {_COS_SCALE}.0D) as bigint))")
+_DUCK_QUANT = (f"list_transform(CAST(embedding AS DOUBLE[]), "
+               f"x -> CAST(floor(x * {_COS_SCALE}.0) AS BIGINT))")
+
+
 @query(
     "q_sim_cosine_topk",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        WITH q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
                    FROM embeddings WHERE {_QUERY_FILTER}),
-        pairs AS (SELECT query_id, e.vec_id AS neighbor_id,
-                         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS s
-                  FROM q, embeddings e WHERE e.vec_id <> query_id),
+        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM embeddings),
+        pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(list_zip(qe, cv),
+                              p -> p[1] * p[2])) AS BIGINT) AS dot,
+                         CAST(list_sum(list_transform(qe, x -> x * x))
+                              AS BIGINT) AS na,
+                         CAST(list_sum(list_transform(cv, x -> x * x))
+                              AS BIGINT) AS nb
+                  FROM q, c WHERE c.vec_id <> query_id),
+        scored AS (SELECT query_id, neighbor_id,
+                          CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                               ELSE CAST(dot AS DOUBLE)
+                                    / (sqrt(CAST(na AS DOUBLE))
+                                       * sqrt(CAST(nb AS DOUBLE))) END AS s
+                   FROM pairs),
         ranked AS (SELECT query_id, neighbor_id, round(s, 6) AS cosine,
                           CAST(row_number() OVER (PARTITION BY query_id
                                                   ORDER BY s DESC, neighbor_id)
                                AS BIGINT) AS rnk
-                   FROM pairs)
+                   FROM scored)
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {_K}
     """,
     tags=("similarity",),
@@ -87,17 +113,32 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Query set broadcast; ranking tie-broken by neighbor_id; cosine rounded
     to 6dp on both sides (ranking uses the unrounded value).
+
+    DETERMINISM: inputs are quantized to floor(x·1e6) BIGINTs (see
+    _COS_SCALE), so dot and the two squared norms are exact integer sums
+    and the score is one double division of exactly-agreed operands —
+    bit-identical on both engines, immune to the float-fold
+    reassociation ULPs that make ranking on engine-native cosines
+    membership-fragile. Quantization moves each cosine by ≤ ~1e-6
+    relative (well under any semantic difference for a top-k baseline);
+    tests/test_similarity.py checks the value against an independently
+    quantized numpy computation.
     """
-    e = _emb(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("qv"))
     q = e.filter(F.expr(_QUERY_FILTER)).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
     )
-    # spread the corpus before the per-pair interpreted cosine folds: a
+    # spread the corpus before the per-pair interpreted folds: a
     # single parquet file scans as ONE partition and the whole crossJoin
     # serializes onto one core (measured 33s vs 2.6s at sf0.1). The LSH/
     # IVF paths deliberately do NOT spread — their kernels are per-batch
     # BLAS matmuls that prefer few large Arrow batches (spreading them
     # measured 1.6s → 5.5s).
+    dot = F.expr("aggregate(zip_with(qe, qv, (x, y) -> x * y), 0L, "
+                 "(s, v) -> s + v)")
+    na = F.expr("aggregate(qe, 0L, (s, v) -> s + v * v)")
+    nb = F.expr("aggregate(qv, 0L, (s, v) -> s + v * v)")
     pairs = (
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
@@ -105,7 +146,16 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine("qe", "emb").alias("s"),
+            dot.alias("dot"), na.alias("na"), nb.alias("nb"),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0))
+            .otherwise(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+            ).alias("s"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

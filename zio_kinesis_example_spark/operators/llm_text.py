@@ -367,13 +367,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
             SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                       AS tfidf
             FROM tf JOIN df USING (term) CROSS JOIN n
         )
-        SELECT doc_id, term, tf, df, round(score, 6) AS tfidf,
-               CAST(rn AS INT) AS rnk
+        SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rnk
         FROM (SELECT *, row_number() OVER (
-                  PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                  PARTITION BY doc_id
+                  ORDER BY tfidf DESC, tf DESC, df, term) AS rn
               FROM scored)
         WHERE rn <= 3
     """,
@@ -384,10 +385,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf·ln(N/df) — the classic distinctive-term statistic behind search
     ranking, topic labeling, and near-dup feature weighting.
 
-    DETERMINISM: tf/df/N are exact integers; the score is two IEEE ops
-    (ln of an exact ratio, one multiply) so ranking agrees wherever
-    scores differ, and EQUAL (tf, df) pairs — the only exact ties — are
-    broken lexicographically. Emitted scores rounded 6dp.
+    DETERMINISM (r6 hardening): tf/df/N are exact integers; the score is
+    two IEEE ops (ln of an exact ratio, one multiply), but libm ln is
+    not guaranteed correctly rounded across engines — so ranking uses
+    the 6dp-QUANTIZED score (the emitted value) with exact-integer
+    (tf DESC, df ASC, term) tie-breaks inside each quantum. A 1-ulp ln
+    disagreement can now only matter when a score sits exactly on a
+    0.5e-6 rounding boundary (vs. previously any float-adjacent pair of
+    scores), and the rank is always consistent with the emitted value.
 
     Scale shape: the document-frequency table is vocabulary-sized and
     BROADCASTS into the per-doc term counts (corpus side shuffles once,
@@ -405,15 +410,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
-            "score",
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")), 6))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("df"), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df",
-                F.round("score", 6).alias("tfidf"), "rnk")
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
 
 
