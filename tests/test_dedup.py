@@ -386,3 +386,31 @@ def test_largestar_smallstar_handles_dupes_selfloops_and_isolates(spark):
            for r in connected_components(
                edges, vertices=verts).collect()}
     assert got == {(3, 3), (5, 3), (10, 10), (11, 10), (99, 99)}
+
+
+def test_embedding_pairs_negative_threshold(spark):
+    """The r6 review fix: a NEGATIVE threshold must keep every pair
+    with cosine >= threshold — including negative-dot pairs — not
+    silently collapse to cos >= +|threshold| (the unsigned-squaring
+    trap). Vectors engineered to give cosines ~ +1, ~ -1, and ~ 0."""
+    import numpy as np
+
+    rows = [
+        (0, "b", [1.0, 0.0, 0.0, 0.0]),
+        (1, "b", [0.9, 0.1, 0.0, 0.0]),    # cos(0,1) ~ +0.99
+        (2, "b", [-1.0, 0.0, 0.0, 0.0]),   # cos(0,2) = -1
+        (3, "b", [0.0, 0.0, 1.0, 0.0]),    # cos(0,3) = 0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, emb array<double>")
+
+    got_neg = {(r.vec_a, r.vec_b): r.cosine
+               for r in embedding_pairs(df, threshold=-0.5).collect()}
+    # every pair except the cos=-1 ones qualifies at threshold -0.5
+    assert (0, 2) not in got_neg and (1, 2) not in got_neg
+    assert (0, 1) in got_neg and (0, 3) in got_neg and (2, 3) in got_neg
+    assert got_neg[(0, 1)] > 0.9
+
+    got_all = {(r.vec_a, r.vec_b)
+               for r in embedding_pairs(df, threshold=-1).collect()}
+    assert got_all == {(a, b) for a in range(4) for b in range(4) if a < b}

@@ -459,9 +459,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("hs").alias("hb")), "doc_b", "left")
         .select(
             "doc_a", "doc_b",
+            # coalesce the ARRAYS, not size()'s result: with
+            # spark.sql.ansi.enabled=false (legacy sizeOfNull) size(NULL)
+            # is -1, not NULL, and a post-size coalesce would silently
+            # pass the -1 through as an off-by-one n_common
             (F.col("c_rare")
-             + F.coalesce(F.size(F.array_intersect("ha", "hb"))
-                          .cast("long"), F.lit(0))).alias("n_common"),
+             + F.size(F.array_intersect(
+                 F.coalesce("ha", F.expr("CAST(array() AS array<bigint>)")),
+                 F.coalesce("hb", F.expr("CAST(array() AS array<bigint>)")),
+             )).cast("long")).alias("n_common"),
             "na", "nb",
         )
     )
@@ -937,22 +943,45 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
     )
 
     def _exact_keep(d, na_v, nb_v):
-        """Exact integer threshold decision per candidate pair: the
-        float arrays hold exact integers (< 2⁵³); compare in Python
-        bigints so den²·dot² vs num²·na·nb never rounds."""
+        """Exact integer threshold decision per candidate pair — sign-
+        correct for NEGATIVE thresholds too. cos ≥ num/den (den > 0) ⇔
+        den·dot ≥ num·√(na·nb) ⇔
+          num ≥ 0: dot ≥ 0 AND den²·dot² ≥ num²·na·nb
+          num < 0: dot ≥ 0 OR  den²·dot² ≤ num²·na·nb
+        (squaring flips nothing only when both sides share a sign).
+        The float arrays hold exact integers (< 2⁵³); compare in Python
+        bigints so nothing ever rounds. Zero-norm (undefined cosine)
+        pairs are always dropped."""
         out = np.zeros(len(d), dtype=bool)
         for i in range(len(d)):
             di = int(d[i])
-            if di < 0 or na_v[i] == 0 or nb_v[i] == 0:
-                continue  # negative cosine, or undefined (zero vector)
-            out[i] = (t_den * t_den * di * di
-                      >= t_num * t_num * int(na_v[i]) * int(nb_v[i]))
+            if na_v[i] == 0 or nb_v[i] == 0:
+                continue
+            lhs = t_den * t_den * di * di
+            rhs = t_num * t_num * int(na_v[i]) * int(nb_v[i])
+            out[i] = ((di >= 0 and lhs >= rhs) if t_num >= 0
+                      else (di >= 0 or lhs <= rhs))
         return out
 
     # float pre-filter margin: wide enough that no true member can be
-    # excluded by dgemm/division ULPs, narrow enough that the exact
-    # loop sees only genuine-plus-near-threshold candidates
+    # excluded by dgemm/division ULPs (~1e-15), narrow enough that the
+    # exact bigint loop sees only the boundary band
     _MARGIN = 1e-4
+
+    def _decide(C_cand, d, na_v, nb_v):
+        """Membership over pre-filtered candidates: float-accept the
+        safely-above band (C ≥ threshold + margin — a ~1e-15 float
+        error cannot cross the 1e-4 margin, and C > threshold ≥ its
+        sign constraints), run the exact bigint loop ONLY on the
+        |C − threshold| ≤ margin boundary band — the Python loop is
+        O(near-threshold pairs), not O(output)."""
+        valid = (na_v > 0) & (nb_v > 0)
+        keep = valid & (C_cand >= threshold + _MARGIN)
+        band = valid & ~keep
+        if band.any():
+            bi = np.nonzero(band)[0]
+            keep[bi] = _exact_keep(d[bi], na_v[bi], nb_v[bi])
+        return keep
 
     def kernel(key, pdf):
         _, ti, tj = key
@@ -971,7 +1000,7 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
             cand = C[ia, ib] >= threshold - _MARGIN
             ia, ib = ia[cand], ib[cand]
             d, na_v, nb_v = D[ia, ib], nrm[ia], nrm[ib]
-            keep = _exact_keep(d, na_v, nb_v)
+            keep = _decide(C[ia, ib], d, na_v, nb_v)
             va, vb = ids[ia[keep]], ids[ib[keep]]
             d, na_v, nb_v = d[keep], na_v[keep], nb_v[keep]
         else:
@@ -980,18 +1009,20 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
             C = D * np.outer(inv[a], inv[b])
             ia, ib = np.nonzero(C >= threshold - _MARGIN)
             d, na_v, nb_v = D[ia, ib], nrm[a][ia], nrm[b][ib]
-            keep = _exact_keep(d, na_v, nb_v)
+            keep = _decide(C[ia, ib], d, na_v, nb_v)
             va0, vb0 = ids[a][ia[keep]], ids[b][ib[keep]]
             va, vb = np.minimum(va0, vb0), np.maximum(va0, vb0)
             d, na_v, nb_v = d[keep], na_v[keep], nb_v[keep]
         # emitted value: ONE division of exactly-agreed operands (the
         # engines' sqrt/multiply/divide are IEEE-identical), then
-        # half-up at 6 decimals (values are positive here)
+        # half-AWAY-FROM-ZERO at 6 decimals (Spark/DuckDB round()
+        # semantics; sign-aware so negative-threshold results round
+        # identically too)
         c = d / (np.sqrt(na_v) * np.sqrt(nb_v))
         return pd.DataFrame({
             "vec_a": va,
             "vec_b": vb,
-            "cosine": np.floor(c * 1e6 + 0.5) / 1e6,
+            "cosine": np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6,
         })
 
     return tiled.groupBy(block_col, "_ti", "_tj").applyInPandas(

@@ -69,6 +69,20 @@ def _flat_batch(payloads) -> tuple:
     return buf.astype(np.int64), starts, lens
 
 
+def cyclic_text_sum_sql(n_expr: str) -> str:
+    """DuckDB fragment: sum of the first ``n_expr`` CYCLIC text bytes
+    (byte k = text byte k mod len) — the pixel/sample rule every real
+    codec in this family encodes with. ONE definition shared by the
+    BMP/PPM/PNG/GIF oracles so the contract (including the empty-text
+    guard: the kernels zero-fill an empty payload's plane, while an
+    unguarded k % length(text) is a mod-by-zero NULL in DuckDB) cannot
+    silently diverge between copies — the exact drift the r5 advice
+    pass had to fix twice."""
+    return ("CASE WHEN length(text) = 0 THEN 0 ELSE "
+            f"list_sum(list_transform(generate_series(0, ({n_expr}) - 1), "
+            "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
+
+
 def _segment_sums(buf, starts, stops):
     """Vectorized per-segment byte sums over the flat buffer:
     np.add.reduceat on interleaved [start0, stop0, start1, ...] indices,
@@ -511,12 +525,6 @@ def _bmp_oracle() -> str:
     w = "CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 22 ELSE 33 END"
     h = "CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 9 ELSE 12 END"
     stride = "CASE doc_id % 3 WHEN 0 THEN 48 WHEN 1 THEN 68 ELSE 100 END"
-    # empty-text guard: the encode kernel zero-fills an empty payload's
-    # pixel plane, while an unguarded k % length(text) is a mod-by-zero
-    # (NULL) here — the CASE keeps the hash green on empty documents
-    cyc = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
-           "list_sum(list_transform(generate_series(0, {n} - 1), "
-           "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
     return f"""
         SELECT doc_id,
                TRUE AS bmp_ok,
@@ -524,8 +532,9 @@ def _bmp_oracle() -> str:
                CAST({w} AS INT) AS width,
                CAST({h} AS INT) AS height,
                24 AS bpp,
-               CAST({cyc.format(n=f"({w}) * 3")} AS BIGINT) AS row0_sum,
-               CAST({cyc.format(n=f"({w}) * 3 * ({h})")} AS BIGINT)
+               CAST({cyclic_text_sum_sql(f"({w}) * 3")} AS BIGINT)
+                   AS row0_sum,
+               CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
         FROM documents
     """

@@ -253,9 +253,12 @@ def _gif_parse_one(data: bytes):
                     return None
                 off += ln
             idxs = _lzw_decode(bytes(stream), mcs, w * h)
+            # at this point len(idxs) == w*h exactly: _lzw_decode
+            # rejects streams decoding PAST max_pixels, and shorter
+            # streams are rejected here — over-long output is an error,
+            # never trimmed
             if idxs is None or len(idxs) < w * h:
                 return None
-            idxs = idxs[:w * h]
             if ipack & 0x40:        # interlaced: reorder the 4 passes
                 rows = [idxs[r * w:(r + 1) * w] for r in range(h)]
                 order = [r for start, step in _INTERLACE_PASSES
@@ -306,20 +309,19 @@ def gif_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # cyclic text-byte sums (no pad/stride term). File size is not
 # layout-determined (sub-block count varies), so it is absent.
 def _gif_oracle() -> str:
+    from .multimodal import cyclic_text_sum_sql
+
     w = "CASE doc_id % 3 WHEN 0 THEN 11 WHEN 1 THEN 19 ELSE 27 END"
     h = "CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 6 ELSE 9 END"
-    cyc = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
-           "list_sum(list_transform(generate_series(0, {n} - 1), "
-           "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
     return f"""
         SELECT doc_id,
                TRUE AS gif_ok,
                CAST({w} AS INT) AS width,
                CAST({h} AS INT) AS height,
-               CAST({cyc.format(n=f"({w}) * ({h})")} AS BIGINT)
+               CAST({cyclic_text_sum_sql(f"({w}) * ({h})")} AS BIGINT)
                    AS index_sum,
-               CAST({cyc.format(n=f"({w})")} AS BIGINT) AS row0_red_sum,
-               CAST({cyc.format(n=f"({w}) * ({h})")} AS BIGINT)
+               CAST({cyclic_text_sum_sql(w)} AS BIGINT) AS row0_red_sum,
+               CAST({cyclic_text_sum_sql(f"({w}) * ({h})")} AS BIGINT)
                    AS pixel_red_sum
         FROM documents
     """

@@ -259,11 +259,10 @@ def png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # layout-determined (deflate output varies with content), so n_bytes is
 # deliberately absent from the contract.
 def _png_oracle() -> str:
+    from .multimodal import cyclic_text_sum_sql
+
     w = "CASE doc_id % 3 WHEN 0 THEN 13 WHEN 1 THEN 21 ELSE 29 END"
     h = "CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 8 ELSE 11 END"
-    cyc = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
-           "list_sum(list_transform(generate_series(0, {n} - 1), "
-           "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
     return f"""
         SELECT doc_id,
                TRUE AS png_ok,
@@ -271,8 +270,9 @@ def _png_oracle() -> str:
                CAST({h} AS INT) AS height,
                8 AS bit_depth,
                2 AS color_type,
-               CAST({cyc.format(n=f"({w}) * 3")} AS BIGINT) AS row0_sum,
-               CAST({cyc.format(n=f"({w}) * 3 * ({h})")} AS BIGINT)
+               CAST({cyclic_text_sum_sql(f"({w}) * 3")} AS BIGINT)
+                   AS row0_sum,
+               CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
         FROM documents
     """

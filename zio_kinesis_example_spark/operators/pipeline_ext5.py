@@ -58,12 +58,7 @@ def _ppm_oracle() -> str:
     w = "CASE doc_id % 3 WHEN 0 THEN 17 WHEN 1 THEN 24 ELSE 31 END"
     h = "CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 10 ELSE 13 END"
     hl = "CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 13 ELSE 17 END"
-    # empty-text guard: the encode kernel zero-fills an empty payload's
-    # pixel plane, while an unguarded k % length(text) is a mod-by-zero
-    # (NULL) here — the CASE keeps the hash green on empty documents
-    cyc = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
-           "list_sum(list_transform(generate_series(0, {n} - 1), "
-           "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
+    from .multimodal import cyclic_text_sum_sql
     return f"""
         SELECT doc_id,
                TRUE AS ppm_ok,
@@ -72,8 +67,8 @@ def _ppm_oracle() -> str:
                CAST({h} AS INT) AS height,
                255 AS maxval,
                CAST({hl} AS INT) AS header_len,
-               CAST({cyc.format(n=f"({w}) * 3")} AS BIGINT) AS row0_sum,
-               CAST({cyc.format(n=f"({w}) * 3 * ({h})")} AS BIGINT)
+               CAST({cyclic_text_sum_sql(f"({w}) * 3")} AS BIGINT) AS row0_sum,
+               CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
         FROM documents
     """
