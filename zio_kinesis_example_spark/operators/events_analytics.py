@@ -65,6 +65,34 @@ _DUCK_FUNNEL_CTE = """
               GROUP BY e.user_id)"""
 
 
+def funnel_stage_times(spark: SparkSession, sf_dir: str):
+    """ONE definition of the view->click->purchase funnel's per-user
+    stage anchor times (t1/t2/t3 frames): a user CONVERTS a stage when
+    the stage event strictly follows their anchor for the previous
+    stage; anchors are per-user minima. Shared by q_funnel and
+    q_events_time_to_convert (pipeline_ext3) so the Spark-side
+    'converted' population can never silently diverge between the two
+    (their oracles already share _DUCK_FUNNEL_CTE)."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return v, c, p
+
+
 @query(
     "q_funnel",
     oracle=_DUCK_FUNNEL_CTE + """
@@ -85,23 +113,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined row-to-row. All three stage frames share the user_id
     partitioning, so AQE reuses the exchange layout downstream.
     """
-    e = load(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
+    v, c, p = funnel_stage_times(spark, sf_dir)
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
@@ -209,7 +221,7 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.user_id,
                CAST(t.tot AS BIGINT) AS n_events,
                round(-SUM((CAST(c.n AS DOUBLE) / t.tot)
-                          * ln(CAST(c.n AS DOUBLE) / t.tot)), 6)
+                          * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) + 0.0
                    AS type_entropy
         FROM c JOIN t ON c.user_id = t.user_id
         GROUP BY c.user_id, t.tot
@@ -237,7 +249,8 @@ def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("tot", F.sum("n").over(w))
         .withColumn("p", F.col("n").cast("double") / F.col("tot"))
         .groupBy("user_id", "tot")
-        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6)
+        .agg((F.round(-F.sum(F.col("p") * F.log("p")), 6)
+              + F.lit(0.0))  # -0.0 sign-bit rule
              .alias("type_entropy"))
         .select("user_id", F.col("tot").cast("long").alias("n_events"),
                 "type_entropy")
@@ -375,7 +388,7 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT h.event_type, h.h, h.n,
                round((h.n - CAST(m.s1 AS DOUBLE) / m.k)
                      / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
-                            / (m.k - 1)), 6) AS z,
+                            / (m.k - 1)), 6) + 0.0 AS z,
                abs((h.n - CAST(m.s1 AS DOUBLE) / m.k)
                    / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
                           / (m.k - 1))) > 3.0 AS is_anomaly
@@ -416,7 +429,8 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hourly.join(F.broadcast(m), "event_type")
         .select("event_type", "h", "n",
-                F.round(z, 6).alias("z"),
+                # + 0.0: z in (-5e-7, 0) rounds to -0.0 in DuckDB
+                (F.round(z, 6) + F.lit(0.0)).alias("z"),
                 (F.abs(z) > 3.0).alias("is_anomaly"))
     )
 

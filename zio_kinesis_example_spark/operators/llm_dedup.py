@@ -1120,6 +1120,14 @@ _DUCK_CLUSTERS_CTE = (
 )
 
 
+#: ONE definition of the per-doc min-label projection used on top of
+#: the cluster CTE by every labels-consuming oracle (cluster_sizes,
+#: canonical, dedup_rate_by_source): append after _DUCK_CLUSTERS_CTE.
+_DUCK_LABELS_CTE = """,
+        labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                   FROM r GROUP BY src)"""
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b): the near-dup graph's undirected edge list, mined
     via the LSH-verified scale path (``lsh_verified_pairs`` — MinHash
@@ -1243,9 +1251,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_cluster_sizes",
-    oracle=_DUCK_CLUSTERS_CTE + """,
-        labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-                   FROM r GROUP BY src),
+    oracle=_DUCK_CLUSTERS_CTE + _DUCK_LABELS_CTE + """,
         sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
                   FROM labels GROUP BY cluster_id)
         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,

@@ -177,7 +177,7 @@ _HOLT_ORACLE = """
         FROM r JOIN idx nx
           ON nx.event_type = r.event_type AND nx.i = r.i + 1)
     SELECT event_type, n AS n_hours, round(l, 6) AS level,
-           round(b, 6) AS trend, round(l + b, 6) AS forecast_next
+           round(b, 6) + 0.0 AS trend, round(l + b, 6) + 0.0 AS forecast_next
     FROM r WHERE i = n
 """
 
@@ -244,8 +244,11 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_hours",
             F.round(F.col("st.l"), 6).alias("level"),
-            F.round(F.col("st.b"), 6).alias("trend"),
-            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
+            # + 0.0 on both sides: a tiny-negative trend rounds to -0.0
+            # in DuckDB but +0.0 in Spark (the documented sign-bit rule)
+            (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
+            (F.round(F.col("st.l") + F.col("st.b"), 6)
+             + F.lit(0.0)).alias("forecast_next"),
         )
     )
 
@@ -403,12 +406,19 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     """Write ``table`` bucketed by ``key`` (once per (session, sf_dir) —
     cheap tableExists probe) and return the catalog name. The write is
     the one-time LAYOUT cost; every subsequent join/agg on ``key`` reads
-    the bucket files with their hash-partitioning already satisfied."""
+    the bucket files with their hash-partitioning already satisfied.
+
+    The path (and table name) are keyed by the session's applicationId
+    as well as sf_dir: the tableExists probe only guards ONE session's
+    catalog, so a shared path would let a concurrent session's
+    mode-overwrite delete parquet files this session is mid-scan on
+    (bench.py racing the driver verify was the observed hazard)."""
     import hashlib
     import os
     import tempfile
 
-    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    slug = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:12]
     name = f"zke_bkt_{table}_{slug}"
     if not spark.catalog.tableExists(name):
         path = os.path.join(tempfile.gettempdir(), "zke_bucketed", slug,

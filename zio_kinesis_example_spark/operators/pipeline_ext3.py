@@ -571,21 +571,12 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3 step pairs — at extreme user counts the discrete pick swaps
     to approx_percentile per pair (same output columns, sketch bounds).
     """
-    e = load(spark, sf_dir, "events")
-
     def us(c):
         # NTZ -> timestamp under the session's UTC (catalog.configure),
         # so unix_micros matches DuckDB's epoch_us on the same instant
         return F.unix_micros(F.col(c).cast("timestamp"))
-    v = (e.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    c = (e.join(v, "user_id")
-         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-         .groupBy("user_id").agg(F.min("ts").alias("t2")))
-    p = (e.join(c, "user_id")
-         .filter((F.col("event_type") == "purchase")
-                 & (F.col("ts") > F.col("t2")))
-         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    from .events_analytics import funnel_stage_times
+    v, c, p = funnel_stage_times(spark, sf_dir)
     durs = (
         c.join(v, "user_id")
         .select(F.lit("view->click").alias("step_pair"), "user_id",
@@ -611,9 +602,11 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n").alias("n_users"),
             F.min("dur_us").alias("min_us"),
-            F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("dur_us")))
-            .alias("p50_us"),
-            F.min(F.when(10 * F.col("rn") >= 9 * F.col("n"),
+            # rn cast to long: 10*rn wraps int32 past ~214M converted
+            # users (the oracle's row_number is already BIGINT)
+            F.min(F.when(2 * F.col("rn").cast("long") >= F.col("n"),
+                         F.col("dur_us"))).alias("p50_us"),
+            F.min(F.when(10 * F.col("rn").cast("long") >= 9 * F.col("n"),
                          F.col("dur_us"))).alias("p90_us"),
             F.max("dur_us").alias("max_us"),
             F.round(F.sum("dur_us").cast("double") / F.min("n"), 6)
@@ -628,11 +621,9 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The cluster definition is llm_dedup's SHARED recursive-CTE fragment —
 # canonicalization and the cluster labels cannot disagree about what a
 # "cluster" is.
-from .llm_dedup import _DUCK_CLUSTERS_CTE  # noqa: E402
+from .llm_dedup import _DUCK_CLUSTERS_CTE, _DUCK_LABELS_CTE  # noqa: E402
 
-_CANON_ORACLE = _DUCK_CLUSTERS_CTE + """,
-    labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-               FROM r GROUP BY src),
+_CANON_ORACLE = _DUCK_CLUSTERS_CTE + _DUCK_LABELS_CTE + """,
     members AS (SELECT l.cluster_id, l.doc_id, d.n_chars
                 FROM labels l JOIN documents d USING (doc_id)),
     best AS (SELECT cluster_id, doc_id AS rep_doc_id,

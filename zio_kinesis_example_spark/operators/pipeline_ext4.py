@@ -196,7 +196,10 @@ def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_events").alias("n_events"))
         .select(
             "decile", "n_users", "n_events",
-            F.expr("(n_events * 1000000) DIV total").alias("share_ppm"),
+            # decimal numerator: n_events*1e6 would wrap int64 past
+            # ~9.2e12 events/decile while the oracle's HUGEINT is exact
+            F.expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000)"
+                   " DIV total AS BIGINT)").alias("share_ppm"),
         )
     )
 
@@ -207,11 +210,9 @@ def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cluster definition is llm_dedup's SHARED recursive fragment; a document
 # is DROPPED when it is not its cluster's representative (cluster_id is
 # the minimum reachable doc_id, so representative <=> doc_id=cluster_id).
-from .llm_dedup import _DUCK_CLUSTERS_CTE  # noqa: E402
+from .llm_dedup import _DUCK_CLUSTERS_CTE, _DUCK_LABELS_CTE  # noqa: E402
 
-_DEDUP_RATE_ORACLE = _DUCK_CLUSTERS_CTE + """,
-        labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-                   FROM r GROUP BY src)
+_DEDUP_RATE_ORACLE = _DUCK_CLUSTERS_CTE + _DUCK_LABELS_CTE + """
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN l.doc_id <> l.cluster_id
@@ -257,6 +258,8 @@ def q_curate_dedup_rate_by_source(spark: SparkSession,
              F.sum(dropped).cast("long").alias("n_dropped"))
         .select(
             "source", "n_docs", "n_dropped",
-            F.expr("(n_dropped * 1000000) DIV n_docs").alias("drop_ppm"),
+            # decimal numerator (same int64-wrap guard as share_ppm)
+            F.expr("CAST((CAST(n_dropped AS DECIMAL(38,0)) * 1000000)"
+                   " DIV n_docs AS BIGINT)").alias("drop_ppm"),
         )
     )
