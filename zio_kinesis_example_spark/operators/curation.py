@@ -81,24 +81,46 @@ def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side is one map-side pass: explode → broadcast hash join →
     per-doc count. No corpus shuffle beyond the final per-doc agg.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("terms")
-    )
-    # explode(expr) stays INLINE (see _DECON_SHINGLES note) and the source
-    # filters sit below it, reaching each side's scan.
+    return _decon_shared_grams(load(spark, sf_dir, "documents"))
+
+
+#: Repetitiveness cut: a document whose most frequent term exceeds this
+#: share of its tokens is degenerate boilerplate. ONE constant shared by
+#: q_curate_repetition, q_curate_pipeline, and (textually) their oracles.
+_REP_THRESHOLD = 0.2
+
+
+def _decon_shared_grams(d: DataFrame) -> DataFrame:
+    """ONE definition of the decontamination overlap: training docs'
+    (doc_id, n_shared_grams) against the broadcast bench 5-gram set.
+    ``d`` must carry (doc_id, source, text). Shared by
+    q_curate_decontaminate and q_curate_pipeline so the drop rule can
+    never silently diverge between the audit view and the pipeline."""
+    terms_df = d.select("doc_id", "source",
+                        F.split("text", " ").alias("terms"))
+    # explode(expr) stays INLINE (see _DECON_SHINGLES note) and the
+    # source filters sit below it, reaching each side's scan
     bench = (
-        d.filter(F.col("source") == _BENCH_SOURCE)
+        terms_df.filter(F.col("source") == _BENCH_SOURCE)
         .select(F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
         .distinct()
     )
-    train = (
-        d.filter(F.col("source") != _BENCH_SOURCE)
-        .select("doc_id", F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
-    )
     return (
-        train.join(F.broadcast(bench), "g")
+        terms_df.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
+        .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def _term_counts(d: DataFrame) -> DataFrame:
+    """Per-(doc, term) whitespace-token counts — the shared input of the
+    repetition rule (partial-combines map-side)."""
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -164,12 +186,7 @@ def q_curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio, with a >0.2 repetitiveness flag. explode → per-(doc,
     term) count → per-doc agg; both aggregations partial-combine map-side,
     so the shuffle carries term counts, not term instances."""
-    d = load(spark, sf_dir, "documents")
-    counts = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = _term_counts(load(spark, sf_dir, "documents"))
     max_ratio = F.max("n").cast("double") / F.sum("n")
     return counts.groupBy("doc_id").agg(
         F.sum("n").alias("n_terms"),
@@ -177,7 +194,7 @@ def q_curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_ratio, 6).alias("max_term_ratio"),
         F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 6)
         .alias("type_token_ratio"),
-        (max_ratio > 0.2).alias("is_repetitive"),
+        (max_ratio > _REP_THRESHOLD).alias("is_repetitive"),
     )
 
 
@@ -356,28 +373,14 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id")).distinct()
     )
 
-    terms_df = d.select("doc_id", "source", F.split("text", " ").alias("terms"))
-    # inline explode per side (see _DECON_SHINGLES note)
-    bench = (
-        terms_df.filter(F.col("source") == _BENCH_SOURCE)
-        .select(F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
-        .distinct()
-    )
-    decon_drops = (
-        terms_df.filter(F.col("source") != _BENCH_SOURCE)
-        .select("doc_id", F.explode(F.expr(_DECON_SHINGLES)).alias("g"))
-        .join(F.broadcast(bench), "g")
-        .select("doc_id").distinct()
-    )
+    # the SAME drop rules as the standalone audit operators, via the
+    # shared helpers — composition, never a re-statement
+    decon_drops = _decon_shared_grams(d).select("doc_id")
 
-    counts = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
-    )
     rep_drops = (
-        counts.groupBy("doc_id")
+        _term_counts(d).groupBy("doc_id")
         .agg((F.max("n").cast("double") / F.sum("n")).alias("r"))
-        .filter(F.col("r") > 0.2)
+        .filter(F.col("r") > _REP_THRESHOLD)
         .select("doc_id")
     )
 

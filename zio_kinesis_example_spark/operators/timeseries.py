@@ -447,7 +447,7 @@ _EWMA_ALPHA = 0.3
         WITH hourly AS (
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-                   SUM(value) AS v
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS v
             FROM events GROUP BY 1, 2
         ),
         series AS (
@@ -471,10 +471,11 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot express (each value depends on the previous RESULT, not the
     previous row), done as an ordered in-group fold.
 
-    DETERMINISM: both engines fold the identically-ordered series with
-    the identical two-op recurrence (Spark `aggregate` HOF / DuckDB
-    `list_reduce`), so every intermediate rounds the same way; emitted
-    6dp.
+    DETERMINISM: hourly inputs are exact-cents sums (int64 + one
+    division — never a reassociating double SUM), and both engines fold
+    the identically-ordered series with the identical two-op recurrence
+    (Spark `aggregate` HOF / DuckDB `list_reduce`), so every
+    intermediate rounds the same way; emitted 6dp.
 
     Scale shape: one partial-agged hourly rollup, then ONE shuffle to
     collect each series (sort_array on (hour, value) structs gives the
@@ -484,9 +485,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-count pattern with s carried as state).
     """
     e = load(spark, sf_dir, "events")
+    # exact-cents hourly sums (q_ts_interpolate's rule): a double
+    # SUM(value) reassociates in shuffle-fetch order and can differ
+    # from DuckDB's scan-order sum by 1 ulp, which the fold propagates
+    # into the 6dp rounding — int64 cents + ONE identical division are
+    # engine- and run-order-independent
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.sum("value").alias("v"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+              / F.lit(100.0)).alias("v"))
     )
     series = (
         hourly.groupBy("event_type")
