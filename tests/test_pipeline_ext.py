@@ -355,10 +355,29 @@ class TestBatch2:
     def test_cdc_delete_semantics(self, spark):
         out = all_specs()["q_merge_cdc_delete"].fn(spark, SF_SMALL)
         rows = {r["c_custkey"]: r for r in out.collect()}
-        assert not any(k % 10 == 0 for k in rows if k < 10_000_000)
-        inserted = [k for k in rows if k >= 10_000_000]
+        # deletes gone (custkey % 10 == 0); inserts carry NEGATIVE
+        # synthetic keys (collision-free with real custkeys at any SF)
+        assert not any(k % 10 == 0 for k in rows if k > 0)
+        inserted = [k for k in rows if k < 0]
         assert inserted and all(rows[k]["c_name"].startswith("NEW #")
                                 for k in inserted)
+
+    def test_mg_kernel_negative_user_ids_survive(self):
+        """The r6 review fix: the error sentinel is OUT-OF-BAND
+        (is_err), so a real user with id -1 — a heavy hitter here —
+        keeps its estimate instead of merging with the sentinel and
+        being filtered out."""
+        import pandas as pd
+
+        from zio_kinesis_example_spark.operators.pipeline_ext import (
+            mg_summarize,
+        )
+        ids = [-1] * 500 + list(range(1, 101))
+        out = pd.concat(mg_summarize(iter(
+            [pd.DataFrame({"user_id": ids})])))
+        real = out[out.is_err == 0]
+        assert int(real[real.user_id == -1]["est"].sum()) == 500
+        assert (out[out.is_err == 1]["user_id"] == 0).all()
 
     def test_mg_kernel_bounds(self):
         import pandas as pd
@@ -371,8 +390,8 @@ class TestBatch2:
         batches = [pd.DataFrame({"user_id": ids[i:i + 1000]})
                    for i in range(0, len(ids), 1000)]
         out = pd.concat(mg_summarize(iter(batches)))
-        err = int(out[out.user_id == -1]["err"].sum())
-        summary = out[out.user_id >= 0]
+        err = int(out[out.is_err == 1]["err"].sum())
+        summary = out[out.is_err == 0]
         assert len(summary) <= _MG_K
         n = len(ids)
         assert 0 < err <= n // (_MG_K + 1) + 1

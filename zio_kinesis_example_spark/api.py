@@ -461,6 +461,21 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
         .select("__id", F.size("__sh").cast("long").alias("__n"),
                 F.explode("__sh").alias("__g"))
     )
+    return containment_from_exploded(e, threshold=threshold)
+
+
+def containment_from_exploded(e: DataFrame,
+                              threshold: float = 0.5) -> DataFrame:
+    """The containment pair-mining core over a pre-exploded
+    (__id, __n, __g) distinct-shingle frame — ONE definition shared by
+    :func:`containment_pairs` (raw text) and q_text_containment (the
+    dedup family's cached shingle frame), so the two can never drift.
+    The keep filter is EXACT integer arithmetic (threshold as a
+    fraction: n·den ≥ size·num), never a float boundary."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.__g") == F.col("b.__g"))
@@ -469,8 +484,8 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
         .agg(F.count(F.lit(1)).alias("n_common"),
              F.min("a.__n").alias("na"), F.min("b.__n").alias("nb"))
     )
-    keep = ((F.col("n_common") >= F.col("na") * threshold)
-            | (F.col("n_common") >= F.col("nb") * threshold))
+    keep = ((F.col("n_common") * den >= F.col("na") * num)
+            | (F.col("n_common") * den >= F.col("nb") * num))
     return pairs.filter(keep).select(
         "id_a", "id_b", "n_common", "na", "nb",
         F.round(F.col("n_common").cast("double") / F.col("na"), 6)

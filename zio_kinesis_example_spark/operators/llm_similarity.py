@@ -269,15 +269,24 @@ def _recall_contract(spark: SparkSession, sf_dir: str,
         .join(ann_plan.select("query_id", "neighbor_id").withColumn(
             "hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
     )
+    # n_queries counts the QUERY-FILTER rows directly (what the oracle
+    # counts), not distinct queries with truth rows: a degenerate corpus
+    # where a query has an empty exact top-k (e.g. one lone query
+    # vector) would otherwise report fewer queries than the oracle, and
+    # an empty truth set must yield recall_ok TRUE (vacuous), never the
+    # NULL that 0/0 produces.
+    nq = (
+        _emb(spark, sf_dir).filter(F.expr(_QUERY_FILTER))
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
     agg = hits.agg(
-        F.countDistinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_truth"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
     )
-    return agg.select(
+    return nq.crossJoin(agg).select(
         "n_queries",
-        ((F.col("n_hits") / F.col("n_truth")) >= F.lit(floor))
-        .alias("recall_ok"),
+        F.coalesce((F.col("n_hits") / F.col("n_truth")) >= F.lit(floor),
+                   F.lit(True)).alias("recall_ok"),
     )
 
 
@@ -690,8 +699,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
-               round(SUM(CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
-                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE)))
+               -- parens around dot/sqrt(..) mirror Spark's association
+               -- EXACTLY: left-assoc 1e6*dot/sqrt(..) computes
+               -- (1e6*dot)/sqrt where 1e6*dot exceeds 2^53 and floors
+               -- differently (r6 review: cosine exactly 1 floored to
+               -- 999999 one way, 1000000 the other)
+               round(SUM(CAST(floor(1000000.0 * (CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))))
                          AS BIGINT)) / (1000000.0 * COUNT(*)), 6)
                    AS avg_cohesion,
                round(MIN(CAST(dot AS DOUBLE)

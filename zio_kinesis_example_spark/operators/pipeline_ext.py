@@ -148,33 +148,17 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the pair stage runs per LSH bucket instead (q_dedup_minhash's
     banding bounds Σ|bucket|²).
     """
+    from ..api import containment_from_exploded
     from .llm_dedup import _with_shingles
 
-    s = _with_shingles(spark, sf_dir)
-    e = s.select(
-        "doc_id", F.size("shingles").cast("long").alias("n"),
-        F.explode("shingles").alias("shingle"),
+    e = _with_shingles(spark, sf_dir).select(
+        F.col("doc_id").alias("__id"),
+        F.size("shingles").cast("long").alias("__n"),
+        F.explode("shingles").alias("__g"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"),
-             F.min("a.n").alias("na"), F.min("b.n").alias("nb"))
-    )
-    return (
-        pairs.filter((F.col("n_common") * 2 >= F.col("na"))
-                     | (F.col("n_common") * 2 >= F.col("nb")))
-        .select(
-            "doc_a", "doc_b", "n_common", "na", "nb",
-            F.round(F.col("n_common").cast("double") / F.col("na"), 6)
-            .alias("cont_ab"),
-            F.round(F.col("n_common").cast("double") / F.col("nb"), 6)
-            .alias("cont_ba"),
-        )
-    )
+    return containment_from_exploded(e, threshold=0.5) \
+        .withColumnRenamed("id_a", "doc_a") \
+        .withColumnRenamed("id_b", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -633,7 +617,7 @@ def q_dedup_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey, 'U', c_name, c_acctbal + 100.0
             FROM customer WHERE c_custkey % 10 IN (1, 2)
             UNION ALL
-            SELECT c_custkey + 10000000, 'I',
+            SELECT -(c_custkey + 1), 'I',
                    'NEW #' || CAST(c_custkey AS VARCHAR), 0.0
             FROM customer WHERE c_custkey % 10 = 3
         )
@@ -672,7 +656,11 @@ def q_merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("c_acctbal") + F.lit(100.0)).alias("bal")))
         .unionByName(
             c.filter(F.col("c_custkey") % 10 == 3)
-            .select((F.col("c_custkey") + 10_000_000).alias("k"),
+            # NEGATIVE synthetic insert keys: real custkeys are positive
+            # at every SF, so inserts can never collide with (and
+            # destructively overwrite) an existing customer — the old
+            # +10M offset collided at TPC-H SF >= ~67
+            .select((-(F.col("c_custkey") + 1)).alias("k"),
                     F.lit("I").alias("op"),
                     F.concat(F.lit("NEW #"),
                              F.col("c_custkey").cast("string")).alias("name"),
@@ -774,6 +762,10 @@ MG_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("est", LongType()),
     StructField("err", LongType()),
+    # out-of-band error-sentinel marker: an in-band user_id=-1 sentinel
+    # would merge with (and then silently drop) a REAL user whose id is
+    # -1 on signed-hash / sentinel-coded feeds
+    StructField("is_err", IntegerType()),
 ])
 
 
@@ -783,7 +775,9 @@ def mg_summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     are live, the (k+1)-th largest count c* is subtracted from every
     counter and non-positive ones drop (each compression removes
     >= (k+1)·c* mass, so the partition error Σc* <= n_p/(k+1)). Emits
-    (user_id, est, 0) per surviving key plus one (-1, 0, err) sentinel.
+    (user_id, est, 0, 0) per surviving key plus one (0, 0, err, 1)
+    error-sentinel row (flagged OUT-OF-BAND via is_err, so any real
+    user id — negative included — can never collide with it).
     Mergeable: summing ests and errs across partitions preserves
     est <= true and true - est <= Σerr."""
     counts: dict[int, int] = {}
@@ -797,9 +791,9 @@ def mg_summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c_star = vals[_MG_K]
             counts = {u: c - c_star for u, c in counts.items() if c > c_star}
             err += c_star
-    rows = [(u, c, 0) for u, c in counts.items()]
-    rows.append((-1, 0, err))
-    yield pd.DataFrame(rows, columns=["user_id", "est", "err"])
+    rows = [(u, c, 0, 0) for u, c in counts.items()]
+    rows.append((0, 0, err, 1))
+    yield pd.DataFrame(rows, columns=["user_id", "est", "err", "is_err"])
 
 
 @query(
@@ -842,19 +836,22 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") * _HH_DENOM > F.col("total"))
         .select("user_id", "cnt",
-                F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+                # decimal numerator (the power_users int64-wrap guard)
+                F.expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000)"
+                       " DIV total AS BIGINT)").alias("share_ppm"),
                 F.col("total"))
     )
     # ONE sketch execution: the merged summary (<= |users|+partitions
     # rows) is materialized eagerly; est and err_total both read it.
     summaries = (
         e.mapInPandas(mg_summarize, schema=MG_SCHEMA)
-        .groupBy("user_id")
+        .groupBy("user_id", "is_err")
         .agg(F.sum("est").alias("est"), F.sum("err").alias("err"))
         .localCheckpoint(eager=True)
     )
-    merged = summaries.filter(F.col("user_id") >= 0).select("user_id", "est")
-    err_total = summaries.agg(F.sum("err").alias("err_total"))
+    merged = summaries.filter(F.col("is_err") == 0).select("user_id", "est")
+    err_total = (summaries.filter(F.col("is_err") == 1)
+                 .agg(F.sum("err").alias("err_total")))
     return (
         hh.join(merged, "user_id", "left")
         .crossJoin(F.broadcast(err_total))
