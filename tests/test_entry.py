@@ -74,34 +74,53 @@ def test_serve_order_ignores_stale_artifact_names(monkeypatch):
     assert len(order) == len(set(order))
 
 
-def test_wave_additions_serve_after_older_backlog(monkeypatch):
-    """pipeline_ext* waves register last so their queries sort after every
-    OTHER unverified query: the driver's budget certifies the older backlog
-    before spending slots on wave additions — and earlier waves before later
-    ones. Asserted against a SYNTHETIC all-unverified state: the real
-    CORRECTNESS_r*.json artifacts are written by the driver AFTER the
-    builder's last commit, so any test reading them can be falsified
-    post-hoc (this exact test broke that way in round 4)."""
-    from zio_kinesis_example_spark.operators import pipeline_ext  # noqa: F401
-    from zio_kinesis_example_spark.registry import all_specs
+def test_wave_additions_serve_after_older_backlog():
+    """Later-registered waves (pipeline_ext1-5, then the r6 codec
+    modules) sort after every OTHER unverified query: the driver's
+    budget certifies the older backlog before spending slots on wave
+    additions — and earlier waves before later ones. Two hardening
+    rules baked in: (a) synthetic all-unverified state, never the real
+    CORRECTNESS_r*.json (driver writes those after the builder's last
+    commit — the round-4 lesson); (b) run in a FRESH subprocess,
+    because the registry's serve order is its registration (import)
+    order, and the pytest process perturbs it by importing operator
+    modules directly (the round-6 lesson: an early
+    `import multimodal_png` in a codec test moves its queries to the
+    registry's front for the whole process)."""
+    import json
+    import subprocess
+    import sys
 
-    waves = []
-    for mod in (".pipeline_ext", ".pipeline_ext2", ".pipeline_ext3",
-                ".pipeline_ext4", ".pipeline_ext5"):
-        waves.append({n for n, s in all_specs().items()
-                      if s.fn.__module__.endswith(mod)})
-    assert all(waves), "all waves registered"
-    monkeypatch.setattr(ent, "_verification_state", lambda: {})
-
-    order = ent._serve_order()
-    n_all = sum(len(w) for w in waves)
-    tail = order[-n_all:]
-    assert set(tail) == set().union(*waves)
-    # within the tail, wave K occupies the slots before wave K+1
-    pos = 0
+    code = """
+import json
+import __spark_entry__ as ent
+from zio_kinesis_example_spark.registry import all_specs
+ent._verification_state = lambda: {}
+specs = all_specs()
+mods = [s.fn.__module__.rsplit(".", 1)[-1] for s in
+        (specs[n] for n in ent._serve_order())]
+print(json.dumps(mods))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", check=True,
+    ).stdout.strip().splitlines()[-1]
+    mods = json.loads(out)
+    waves = ["pipeline_ext", "pipeline_ext2", "pipeline_ext3",
+             "pipeline_ext4", "pipeline_ext5", "multimodal_png",
+             "multimodal_gif"]
     for w in waves:
-        assert set(tail[pos:pos + len(w)]) == w
-        pos += len(w)
+        assert w in mods, f"wave {w} registered no queries"
+    # every wave module's queries sit after ALL non-wave queries...
+    first_wave_at = min(mods.index(w) for w in waves)
+    assert all(m in waves for m in mods[first_wave_at:])
+    # ...and wave K's block precedes wave K+1's
+    positions = [max(i for i, m in enumerate(mods) if m == w)
+                 for w in waves]
+    starts = [min(i for i, m in enumerate(mods) if m == w)
+              for w in waves]
+    for k in range(len(waves) - 1):
+        assert positions[k] < starts[k + 1], (waves[k], waves[k + 1])
 
 
 def test_verification_state_reads_artifacts_once(monkeypatch):

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import KNUTH, cents_sum
 
 
 # --------------------------------------------------------------------------
@@ -335,8 +336,7 @@ def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         # exact-cent sum (2dp data): a raw double sum reassociates in
         # partition order and can flip the 6dp rounding as groups grow
-        F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
-                / F.lit(100.0), 6).alias("sum_value"),
+        cents_sum("value").alias("sum_value"),
     )
 
 
@@ -377,8 +377,7 @@ def q_win_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
-                    / F.lit(100.0), 6).alias("sum_value"),
+            cents_sum("value").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events",
                 "sum_value")
@@ -493,8 +492,10 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "lang", "n_tokens",
-            (F.col("tokens_before") / F.lit(2048)).cast("long")
-             .alias("seq_bin"),
+            # integer DIV, never double / + cast: past 2^53 cumulative
+            # tokens the long->double rounding could bin one off from
+            # the oracle's exact //
+            F.expr("tokens_before DIV 2048").alias("seq_bin"),
         )
     )
 
@@ -676,8 +677,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
-                    / F.lit(100.0), 6).alias("sum_value"),
+            cents_sum("value").alias("sum_value"),
         )
     )
 
@@ -747,7 +747,7 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: kept at 90%, src10..src19 at 25%.
 _MIX_HI = 0.90
 _MIX_LO = 0.25
-_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_KNUTH = KNUTH  # Knuth multiplicative hash constant (shared: exact.py)
 _U32 = 4294967296
 _K16 = (_KNUTH * 65536) % _U32  # 16-bit-shifted Knuth constant mod 2^32
 
@@ -1282,7 +1282,7 @@ _PRI_K = 100  # sample size for priority sampling
                        // CAST(round(o_totalprice * 100) AS BIGINT)
                        AS priority
             FROM orders
-            WHERE o_totalprice > 0
+            WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 1
         )
         ORDER BY priority, o_orderkey
         LIMIT {_PRI_K}
@@ -1308,7 +1308,11 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond k rows per partition, mergeable across any partition
     count.
     """
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # guard the CENTS, not the raw price: 0 < price < 0.005 rounds to
+    # cents = 0, where Spark ANSI DIV raises DIVIDE_BY_ZERO but DuckDB
+    # // returns NULL (crash-vs-wrong-answer divergence)
+    o = load(spark, sf_dir, "orders").filter(
+        F.expr("cast(round(o_totalprice * 100) as bigint) >= 1"))
     return (
         o.select("o_orderkey", "o_totalprice",
                  F.expr(f"(({_knuth_draw('o_orderkey', 'DIV')}) * 10000) "

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load
+from .exact import KNUTH, cents_sum, dec_avg_double, dec_sum_double
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -89,7 +90,8 @@ def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_inner",
     oracle="""
         SELECT c_mktsegment,
-               SUM(o_totalprice) AS revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -106,7 +108,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
-            F.sum("o_totalprice").alias("revenue"),
+            dec_sum_double("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -116,8 +118,10 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     oracle="""
         SELECT p_brand,
-               SUM(l_quantity) AS sum_qty,
-               SUM(l_extendedprice) AS sum_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -133,8 +137,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_price"),
+            dec_sum_double("l_quantity").alias("sum_qty"),
+            dec_sum_double("l_extendedprice").alias("sum_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -201,7 +205,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_3way",
     oracle="""
         SELECT n_name, r_name,
-               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                        * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
+                   AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -228,9 +234,9 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -277,13 +283,23 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_group",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(l_quantity) AS sum_qty,
-               SUM(l_extendedprice) AS sum_base_price,
-               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               AVG(l_quantity) AS avg_qty,
-               AVG(l_extendedprice) AS avg_price,
-               AVG(l_discount) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                        * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                        * CAST(1 - l_discount AS DECIMAL(8, 4))
+                        * CAST(1 + l_tax AS DECIMAL(8, 4))) AS DOUBLE)
+                   AS sum_charge,
+               (CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
+                / COUNT(*)) AS avg_qty,
+               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
+                / COUNT(*)) AS avg_price,
+               (CAST(SUM(CAST(l_discount AS DECIMAL(18, 4))) AS DOUBLE)
+                / COUNT(*)) AS avg_disc,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -300,19 +316,26 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the shuffle carries ≤ |groups|×|partitions| rows at any SF.
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # EXACT decimal sums emitted as double (operators.exact rule): raw
+    # double SUMs reassociate in partition-merge order and diverge from
+    # DuckDB once groups reach ~1e7 rows; decimal sums are exact and the
+    # one decimal->double conversion is identical on both engines. The
+    # (8,4) middle factors keep the three-way charge product inside
+    # DECIMAL(38) so no engine re-rounds it.
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            dec_sum_double("l_quantity").alias("sum_qty"),
+            dec_sum_double("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dec_avg_double("l_quantity").alias("avg_qty"),
+            dec_avg_double("l_extendedprice").alias("avg_price"),
+            dec_avg_double("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -428,7 +451,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_grouping_sets",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
-               SUM(o_totalprice) AS sum_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -436,14 +460,18 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — SQL-only surface in Spark; uses a temp view."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    """Explicit GROUPING SETS — SQL-only surface in Spark; uses a temp
+    view NAMESPACED as v_gs_orders (a bare 'orders' view would clobber
+    catalog.register_views' binding for every later bare-name SQL
+    consumer in the session — the sibling convention is v_*/__* names)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_gs_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               SUM(o_totalprice) AS sum_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_price,
                COUNT(*) AS n
-        FROM orders
+        FROM v_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
@@ -594,8 +622,7 @@ def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
-                    / F.lit(100.0), 6).alias("sum_value"),
+            cents_sum("value").alias("sum_value"),
         )
     )
 
@@ -721,7 +748,9 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN l_discount >= 0.04 THEN 'mid'
                     ELSE 'low' END AS disc_tier,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                        * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
+                   AS revenue
         FROM lineitem
         GROUP BY 1
     """,
@@ -738,7 +767,9 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy(tier).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
+        .cast("double").alias("revenue"),
     )
 
 
@@ -995,7 +1026,7 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRID_CELL = 5       # cell size == radius: neighbors live in 3×3 cells
 _GRID_R = 5          # Chebyshev radius
-_GRID_KX = 2654435761
+_GRID_KX = KNUTH  # shared constant (exact.py); derivation comment below
 _GRID_KY = 1540483477
 
 
