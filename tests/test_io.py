@@ -145,3 +145,36 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_roundtrip_newlines_empty_and_null(spark, tmpdir_factory_local):
+    """The r6 review fix: embedded newlines survive (multiLine read),
+    and '' and NULL stay DISTINCT through the nullValue sentinel —
+    the default CSV options split multi-line records and collapse
+    empty strings into NULLs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zio_kinesis_example_spark.io import read_table, write_table
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("s", StringType()),
+    ])
+    rows = [(1, "line one\nline two"), (2, ""), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmpdir_factory_local("csv-roundtrip"))
+    write_table(df, d, fmt="csv")
+    got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
+                                         schema=schema).collect()}
+    assert got == {1: "line one\nline two", 2: "", 3: None, 4: "plain"}
+
+
+def test_write_table_rejects_zero_coalesce(spark, tmpdir_factory_local):
+    import pytest as _pytest
+
+    from zio_kinesis_example_spark.io import write_table
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="coalesce_to"):
+        write_table(df, str(tmpdir_factory_local("bad-coalesce")),
+                    coalesce_to=0)

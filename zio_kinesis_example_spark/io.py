@@ -33,11 +33,19 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     """Write a DataFrame as a (optionally partitioned) table directory."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt}")
-    if coalesce_to:
+    if coalesce_to is not None:
+        if coalesce_to < 1:
+            # a computed target that underflowed to 0 must fail loudly,
+            # not silently skip coalescing into a small-file storm
+            raise ValueError(f"coalesce_to must be >= 1, got {coalesce_to}")
         df = df.coalesce(coalesce_to)
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # nullValue sentinel keeps NULL distinguishable from '' on the
+        # round trip (default writes both as empty); the matching reader
+        # options are set in read_table
+        writer = (writer.option("header", "true")
+                  .option("nullValue", "\\N"))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
@@ -59,7 +67,12 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                              "(inference is disabled by design)")
         reader = reader.schema(schema)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        # multiLine: values containing newlines were written quoted and
+        # must not split records; nullValue mirrors write_table's
+        # sentinel so '' reads back as '' and only \\N reads as NULL
+        reader = (reader.option("header", "true")
+                  .option("multiLine", "true")
+                  .option("nullValue", "\\N"))
     return reader.load(path)
 
 

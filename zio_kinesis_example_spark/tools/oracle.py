@@ -40,6 +40,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_val(v, precision: int = 9):
     if v is None:
         return "\x00null"
+    # numpy scalars first (np.float32 is NOT a float subclass, np.int64
+    # not an int subclass): without this, ARRAY<FLOAT> elements would
+    # bypass the 9-significant-digit float policy and compare as raw
+    # str() — canonical_rows only coerces TOP-LEVEL cells
+    if hasattr(v, "item") and type(v).__name__ != "ndarray":
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00nan"
@@ -96,10 +102,14 @@ class CompareResult:
 def compare_one(spark: SparkSession, con: duckdb.DuckDBPyConnection,
                 name: str, sf_dir: str) -> CompareResult:
     spec = all_specs()[name]
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    df = spec.fn(spark, sf_dir)
     if spec.oracle is None:
+        # rows-only: count executor-side — collecting a potentially
+        # huge result to pandas just for len() is the collect()
+        # anti-pattern this repo bans elsewhere
         return CompareResult(name, True, "rows-only (no oracle)",
-                             len(sdf), -1)
+                             df.count(), -1)
+    sdf = df.toPandas()
     odf = con.sql(spec.oracle).df()
     if sorted(sdf.columns) != sorted(odf.columns):
         return CompareResult(
@@ -112,11 +122,18 @@ def compare_one(spark: SparkSession, con: duckdb.DuckDBPyConnection,
     s_rows = canonical_rows(sdf)
     o_rows = canonical_rows(odf)
     if s_rows != o_rows:
-        diffs = [
-            (a, b) for a, b in zip(s_rows, o_rows) if a != b
-        ][:3]
-        return CompareResult(name, False, f"values differ, e.g. {diffs}",
-                             len(sdf), len(odf))
+        # MULTISET difference, not a zip of the two sorted lists: one
+        # inserted+one missing row would shift the zip alignment and
+        # print unrelated (agreeing) rows as the sample diffs
+        from collections import Counter
+
+        s_only = list((Counter(s_rows) - Counter(o_rows)).elements())[:3]
+        o_only = list((Counter(o_rows) - Counter(s_rows)).elements())[:3]
+        return CompareResult(
+            name, False,
+            f"values differ, spark-only e.g. {s_only} / "
+            f"oracle-only e.g. {o_only}",
+            len(sdf), len(odf))
     return CompareResult(name, True, "hash-match", len(sdf), len(odf))
 
 
