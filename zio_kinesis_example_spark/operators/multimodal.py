@@ -121,18 +121,21 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """Real *compressed*-image decode (PNG/JPEG) — requires PIL/opencv,
-    absent in this container.
+    """JPEG/WebP decode — requires PIL/opencv, absent in this container.
 
     Kept as the documented swap-in point for ``fake_decode_batch``. The
-    dependency-free real-format path is the uncompressed-BMP codec below
-    (``bmp_encode_batch`` / ``bmp_decode_batch``): a genuine binary
-    format parsed for real, no library needed.
+    dependency-free REAL codec family is live beside it: uncompressed
+    BMP (below) and PPM (pipeline_ext5), RIFF/WAVE PCM (pipeline_ext),
+    and — since round 6 — genuinely COMPRESSED formats: PNG
+    (multimodal_png: stdlib zlib inflate + all five filter inverses)
+    and GIF (multimodal_gif: full variable-width LZW). Only
+    DCT/arithmetic-coded formats (JPEG) remain behind this stub.
     """
     raise NotImplementedError(
-        "compressed-image codecs are not installed in this environment; "
+        "JPEG/WebP codecs are not installed in this environment; "
         "swap fake_decode_batch for a codec-backed implementation "
-        "(the uncompressed-BMP path, bmp_decode_batch, is real and live)"
+        "(the BMP/PPM/PNG/GIF/WAV paths are real and live — see "
+        "multimodal_png.py / multimodal_gif.py for the compressed ones)"
     )
 
 
