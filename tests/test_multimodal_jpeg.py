@@ -1,0 +1,304 @@
+"""The real baseline-JPEG codec: fixtures built by an INDEPENDENT
+test-side encoder (different Huffman tables, its own bit packer) with
+full AC content, checked against an independent direct-form IDCT;
+restart markers, 16-bit quant tables, APPn/COM skipping, unsupported
+layouts, and fuzzed corruption — malformed input must flip jpeg_ok,
+never crash."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from zio_kinesis_example_spark.operators.multimodal_jpeg import (
+    _JPEG_DIMS, ZIGZAG, _jpeg_parse_one, jpeg_decode_batch,
+    jpeg_encode_batch,
+)
+
+
+def _decode(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return pd.concat(jpeg_decode_batch(iter([pdf]))).reset_index(drop=True)
+
+
+# --- independent reference encoder ---------------------------------------
+# Different table shapes from the module's encoder: DC categories at 5
+# bits, the full 162-symbol AC alphabet flat at 8 bits; its own MSB-first
+# packer. Emits real run-length AC coding (runs, ZRL, EOB).
+
+_REF_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_REF_DC_VALS = list(range(12))
+_REF_AC_VALS = ([r << 4 | s for r in range(16) for s in range(1, 11)]
+                + [0x00, 0xF0])
+_REF_AC_BITS = [0] * 7 + [len(_REF_AC_VALS)] + [0] * 8
+
+
+def _codes(bits, vals):
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_REF_DC_CODES = _codes(_REF_DC_BITS, _REF_DC_VALS)
+_REF_AC_CODES = _codes(_REF_AC_BITS, _REF_AC_VALS)
+
+
+class _RefBits:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, val: int, n: int) -> None:
+        self.bits.extend((val >> i) & 1 for i in range(n - 1, -1, -1))
+
+    def bytes_stuffed(self) -> bytes:
+        bs = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for o in range(0, len(bs), 8):
+            b = int("".join(map(str, bs[o:o + 8])), 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def _ref_jpeg(w: int, h: int, coefs: np.ndarray, qnat: np.ndarray,
+              dri: int = 0, dqt16: bool = False,
+              extra: bytes = b"") -> bytes:
+    """Assemble a grayscale baseline JPEG from QUANTIZED natural-order
+    coefficient blocks (nb, 8, 8), raster order."""
+    dqt_vals = [int(qnat.reshape(64)[ZIGZAG[i]]) for i in range(64)]
+    if dqt16:
+        dqt = _seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", v) for v in dqt_vals))
+    else:
+        dqt = _seg(0xDB, bytes([0x00]) + bytes(dqt_vals))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (_seg(0xC4, bytes([0x00]) + bytes(_REF_DC_BITS)
+                + bytes(_REF_DC_VALS))
+           + _seg(0xC4, bytes([0x10]) + bytes(_REF_AC_BITS)
+                  + bytes(_REF_AC_VALS)))
+    head = b"\xff\xd8" + extra + dqt + sof + dht
+    if dri:
+        head += _seg(0xDD, struct.pack(">H", dri))
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    chunks, pred, rst = [], 0, 0
+    bw = _RefBits()
+    for bi, blk in enumerate(coefs):
+        if dri and bi and bi % dri == 0:
+            chunks.append(bw.bytes_stuffed())
+            chunks.append(bytes([0xFF, 0xD0 + rst % 8]))
+            rst += 1
+            bw = _RefBits()
+            pred = 0
+        zz = [int(blk.reshape(64)[ZIGZAG[i]]) for i in range(64)]
+        s, lob = _mag(zz[0] - pred)
+        pred = zz[0]
+        c, ln = _REF_DC_CODES[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(lob, s)
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+            else:
+                while run >= 16:
+                    c, ln = _REF_AC_CODES[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                s, lob = _mag(zz[k])
+                c, ln = _REF_AC_CODES[run << 4 | s]
+                bw.put(c, ln)
+                bw.put(lob, s)
+                run = 0
+            k += 1
+        if run:
+            c, ln = _REF_AC_CODES[0x00]
+            bw.put(c, ln)
+    chunks.append(bw.bytes_stuffed())
+    return head + b"".join(chunks) + b"\xff\xd9"
+
+
+def _ref_idct(coefs: np.ndarray, qnat: np.ndarray) -> np.ndarray:
+    """Independent direct-form IDCT (quadruple loop, T.81 A.3.3):
+    quantized blocks (nb, 8, 8) → pixel blocks (nb, 8, 8) int."""
+    deq = coefs.astype(np.float64) * qnat[None, :, :]
+    cu = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    out = np.zeros_like(deq)
+    for x in range(8):
+        for y in range(8):
+            acc = np.zeros(len(deq))
+            for u in range(8):
+                for v in range(8):
+                    acc += (0.25 * cu[u] * cu[v] * deq[:, u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[:, x, y] = acc
+    return np.clip(np.round(out + 128), 0, 255).astype(np.int64)
+
+
+def _blocks_to_plane(blocks: np.ndarray, bw: int, bh: int,
+                     w: int, h: int) -> np.ndarray:
+    return blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(bh * 8, bw * 8)[:h, :w]
+
+
+def test_full_ac_stream_matches_independent_idct():
+    rng = np.random.RandomState(11)
+    qnat = rng.randint(1, 24, size=(8, 8)).astype(np.int64)
+    coefs = np.zeros((6, 8, 8), dtype=np.int64)
+    # dense low-frequency content + scattered high-frequency spikes
+    coefs[:, :4, :4] = rng.randint(-30, 31, size=(6, 4, 4))
+    coefs[:, 7, 7] = rng.randint(-5, 6, size=6)
+    coefs[:, 0, 0] = rng.randint(-200, 201, size=6)
+    blob = _ref_jpeg(21, 11, coefs, qnat)  # bw=3, bh=2 → crop both axes
+    parsed = _jpeg_parse_one(blob)
+    assert parsed is not None
+    w, h, plane = parsed
+    want = _blocks_to_plane(_ref_idct(coefs, qnat), 3, 2, 21, 11)
+    # both sides are float64 IDCTs in different summation orders; JPEG's
+    # own conformance bound is ±1 per sample
+    assert (w, h) == (21, 11)
+    assert np.abs(plane - want).max() <= 1
+
+
+def test_zrl_and_long_runs_decode():
+    coefs = np.zeros((1, 8, 8), dtype=np.int64)
+    zz_positions = [1, 20, 40, 63]  # forces runs > 16 → ZRL symbols
+    flat = np.zeros(64, dtype=np.int64)
+    for p in zz_positions:
+        flat[ZIGZAG[p]] = 7
+    coefs[0] = flat.reshape(8, 8)
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(8, 8, coefs, qnat)
+    parsed = _jpeg_parse_one(blob)
+    assert parsed is not None
+    want = _ref_idct(coefs, qnat)[0]
+    assert np.abs(parsed[2] - want).max() <= 1
+
+
+def test_restart_markers_reset_dc_prediction():
+    # DC-only blocks; without the per-restart predictor reset the
+    # decoded DC chain (and so the sums) would differ
+    coefs = np.zeros((4, 8, 8), dtype=np.int64)
+    coefs[:, 0, 0] = [80, -40, 60, -90]
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(32, 8, coefs, qnat, dri=2)
+    assert b"\xff\xd0" in blob  # a real RST0 is present
+    parsed = _jpeg_parse_one(blob)
+    assert parsed is not None
+    want = _blocks_to_plane(_ref_idct(coefs, qnat), 4, 1, 32, 8)
+    assert np.array_equal(parsed[2], want)
+
+
+def test_16bit_dqt_and_skipped_segments():
+    coefs = np.zeros((1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0] = 40
+    qnat = np.full((8, 8), 300, dtype=np.int64)  # needs 16-bit precision
+    extra = (_seg(0xE1, b"Exif\x00\x00junk") + _seg(0xFE, b"a comment"))
+    blob = _ref_jpeg(8, 8, coefs, qnat, dqt16=True, extra=extra)
+    parsed = _jpeg_parse_one(blob)
+    assert parsed is not None
+    want = _ref_idct(coefs, qnat)[0]
+    assert np.array_equal(parsed[2], want)
+
+
+def test_rejects_unsupported_layouts():
+    coefs = np.zeros((1, 8, 8), dtype=np.int64)
+    qnat = np.ones((8, 8), dtype=np.int64)
+    good = _ref_jpeg(8, 8, coefs, qnat)
+    # progressive SOF2 / three components / 2x2 subsampling / no EOI
+    sof0 = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    prog = good.replace(sof0, _seg(0xC2, struct.pack(
+        ">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])))
+    tri = good.replace(sof0, _seg(0xC0, struct.pack(
+        ">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])))
+    sub = good.replace(sof0, _seg(0xC0, struct.pack(
+        ">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0])))
+    no_eoi = good[:-2]
+    out = _decode([prog, tri, sub, no_eoi, good])
+    assert list(out.jpeg_ok) == [False, False, False, False, True]
+
+
+def test_module_round_trip_is_exact():
+    texts = [b"hello jpeg world", b"a", b"", b"xyz" * 50, bytes(range(256))]
+    pdf = pd.DataFrame({"doc_id": list(range(len(texts))),
+                        "payload": texts})
+    enc = pd.concat(jpeg_encode_batch(iter([pdf])))
+    out = pd.concat(jpeg_decode_batch(iter([enc]))).reset_index(drop=True)
+    assert out.jpeg_ok.all()
+    for i, text in enumerate(texts):
+        w, h = _JPEG_DIMS[i % 3]
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+
+        def byte(m):
+            return text[m % len(text)] if text else 0
+
+        pix = sum(byte(m) * min(8, w - (m % bw) * 8)
+                  * min(8, h - (m // bw) * 8) for m in range(bw * bh))
+        row = out.iloc[i]
+        assert (row.width, row.height, row.n_blocks) == (w, h, bw * bh)
+        assert row.row0_sum == sum(byte(m) * min(8, w - m * 8)
+                                   for m in range(bw))
+        assert row.pixel_sum == pix, i
+
+
+def test_module_encoder_stuffs_ff_bytes():
+    # payloads found by search whose DC bit patterns pack an 0xFF scan
+    # byte — the encoder must stuff it and the decoder must unstuff it
+    texts = [bytes.fromhex(t) for t in ("b132", "b0f87821", "4285c2")]
+    pdf = pd.DataFrame({"doc_id": [2] * len(texts), "payload": texts})
+    enc = pd.concat(jpeg_encode_batch(iter([pdf])))
+    stuffed = 0
+    for blob in enc.payload:
+        blob = bytes(blob)
+        scan = blob[blob.rindex(b"\xff\xda") + 14:-2]
+        assert b"\xff" not in scan.replace(b"\xff\x00", b"")
+        stuffed += scan.count(b"\xff\x00")
+    assert stuffed >= 3
+    out = pd.concat(jpeg_decode_batch(iter([enc])))
+    assert out.jpeg_ok.all()
+
+
+def test_decode_fuzz_truncations_of_valid_file():
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [b"truncation fuzz"]})
+    good = bytes(pd.concat(jpeg_encode_batch(iter([pdf]))).payload.iloc[0])
+    outs = _decode([good[:n] for n in range(len(good))] + [good])
+    assert not outs.jpeg_ok.iloc[:-1].any()
+    assert bool(outs.jpeg_ok.iloc[-1])
+
+
+def test_decode_fuzz_random_and_bitflips_never_crash():
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"bitflip target"]})
+    good = bytes(pd.concat(jpeg_encode_batch(iter([pdf]))).payload.iloc[0])
+    payloads = [rng.bytes(rng.randint(0, 250)) for _ in range(150)]
+    payloads += [b"\xff\xd8" + rng.bytes(rng.randint(0, 250))
+                 for _ in range(150)]
+    for _ in range(200):  # single-bit flips of a valid file
+        i = rng.randint(len(good))
+        payloads.append(good[:i] + bytes([good[i] ^ (1 << rng.randint(8))])
+                        + good[i + 1:])
+    out = _decode(payloads)
+    # decoding must never raise; flipped files either fail or still parse
+    # (flips in skipped APP0 bytes are legitimately invisible)
+    assert len(out) == len(payloads)
+    assert not out.jpeg_ok.iloc[:300].any()

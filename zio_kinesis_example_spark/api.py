@@ -782,12 +782,18 @@ def connected_components(edges: DataFrame, src: str = "src",
         str(max(2, spark.sparkContext.defaultParallelism // 8))))
 
     def orient(df: DataFrame, a: str, b: str) -> DataFrame:
-        """Canonical (u > v) undirected edge set, self-loops dropped."""
+        """Canonical (u > v) undirected edge set, self-loops dropped.
+
+        Ids are cast to long BEFORE greatest/least so string-typed ids
+        orient numerically, not lexicographically ('9' vs '10').
+        """
+        ca, cb = F.col(a).cast("long"), F.col(b).cast("long")
         return (
-            df.filter(F.col(a).isNotNull() & F.col(b).isNotNull()
-                      & (F.col(a) != F.col(b)))
-            .select(F.greatest(a, b).cast("long").alias("u"),
-                    F.least(a, b).cast("long").alias("v"))
+            df.select(ca.alias("_a"), cb.alias("_b"))
+            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
+                    & (F.col("_a") != F.col("_b")))
+            .select(F.greatest("_a", "_b").alias("u"),
+                    F.least("_a", "_b").alias("v"))
             .distinct()
         )
 
@@ -826,9 +832,14 @@ def connected_components(edges: DataFrame, src: str = "src",
             # decimal(38,0) sum: exact and overflow-free under ANSI mode
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        e = small
+        prev_e, e = e, small
         if (sig.n, sig.h) == prev_sig:
-            break
+            # the (count, hash-sum) signature is probabilistic; confirm
+            # the fixpoint exactly with one anti-join (both sides are
+            # distinct sets of equal count, so one side suffices).
+            # Runs at most once per true fixpoint — O(final edge set).
+            if small.join(prev_e, ["u", "v"], "left_anti").limit(1).count() == 0:
+                break
         prev_sig = (sig.n, sig.h)
 
     # at fixpoint every non-root appears as u exactly once with v = root

@@ -267,23 +267,41 @@ _LOOSE_PERSISTS: list[tuple[SparkSession, DataFrame]] = []
 #: once the registry exceeds this many entries the oldest are evicted
 #: (unpersisted) on the next _track_persist call, so a long-lived session
 #: pins at most a bounded set of cache blocks. Eviction is performance-
-#: only (the frame recomputes); the cap is generous because CacheManager
-#: is plan-keyed and an evicted old frame whose plan equals a LIVE
-#: entry's would drop that entry's blocks too.
+#: only (the frame recomputes). CacheManager is plan-keyed, so evicting
+#: a frame whose semantic plan equals a still-live tracked frame's would
+#: drop the live frame's blocks too — _track_persist therefore skips the
+#: unpersist (but still drops the reference) when any live tracked entry
+#: sameSemantics-matches the evictee.
 _LOOSE_PERSISTS_CAP = 32
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True when the two frames share a semantic plan (CacheManager key)."""
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     """persist() a frame and register it for clear_shared_cache release
-    (or capped LRU eviction — see _LOOSE_PERSISTS_CAP)."""
+    (or capped, plan-aware LRU eviction — see _LOOSE_PERSISTS_CAP)."""
     df = df.persist()
     with _SHARED_LOCK:
         _LOOSE_PERSISTS.append((df.sparkSession, df))
         while len(_LOOSE_PERSISTS) > _LOOSE_PERSISTS_CAP:
             sess, old = _LOOSE_PERSISTS.pop(0)
-            if not _session_stopped(sess):
-                with contextlib.suppress(Exception):
-                    old.unpersist()
+            if _session_stopped(sess):
+                continue
+            live = [d for s, d in _LOOSE_PERSISTS if s is sess]
+            live += [d for s, d, _ in _SHARED.values() if s is sess]
+            if any(_same_plan(old, d) for d in live):
+                # unpersisting would evict the live twin's blocks too
+                # (plan-keyed CacheManager); dropping the reference is
+                # enough to keep the registry bounded.
+                continue
+            with contextlib.suppress(Exception):
+                old.unpersist()
     return df
 
 

@@ -121,21 +121,30 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """JPEG/WebP decode — requires PIL/opencv, absent in this container.
+    """Dependency-free real decode dispatch. BASELINE JPEG (the dominant
+    real-world corpus format) is decoded for real since round 7 —
+    ``multimodal_jpeg._jpeg_parse_one`` (Huffman + dequant + IDCT) —
+    returning (width, height, pixel_plane). The rest of the real codec
+    family is live beside it: BMP (below), PPM (pipeline_ext5), RIFF/
+    WAVE PCM (pipeline_ext), PNG (multimodal_png: zlib inflate + all
+    five filter inverses), GIF (multimodal_gif: full variable-width
+    LZW). Only formats this environment cannot decode without
+    third-party libraries (WebP/AVIF, progressive or subsampled JPEG)
+    remain behind NotImplementedError."""
+    if payload[:2] == b"\xff\xd8":
+        from .multimodal_jpeg import _jpeg_parse_one
 
-    Kept as the documented swap-in point for ``fake_decode_batch``. The
-    dependency-free REAL codec family is live beside it: uncompressed
-    BMP (below) and PPM (pipeline_ext5), RIFF/WAVE PCM (pipeline_ext),
-    and — since round 6 — genuinely COMPRESSED formats: PNG
-    (multimodal_png: stdlib zlib inflate + all five filter inverses)
-    and GIF (multimodal_gif: full variable-width LZW). Only
-    DCT/arithmetic-coded formats (JPEG) remain behind this stub.
-    """
+        parsed = _jpeg_parse_one(bytes(payload))
+        if parsed is not None:
+            return parsed
+        raise NotImplementedError(
+            "not a decodable baseline JPEG (progressive, subsampled, or "
+            "multi-component streams need PIL/opencv, absent here)")
     raise NotImplementedError(
-        "JPEG/WebP codecs are not installed in this environment; "
-        "swap fake_decode_batch for a codec-backed implementation "
-        "(the BMP/PPM/PNG/GIF/WAV paths are real and live — see "
-        "multimodal_png.py / multimodal_gif.py for the compressed ones)"
+        "WebP/AVIF codecs are not installed in this environment; the "
+        "dependency-free real-codec family covers BMP/PPM/WAV/PNG/GIF/"
+        "baseline-JPEG — see multimodal_png.py / multimodal_gif.py / "
+        "multimodal_jpeg.py for the compressed ones"
     )
 
 

@@ -108,4 +108,6 @@ def _ensure_loaded() -> None:
     # round-6 additions, last for the same serve-order reason.
     from .operators import multimodal_png  # noqa: F401
     from .operators import multimodal_gif  # noqa: F401
+    # round-7 addition, last for the same serve-order reason.
+    from .operators import multimodal_jpeg  # noqa: F401
     _loaded = True
