@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 
 from zio_kinesis_example_spark.operators.multimodal_gif import (
-    _GRAY_PALETTE, _lzw_store, _sub_blocks, gif_decode_batch,
+    _GRAY_PALETTE, _lzw_decode, _lzw_store, _sub_blocks, gif_decode_batch,
     gif_encode_batch,
 )
 
@@ -193,6 +193,24 @@ def test_encoder_emits_genuine_gif_bytes():
     w, h = struct.unpack_from("<HH", blob, 6)
     assert (w, h) == (11, 4)
     assert blob[13 + 768 + 10] == 0x08  # min code size after image desc
+
+
+def test_encoder_compresses_genuinely_and_generally():
+    # the production encoder is real LZW: on cyclic planes it must beat
+    # store-mode handily, and it must round-trip ARBITRARY index
+    # streams — including ones long/random enough to force width growth
+    # to 12 bits and a dictionary-full clear
+    rng = np.random.RandomState(5)
+    cases = [b"", b"\x00", b"aaaaaaa" * 100,
+             bytes(rng.randint(0, 256, 20000, dtype=np.uint8)),
+             (b"cyclic text " * 900)[:10000]]
+    from zio_kinesis_example_spark.operators.multimodal_gif import (
+        _lzw_compress,
+    )
+    for data in cases:
+        assert _lzw_decode(_lzw_compress(data), 8, len(data)) == data
+    plane = (b"hello gif world " * 20)[:243]
+    assert len(_lzw_compress(plane)) < len(_lzw_store(plane)) / 2
 
 
 def test_decode_fuzz_random_bytes_never_crash():

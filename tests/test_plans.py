@@ -382,11 +382,14 @@ def test_bmp_codec_plan_is_exchange_free(spark):
     assert plan.count("MapInPandas") == 2
 
 
-def test_ppm_codec_plan_is_exchange_free(spark):
-    """Same contract for the PPM round trip: a pure map pipeline, no
-    Exchange at any scale, both kernels Arrow-batched."""
+def test_ppm_codec_plan_is_spread_map_pipeline(spark):
+    """The PPM round trip plans like the PNG/GIF compressed codecs:
+    ONE explicit round-robin exchange (core spread — a single-file scan
+    would run the whole codec on one core, the round-7 idle-bench
+    anomaly) then two chained Arrow-batched kernels."""
     plan = _plan(spark, "q_multimodal_decode_ppm", "simple")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
     assert plan.count("MapInPandas") == 2
 
 
@@ -642,7 +645,8 @@ def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
     parquet scan → ONE round-robin exchange (the explicit core-spread
     for per-file deflate/LZW CPU) → two chained mapInPandas stages. Any
     second exchange or an unpruned scan is a regression."""
-    for name in ("q_multimodal_decode_png", "q_multimodal_decode_gif"):
+    for name in ("q_multimodal_decode_png", "q_multimodal_decode_gif",
+                  "q_multimodal_decode_jpeg"):
         plan = _plan(spark, name)
         # formatted mode names each node twice (tree + detail): "X (n)"
         # in the tree, "(n) X" in the detail — count tree entries only

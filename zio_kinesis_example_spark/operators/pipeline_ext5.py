@@ -91,10 +91,14 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     2's header embeds a comment, so comment handling sits on the
     hash-checked path.
 
-    Scale shape: two chained ``mapInPandas`` kernels, zero shuffles
-    (the BMP plan test's pattern); Arrow batches stream through numpy
-    flat-buffer passes, constant memory per task, no per-row Python."""
+    Scale shape: two chained ``mapInPandas`` kernels over SPREAD
+    partitions (the llm_dedup._spread rule: a single-parquet-file scan
+    would run the whole codec on one core — measured 2.7 s cold /
+    load-sensitive vs ~1.2 s spread at sf0.1); Arrow batches stream
+    through numpy flat-buffer passes, constant memory per task, no
+    per-row Python."""
     ppms = binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .repartition(spark.sparkContext.defaultParallelism) \
         .mapInPandas(ppm_encode_batch, schema=StructType([
             StructField("doc_id", LongType()),
             StructField("payload", BinaryType()),
