@@ -851,3 +851,115 @@ def test_upsert_sink_gc_keeps_current_and_previous(spark,
     assert dirs == ["v2", "v3"]
     assert sink.current_version() == "v3"
     assert [r.v for r in sink.current(spark).collect()] == ["v3"]
+
+
+_KILL_CHILD = '''
+import os, signal, sys, time
+sys.path.insert(0, "/root/repo")
+src, ckpt, state, flag = sys.argv[1:5]
+from pyspark.sql import SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
+from zio_kinesis_example_spark.streaming import (
+    UpsertSink, decode_json, shard_source,
+)
+
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+schema = StructType([StructField("id", IntegerType()),
+                     StructField("val", IntegerType())])
+
+
+class KillingSink(UpsertSink):
+    """First delivery of batch 1: let the snapshot write complete, then
+    SIGKILL the JVM BEFORE the pointer swap (and before Structured
+    Streaming commits the batch offsets) - a genuine mid-batch crash."""
+
+    def __call__(self, batch, batch_id):
+        if batch_id == 1 and not os.path.exists(flag):
+            open(flag, "w").close()
+            real = os.replace
+
+            def bomb(a, b):
+                os.kill(spark.sparkContext._gateway.proc.pid,
+                        signal.SIGKILL)
+                time.sleep(120)  # the dying JVM never sees the swap
+
+            os.replace = bomb
+            try:
+                super().__call__(batch, batch_id)
+            finally:
+                os.replace = real
+        else:
+            super().__call__(batch, batch_id)
+
+
+sink = KillingSink(state, key="id", seq_col="val")
+valid, _ = decode_json(shard_source(spark, src, max_files_per_trigger=2),
+                       schema)
+q = (valid.select("id", "val").writeStream.foreachBatch(sink)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start())
+q.awaitTermination(300)
+spark.stop()
+print("CLEAN-EXIT")
+'''
+
+
+def test_upsert_sink_survives_mid_batch_jvm_kill(tmpdir_factory_local,
+                                                 spark):
+    """Chaos twin of the replay-idempotence test: a REAL SIGKILL of the
+    JVM inside foreachBatch - after batch 1's snapshot write, before the
+    pointer swap and the offset commit (the reference's bracket/ensuring
+    window, CheckpointOnChunkEndStreamClient.scala:58-72). The restart
+    must replay batch 1 onto the still-published predecessor snapshot
+    and converge to exactly the latest-per-key state, with the torn
+    generation never visible to readers."""
+    import os
+    import subprocess
+    import sys
+
+    from zio_kinesis_example_spark.streaming import ShardDirProducer, UpsertSink
+
+    src = tmpdir_factory_local("kill-src")
+    ckpt = tmpdir_factory_local("kill-ckpt")
+    state = tmpdir_factory_local("kill-state")
+    flag = os.path.join(state, "_killed")
+    child = os.path.join(state, "_child.py")
+    with open(child, "w") as f:
+        f.write(_KILL_CHILD)
+    prod = ShardDirProducer(src, n_shards=2, batch_size=20,
+                            payload_fn=lambda i: {"id": i % 10, "val": i})
+    prod.produce_all(120)  # 6 files -> 3 two-file micro-batches
+    # FileStreamSource orders files by MILLISECOND mtime; files written
+    # back-to-back tie and the batch composition becomes arbitrary
+    # (observed: {file2, file5} in one batch). The sink's CDC contract
+    # is last-DELIVERED-wins, so the expected final state below needs
+    # delivery order = production order: space the mtimes one second
+    # apart.
+    import time
+    base = time.time() - 600
+    for k, name in enumerate(sorted(os.listdir(src))):
+        os.utime(os.path.join(src, name), (base + k, base + k))
+
+    run = [sys.executable, child, src, ckpt, state, flag]
+    first = subprocess.run(run, capture_output=True, text=True, timeout=600)
+    assert os.path.exists(flag), first.stderr[-2000:]
+    assert first.returncode != 0  # the JVM really died mid-batch
+    assert "CLEAN-EXIT" not in first.stdout
+    # crash window state: batch 1's snapshot landed durably but was
+    # never published - readers still see batch 0's
+    sink = UpsertSink(state, key="id", seq_col="val")
+    assert sink.current_version() == "v0"
+    assert os.path.isdir(os.path.join(state, "v1"))
+
+    second = subprocess.run(run, capture_output=True, text=True, timeout=600)
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert "CLEAN-EXIT" in second.stdout
+    # batch 1 replayed into a fresh generation (never in-place over the
+    # torn v1) and the run drained every file: exactly-once final state
+    got = {r["id"]: r["val"] for r in sink.current(spark).collect()}
+    assert got == {k: (120 if k == 0 else 110 + k) for k in range(10)}
+    assert sink.current_version() == "v2"
