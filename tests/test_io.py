@@ -169,6 +169,29 @@ def test_csv_roundtrip_newlines_empty_and_null(spark, tmpdir_factory_local):
     assert got == {1: "line one\nline two", 2: "", 3: None, 4: "plain"}
 
 
+def test_csv_sentinel_limitation_is_pinned(spark, tmpdir_factory_local):
+    """The DOCUMENTED in-band-sentinel limit (io.py write_table): a
+    string cell that is literally backslash-N serializes identically to
+    a NULL (the writer does not escape backslashes; the reader applies
+    nullValue after unquoting) and reads back as NULL. Pinned so the
+    behavior is an explicit contract, not an accident — payloads that
+    may contain the sentinel belong in parquet."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zio_kinesis_example_spark.io import read_table, write_table
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("s", StringType()),
+    ])
+    df = spark.createDataFrame([(1, "\\N"), (2, None)], schema)
+    d = str(tmpdir_factory_local("csv-sentinel"))
+    write_table(df, d, fmt="csv")
+    got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
+                                         schema=schema).collect()}
+    assert got == {1: None, 2: None}
+
+
 def test_write_table_rejects_zero_coalesce(spark, tmpdir_factory_local):
     import pytest as _pytest
 

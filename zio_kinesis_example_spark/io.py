@@ -43,7 +43,19 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if fmt == "csv":
         # nullValue sentinel keeps NULL distinguishable from '' on the
         # round trip (default writes both as empty); the matching reader
-        # options are set in read_table
+        # options are set in read_table.
+        #
+        # DOCUMENTED LIMITATION — the sentinel is in-band: a string cell
+        # whose value is LITERALLY backslash-N serializes identically to
+        # a NULL (Spark's CSV writer does not escape backslashes, and
+        # quoteAll does not disambiguate either: the reader applies
+        # nullValue after unquoting — verified empirically). Such values
+        # read back as NULL. CSV is the lossy interchange edge of this
+        # engine; payloads that may contain the sentinel belong in
+        # parquet/ORC (lossless) or need caller-side escaping. Likewise,
+        # CSV directories written before the sentinel existed store NULL
+        # as '' and must be rewritten to round-trip under read_table's
+        # current options.
         writer = (writer.option("header", "true")
                   .option("nullValue", "\\N"))
     if partition_by:
