@@ -400,14 +400,29 @@ def test_ann_bench_plans_skip_exact_twin(spark):
     import contextlib
     import io
 
-    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
-        spec = all_specs()[name]
-        assert spec.bench_fn is not None
-        df = spec.bench_fn(spark, SF_SMALL)
+    import re
+
+    def n_bnlj(df) -> int:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        assert "BroadcastNestedLoopJoin" not in buf.getvalue(), name
+        # formatted mode names each node twice (tree entries carry the
+        # join mode between name and id) — count detail entries only
+        return len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin",
+                              buf.getvalue()))
+
+    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
+        spec = all_specs()[name]
+        assert spec.bench_fn is not None
+        assert n_bnlj(spec.bench_fn(spark, SF_SMALL)) == 0, name
+    # PQ-ADC's scan is LEGITIMATELY a broadcast nested-loop — over
+    # 16-bit CODES with O(1) table lookups per pair, not per-pair
+    # vector folds. The bench plan must carry exactly that ONE, while
+    # the recall-contract form adds the exact baseline's second BNLJ.
+    pq = all_specs()["q_sim_ann_pq"]
+    assert pq.bench_fn is not None
+    assert n_bnlj(pq.bench_fn(spark, SF_SMALL)) == 1
+    assert n_bnlj(pq.fn(spark, SF_SMALL)) >= 2
 
 
 def test_interval_overlap_is_bucket_equi_join(spark):

@@ -13,6 +13,13 @@ Scale design:
   literals) → candidates = bucket-mates (single shuffle on signature) →
   exact cosine re-rank within bucket. Sub-linear probe cost; recall vs the
   brute-force baseline is asserted in tests/test_similarity.py.
+- **IVF** (q_sim_ann_ivf): Lloyd-trained coarse quantizer (nlist cells,
+  O(nlist·dim) driver codebook), nprobe cells probed per query — the
+  FAISS IVF shape, sub-linear candidate generation.
+- **PQ-ADC** (q_sim_ann_pq): product-quantized codes (16 bits/vector)
+  scanned with per-query lookup tables (asymmetric distance), exact
+  integer refine of the shortlist — the memory-bound FAISS IndexPQ
+  shape; the scan never moves vectors.
 
 All vector math in JVM higher-order functions over array<double> — no
 Python, no UDF; Arrow only at the result edge.
@@ -454,6 +461,150 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ the documented floor, constant TRUE in the DuckDB oracle."""
     return _recall_contract(
         spark, sf_dir, _ann_ivf_plan(spark, sf_dir), _IVF_RECALL_FLOOR)
+
+
+# --------------------------------------------------------------------------
+# q_sim_ann_pq — PQ-ADC approximate top-k with exact refine (round 7)
+# --------------------------------------------------------------------------
+_PQ_ANN_M = 4        # subspaces (64-d → four 16-d slices; 16 bits/vector)
+_PQ_ANN_K = 16       # codebook entries per subspace
+_PQ_ANN_SUB = 16
+_PQ_ANN_REFINE = 100  # ADC shortlist per query, exactly re-ranked
+# Measured overall recall@5 vs the exact baseline (deterministic —
+# hash-sampled codebooks, no run-to-run variance): 0.66 / 0.74 / 0.27
+# at sf0.001/0.01/0.1 (random 64-d vectors are the documented worst
+# case, and a FIXED refine window covers a shrinking corpus fraction as
+# sf grows). Floor sits below every measured point, the LSH/IVF
+# convention.
+_PQ_ANN_RECALL_FLOOR = 0.20
+
+
+def _pq_subdist(s: int, c: list[int]) -> str:
+    """Exact integer squared distance between subvector ``s`` of the
+    quantized column ``qv`` and the literal codebook entry ``c``."""
+    lo = s * _PQ_ANN_SUB + 1
+    lits = ", ".join(str(int(x)) for x in c)
+    return (f"aggregate(zip_with(slice(qv, {lo}, {_PQ_ANN_SUB}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, t) -> acc + t)")
+
+
+def _ann_pq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (FAISS IndexPQ + refine): the
+    third ANN engine next to LSH and IVF, covering the memory-bound
+    regime — the corpus is represented by M·log2(K) = 16 BITS per vector
+    during the scan, not 512 bytes of floats.
+
+    Index: per-subspace codebooks hash-sampled like the IVF seed
+    (xxhash64 order — deterministic, O(K·subdim) driver state; Lloyd
+    training drops in via the q_embed_kmeans machinery exactly as IVF's
+    quantizer did in r6). Corpus codes are ONE stateless scan with the
+    codebooks as literals (api.pq_assign's kernel) — zero shuffles, the
+    map-side-codes shape PQ runs at 100 TB.
+
+    Search (asymmetric distance computation): each query precomputes a
+    K-entry lookup table of exact integer sub-distances per subspace;
+    the candidate stream is corpus codes × broadcast queries, scoring
+    each pair with M array lookups + adds — O(1) per candidate instead
+    of O(dim), and the stream carries (ids, 2 codes), never vectors.
+    The per-query ADC top-``_PQ_ANN_REFINE`` shortlist (WindowGroupLimit
+    pushes the rank filter map-side) is then re-ranked EXACTLY: the
+    shortlist-sized frame joins back the quantized vectors and scores
+    with the integer-exact cosine of q_sim_cosine_topk — so the output
+    ranking is deterministic and parity-safe even though ADC distances
+    are approximate.
+
+    DETERMINISM: codebooks, codes, LUTs, ADC distances, and the refine
+    cosine are all exact integer arithmetic on floor(x·1e6) components
+    (|dot| ≤ 64·1e12 < 2⁵³); every tie breaks on neighbor_id."""
+    e = _emb(spark, sf_dir)
+    q = e.select("vec_id", F.expr(_QUANT.replace("embedding", "emb"))
+                 .alias("qv"))
+    cents = q.orderBy(F.xxhash64("vec_id"), "vec_id") \
+        .limit(_PQ_ANN_K).collect()
+    books = [[list(r.qv[s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB])
+              for r in cents] for s in range(_PQ_ANN_M)]
+
+    def code_col(s: int):
+        structs = ", ".join(
+            f"named_struct('d', {_pq_subdist(s, c)}, 'c', {j})"
+            for j, c in enumerate(books[s]))
+        return F.expr(f"array_min(array({structs})).c")
+
+    def lut_col(s: int):
+        entries = ", ".join(_pq_subdist(s, c) for c in books[s])
+        return F.expr(f"array({entries})")
+
+    # spread before the per-row interpreted code folds (the
+    # q_sim_cosine_topk rule: a single parquet file scans as ONE
+    # partition and the whole ADC scan serializes onto one core —
+    # measured 4.0 s → 1.5 s at sf0.1)
+    corpus = q.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", "qv",
+        *[code_col(s).alias(f"c{s}") for s in range(_PQ_ANN_M)])
+    queries = (
+        q.filter(F.expr(_QUERY_FILTER))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("qv").alias("qqv"),
+                *[lut_col(s).alias(f"lut{s}") for s in range(_PQ_ANN_M)])
+    )
+    # ADC scan: broadcast query set × corpus CODES (the q_sim_cosine_topk
+    # crossJoin shape — corpus streams map-side, nothing shuffles but the
+    # 24-byte-per-row candidate stream into the per-query top-R window)
+    adc_expr = sum(
+        (F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
+         for s in range(1, _PQ_ANN_M)),
+        F.element_at("lut0", F.col("c0") + 1))
+    cand = (
+        corpus.select("vec_id", *[f"c{s}" for s in range(_PQ_ANN_M)])
+        .crossJoin(F.broadcast(queries.drop("qqv")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                adc_expr.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id"))
+    short = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _PQ_ANN_REFINE)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine: shortlist-sized joins only (|Q|·R rows re-read their
+    # vectors; the full corpus never moves)
+    refined = (
+        short.join(q.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("qv").alias("nv")), "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "qqv")), "query_id")
+    )
+    dot = F.expr("aggregate(zip_with(qqv, nv, (x, y) -> x * y), "
+                 "0L, (s, v) -> s + v)")
+    na = F.expr("aggregate(qqv, 0L, (s, v) -> s + v * v)")
+    nb = F.expr("aggregate(nv, 0L, (s, v) -> s + v * v)")
+    s_col = F.when((na == F.lit(0)) | (nb == F.lit(0)), F.lit(0.0)) \
+        .otherwise(dot.cast("double")
+                   / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id"))
+    return (
+        refined.select("query_id", "neighbor_id", s_col.alias("s"))
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id",
+                F.round("s", 6).alias("cosine"), "rnk")
+    )
+
+
+@query("q_sim_ann_pq", oracle=_ANN_RECALL_ORACLE,
+       tags=("similarity", "approx"), bench_fn=_ann_pq_plan)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k with the hash-checkable recall contract
+    (see _ann_pq_plan — bench.py times the pure ADC+refine plan): one
+    row asserting overall recall@k vs the exact baseline is ≥ the
+    documented floor, constant TRUE in the DuckDB oracle. Completes the
+    ANN family's FAISS shape: LSH (hash-bucketed), IVF (cell-probed),
+    PQ (code-compressed ADC scan + exact refine)."""
+    return _recall_contract(
+        spark, sf_dir, _ann_pq_plan(spark, sf_dir), _PQ_ANN_RECALL_FLOOR)
 
 
 _KM_K = 8            # clusters
