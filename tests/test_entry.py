@@ -108,7 +108,7 @@ print(json.dumps(mods))
     mods = json.loads(out)
     waves = ["pipeline_ext", "pipeline_ext2", "pipeline_ext3",
              "pipeline_ext4", "pipeline_ext5", "multimodal_png",
-             "multimodal_gif"]
+             "multimodal_gif", "multimodal_jpeg"]
     for w in waves:
         assert w in mods, f"wave {w} registered no queries"
     # every wave module's queries sit after ALL non-wave queries...
