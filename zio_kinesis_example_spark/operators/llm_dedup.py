@@ -249,7 +249,7 @@ def clear_shared_cache(unpersist: bool = True) -> int:
                     df.unpersist()
         _SHARED.clear()
         _SHARED_KEY_LOCKS.clear()
-        for sess, df in _LOOSE_PERSISTS:
+        for sess, df, _h in _LOOSE_PERSISTS:
             if unpersist and not _session_stopped(sess):
                 with contextlib.suppress(Exception):
                     df.unpersist()
@@ -261,7 +261,7 @@ def clear_shared_cache(unpersist: bool = True) -> int:
 #: signature frame simhash_pairs caches per call): registered here so
 #: clear_shared_cache() gives library/test callers the same release hook
 #: the bench and driver loops already use.
-_LOOSE_PERSISTS: list[tuple[SparkSession, DataFrame]] = []
+_LOOSE_PERSISTS: list[tuple[SparkSession, DataFrame, int | None]] = []
 
 #: Backstop for library callers that never call clear_shared_cache():
 #: once the registry exceeds this many entries the oldest are evicted
@@ -276,11 +276,25 @@ _LOOSE_PERSISTS_CAP = 32
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
-    """True when the two frames share a semantic plan (CacheManager key)."""
+    """True when the two frames share a semantic plan (CacheManager key).
+    Indeterminate (exception) counts as a MATCH: the caller's safe
+    action on a match is to SKIP eviction, and a bounded reference leak
+    beats unpersisting a possibly-live twin's blocks — the same default
+    _shared() takes for its own indeterminate case."""
     try:
         return a.sameSemantics(b)
     except Exception:
-        return False
+        return True
+
+
+def _sem_hash(df: DataFrame) -> int | None:
+    """Cached-at-track-time semantic hash (None = unknown): a local int
+    compare prefilters the per-eviction sameSemantics py4j round-trips
+    down to hash ties."""
+    try:
+        return df.semanticHash()
+    except Exception:
+        return None
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
@@ -288,12 +302,15 @@ def _track_persist(df: DataFrame) -> DataFrame:
     (or capped, plan-aware LRU eviction — see _LOOSE_PERSISTS_CAP)."""
     df = df.persist()
     with _SHARED_LOCK:
-        _LOOSE_PERSISTS.append((df.sparkSession, df))
+        _LOOSE_PERSISTS.append((df.sparkSession, df, _sem_hash(df)))
         while len(_LOOSE_PERSISTS) > _LOOSE_PERSISTS_CAP:
-            sess, old = _LOOSE_PERSISTS.pop(0)
+            sess, old, oh = _LOOSE_PERSISTS.pop(0)
             if _session_stopped(sess):
                 continue
-            live = [d for s, d in _LOOSE_PERSISTS if s is sess]
+            # hash prefilter keeps this O(1) py4j calls in the common
+            # case; a None hash (unknown) is a potential tie
+            live = [d for s, d, h in _LOOSE_PERSISTS
+                    if s is sess and (oh is None or h is None or h == oh)]
             live += [d for s, d, _ in _SHARED.values() if s is sess]
             if any(_same_plan(old, d) for d in live):
                 # unpersisting would evict the live twin's blocks too

@@ -535,12 +535,14 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries = ", ".join(_pq_subdist(s, c) for c in books[s])
         return F.expr(f"array({entries})")
 
-    # spread before the per-row interpreted code folds (the
-    # q_sim_cosine_topk rule: a single parquet file scans as ONE
-    # partition and the whole ADC scan serializes onto one core —
-    # measured 4.0 s → 1.5 s at sf0.1)
-    corpus = q.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id", "qv",
+    # spread before the per-row interpreted code folds (llm_dedup._spread:
+    # a single parquet file scans as ONE partition and the whole ADC scan
+    # serializes onto one core — measured 4.0 s → 2.6 s warm at sf0.1).
+    # Codes only: the candidate stream must never carry vectors.
+    from .llm_dedup import _spread
+
+    corpus = _spread(spark, q).select(
+        "vec_id",
         *[code_col(s).alias(f"c{s}") for s in range(_PQ_ANN_M)])
     queries = (
         q.filter(F.expr(_QUERY_FILTER))

@@ -121,30 +121,35 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """Dependency-free real decode dispatch. BASELINE JPEG (the dominant
-    real-world corpus format) is decoded for real since round 7 —
+    """Dependency-free real decode dispatch. Single-component (grayscale)
+    BASELINE JPEG is decoded for real since round 7 —
     ``multimodal_jpeg._jpeg_parse_one`` (Huffman + dequant + IDCT) —
     returning (width, height, pixel_plane). The rest of the real codec
     family is live beside it: BMP (below), PPM (pipeline_ext5), RIFF/
     WAVE PCM (pipeline_ext), PNG (multimodal_png: zlib inflate + all
     five filter inverses), GIF (multimodal_gif: full variable-width
-    LZW). Only formats this environment cannot decode without
-    third-party libraries (WebP/AVIF, progressive or subsampled JPEG)
-    remain behind NotImplementedError."""
+    LZW). A JPEG-magic payload that fails the parse raises ValueError
+    (corrupt data or a layout outside the decoder's scope — progressive,
+    subsampled, or multi-component YCbCr — are indistinguishable without
+    PIL/opencv and neither is a caller bug this function can repair);
+    only formats with no decoder here at all (WebP/AVIF) raise
+    NotImplementedError."""
     if payload[:2] == b"\xff\xd8":
         from .multimodal_jpeg import _jpeg_parse_one
 
         parsed = _jpeg_parse_one(bytes(payload))
         if parsed is not None:
             return parsed
-        raise NotImplementedError(
-            "not a decodable baseline JPEG (progressive, subsampled, or "
-            "multi-component streams need PIL/opencv, absent here)")
+        raise ValueError(
+            "JPEG payload did not decode: either a corrupt/truncated "
+            "stream, or a layout outside the dependency-free decoder's "
+            "scope (progressive, subsampled, or multi-component YCbCr "
+            "need PIL/opencv, absent here)")
     raise NotImplementedError(
         "WebP/AVIF codecs are not installed in this environment; the "
         "dependency-free real-codec family covers BMP/PPM/WAV/PNG/GIF/"
-        "baseline-JPEG — see multimodal_png.py / multimodal_gif.py / "
-        "multimodal_jpeg.py for the compressed ones"
+        "grayscale-baseline-JPEG — see multimodal_png.py / "
+        "multimodal_gif.py / multimodal_jpeg.py for the compressed ones"
     )
 
 

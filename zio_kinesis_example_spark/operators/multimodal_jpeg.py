@@ -523,10 +523,12 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 (dequant checked). Full-AC streams, restart markers, and 16-bit
     quant tables are decoded in tests/test_multimodal_jpeg.py against an
     independent test-side encoder and an independent direct-form IDCT."""
-    docs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    from .llm_dedup import _spread
+
+    docs = _spread(spark, binary_docs(spark, sf_dir)
+                   .select("doc_id", "payload"))
     # ^ entropy coding is per-file CPU; a single-file local scan would
-    # otherwise run the whole codec on one core (llm_dedup._spread rule).
+    # otherwise run the whole codec on one core.
     jpgs = docs.mapInPandas(jpeg_encode_batch, schema=StructType([
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),

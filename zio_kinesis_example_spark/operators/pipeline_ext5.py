@@ -97,8 +97,10 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     load-sensitive vs ~1.2 s spread at sf0.1); Arrow batches stream
     through numpy flat-buffer passes, constant memory per task, no
     per-row Python."""
-    ppms = binary_docs(spark, sf_dir).select("doc_id", "payload") \
-        .repartition(spark.sparkContext.defaultParallelism) \
+    from .llm_dedup import _spread
+
+    ppms = _spread(spark, binary_docs(spark, sf_dir)
+                   .select("doc_id", "payload")) \
         .mapInPandas(ppm_encode_batch, schema=StructType([
             StructField("doc_id", LongType()),
             StructField("payload", BinaryType()),
