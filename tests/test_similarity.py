@@ -127,3 +127,30 @@ def test_pq_adc_recall_and_refine_exactness(spark):
     assert hits / total >= 0.5, f"PQ-ADC recall collapsed: {hits/total:.2f}"
     assert all(len(v) == _K for v in got.values())
     assert set(got) == set(truth)
+
+
+def test_pq_trained_codebooks_beat_hash_sample(spark):
+    """The IVF r6 precedent applied to PQ: integer-Lloyd-trained
+    sub-codebooks (default train_iters) must reach recall@k >= the raw
+    hash-sample seed (train_iters=0) - training may tie but never
+    degrade on the fixture."""
+    from .conftest import SF_ORACLE
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _ann_pq_plan,
+    )
+
+    exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in truth.values())
+
+    def recall(plan) -> float:
+        got: dict[int, set[int]] = {}
+        for r in plan.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / total
+
+    base = recall(_ann_pq_plan(spark, SF_ORACLE, train_iters=0))
+    trained = recall(_ann_pq_plan(spark, SF_ORACLE))
+    assert trained >= base, (trained, base)

@@ -471,17 +471,35 @@ _PQ_ANN_K = 16       # codebook entries per subspace
 _PQ_ANN_SUB = 16
 _PQ_ANN_REFINE = 100  # ADC shortlist per query, exactly re-ranked
 # Measured overall recall@5 vs the exact baseline (deterministic —
-# hash-sampled codebooks, no run-to-run variance): 0.66 / 0.74 / 0.27
-# at sf0.001/0.01/0.1 (random 64-d vectors are the documented worst
-# case, and a FIXED refine window covers a shrinking corpus fraction as
-# sf grows). Floor sits below every measured point, the LSH/IVF
-# convention.
+# seeded + integer-Lloyd-trained codebooks, no run-to-run variance):
+# trained 0.68 / 0.78 / 0.41 at sf0.001/0.01/0.1 (raw hash-sample:
+# 0.66 / 0.74 / 0.27 — training buys +52% relative where the corpus is
+# largest; random 64-d vectors are the documented worst case, and a
+# FIXED refine window covers a shrinking corpus fraction as sf grows).
+# Floor sits below every measured point, the LSH/IVF convention.
 _PQ_ANN_RECALL_FLOOR = 0.20
+
+
+_PQ_ANN_TRAIN_ITERS = 2    # Lloyd rounds per subspace (0 = raw hash-sample)
+#: Training-set size: a BOUNDED deterministic hash-sample (the FAISS
+#: convention — codebook quality saturates long before the corpus does,
+#: and training cost must not grow with corpus size; the interpreted
+#: literal-argmin coder is O(M·K·subdim) per row, affordable on 2k rows
+#: at any scale, not on the full corpus).
+_PQ_ANN_TRAIN_SAMPLE = 2048
 
 
 def _pq_subdist(s: int, c: list[int]) -> str:
     """Exact integer squared distance between subvector ``s`` of the
-    quantized column ``qv`` and the literal codebook entry ``c``."""
+    quantized column ``qv`` and the literal codebook entry ``c``.
+
+    Deliberately an aggregate() fold, NOT unrolled flat arithmetic: the
+    z-order unroll rule inverts at this expression count — 16 codebook
+    structs × 16 unrolled terms × (coder + 4 LUTs) generated a 28k-line
+    codegen class that FAILED to compile (JVM method limits), dropping
+    the whole stage to interpreted mode (measured 4.8 → 20-31 s at
+    sf0.1). The fold keeps the generated class small enough to compile;
+    per-element interpretation is the cheaper side of that cliff."""
     lo = s * _PQ_ANN_SUB + 1
     lits = ", ".join(str(int(x)) for x in c)
     return (f"aggregate(zip_with(slice(qv, {lo}, {_PQ_ANN_SUB}), "
@@ -489,18 +507,70 @@ def _pq_subdist(s: int, c: list[int]) -> str:
             f"0L, (acc, t) -> acc + t)")
 
 
-def _ann_pq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_code_col(books: list, s: int):
+    """argmin-by-L2 code for subspace ``s`` — the literal-codebook JVM
+    expression shared by the coder and the trainer (assignment and
+    coding MUST use the same rule or training optimizes the wrong
+    objective)."""
+    structs = ", ".join(
+        f"named_struct('d', {_pq_subdist(s, c)}, 'c', {j})"
+        for j, c in enumerate(books[s]))
+    return F.expr(f"array_min(array({structs})).c")
+
+
+def _train_pq_books(q: DataFrame, books: list, iters: int) -> list:
+    """Per-subspace Lloyd refinement of the PQ codebooks (the r6 IVF
+    precedent applied to PQ): per iteration, ONE spread scan assigns all
+    M codes with the same literal-argmin expressions the coder uses,
+    then each subspace's (code, dim) integer component sums shuffle
+    partial-agged and the centroid update is a truncated integer mean —
+    associative int64 sums, so the trained books (hence codes, ADC
+    layout, and recall) are run-to-run bit-stable. Empty cells keep
+    their previous entry. Driver state per round: M·K·subdim ints.
+    Overflow: |component| ≤ ~1e6, so a cell/dim sum needs > ~9e12
+    members to overflow int64 — not reachable at 100 TB."""
+    m = len(books)
+    for _ in range(iters):
+        # ONE scan codes every subspace, ONE partial-agged shuffle
+        # collects every (subspace, code, dim) component sum
+        codes = q.select(
+            "qv",
+            F.array(*[_pq_code_col(books, s) for s in range(m)]).alias("cs"))
+        stats = (
+            codes.select("cs", F.posexplode("qv").alias("dim", "x"))
+            .select(
+                F.expr(f"cast(dim div {_PQ_ANN_SUB} as int)").alias("s"),
+                F.expr(f"element_at(cs, cast(dim div {_PQ_ANN_SUB} as int)"
+                       " + 1)").alias("code"),
+                F.expr(f"dim % {_PQ_ANN_SUB}").alias("sdim"),
+                "x")
+            .groupBy("s", "code", "sdim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        books = [[list(c) for c in book] for book in books]
+        for r in stats:
+            # toward-zero truncated integer mean (the q_embed_kmeans
+            # convention)
+            books[r.s][r.code][r.sdim] = (r.sx // r.n if r.sx >= 0
+                                          else -((-r.sx) // r.n))
+    return books
+
+
+def _ann_pq_plan(spark: SparkSession, sf_dir: str,
+                 train_iters: int = _PQ_ANN_TRAIN_ITERS) -> DataFrame:
     """Product-quantization ADC search (FAISS IndexPQ + refine): the
     third ANN engine next to LSH and IVF, covering the memory-bound
     regime — the corpus is represented by M·log2(K) = 16 BITS per vector
     during the scan, not 512 bytes of floats.
 
-    Index: per-subspace codebooks hash-sampled like the IVF seed
-    (xxhash64 order — deterministic, O(K·subdim) driver state; Lloyd
-    training drops in via the q_embed_kmeans machinery exactly as IVF's
-    quantizer did in r6). Corpus codes are ONE stateless scan with the
-    codebooks as literals (api.pq_assign's kernel) — zero shuffles, the
-    map-side-codes shape PQ runs at 100 TB.
+    Index: per-subspace codebooks seeded by the IVF hash-sample rule
+    (xxhash64 order — deterministic), then Lloyd-refined per subspace
+    in the exact integer domain (``_train_pq_books``; pass
+    train_iters=0 for the raw hash-sample baseline) — O(M·K·subdim)
+    driver state either way. Corpus codes are ONE stateless scan with
+    the codebooks as literals (api.pq_assign's kernel) — zero shuffles,
+    the map-side-codes shape PQ runs at 100 TB.
 
     Search (asymmetric distance computation): each query precomputes a
     K-entry lookup table of exact integer sub-distances per subspace;
@@ -525,25 +595,26 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = [[list(r.qv[s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB])
               for r in cents] for s in range(_PQ_ANN_M)]
 
-    def code_col(s: int):
-        structs = ", ".join(
-            f"named_struct('d', {_pq_subdist(s, c)}, 'c', {j})"
-            for j, c in enumerate(books[s]))
-        return F.expr(f"array_min(array({structs})).c")
-
-    def lut_col(s: int):
-        entries = ", ".join(_pq_subdist(s, c) for c in books[s])
-        return F.expr(f"array({entries})")
-
     # spread before the per-row interpreted code folds (llm_dedup._spread:
     # a single parquet file scans as ONE partition and the whole ADC scan
     # serializes onto one core — measured 4.0 s → 2.6 s warm at sf0.1).
     # Codes only: the candidate stream must never carry vectors.
     from .llm_dedup import _spread
 
-    corpus = _spread(spark, q).select(
+    qs = _spread(spark, q)
+    if train_iters > 0:
+        train = _spread(spark, q.orderBy(F.xxhash64("vec_id"), "vec_id")
+                        .limit(_PQ_ANN_TRAIN_SAMPLE)).persist()
+        books = _train_pq_books(train, books, train_iters)
+        train.unpersist()
+
+    def lut_col(s: int):
+        entries = ", ".join(_pq_subdist(s, c) for c in books[s])
+        return F.expr(f"array({entries})")
+
+    corpus = qs.select(
         "vec_id",
-        *[code_col(s).alias(f"c{s}") for s in range(_PQ_ANN_M)])
+        *[_pq_code_col(books, s).alias(f"c{s}") for s in range(_PQ_ANN_M)])
     queries = (
         q.filter(F.expr(_QUERY_FILTER))
         .select(F.col("vec_id").alias("query_id"),
