@@ -374,23 +374,24 @@ def test_events_pattern_single_window_sort(spark):
 
 
 def test_bmp_codec_plan_is_exchange_free(spark):
-    """The BMP encode→decode round trip is two chained mapInPandas
-    passes over the scan — a pure map pipeline: no Exchange anywhere
-    (nothing to shuffle at any scale), both kernels Arrow-batched."""
+    """The BMP encode→decode round trip is ONE fused mapInPandas pass
+    over the scan — a pure map pipeline: no Exchange anywhere (nothing
+    to shuffle at any scale), one Python worker per task
+    (multimodal.fused_round_trip — the round-7 worker-wave finding)."""
     plan = _plan(spark, "q_multimodal_decode_bmp", "simple")
     assert "Exchange" not in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
 
 
 def test_ppm_codec_plan_is_spread_map_pipeline(spark):
     """The PPM round trip plans like the PNG/GIF compressed codecs:
     ONE explicit round-robin exchange (core spread — a single-file scan
     would run the whole codec on one core, the round-7 idle-bench
-    anomaly) then two chained Arrow-batched kernels."""
+    anomaly) then ONE fused Arrow-batched kernel."""
     plan = _plan(spark, "q_multimodal_decode_ppm", "simple")
     assert plan.count("Exchange") == 1
     assert "RoundRobinPartitioning" in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
 
 
 def test_ann_bench_plans_skip_exact_twin(spark):
@@ -602,10 +603,11 @@ def test_power_users_single_window_sort(spark):
 
 def test_wav_codec_plan_is_exchange_free(spark):
     """Same contract as BMP/PPM for the WAV round trip: a pure map
-    pipeline — two Arrow-batched kernels, no Exchange at any scale."""
+    pipeline — ONE fused Arrow-batched kernel, no Exchange at any
+    scale."""
     plan = _plan(spark, "q_multimodal_wav_decode", "simple")
     assert "Exchange" not in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
 
 
 def test_ts_asof_nearest_is_union_window_not_join(spark):
@@ -656,10 +658,12 @@ def test_ngram_jaccard_self_join_is_df_capped(spark):
 
 
 def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
-    """The round-6 compressed-codec round trips must plan as: pruned
-    parquet scan → ONE round-robin exchange (the explicit core-spread
-    for per-file deflate/LZW CPU) → two chained mapInPandas stages. Any
-    second exchange or an unpruned scan is a regression."""
+    """The compressed-codec round trips must plan as: pruned parquet
+    scan → ONE round-robin exchange (the explicit core-spread for
+    per-file deflate/LZW/Huffman CPU) → ONE fused mapInPandas stage
+    (one Python worker per task — fused_round_trip). Any second
+    exchange, a second Python stage, or an unpruned scan is a
+    regression."""
     for name in ("q_multimodal_decode_png", "q_multimodal_decode_gif",
                   "q_multimodal_decode_jpeg"):
         plan = _plan(spark, name)
@@ -670,4 +674,4 @@ def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "text" in read_schema and "doc_id" in read_schema, name
         assert "lang" not in read_schema, name  # pruned
-        assert plan.count("MapInPandas (") == 2, name
+        assert plan.count("MapInPandas (") == 1, name

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+    BooleanType, IntegerType, LongType, StructField, StructType,
 )
 
 from ..catalog import load
@@ -98,6 +98,26 @@ def _segment_sums(buf, starts, stops):
     idx[1::2] = stops
     sums = np.add.reduceat(buf, idx)[0::2]
     return np.where(stops > starts, sums, 0)
+
+
+def fused_round_trip(encode_batch, decode_batch):
+    """Chain an encode kernel into a decode kernel INSIDE one Python
+    stage: ``decode(encode(batches))`` streaming batch by batch.
+
+    The codec round-trip queries originally planned as TWO chained
+    mapInPandas stages; that shape demands two Python workers per task,
+    and the round-7 bench forensics showed the extra worker wave is
+    fragile — a 32-process fork + import storm can land inside whichever
+    codec query draws fresh workers (measured: the GIF round trip at
+    0.85 s fused vs 3-12 s chained in a long bench session, with the
+    slow tasks' workers all < 2 s old and their CPU time tiny). One
+    fused stage also halves the Arrow transfers: the intermediate
+    encoded files never cross the JVM boundary. The individual kernels
+    stay exported and unit-tested; only the query-level composition
+    fuses."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from decode_batch(encode_batch(batches))
+    return kernel
 
 
 def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -568,14 +588,13 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     principles (file-layout arithmetic + cyclic text-byte sums), so a
     hash match proves the decoder really parsed the format: any
     stride, orientation, or offset mistake shifts the sums. Both
-    kernels are vectorized mapInPandas passes — Arrow batches in,
-    numpy over a flat byte buffer, no per-row Python."""
-    bmps = binary_docs(spark, sf_dir).select("doc_id", "payload") \
-        .mapInPandas(bmp_encode_batch, schema=StructType([
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-        ]))
-    return bmps.mapInPandas(bmp_decode_batch, schema=BMP_DECODE_SCHEMA)
+    kernels are vectorized Arrow-batch passes — numpy over a flat byte
+    buffer, no per-row Python — FUSED into one mapInPandas stage (see
+    fused_round_trip: one Python worker per task, encoded bytes never
+    re-cross the JVM boundary)."""
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(fused_round_trip(bmp_encode_batch, bmp_decode_batch),
+                     schema=BMP_DECODE_SCHEMA)
 
 
 @query(

@@ -42,7 +42,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+    BooleanType, IntegerType, LongType, StructField, StructType,
 )
 
 from ..registry import query
@@ -393,10 +393,10 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavily); width-growth/KwKwK edge streams are additionally decoded
     in tests/test_multimodal_gif.py against an independent reference
     compressor."""
+    from .multimodal import fused_round_trip
+
     docs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
         .repartition(spark.sparkContext.defaultParallelism)
-    gifs = docs.mapInPandas(gif_encode_batch, schema=StructType([
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]))
-    return gifs.mapInPandas(gif_decode_batch, schema=GIF_DECODE_SCHEMA)
+    return docs.mapInPandas(
+        fused_round_trip(gif_encode_batch, gif_decode_batch),
+        schema=GIF_DECODE_SCHEMA)

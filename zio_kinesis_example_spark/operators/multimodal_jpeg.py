@@ -54,7 +54,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+    BooleanType, IntegerType, LongType, StructField, StructType,
 )
 
 from ..registry import query
@@ -524,13 +524,12 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant tables are decoded in tests/test_multimodal_jpeg.py against an
     independent test-side encoder and an independent direct-form IDCT."""
     from .llm_dedup import _spread
+    from .multimodal import fused_round_trip
 
     docs = _spread(spark, binary_docs(spark, sf_dir)
                    .select("doc_id", "payload"))
     # ^ entropy coding is per-file CPU; a single-file local scan would
     # otherwise run the whole codec on one core.
-    jpgs = docs.mapInPandas(jpeg_encode_batch, schema=StructType([
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]))
-    return jpgs.mapInPandas(jpeg_decode_batch, schema=JPEG_DECODE_SCHEMA)
+    return docs.mapInPandas(
+        fused_round_trip(jpeg_encode_batch, jpeg_decode_batch),
+        schema=JPEG_DECODE_SCHEMA)

@@ -50,7 +50,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+    BooleanType, IntegerType, LongType, StructField, StructType,
 )
 
 from ..registry import query
@@ -291,13 +291,13 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the oracle's cyclic text-byte sums is inflate + correct
     unfiltering of every filter type. First *compressed* member of the
     real-codec family (BMP/PPM/WAV are uncompressed)."""
+    from .multimodal import fused_round_trip
+
     docs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
         .repartition(spark.sparkContext.defaultParallelism)
     # ^ deflate/inflate are per-file CPU; a single-file local scan would
     # otherwise run the whole codec on one core (llm_dedup._spread rule).
     # At 100 TB the lake has many files and this is a no-op-sized shuffle.
-    pngs = docs.mapInPandas(png_encode_batch, schema=StructType([
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]))
-    return pngs.mapInPandas(png_decode_batch, schema=PNG_DECODE_SCHEMA)
+    return docs.mapInPandas(
+        fused_round_trip(png_encode_batch, png_decode_batch),
+        schema=PNG_DECODE_SCHEMA)

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+    BooleanType, IntegerType, LongType, StructField, StructType,
 )
 from pyspark.sql.window import Window
 
@@ -539,12 +539,11 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .multimodal import binary_docs
 
-    wavs = binary_docs(spark, sf_dir).select("doc_id", "payload") \
-        .mapInPandas(wav_encode_batch, schema=StructType([
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-        ]))
-    return wavs.mapInPandas(wav_decode_batch, schema=WAV_DECODE_SCHEMA)
+    from .multimodal import fused_round_trip
+
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(fused_round_trip(wav_encode_batch, wav_decode_batch),
+                     schema=WAV_DECODE_SCHEMA)
 
 
 # --------------------------------------------------------------------------

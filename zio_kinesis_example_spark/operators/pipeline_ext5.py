@@ -36,9 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    BinaryType, LongType, StructField, StructType,
-)
 from pyspark.sql.window import Window
 
 from ..catalog import load
@@ -91,21 +88,20 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     2's header embeds a comment, so comment handling sits on the
     hash-checked path.
 
-    Scale shape: two chained ``mapInPandas`` kernels over SPREAD
-    partitions (the llm_dedup._spread rule: a single-parquet-file scan
-    would run the whole codec on one core — measured 2.7 s cold /
-    load-sensitive vs ~1.2 s spread at sf0.1); Arrow batches stream
-    through numpy flat-buffer passes, constant memory per task, no
-    per-row Python."""
+    Scale shape: ONE fused ``mapInPandas`` stage (multimodal.
+    fused_round_trip — one Python worker per task, encoded bytes never
+    re-cross the JVM boundary) over SPREAD partitions (the
+    llm_dedup._spread rule: a single-parquet-file scan would run the
+    whole codec on one core — measured 2.7 s cold / load-sensitive vs
+    ~1.2 s spread at sf0.1); Arrow batches stream through numpy
+    flat-buffer passes, constant memory per task, no per-row Python."""
     from .llm_dedup import _spread
+    from .multimodal import fused_round_trip
 
-    ppms = _spread(spark, binary_docs(spark, sf_dir)
+    return _spread(spark, binary_docs(spark, sf_dir)
                    .select("doc_id", "payload")) \
-        .mapInPandas(ppm_encode_batch, schema=StructType([
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-        ]))
-    return ppms.mapInPandas(ppm_decode_batch, schema=PPM_DECODE_SCHEMA)
+        .mapInPandas(fused_round_trip(ppm_encode_batch, ppm_decode_batch),
+                     schema=PPM_DECODE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
