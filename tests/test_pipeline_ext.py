@@ -307,9 +307,11 @@ class TestPlans:
         plan = _plan(spark, "q_curate_drift_chi2")
         assert "SortMergeJoin" not in plan
 
-    def test_wav_codec_is_two_arrow_stages_no_shuffle(self, spark):
+    def test_wav_codec_is_one_fused_arrow_stage_no_shuffle(self, spark):
+        # round-7 fusion: encode+decode chained inside ONE Python stage
+        # (multimodal.fused_round_trip) — one worker per task
         plan = _plan(spark, "q_multimodal_wav_decode", mode="simple")
-        assert plan.count("MapInPandas") == 2
+        assert plan.count("MapInPandas") == 1
         assert "Exchange" not in plan
 
     def test_bloom_probe_side_never_joins_for_the_filter(self, spark):
