@@ -469,7 +469,13 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_ANN_M = 4        # subspaces (64-d → four 16-d slices; 16 bits/vector)
 _PQ_ANN_K = 16       # codebook entries per subspace
 _PQ_ANN_SUB = 16
-_PQ_ANN_REFINE = 100  # ADC shortlist per query, exactly re-ranked
+_PQ_ANN_REFINE = 100        # ADC shortlist floor per query
+#: Shortlist also scales with the corpus (2%): a FIXED window covers a
+#: shrinking corpus fraction as data grows, so recall would decay with
+#: scale; proportional-R keeps the ADC contract roughly
+#: scale-invariant while the scan stays O(corpus) per query and the
+#: refine stays O(R·dim). (At sf0.1 this is exactly the old fixed 100.)
+_PQ_ANN_REFINE_FRAC = 0.02
 # Measured overall recall@5 vs the exact baseline (deterministic —
 # seeded + integer-Lloyd-trained codebooks, no run-to-run variance):
 # trained 0.68 / 0.78 / 0.41 at sf0.001/0.01/0.1 (raw hash-sample:
@@ -577,7 +583,8 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
     the candidate stream is corpus codes × broadcast queries, scoring
     each pair with M array lookups + adds — O(1) per candidate instead
     of O(dim), and the stream carries (ids, 2 codes), never vectors.
-    The per-query ADC top-``_PQ_ANN_REFINE`` shortlist (WindowGroupLimit
+    The per-query ADC shortlist — max(100, 2% of the corpus), so recall
+    does not decay as data grows — (WindowGroupLimit
     pushes the rank filter map-side) is then re-ranked EXACTLY: the
     shortlist-sized frame joins back the quantized vectors and scores
     with the integer-exact cosine of q_sim_cosine_topk — so the output
@@ -602,6 +609,11 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
     from .llm_dedup import _spread
 
     qs = _spread(spark, q)
+    # proportional shortlist (floor 100): n is already on the driver as
+    # a side effect of nothing else — one cheap count over the pruned
+    # id column; deterministic, so the contract stays hash-checkable
+    refine = max(_PQ_ANN_REFINE,
+                 int(q.count() * _PQ_ANN_REFINE_FRAC))
     if train_iters > 0:
         train = _spread(spark, q.orderBy(F.xxhash64("vec_id"), "vec_id")
                         .limit(_PQ_ANN_TRAIN_SAMPLE)).persist()
@@ -639,7 +651,7 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
         F.col("adc").asc(), F.col("neighbor_id"))
     short = (
         cand.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _PQ_ANN_REFINE)
+        .filter(F.col("r") <= refine)
         .select("query_id", "neighbor_id")
     )
     # exact refine: shortlist-sized joins only (|Q|·R rows re-read their
