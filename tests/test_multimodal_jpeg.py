@@ -352,3 +352,213 @@ def test_decode_with_real_annex_k_multi_length_tables(monkeypatch):
     assert parsed is not None
     want = t._blocks_to_plane(t._ref_idct(coefs, qnat), 3, 2, 21, 11)
     assert np.abs(parsed[2] - want).max() <= 1
+
+
+# --- 4:2:0 color path -----------------------------------------------------
+
+from zio_kinesis_example_spark.operators.multimodal_jpeg import (  # noqa: E402
+    _JPEG420_DIMS, _jpeg_parse, jpeg420_decode_batch, jpeg420_encode_batch,
+)
+
+
+def _decode420(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return pd.concat(jpeg420_decode_batch(iter([pdf]))).reset_index(drop=True)
+
+
+def _ref_jpeg_multi(w: int, h: int, comps, dri: int = 0) -> bytes:
+    """Independent multi-component interleaved encoder: comps is a list
+    of (h_i, v_i, qnat, coefs) with coefs a (gh, gw, 8, 8) QUANTIZED
+    natural-order block grid (gh = ceil(h/(8*vmax))*v_i etc.). All
+    components share the flat reference tables (legal; the per-component
+    DC predictors are still separate state the decoder must keep)."""
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mxn = (w + 8 * hmax - 1) // (8 * hmax)
+    myn = (h + 8 * vmax - 1) // (8 * vmax)
+    dqt = b"".join(
+        _seg(0xDB, bytes([ci]) + bytes(
+            int(qnat.reshape(64)[ZIGZAG[i]]) for i in range(64)))
+        for ci, (_h, _v, qnat, _c) in enumerate(comps))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes([ci + 1, (h_i << 4) | v_i, ci])
+        for ci, (h_i, v_i, _q, _c) in enumerate(comps)))
+    dht = (_seg(0xC4, bytes([0x00]) + bytes(_REF_DC_BITS)
+                + bytes(_REF_DC_VALS))
+           + _seg(0xC4, bytes([0x10]) + bytes(_REF_AC_BITS)
+                  + bytes(_REF_AC_VALS)))
+    head = b"\xff\xd8" + dqt + sof + dht
+    if dri:
+        head += _seg(0xDD, struct.pack(">H", dri))
+    head += _seg(0xDA, bytes([len(comps)]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(len(comps)))
+        + bytes([0, 63, 0]))
+
+    def put_block(bw, zz, pred):
+        s, lob = _mag(zz[0] - pred)
+        c, ln = _REF_DC_CODES[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(lob, s)
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+            else:
+                while run >= 16:
+                    c, ln = _REF_AC_CODES[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                s, lob = _mag(zz[k])
+                c, ln = _REF_AC_CODES[run << 4 | s]
+                bw.put(c, ln)
+                bw.put(lob, s)
+                run = 0
+            k += 1
+        if run:
+            c, ln = _REF_AC_CODES[0x00]
+            bw.put(c, ln)
+        return zz[0]
+
+    chunks, rst = [], 0
+    preds = [0] * len(comps)
+    bw = _RefBits()
+    for mcu in range(mxn * myn):
+        if dri and mcu and mcu % dri == 0:
+            chunks.append(bw.bytes_stuffed())
+            chunks.append(bytes([0xFF, 0xD0 + rst % 8]))
+            rst += 1
+            bw = _RefBits()
+            preds = [0] * len(comps)
+        mx, my = mcu % mxn, mcu // mxn
+        for ci, (h_i, v_i, _q, coefs) in enumerate(comps):
+            for bv in range(v_i):
+                for bh_ in range(h_i):
+                    blk = coefs[my * v_i + bv, mx * h_i + bh_]
+                    zz = [int(blk.reshape(64)[ZIGZAG[i]])
+                          for i in range(64)]
+                    preds[ci] = put_block(bw, zz, preds[ci])
+    chunks.append(bw.bytes_stuffed())
+    return head + b"".join(chunks) + b"\xff\xd9"
+
+
+def test_420_full_ac_interleaved_matches_independent_idct():
+    rng = np.random.RandomState(21)
+    w, h = 21, 19  # mxn=2, myn=2: Y grid 4x4 blocks, chroma 2x2
+    comps = []
+    for (h_i, v_i, gw, gh) in ((2, 2, 4, 4), (1, 1, 2, 2), (1, 1, 2, 2)):
+        qnat = rng.randint(1, 18, size=(8, 8)).astype(np.int64)
+        coefs = np.zeros((gh, gw, 8, 8), dtype=np.int64)
+        coefs[:, :, :3, :3] = rng.randint(-25, 26, size=(gh, gw, 3, 3))
+        coefs[:, :, 0, 0] = rng.randint(-200, 201, size=(gh, gw))
+        comps.append((h_i, v_i, qnat, coefs))
+    blob = _ref_jpeg_multi(w, h, comps)
+    parsed = _jpeg_parse(blob)
+    assert parsed is not None and len(parsed[2]) == 3
+    dims = ((21, 19), (11, 10), (11, 10))
+    for ci, (h_i, v_i, qnat, coefs) in enumerate(comps):
+        gh, gw = coefs.shape[:2]
+        want = _ref_idct(coefs.reshape(-1, 8, 8), qnat) \
+            .reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(gh * 8, gw * 8)[:dims[ci][1], :dims[ci][0]]
+        assert np.abs(parsed[2][ci] - want).max() <= 1, ci
+
+
+def test_420_restart_markers_reset_all_predictors():
+    rng = np.random.RandomState(4)
+    w, h = 32, 32  # 2x2 MCUs
+    comps = []
+    for (h_i, v_i, gw, gh) in ((2, 2, 4, 4), (1, 1, 2, 2), (1, 1, 2, 2)):
+        qnat = np.ones((8, 8), dtype=np.int64)
+        coefs = np.zeros((gh, gw, 8, 8), dtype=np.int64)
+        coefs[:, :, 0, 0] = rng.randint(-120, 121, size=(gh, gw))
+        comps.append((h_i, v_i, qnat, coefs))
+    blob = _ref_jpeg_multi(w, h, comps, dri=1)  # RST after every MCU
+    assert b"\xff\xd0" in blob
+    parsed = _jpeg_parse(blob)
+    assert parsed is not None
+    for ci, (h_i, v_i, qnat, coefs) in enumerate(comps):
+        gh, gw = coefs.shape[:2]
+        want = _ref_idct(coefs.reshape(-1, 8, 8), qnat) \
+            .reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(gh * 8, gw * 8)
+        want = want[:parsed[2][ci].shape[0], :parsed[2][ci].shape[1]]
+        assert np.array_equal(parsed[2][ci], want), ci
+
+
+def test_420_kernel_strictness_and_crossrejects():
+    # grayscale files are not 4:2:0; 4:2:0 files are not grayscale
+    gray = pd.DataFrame({"doc_id": [0], "payload": [b"gray"]})
+    gray_blob = bytes(pd.concat(
+        jpeg_encode_batch(iter([gray]))).payload.iloc[0])
+    color = pd.DataFrame({"doc_id": [0], "payload": [b"color"]})
+    color_blob = bytes(pd.concat(
+        jpeg420_encode_batch(iter([color]))).payload.iloc[0])
+    assert not _decode420([gray_blob]).jpeg_ok.iloc[0]
+    assert not _decode([color_blob]).jpeg_ok.iloc[0]
+    # but the general parser decodes both
+    assert len(_jpeg_parse(gray_blob)[2]) == 1
+    assert len(_jpeg_parse(color_blob)[2]) == 3
+
+
+def test_420_rejects_unsupported_samplings():
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blk = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    # 2x1 luma (4:2:2) and 3-component with 2x2 chroma: both outside
+    # the supported set, structurally valid otherwise
+    for sampl in (((2, 1), (1, 1), (1, 1)), ((2, 2), (2, 2), (1, 1))):
+        hmax = max(hv[0] for hv in sampl)
+        vmax = max(hv[1] for hv in sampl)
+        mxn = (16 + 8 * hmax - 1) // (8 * hmax)
+        myn = (16 + 8 * vmax - 1) // (8 * vmax)
+        comps = [(hv[0], hv[1], qnat,
+                  np.zeros((myn * hv[1], mxn * hv[0], 8, 8),
+                           dtype=np.int64))
+                 for hv in sampl]
+        blob = _ref_jpeg_multi(16, 16, comps)
+        assert _jpeg_parse(blob) is None
+    assert _jpeg_parse(_ref_jpeg_multi(8, 8, [(1, 1, qnat, blk)] * 3)) \
+        is not None  # 4:4:4 is supported
+
+
+def test_420_module_round_trip_is_exact():
+    texts = [b"color jpeg world", b"a", b"", b"xyz" * 70]
+    pdf = pd.DataFrame({"doc_id": list(range(len(texts))),
+                        "payload": texts})
+    out = pd.concat(jpeg420_decode_batch(
+        jpeg420_encode_batch(iter([pdf])))).reset_index(drop=True)
+    assert out.jpeg_ok.all()
+    for i, text in enumerate(texts):
+        w, h = _JPEG420_DIMS[i % 3]
+        mxn, myn = (w + 15) // 16, (h + 15) // 16
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+
+        def byte(m):
+            return text[m % len(text)] if text else 0
+
+        ys = cb = cr = 0
+        for m in range(6 * mxn * myn):
+            mcu, j = m // 6, m % 6
+            mx, my = mcu % mxn, mcu // mxn
+            if j < 4:
+                ys += byte(m) * (max(0, min(8, w - mx * 16 - (j % 2) * 8))
+                                 * max(0, min(8, h - my * 16 - (j // 2) * 8)))
+            else:
+                vis = (max(0, min(8, cw - mx * 8))
+                       * max(0, min(8, ch - my * 8)))
+                if j == 4:
+                    cb += byte(m) * vis
+                else:
+                    cr += byte(m) * vis
+        r = out.iloc[i]
+        assert (r.width, r.height, r.n_mcus) == (w, h, mxn * myn)
+        assert (r.y_sum, r.cb_sum, r.cr_sum) == (ys, cb, cr), i
+
+
+def test_420_truncation_fuzz_never_crashes():
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [b"trunc fuzz 420"]})
+    good = bytes(pd.concat(
+        jpeg420_encode_batch(iter([pdf]))).payload.iloc[0])
+    outs = _decode420([good[:n] for n in range(0, len(good), 3)] + [good])
+    assert not outs.jpeg_ok.iloc[:-1].any()
+    assert bool(outs.jpeg_ok.iloc[-1])

@@ -665,7 +665,7 @@ def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
     exchange, a second Python stage, or an unpruned scan is a
     regression."""
     for name in ("q_multimodal_decode_png", "q_multimodal_decode_gif",
-                  "q_multimodal_decode_jpeg"):
+                  "q_multimodal_decode_jpeg", "q_multimodal_decode_jpeg420"):
         plan = _plan(spark, name)
         # formatted mode names each node twice (tree + detail): "X (n)"
         # in the tree, "(n) X" in the detail — count tree entries only

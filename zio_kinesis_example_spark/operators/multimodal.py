@@ -141,34 +141,36 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """Dependency-free real decode dispatch. Single-component (grayscale)
-    BASELINE JPEG is decoded for real since round 7 —
-    ``multimodal_jpeg._jpeg_parse_one`` (Huffman + dequant + IDCT) —
-    returning (width, height, pixel_plane). The rest of the real codec
+    """Dependency-free real decode dispatch. BASELINE JPEG — grayscale,
+    4:4:4, and MCU-interleaved 4:2:0 color (the dominant real-world
+    layout) — is decoded for real since round 7:
+    ``multimodal_jpeg._jpeg_parse`` (marker walk, Huffman, per-component
+    DC prediction/dequant, IDCT, subsampled-plane crop), returning
+    (width, height, [plane per component]). The rest of the real codec
     family is live beside it: BMP (below), PPM (pipeline_ext5), RIFF/
     WAVE PCM (pipeline_ext), PNG (multimodal_png: zlib inflate + all
     five filter inverses), GIF (multimodal_gif: full variable-width
     LZW). A JPEG-magic payload that fails the parse raises ValueError
     (corrupt data or a layout outside the decoder's scope — progressive,
-    subsampled, or multi-component YCbCr — are indistinguishable without
+    arithmetic, or exotic samplings — are indistinguishable without
     PIL/opencv and neither is a caller bug this function can repair);
     only formats with no decoder here at all (WebP/AVIF) raise
     NotImplementedError."""
     if payload[:2] == b"\xff\xd8":
-        from .multimodal_jpeg import _jpeg_parse_one
+        from .multimodal_jpeg import _jpeg_parse
 
-        parsed = _jpeg_parse_one(bytes(payload))
+        parsed = _jpeg_parse(bytes(payload))
         if parsed is not None:
             return parsed
         raise ValueError(
             "JPEG payload did not decode: either a corrupt/truncated "
             "stream, or a layout outside the dependency-free decoder's "
-            "scope (progressive, subsampled, or multi-component YCbCr "
-            "need PIL/opencv, absent here)")
+            "scope (progressive/arithmetic coding or samplings beyond "
+            "grayscale, 4:4:4, and 4:2:0 need PIL/opencv, absent here)")
     raise NotImplementedError(
         "WebP/AVIF codecs are not installed in this environment; the "
         "dependency-free real-codec family covers BMP/PPM/WAV/PNG/GIF/"
-        "grayscale-baseline-JPEG — see multimodal_png.py / "
+        "baseline-JPEG (gray + 4:2:0 color) — see multimodal_png.py / "
         "multimodal_gif.py / multimodal_jpeg.py for the compressed ones"
     )
 

@@ -13,8 +13,12 @@ any 8-bit single-component baseline JPEG — not just this module's
 encoder output (tests/test_multimodal_jpeg.py decodes full-AC fixtures
 built by an INDEPENDENT test-side encoder with different Huffman tables,
 checked against an independent direct-form IDCT, plus fuzzed
-truncations). Progressive (SOF2), arithmetic (DAC), multi-component, and
-subsampled scans are rejected as unsupported layout, PNG-style.
+truncations). Since the round-7 extension the decoder also handles
+MULTI-COMPONENT baseline files — 4:4:4 and MCU-interleaved 4:2:0 color
+(``_jpeg_parse``; the ``q_multimodal_decode_jpeg420`` query at the
+bottom of this module round-trips the color structure end to end).
+Progressive (SOF2), arithmetic (DAC), and other samplings are rejected
+as unsupported layout, PNG-style.
 
 Encode kernel: byte-genuine JFIF files whose pixel plane is CONSTANT
 within each 8×8 block — block m (raster order) has value
@@ -274,11 +278,26 @@ def _idct_basis():
     return a
 
 
-def _jpeg_parse_one(data: bytes):
-    """One file's full baseline decode. Returns (width, height, plane)
-    with plane an (h, w) int64 pixel array, or None on any structural
-    defect — bad magic, truncation, non-baseline SOF, missing tables,
-    invalid Huffman spec/stream, missing EOI."""
+#: Supported sampling layouts: grayscale, 4:4:4, and 4:2:0 (the
+#: dominant real-world chroma subsampling) — per-component (h, v).
+_JPEG_SAMPLINGS = (
+    ((1, 1),),
+    ((1, 1), (1, 1), (1, 1)),
+    ((2, 2), (1, 1), (1, 1)),
+)
+
+
+def _jpeg_parse(data: bytes):
+    """One file's full baseline decode, grayscale or color. Returns
+    (width, height, [plane_0, ...]) with plane_i an (ch_i, cw_i) int64
+    pixel array per component (chroma planes carry their SUBSAMPLED
+    dims), or None on any structural defect — bad magic, truncation,
+    non-baseline SOF, unsupported sampling, missing tables, invalid
+    Huffman spec/stream, missing EOI. Multi-component scans are
+    MCU-interleaved per T.81 A.2.3 (per-MCU block order: each
+    component's v×h blocks raster-wise, components in SOS order) with
+    per-component DC predictors and quantization tables; RSTn resets
+    every predictor and is counted in MCUs."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -348,14 +367,22 @@ def _jpeg_parse_one(data: bytes):
                 (dc_tabs if tc == 0 else ac_tabs)[th] = table
                 o += 17 + n
         elif m == 0xC0:  # SOF0 — baseline only
-            if sof is not None or len(seg) != 9 or seg[0] != 8:
+            if sof is not None or len(seg) < 6 or seg[0] != 8:
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
-            if seg[5] != 1 or seg[6 + 1] != 0x11:  # 1 component, 1x1
+            nc = seg[5]
+            if len(seg) != 6 + 3 * nc:
+                return None
+            comps = []  # (component_id, h_i, v_i, tq_i)
+            for ci in range(nc):
+                o = 6 + 3 * ci
+                comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0x0F,
+                              seg[o + 2]))
+            if tuple((c[1], c[2]) for c in comps) not in _JPEG_SAMPLINGS:
                 return None
             if w == 0 or h == 0 or w * h > _JPEG_MAX_PIXELS:
                 return None
-            sof = (w, h, seg[8])
+            sof = (w, h, comps)
         elif 0xC1 <= m <= 0xCF:  # progressive/arithmetic/other SOF, DAC
             return None
         elif m == 0xDD:  # DRI
@@ -363,12 +390,24 @@ def _jpeg_parse_one(data: bytes):
                 return None
             (dri,) = struct.unpack(">H", seg)
         elif m == 0xDA:  # SOS: header then the entropy-coded scan
-            if (sof is None or len(seg) != 6 or seg[0] != 1
-                    or seg[3] != 0 or seg[4] != 63 or seg[5] != 0):
+            if sof is None or len(seg) < 1:
                 return None
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
-            if td not in dc_tabs or ta not in ac_tabs or sof[2] not in qt:
+            nc = seg[0]
+            if (nc != len(sof[2]) or len(seg) != 1 + 2 * nc + 3
+                    or seg[-3] != 0 or seg[-2] != 63 or seg[-1] != 0):
                 return None
+            # scan component order must match SOF order (the MCU block
+            # order follows the scan header; reordered scans are out of
+            # this decoder's scope)
+            if [seg[1 + 2 * j] for j in range(nc)] != [c[0] for c in sof[2]]:
+                return None
+            tabs = []  # per component: (dc_table, ac_table)
+            for j, (_cid, _hi, _vi, tq_i) in enumerate(sof[2]):
+                tsel = seg[2 + 2 * j]
+                td, ta = tsel >> 4, tsel & 0x0F
+                if td not in dc_tabs or ta not in ac_tabs or tq_i not in qt:
+                    return None
+                tabs.append((dc_tabs[td], ac_tabs[ta]))
             segs = [bytearray()]
             i = pos
             while i < len(data):
@@ -389,40 +428,40 @@ def _jpeg_parse_one(data: bytes):
                 i += 2
             if i + 1 >= len(data) or data[i + 1] != 0xD9:
                 return None  # the scan must terminate at EOI
-            scan = (dc_tabs[td], ac_tabs[ta], qt[sof[2]],
-                    [bytes(s) for s in segs])
+            scan = (tabs, [bytes(s) for s in segs])
             break
         else:
             return None
     if scan is None:
         return None
-    dc_tab, ac_tab, qnat, segs = scan
-    w, h, _ = sof
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    nb = bw * bh
-    coefs = np.zeros((nb, 64), dtype=np.int64)
-    seg_idx, pred = 0, 0
+    tabs, segs = scan
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+    my_n = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component block grids and coefficient arrays
+    grids = [(my_n * v_i, mx_n * h_i) for _cid, h_i, v_i, _tq in comps]
+    coefs = [np.zeros((gh * gw, 64), dtype=np.int64) for gh, gw in grids]
+    preds = [0] * len(comps)
+    seg_idx = 0
     bits = _Bits(segs[0])
-    for bi in range(nb):
-        if dri and bi and bi % dri == 0:  # restart: realign, reset DC
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                return None
-            bits = _Bits(segs[seg_idx])
-            pred = 0
+
+    def decode_block(arr, bi, ci):
+        dc_tab, ac_tab = tabs[ci]
         s = bits.read_huff(dc_tab)
         if s is None or s > 11:
-            return None
+            return False
         v = bits.read(s)
         if v is None:
-            return None
-        pred += _extend(v, s)
-        coefs[bi, 0] = pred
+            return False
+        preds[ci] += _extend(v, s)
+        arr[bi, 0] = preds[ci]
         k = 1
         while k < 64:
             sym = bits.read_huff(ac_tab)
             if sym is None:
-                return None
+                return False
             if sym == 0x00:  # EOB
                 break
             if sym == 0xF0:  # ZRL: sixteen zeros
@@ -430,22 +469,58 @@ def _jpeg_parse_one(data: bytes):
                 continue
             run, size = sym >> 4, sym & 0x0F
             if size == 0:
-                return None
+                return False
             k += run
             if k > 63:
-                return None
+                return False
             v = bits.read(size)
             if v is None:
-                return None
-            coefs[bi, ZIGZAG[k]] = _extend(v, size)
+                return False
+            arr[bi, ZIGZAG[k]] = _extend(v, size)
             k += 1
+        return True
+
+    for mcu in range(mx_n * my_n):
+        if dri and mcu and mcu % dri == 0:  # restart: realign, reset DCs
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            bits = _Bits(segs[seg_idx])
+            preds = [0] * len(comps)
+        mx, my = mcu % mx_n, mcu // mx_n
+        for ci, (_cid, h_i, v_i, _tq) in enumerate(comps):
+            _gh, gw = grids[ci]
+            for bv in range(v_i):
+                for bh_ in range(h_i):
+                    bi = (my * v_i + bv) * gw + (mx * h_i + bh_)
+                    if not decode_block(coefs[ci], bi, ci):
+                        return None
     a = _idct_basis()
-    deq = (coefs * qnat[None, :]).reshape(nb, 8, 8).astype(np.float64)
-    pix = np.einsum("ux,nuv,vy->nxy", a, deq, a) + 128.0
-    pix = np.clip(np.round(pix), 0, 255).astype(np.int64)
-    plane = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
-        .reshape(bh * 8, bw * 8)[:h, :w]
-    return w, h, plane
+    planes = []
+    for ci, (_cid, h_i, v_i, tq_i) in enumerate(comps):
+        gh, gw = grids[ci]
+        qnat = qt[tq_i]
+        deq = (coefs[ci] * qnat[None, :]).reshape(-1, 8, 8) \
+            .astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", a, deq, a) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.int64)
+        cw = (w * h_i + hmax - 1) // hmax
+        ch = (h * v_i + vmax - 1) // vmax
+        planes.append(pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                      .reshape(gh * 8, gw * 8)[:ch, :cw])
+    return w, h, planes
+
+
+def _jpeg_parse_one(data: bytes):
+    """Grayscale view of :func:`_jpeg_parse`: (width, height, plane) for
+    a single-component baseline file, None for anything else (including
+    valid COLOR files — this is the strict contract of the grayscale
+    round-trip kernel; color callers use ``_jpeg_parse`` directly)."""
+    parsed = _jpeg_parse(data)
+    if parsed is None or len(parsed[2]) != 1:
+        return None
+    w, h, planes = parsed
+    return w, h, planes[0]
 
 
 def jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -533,3 +608,217 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         fused_round_trip(jpeg_encode_batch, jpeg_decode_batch),
         schema=JPEG_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q_multimodal_decode_jpeg420 — interleaved 4:2:0 COLOR baseline JPEG
+# --------------------------------------------------------------------------
+# The grayscale round trip above proves the entropy/transform machinery;
+# this one proves the structure real-world JPEGs actually use: three
+# components, luma sampled 2x2 against 1x1 chroma, MCU-interleaved scan
+# (per 16x16 MCU: four Y blocks then Cb then Cr), per-component DC
+# predictors, and per-component quantization tables (chroma DC step 4 vs
+# luma 2 — a decoder that dequantizes with one table fails the hash).
+# Dims are non-multiples of 16, so whole padding BLOCKS are coded but
+# cropped (w=37 → the rightmost MCU column's second Y block is fully
+# outside the image).
+
+_JPEG420_DIMS = ((22, 18), (37, 21), (14, 10))  # by doc_id % 3
+_JPEG_DC_QUANT2 = 4  # chroma: 8·(v−128)/4 = 2·(v−128), still exact
+
+# chroma Huffman tables (table id 1): DC categories at 5 bits, AC
+# EOB/0x01/ZRL at 3 bits — different widths from the luma tables so a
+# decoder that reuses table 0 for chroma desynchronizes immediately
+_ENC_DC2_BITS = (0, 0, 0, 0, 12) + (0,) * 11
+_ENC_DC2_VALS = tuple(range(12))
+_ENC_AC2_BITS = (0, 0, 3) + (0,) * 13
+_ENC_AC2_VALS = (0x00, 0x01, 0xF0)
+
+JPEG420_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("jpeg_ok", BooleanType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_mcus", IntegerType()),
+    StructField("y_sum", LongType()),
+    StructField("cb_sum", LongType()),
+    StructField("cr_sum", LongType()),
+])
+
+
+@functools.lru_cache(maxsize=None)
+def _jpeg420_headers(w: int, h: int) -> bytes:
+    """SOI, JFIF APP0, one DQT segment carrying BOTH quant tables, SOF0
+    (3 components, Y 2x2 / Cb 1x1 / Cr 1x1), one DHT segment carrying
+    all FOUR Huffman tables, SOS binding Y→tables 0, chroma→tables 1."""
+    q0 = [_JPEG_AC_QUANT] * 64
+    q0[0] = _JPEG_DC_QUANT
+    q1 = [_JPEG_AC_QUANT] * 64
+    q1[0] = _JPEG_DC_QUANT2
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(q0[ZIGZAG[i]] for i in range(64))
+               + bytes([0x01]) + bytes(q1[ZIGZAG[i]] for i in range(64)))
+    app0 = _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0])
+                + struct.pack(">HHBB", 1, 1, 0, 0))
+    sof0 = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS)
+               + bytes(_ENC_DC_VALS)
+               + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+               + bytes([0x01]) + bytes(_ENC_DC2_BITS) + bytes(_ENC_DC2_VALS)
+               + bytes([0x11]) + bytes(_ENC_AC2_BITS) + bytes(_ENC_AC2_VALS))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+
+
+def _scan420_bytes(block_vals) -> bytes:
+    """Interleaved entropy-coded scan for DC-only constant blocks:
+    block_vals in SCAN order (per MCU: Y00 Y01 Y10 Y11 Cb Cr). Per
+    component: its own DC predictor, quant step, and Huffman widths
+    (Y: 4-bit DC codes / 2-bit EOB on quant 2; chroma: 5-bit DC codes /
+    3-bit EOB on quant 4)."""
+    bw = _JBitWriter()
+    preds = [0, 0, 0]
+    for m, v in enumerate(block_vals):
+        j = m % 6
+        ci = 0 if j < 4 else (1 if j == 4 else 2)
+        step = _JPEG_DC_QUANT if ci == 0 else _JPEG_DC_QUANT2
+        dcq = (8 * (int(v) - 128)) // step
+        diff = dcq - preds[ci]
+        preds[ci] = dcq
+        s = abs(diff).bit_length()
+        bw.write(s, 4 if ci == 0 else 5)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 2 if ci == 0 else 3)  # EOB
+    return bw.finish()
+
+
+def jpeg420_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload=text bytes) → (doc_id, payload=real 4:2:0 color
+    JFIF bytes). Block rule: scan-order block m (MCU-interleaved) is
+    CONSTANT with value text_byte[m mod len(text)] (zeros for empty
+    text) — exact-integer through the lossy round trip per component."""
+    import numpy as np
+
+    for pdf in batches:
+        from .multimodal import _flat_batch
+
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        doc_id = pdf["doc_id"].to_numpy()
+        out: list = [None] * len(doc_id)
+        cls = doc_id % len(_JPEG420_DIMS)
+        for c, (w, h) in enumerate(_JPEG420_DIMS):
+            sel = np.nonzero(cls == c)[0]
+            if len(sel) == 0:
+                continue
+            nb = 6 * ((w + 15) // 16) * ((h + 15) // 16)
+            m = np.arange(nb, dtype=np.int64)
+            idx = starts[sel][:, None] + (
+                m[None, :] % np.maximum(lens[sel], 1)[:, None])
+            vals = buf[idx]
+            vals[lens[sel] == 0] = 0
+            head = _jpeg420_headers(w, h)
+            for j, i in enumerate(sel):
+                out[i] = head + _scan420_bytes(vals[j]) + b"\xff\xd9"
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def jpeg420_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Full color decode via :func:`_jpeg_parse` (MCU-interleaved
+    Huffman, per-component predictors/dequant, IDCT, per-component
+    crop), STRICT to the 4:2:0 layout: anything else — including valid
+    grayscale or 4:4:4 files — reports jpeg_ok=False. Emits the three
+    cropped plane sums; no RGB conversion (color-space math is a
+    separate lossy concern — the sums check the subsampled geometry)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _jpeg_parse(bytes(payload) if payload else b"")
+            ok = False
+            if parsed is not None:
+                w, h, planes = parsed
+                cdims = ((h + 1) // 2, (w + 1) // 2)
+                ok = (len(planes) == 3 and planes[0].shape == (h, w)
+                      and planes[1].shape == cdims
+                      and planes[2].shape == cdims)
+            if not ok:
+                rows.append((doc_id, False, 0, 0, 0, 0, 0, 0))
+            else:
+                n_mcus = ((w + 15) // 16) * ((h + 15) // 16)
+                rows.append((doc_id, True, w, h, n_mcus,
+                             int(planes[0].sum()), int(planes[1].sum()),
+                             int(planes[2].sum())))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "jpeg_ok", "width", "height", "n_mcus",
+            "y_sum", "cb_sum", "cr_sum"])
+        for c in ("width", "height", "n_mcus"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+# Oracle mirror: MCU grid and subsampled chroma dims are CASE
+# arithmetic; each scan-order block's byte is weighted by its VISIBLE
+# pixel count in its component's CROPPED plane — fully-padded luma
+# blocks weigh zero (coded but cropped), chroma blocks weigh their
+# subsampled-plane crop. A decoder that misorders the MCU interleave,
+# crosses the per-component DC predictors, swaps quant tables, or crops
+# at full-resolution chroma dims changes these sums.
+def _jpeg420_oracle() -> str:
+    w = "CASE doc_id % 3 WHEN 0 THEN 22 WHEN 1 THEN 37 ELSE 14 END"
+    h = "CASE doc_id % 3 WHEN 0 THEN 18 WHEN 1 THEN 21 ELSE 10 END"
+    mx = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 1 END"
+    my = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END"
+    cw = "CASE doc_id % 3 WHEN 0 THEN 11 WHEN 1 THEN 19 ELSE 7 END"
+    ch = "CASE doc_id % 3 WHEN 0 THEN 9 WHEN 1 THEN 11 ELSE 5 END"
+    byte = "ascii(substring(text, (m % length(text)) + 1, 1))"
+    y_w = (f"greatest(0, least(8, ({w}) - ((m // 6) % ({mx})) * 16"
+           f" - ((m % 6) % 2) * 8))"
+           f" * greatest(0, least(8, ({h}) - ((m // 6) // ({mx})) * 16"
+           f" - ((m % 6) // 2) * 8))")
+    c_w = (f"greatest(0, least(8, ({cw}) - ((m // 6) % ({mx})) * 8))"
+           f" * greatest(0, least(8, ({ch}) - ((m // 6) // ({mx})) * 8))")
+
+    def s(pred: str, weight: str) -> str:
+        return (
+            "CASE WHEN length(text) = 0 THEN 0 ELSE COALESCE(list_sum("
+            f"list_transform(list_filter(generate_series(0, "
+            f"6 * ({mx}) * ({my}) - 1), m -> {pred}), "
+            f"m -> {byte} * ({weight}))), 0) END")
+
+    return f"""
+        SELECT doc_id,
+               TRUE AS jpeg_ok,
+               CAST({w} AS INT) AS width,
+               CAST({h} AS INT) AS height,
+               CAST(({mx}) * ({my}) AS INT) AS n_mcus,
+               CAST({s("m % 6 < 4", y_w)} AS BIGINT) AS y_sum,
+               CAST({s("m % 6 = 4", c_w)} AS BIGINT) AS cb_sum,
+               CAST({s("m % 6 = 5", c_w)} AS BIGINT) AS cr_sum
+        FROM documents
+    """
+
+
+@query("q_multimodal_decode_jpeg420", oracle=_jpeg420_oracle(),
+       tags=("multimodal",))
+def q_multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG decode: encode each document into a genuine
+    MCU-interleaved 4:2:0 baseline JFIF (``jpeg420_encode_batch`` —
+    three components, per-component quant/Huffman tables, block-constant
+    planes so the lossy round trip stays exact-integer), then parse it
+    back with the general decoder (``jpeg420_decode_batch`` →
+    ``_jpeg_parse``: interleaved MCU walk, per-component DC predictors,
+    per-table dequant, IDCT, subsampled-plane crop).
+
+    This is the structure real-world JPEGs use; a hash match proves the
+    interleave order, the predictor separation, the two quant tables
+    (luma DC 2 vs chroma DC 4), and the half-resolution chroma crop
+    were each honored. One fused Python stage over spread partitions,
+    like the whole codec family."""
+    from .llm_dedup import _spread
+    from .multimodal import fused_round_trip
+
+    docs = _spread(spark, binary_docs(spark, sf_dir)
+                   .select("doc_id", "payload"))
+    return docs.mapInPandas(
+        fused_round_trip(jpeg420_encode_batch, jpeg420_decode_batch),
+        schema=JPEG420_DECODE_SCHEMA)
