@@ -562,3 +562,38 @@ def test_420_truncation_fuzz_never_crashes():
     outs = _decode420([good[:n] for n in range(0, len(good), 3)] + [good])
     assert not outs.jpeg_ok.iloc[:-1].any()
     assert bool(outs.jpeg_ok.iloc[-1])
+
+
+def test_420_kernel_rejects_1x1_444_shape_coincidence():
+    """Review finding: a 1x1 three-component 4:4:4 file's plane shapes
+    coincide with 4:2:0's ((1,1) chroma dims) - the strict kernel must
+    classify by SAMPLING FACTORS, not shapes."""
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blk = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    blob = _ref_jpeg_multi(1, 1, [(1, 1, qnat, blk)] * 3)
+    parsed = _jpeg_parse(blob)
+    assert parsed is not None and parsed[3] == ((1, 1), (1, 1), (1, 1))
+    assert not _decode420([blob]).jpeg_ok.iloc[0]
+
+
+def test_parse_bounds_padded_multi_component_allocation():
+    """A hostile SOF passing the raw w*h guard but whose padded MCU
+    grids would allocate several times the calibrated bound must fail
+    cleanly (never OOM the never-crash fuzz paths)."""
+    w, h = 1, 1 << 22  # w*h == _JPEG_MAX_PIXELS, padded grids ~4x
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h & 0xFFFF, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    # h wraps the 16-bit field; construct directly at the field max
+    h = 0xFFFF
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, 63, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dht = (_seg(0xC4, bytes([0x00]) + bytes(_REF_DC_BITS)
+                + bytes(_REF_DC_VALS))
+           + _seg(0xC4, bytes([0x10]) + bytes(_REF_AC_BITS)
+                  + bytes(_REF_AC_VALS)))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    blob = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00" + b"\xff\xd9"
+    # 63 * 65535 = 4.1M pixels < 2^22? 63*65535 = 4128705 < 4194304 OK
+    assert 63 * 65535 <= (1 << 22)
+    assert _jpeg_parse(blob) is None

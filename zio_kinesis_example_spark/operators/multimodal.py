@@ -146,7 +146,8 @@ def decode_image_real(payload: bytes) -> "object":
     layout) — is decoded for real since round 7:
     ``multimodal_jpeg._jpeg_parse`` (marker walk, Huffman, per-component
     DC prediction/dequant, IDCT, subsampled-plane crop), returning
-    (width, height, [plane per component]). The rest of the real codec
+    (width, height, [plane per component], per-component (h, v)
+    sampling factors). The rest of the real codec
     family is live beside it: BMP (below), PPM (pipeline_ext5), RIFF/
     WAVE PCM (pipeline_ext), PNG (multimodal_png: zlib inflate + all
     five filter inverses), GIF (multimodal_gif: full variable-width

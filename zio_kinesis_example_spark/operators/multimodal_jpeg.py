@@ -177,11 +177,12 @@ def _scan_bytes(block_vals) -> bytes:
     return bw.finish()
 
 
-def jpeg_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, payload=text bytes) → (doc_id, payload=real JFIF bytes).
-    Block rule: 8×8 block m (raster order) is CONSTANT with value
-    text_byte[m mod len(text)] (zeros for empty text) — the construction
-    that makes the lossy transform round trip exact-integer."""
+def _encode_docs(batches, dims, nb_fn, headers_fn, scan_fn):
+    """Shared encoder scaffolding for both JPEG queries: flat-batch the
+    payloads, pick the dim class by doc_id, gather the cyclic
+    scan-order block bytes (zeros for empty text), and assemble
+    SOI..scan..EOI per file. The variants differ only in the block
+    count, headers, and scan serializer."""
     import numpy as np
 
     for pdf in batches:
@@ -190,21 +191,31 @@ def jpeg_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         buf, starts, lens = _flat_batch(pdf["payload"])
         doc_id = pdf["doc_id"].to_numpy()
         out: list = [None] * len(doc_id)
-        cls = doc_id % len(_JPEG_DIMS)
-        for c, (w, h) in enumerate(_JPEG_DIMS):
+        cls = doc_id % len(dims)
+        for c, (w, h) in enumerate(dims):
             sel = np.nonzero(cls == c)[0]
             if len(sel) == 0:
                 continue
-            nb = ((w + 7) // 8) * ((h + 7) // 8)
-            m = np.arange(nb, dtype=np.int64)
+            m = np.arange(nb_fn(w, h), dtype=np.int64)
             idx = starts[sel][:, None] + (
                 m[None, :] % np.maximum(lens[sel], 1)[:, None])
             vals = buf[idx]
             vals[lens[sel] == 0] = 0
-            head = _jpeg_headers(w, h)
+            head = headers_fn(w, h)
             for j, i in enumerate(sel):
-                out[i] = head + _scan_bytes(vals[j]) + b"\xff\xd9"
+                out[i] = head + scan_fn(vals[j]) + b"\xff\xd9"
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def jpeg_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload=text bytes) → (doc_id, payload=real JFIF bytes).
+    Block rule: 8×8 block m (raster order) is CONSTANT with value
+    text_byte[m mod len(text)] (zeros for empty text) — the construction
+    that makes the lossy transform round trip exact-integer."""
+    yield from _encode_docs(
+        batches, _JPEG_DIMS,
+        lambda w, h: ((w + 7) // 8) * ((h + 7) // 8),
+        _jpeg_headers, _scan_bytes)
 
 
 def _build_huff(bits, vals) -> dict | None:
@@ -289,15 +300,18 @@ _JPEG_SAMPLINGS = (
 
 def _jpeg_parse(data: bytes):
     """One file's full baseline decode, grayscale or color. Returns
-    (width, height, [plane_0, ...]) with plane_i an (ch_i, cw_i) int64
-    pixel array per component (chroma planes carry their SUBSAMPLED
-    dims), or None on any structural defect — bad magic, truncation,
-    non-baseline SOF, unsupported sampling, missing tables, invalid
-    Huffman spec/stream, missing EOI. Multi-component scans are
-    MCU-interleaved per T.81 A.2.3 (per-MCU block order: each
-    component's v×h blocks raster-wise, components in SOS order) with
-    per-component DC predictors and quantization tables; RSTn resets
-    every predictor and is counted in MCUs."""
+    (width, height, [plane_0, ...], samplings) with plane_i an
+    (ch_i, cw_i) int64 pixel array per component (chroma planes carry
+    their SUBSAMPLED dims) and samplings the per-component (h_i, v_i)
+    tuple — callers that care WHICH supported layout they got (e.g. the
+    strict 4:2:0 kernel, where a 1×1 4:4:4 file's plane shapes coincide
+    with 4:2:0's) must check it, not the shapes. None on any structural
+    defect — bad magic, truncation, non-baseline SOF, unsupported
+    sampling, missing tables, invalid Huffman spec/stream, missing EOI.
+    Multi-component scans are MCU-interleaved per T.81 A.2.3 (per-MCU
+    block order: each component's v×h blocks raster-wise, components in
+    SOS order) with per-component DC predictors and quantization
+    tables; RSTn resets every predictor and is counted in MCUs."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -440,8 +454,13 @@ def _jpeg_parse(data: bytes):
     vmax = max(c[2] for c in comps)
     mx_n = (w + 8 * hmax - 1) // (8 * hmax)
     my_n = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component block grids and coefficient arrays
+    # per-component block grids and coefficient arrays. The SOF guard
+    # bounds w*h, but MCU padding + multiple components can allocate
+    # several times that — bound the TOTAL padded sample count too
+    # (fuzz/hostile SOFs must fail cleanly, never OOM a worker)
     grids = [(my_n * v_i, mx_n * h_i) for _cid, h_i, v_i, _tq in comps]
+    if sum(gh * gw for gh, gw in grids) * 64 > 4 * _JPEG_MAX_PIXELS:
+        return None
     coefs = [np.zeros((gh * gw, 64), dtype=np.int64) for gh, gw in grids]
     preds = [0] * len(comps)
     seg_idx = 0
@@ -508,7 +527,7 @@ def _jpeg_parse(data: bytes):
         ch = (h * v_i + vmax - 1) // vmax
         planes.append(pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
                       .reshape(gh * 8, gw * 8)[:ch, :cw])
-    return w, h, planes
+    return w, h, planes, tuple((h_i, v_i) for _cid, h_i, v_i, _tq in comps)
 
 
 def _jpeg_parse_one(data: bytes):
@@ -519,8 +538,7 @@ def _jpeg_parse_one(data: bytes):
     parsed = _jpeg_parse(data)
     if parsed is None or len(parsed[2]) != 1:
         return None
-    w, h, planes = parsed
-    return w, h, planes[0]
+    return parsed[0], parsed[1], parsed[2][0]
 
 
 def jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -698,29 +716,10 @@ def jpeg420_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     JFIF bytes). Block rule: scan-order block m (MCU-interleaved) is
     CONSTANT with value text_byte[m mod len(text)] (zeros for empty
     text) — exact-integer through the lossy round trip per component."""
-    import numpy as np
-
-    for pdf in batches:
-        from .multimodal import _flat_batch
-
-        buf, starts, lens = _flat_batch(pdf["payload"])
-        doc_id = pdf["doc_id"].to_numpy()
-        out: list = [None] * len(doc_id)
-        cls = doc_id % len(_JPEG420_DIMS)
-        for c, (w, h) in enumerate(_JPEG420_DIMS):
-            sel = np.nonzero(cls == c)[0]
-            if len(sel) == 0:
-                continue
-            nb = 6 * ((w + 15) // 16) * ((h + 15) // 16)
-            m = np.arange(nb, dtype=np.int64)
-            idx = starts[sel][:, None] + (
-                m[None, :] % np.maximum(lens[sel], 1)[:, None])
-            vals = buf[idx]
-            vals[lens[sel] == 0] = 0
-            head = _jpeg420_headers(w, h)
-            for j, i in enumerate(sel):
-                out[i] = head + _scan420_bytes(vals[j]) + b"\xff\xd9"
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+    yield from _encode_docs(
+        batches, _JPEG420_DIMS,
+        lambda w, h: 6 * ((w + 15) // 16) * ((h + 15) // 16),
+        _jpeg420_headers, _scan420_bytes)
 
 
 def jpeg420_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -736,11 +735,10 @@ def jpeg420_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             parsed = _jpeg_parse(bytes(payload) if payload else b"")
             ok = False
             if parsed is not None:
-                w, h, planes = parsed
-                cdims = ((h + 1) // 2, (w + 1) // 2)
-                ok = (len(planes) == 3 and planes[0].shape == (h, w)
-                      and planes[1].shape == cdims
-                      and planes[2].shape == cdims)
+                w, h, planes, samplings = parsed
+                # sampling factors, not plane shapes: a 1×1 4:4:4 file's
+                # shapes coincide with 4:2:0's (review finding)
+                ok = samplings == ((2, 2), (1, 1), (1, 1))
             if not ok:
                 rows.append((doc_id, False, 0, 0, 0, 0, 0, 0))
             else:
