@@ -412,7 +412,7 @@ def test_ann_bench_plans_skip_exact_twin(spark):
         return len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin",
                               buf.getvalue()))
 
-    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
+    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_ivfpq"):
         spec = all_specs()[name]
         assert spec.bench_fn is not None
         assert n_bnlj(spec.bench_fn(spark, SF_SMALL)) == 0, name

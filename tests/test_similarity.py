@@ -154,3 +154,32 @@ def test_pq_trained_codebooks_beat_hash_sample(spark):
     base = recall(_ann_pq_plan(spark, SF_ORACLE, train_iters=0))
     trained = recall(_ann_pq_plan(spark, SF_ORACLE))
     assert trained >= base, (trained, base)
+
+
+def test_ivfpq_recall_and_refine_exactness(spark):
+    """IVFPQ (the composed index): recall@k >= its floor at sf0.01,
+    every query answers exactly k rows, and shared refined cosines
+    EQUAL the exact baseline's (the refine stage is exact)."""
+    from .conftest import SF_ORACLE
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _K, _ann_ivfpq_plan,
+    )
+
+    exact = all_specs()["q_sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    approx = _ann_ivfpq_plan(spark, SF_ORACLE).collect()
+    truth: dict[int, set[int]] = {}
+    escore: dict[tuple[int, int], float] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        escore[(r.query_id, r.neighbor_id)] = r.cosine
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        key = (r.query_id, r.neighbor_id)
+        if key in escore:
+            assert r.cosine == escore[key], key
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.4, f"IVFPQ recall collapsed: {hits/total:.2f}"
+    assert all(len(v) == _K for v in got.values())
+    assert set(got) == set(truth)
