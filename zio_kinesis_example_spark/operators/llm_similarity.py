@@ -31,7 +31,9 @@ Python, no UDF; Arrow only at the result edge.
 
 from __future__ import annotations
 
+import os
 import random
+import threading
 
 import pandas as pd
 
@@ -250,6 +252,58 @@ def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# shared trained-index registry (round 8)
+# --------------------------------------------------------------------------
+#: Driver-side cache of trained ANN index artifacts — IVF centroid
+#: matrices, PQ sub-codebooks, corpus counts — keyed by
+#: (applicationId, sf_dir, artifact-id incl. params). This is FAISS's
+#: index-build / search split: every artifact is a DETERMINISTIC function
+#: of the corpus (hash-sample seed + integer-exact Lloyd), so
+#: train-once-serve-many changes no results (bit-identical books and
+#: cell layouts) — it only removes repeated training scans when several
+#: family members run in one session (bench.py and the driver's
+#: correctness pass run q_sim_ann_ivf / _pq / _ivfpq back-to-back; IVFPQ
+#: re-derives exactly the codebooks its two parents already trained).
+#: The dedup `_shared` precedent (llm_dedup.py) applied to driver-side
+#: index state: entries are plain driver data (numpy arrays, lists,
+#: ints) — nothing persists on executors, so eviction is free.
+#: Warm/cold split documented in BASELINE.md (ANN index-build ledger).
+_ANN_INDEX_CACHE: dict[tuple[str, str, str], object] = {}
+_ANN_INDEX_LOCK = threading.Lock()
+_ANN_INDEX_CAP = 64
+
+
+def _ann_cached(spark: SparkSession, sf_dir: str, artifact: str, build):
+    """Memoize a per-(session, sf_dir) trained index artifact.
+
+    build() runs OUTSIDE the lock (it runs whole Spark jobs); a
+    concurrent duplicate build returns a bit-identical value (all
+    artifacts are deterministic), so first-registered wins and the
+    loser is garbage — no unpersist bookkeeping needed."""
+    k = (spark.sparkContext.applicationId, os.path.realpath(sf_dir),
+         artifact)
+    with _ANN_INDEX_LOCK:
+        if k in _ANN_INDEX_CACHE:
+            return _ANN_INDEX_CACHE[k]
+    v = build()
+    with _ANN_INDEX_LOCK:
+        v = _ANN_INDEX_CACHE.setdefault(k, v)
+        while len(_ANN_INDEX_CACHE) > _ANN_INDEX_CAP:
+            _ANN_INDEX_CACHE.pop(next(iter(_ANN_INDEX_CACHE)))
+    return v
+
+
+def clear_ann_cache() -> int:
+    """Forget every cached trained-index artifact (next access
+    retrains). The timing-coldness hook mirroring
+    llm_dedup.clear_shared_cache."""
+    with _ANN_INDEX_LOCK:
+        n = len(_ANN_INDEX_CACHE)
+        _ANN_INDEX_CACHE.clear()
+        return n
+
+
 _IVF_NLIST = 32      # FIXED centroid count — independent of corpus size
 _IVF_NPROBE = 3      # query-side cells probed
 _IVF_TRAIN_ITERS = 2  # Lloyd iterations refining the hash-sample seed
@@ -344,48 +398,86 @@ def _ivf_assign_udf(Cn, n_cells: int):
     return assign
 
 
-def _train_ivf_centroids(e: DataFrame, C0, iters: int):
-    """Lloyd-refine the hash-sample seed ``C0`` into a trained coarse
-    quantizer (the r5 FAISS-parity gap: q_embed_kmeans' algorithm, IVF's
-    nlist). Per iteration: ONE corpus scan assigning each vector its
-    nearest current centroid (matmul UDF), then a partial-agged
-    (cell, dim) shuffle of SCALED-INTEGER component sums — the
-    q_embed_kmeans determinism rule: int64 sums are associative, so the
-    truncated-integer mean is bit-identical no matter the aggregation
-    order, making the trained codebook (hence cell layout and recall)
-    run-to-run stable. Driver state per round: ≤ nlist·dim rows.
-    Empty cells keep their previous centroid. Overflow bound:
-    |component| ≤ ~few · SCALE(1e6) ⇒ a cell needs > ~1e12 members to
-    overflow int64 — not reachable even at 100 TB."""
+#: Coarse-quantizer training sample: the SAME bounded hash-sample size
+#: the PQ trainer uses (the FAISS convention — codebook quality
+#: saturates long before the corpus does, and index-build cost must not
+#: grow with corpus size). Round-8 fix: the round-7 IVF trainer
+#: re-scanned the FULL corpus once per Lloyd iteration (an O(n·iters)
+#: index build — the exact scale bug the PQ trainer had already fixed);
+#: training now runs driver-side over the collected sample. At every
+#: committed SF (n ≤ 2000 < 2048) the sample IS the corpus, so the
+#: trained centroids are bit-identical to the distributed trainer's
+#: (asserted before the switch); beyond the sample bound, FAISS-style
+#: sampled training takes over.
+_IVF_TRAIN_SAMPLE = 2048
+
+
+def _train_ivf_centroids(X, C0, iters: int):
+    """Driver-side integer-exact Lloyd over the bounded training sample
+    ``X`` (sample × dim float64; ≤ _IVF_TRAIN_SAMPLE rows — O(sample·
+    nlist·dim) driver work, constant in corpus size). Assignment
+    replicates _ivf_assign_udf's numpy ops verbatim (same row
+    normalization, same dgemm shape — the UDF saw the whole corpus as
+    one Arrow batch at these sample sizes — same argsort tie rule); the
+    mean update keeps q_embed_kmeans' determinism rule: SCALED-INTEGER
+    component sums (int64, associative) and toward-zero truncated
+    integer means, so the trained codebook (hence cell layout and
+    recall) is run-to-run stable. Empty cells keep their previous
+    centroid. Overflow bound: |component| ≤ ~few·SCALE(1e6) and the
+    sample is ≤ 2048 rows ⇒ sums stay far inside int64."""
     import numpy as np
 
     C = C0.astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # Spark's (x * SCALE).cast("long"): double multiply, truncate
+    # toward zero — numpy astype(int64) truncates toward zero too
+    Xi = (X * _IVF_TRAIN_SCALE).astype(np.int64)
     for _ in range(iters):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        assigned = e.select(
-            F.element_at(_ivf_assign_udf(Cn, 1)(F.col("emb")), 1)
-            .alias("cell"),
-            F.col("emb"),
-        )
-        stats = (
-            assigned.select("cell", F.posexplode("emb").alias("dim", "x"))
-            .select(
-                "cell", "dim",
-                (F.col("x") * _IVF_TRAIN_SCALE).cast("long").alias("xi"),
-            )
-            .groupBy("cell", "dim")
-            .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+        cell = np.argsort(-(Xn @ Cn.T), axis=1)[:, 0]
         newC = C.copy()
-        for r in stats:
-            # toward-zero truncated integer mean (Spark DIV semantics),
-            # then back to float once per cell/dim
-            newC[r.cell, r.dim] = (r.s // r.c
-                                   if r.s >= 0 else -((-r.s) // r.c)
-                                   ) / _IVF_TRAIN_SCALE
+        for c in range(C.shape[0]):
+            m = cell == c
+            if m.any():
+                s = Xi[m].sum(axis=0)
+                n = int(m.sum())
+                # toward-zero truncated integer mean (Spark DIV
+                # semantics), then back to float once per cell/dim
+                newC[c] = np.where(s >= 0, s // n,
+                                   -((-s) // n)) / _IVF_TRAIN_SCALE
         C = newC
     return C
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
+                   train_iters: int):
+    """Trained coarse-quantizer centroid matrix (nlist × dim float64),
+    memoized per (session, sf_dir, nlist, train_iters) — q_sim_ann_ivf
+    and q_sim_ann_ivfpq share one trained quantizer instead of each
+    re-running the seed collect + Lloyd scans (deterministic, so the
+    shared matrix is bit-identical to what each would train alone)."""
+    import numpy as np
+
+    def build():
+        # ONE bounded collect serves seed + training set: the first
+        # nlist rows of the hash-ordered sample are exactly the rows
+        # limit(nlist) would return (same global order). The sample
+        # plan is a TakeOrderedAndProject — executors each keep their
+        # local top-sample by hash, the driver merges ≤ sample rows.
+        rows = (
+            e.select("vec_id", "emb")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(_IVF_TRAIN_SAMPLE if train_iters > 0 else _IVF_NLIST)
+            .collect()
+        )
+        X = np.stack([r.emb for r in rows])               # (sample, dim)
+        C = X[:_IVF_NLIST].copy()                         # (nlist, dim)
+        if train_iters > 0:
+            C = _train_ivf_centroids(X, C, train_iters)
+        return C
+
+    return _ann_cached(
+        spark, sf_dir, f"ivfC:{_IVF_NLIST}:{train_iters}", build)
 
 
 def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
@@ -415,17 +507,9 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
     import numpy as np
 
     e = _emb(spark, sf_dir)
-    cents = (
-        e.select("vec_id", "emb")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_IVF_NLIST)
-        .collect()
-    )
-    C = np.stack([r.emb for r in cents])                      # (nlist, dim)
-    if train_iters > 0:
-        C = _train_ivf_centroids(e.select("emb"), C, train_iters)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    nprobe = min(_IVF_NPROBE, len(cents))
+    nprobe = min(_IVF_NPROBE, C.shape[0])
 
     def make_assign(n_cells: int):
         return _ivf_assign_udf(Cn, n_cells)
@@ -474,12 +558,19 @@ _PQ_ANN_M = 4        # subspaces (64-d → four 16-d slices; 16 bits/vector)
 _PQ_ANN_K = 16       # codebook entries per subspace
 _PQ_ANN_SUB = 16
 _PQ_ANN_REFINE = 100        # ADC shortlist floor per query
-#: Shortlist also scales with the corpus (2%): a FIXED window covers a
-#: shrinking corpus fraction as data grows, so recall would decay with
-#: scale; proportional-R keeps the ADC contract roughly
-#: scale-invariant while the scan stays O(corpus) per query and the
-#: refine stays O(R·dim). (At sf0.1 this is exactly the old fixed 100.)
+#: Shortlist scales with the corpus (2%) UP TO A CONSTANT CAP: a fixed
+#: window covers a shrinking corpus fraction as data grows (recall
+#: decays — measured, see the recall table below), so R grows with n
+#: through the test/proxy scales; but an UNCAPPED R ∝ n would make the
+#: exact-refine stage O(n·dim) per query — asymptotically brute force.
+#: The FAISS convention is a bounded reorder window (reorder_k: a
+#: constant multiple of k, never a corpus fraction) with recall at
+#: scale recovered via nprobe / training quality, so R is capped at
+#: _PQ_ANN_REFINE_CAP: per-query refine cost is O(cap·dim) = O(1) in
+#: corpus size. At sf0.001-0.1 (n ≤ ~5k) R = 100; at the 10× proxy
+#: (n ≈ 50k) R = 1000; the cap binds just beyond that.
 _PQ_ANN_REFINE_FRAC = 0.02
+_PQ_ANN_REFINE_CAP = 1024
 # Measured overall recall@5 vs the exact baseline (deterministic —
 # seeded + integer-Lloyd-trained codebooks, no run-to-run variance):
 # trained 0.68 / 0.78 / 0.41 at sf0.001/0.01/0.1 (raw hash-sample:
@@ -528,43 +619,101 @@ def _pq_code_col(books: list, s: int):
     return F.expr(f"array_min(array({structs})).c")
 
 
-def _train_pq_books(q: DataFrame, books: list, iters: int) -> list:
-    """Per-subspace Lloyd refinement of the PQ codebooks (the r6 IVF
-    precedent applied to PQ): per iteration, ONE spread scan assigns all
-    M codes with the same literal-argmin expressions the coder uses,
-    then each subspace's (code, dim) integer component sums shuffle
-    partial-agged and the centroid update is a truncated integer mean —
-    associative int64 sums, so the trained books (hence codes, ADC
-    layout, and recall) are run-to-run bit-stable. Empty cells keep
-    their previous entry. Driver state per round: M·K·subdim ints.
-    Overflow: |component| ≤ ~1e6, so a cell/dim sum needs > ~9e12
-    members to overflow int64 — not reachable at 100 TB."""
-    m = len(books)
+def _train_pq_books(V, books: list, iters: int) -> list:
+    """Per-subspace Lloyd refinement of the PQ codebooks, driver-side
+    over the bounded training sample ``V`` (sample × dim int64 — the
+    quantized vectors; ≤ _PQ_ANN_TRAIN_SAMPLE rows). Round-8 shape:
+    the round-7 trainer ran each iteration as a Spark job over the same
+    ≤2048-row persisted sample — two full plan-analysis + job cycles of
+    a 4×16-struct interpreted argmin expression (~3 s of fixed overhead
+    for microseconds of arithmetic); the arithmetic is EXACTLY
+    replicated here. Assignment: exact int64 squared distances, argmin
+    with first-minimum tie-break — identical to the coder's
+    array_min(named_struct(d, c)) rule (min distance, then min code).
+    Update: toward-zero truncated integer means of int64 component sums
+    (associative — bit-stable run to run). Empty cells keep their
+    previous entry. Driver work: O(sample·K·dim) per iteration,
+    constant in corpus size."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.int64) for b in books]
     for _ in range(iters):
-        # ONE scan codes every subspace, ONE partial-agged shuffle
-        # collects every (subspace, code, dim) component sum
-        codes = q.select(
-            "qv",
-            F.array(*[_pq_code_col(books, s) for s in range(m)]).alias("cs"))
-        stats = (
-            codes.select("cs", F.posexplode("qv").alias("dim", "x"))
-            .select(
-                F.expr(f"cast(dim div {_PQ_ANN_SUB} as int)").alias("s"),
-                F.expr(f"element_at(cs, cast(dim div {_PQ_ANN_SUB} as int)"
-                       " + 1)").alias("code"),
-                F.expr(f"dim % {_PQ_ANN_SUB}").alias("sdim"),
-                "x")
-            .groupBy("s", "code", "sdim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        books = [[list(c) for c in book] for book in books]
-        for r in stats:
-            # toward-zero truncated integer mean (the q_embed_kmeans
-            # convention)
-            books[r.s][r.code][r.sdim] = (r.sx // r.n if r.sx >= 0
-                                          else -((-r.sx) // r.n))
-    return books
+        new_books = []
+        for s, B in enumerate(books):
+            sub = V[:, s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB]
+            d = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)          # first min = smallest code
+            nb = B.copy()
+            for c in range(B.shape[0]):
+                m = code == c
+                if m.any():
+                    sx = sub[m].sum(axis=0)
+                    n = int(m.sum())
+                    # toward-zero truncated integer mean (the
+                    # q_embed_kmeans convention)
+                    nb[c] = np.where(sx >= 0, sx // n, -((-sx) // n))
+            new_books.append(nb)
+        books = new_books
+    return [[[int(x) for x in row] for row in b] for b in books]
+
+
+def _pq_trained_books(spark: SparkSession, sf_dir: str, q: DataFrame,
+                      train_iters: int) -> list:
+    """Trained per-subspace PQ codebooks, memoized per
+    (session, sf_dir, M, K, train_iters) — q_sim_ann_pq and
+    q_sim_ann_ivfpq share one trained set instead of each re-running the
+    seed collect + Lloyd training (deterministic integer training ⇒ the
+    shared books are bit-identical). ONE bounded collect serves seed +
+    training set (the first K rows of the hash-ordered sample are
+    exactly what limit(K) returns)."""
+    def build():
+        import numpy as np
+
+        rows = (q.orderBy(F.xxhash64("vec_id"), "vec_id")
+                .limit(_PQ_ANN_TRAIN_SAMPLE if train_iters > 0
+                       else _PQ_ANN_K)
+                .collect())
+        books = [[list(r.qv[s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB])
+                  for r in rows[:_PQ_ANN_K]] for s in range(_PQ_ANN_M)]
+        if train_iters > 0:
+            V = np.array([r.qv for r in rows], dtype=np.int64)
+            books = _train_pq_books(V, books, train_iters)
+        return books
+
+    return _ann_cached(
+        spark, sf_dir,
+        f"pqB:{_PQ_ANN_M}x{_PQ_ANN_K}:{train_iters}", build)
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str, q: DataFrame) -> int:
+    """Corpus row count, memoized per (session, sf_dir): sizing the
+    refine window needs n once per session, not one eager count job per
+    plan build (the round-7 shape paid it on every PQ/IVFPQ call)."""
+    return _ann_cached(spark, sf_dir, "n", lambda: q.count())
+
+
+def _refine_window(spark: SparkSession, sf_dir: str, q: DataFrame) -> int:
+    """Bounded ADC shortlist size: max(floor, min(2%·n, cap)) — see the
+    _PQ_ANN_REFINE_CAP rationale. Deterministic, so the recall contract
+    stays hash-checkable."""
+    n = _corpus_count(spark, sf_dir, q)
+    return max(_PQ_ANN_REFINE,
+               min(int(n * _PQ_ANN_REFINE_FRAC), _PQ_ANN_REFINE_CAP))
+
+
+def _pq_lut_col(books: list, s: int):
+    """Per-query K-entry integer LUT for subspace ``s`` (exact squared
+    sub-distances from the query's ``qv`` to every codebook entry)."""
+    entries = ", ".join(_pq_subdist(s, c) for c in books[s])
+    return F.expr(f"array({entries})")
+
+
+def _pq_adc_col():
+    """ADC distance: M array lookups + adds over lut{s}/c{s} columns."""
+    return sum(
+        (F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
+         for s in range(1, _PQ_ANN_M)),
+        F.element_at("lut0", F.col("c0") + 1))
 
 
 def _ann_pq_plan(spark: SparkSession, sf_dir: str,
@@ -587,9 +736,12 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
     the candidate stream is corpus codes × broadcast queries, scoring
     each pair with M array lookups + adds — O(1) per candidate instead
     of O(dim), and the stream carries (ids, 2 codes), never vectors.
-    The per-query ADC shortlist — max(100, 2% of the corpus), so recall
-    does not decay as data grows — (WindowGroupLimit
-    pushes the rank filter map-side) is then re-ranked EXACTLY: the
+    The per-query ADC shortlist — max(100, min(2% of the corpus, 1024)),
+    proportional through the test scales so recall does not decay, then
+    CAPPED so the refine stays O(1) in corpus size (the FAISS
+    bounded-reorder_k convention; see _PQ_ANN_REFINE_CAP) —
+    (WindowGroupLimit pushes the rank filter map-side) is then
+    re-ranked EXACTLY: the
     shortlist-sized frame joins back the quantized vectors and scores
     with the integer-exact cosine of q_sim_cosine_topk — so the output
     ranking is deterministic and parity-safe even though ADC distances
@@ -601,11 +753,6 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
     e = _emb(spark, sf_dir)
     q = e.select("vec_id", F.expr(_QUANT.replace("embedding", "emb"))
                  .alias("qv"))
-    cents = q.orderBy(F.xxhash64("vec_id"), "vec_id") \
-        .limit(_PQ_ANN_K).collect()
-    books = [[list(r.qv[s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB])
-              for r in cents] for s in range(_PQ_ANN_M)]
-
     # spread before the per-row interpreted code folds (llm_dedup._spread:
     # a single parquet file scans as ONE partition and the whole ADC scan
     # serializes onto one core — measured 4.0 s → 2.6 s warm at sf0.1).
@@ -613,20 +760,8 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
     from .llm_dedup import _spread
 
     qs = _spread(spark, q)
-    # proportional shortlist (floor 100): n is already on the driver as
-    # a side effect of nothing else — one cheap count over the pruned
-    # id column; deterministic, so the contract stays hash-checkable
-    refine = max(_PQ_ANN_REFINE,
-                 int(q.count() * _PQ_ANN_REFINE_FRAC))
-    if train_iters > 0:
-        train = _spread(spark, q.orderBy(F.xxhash64("vec_id"), "vec_id")
-                        .limit(_PQ_ANN_TRAIN_SAMPLE)).persist()
-        books = _train_pq_books(train, books, train_iters)
-        train.unpersist()
-
-    def lut_col(s: int):
-        entries = ", ".join(_pq_subdist(s, c) for c in books[s])
-        return F.expr(f"array({entries})")
+    refine = _refine_window(spark, sf_dir, q)
+    books = _pq_trained_books(spark, sf_dir, q, train_iters)
 
     corpus = qs.select(
         "vec_id",
@@ -635,21 +770,18 @@ def _ann_pq_plan(spark: SparkSession, sf_dir: str,
         q.filter(F.expr(_QUERY_FILTER))
         .select(F.col("vec_id").alias("query_id"),
                 F.col("qv").alias("qqv"),
-                *[lut_col(s).alias(f"lut{s}") for s in range(_PQ_ANN_M)])
+                *[_pq_lut_col(books, s).alias(f"lut{s}")
+                  for s in range(_PQ_ANN_M)])
     )
     # ADC scan: broadcast query set × corpus CODES (the q_sim_cosine_topk
     # crossJoin shape — corpus streams map-side, nothing shuffles but the
     # 24-byte-per-row candidate stream into the per-query top-R window)
-    adc_expr = sum(
-        (F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
-         for s in range(1, _PQ_ANN_M)),
-        F.element_at("lut0", F.col("c0") + 1))
     cand = (
         corpus.select("vec_id", *[f"c{s}" for s in range(_PQ_ANN_M)])
         .crossJoin(F.broadcast(queries.drop("qqv")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                adc_expr.alias("adc"))
+                _pq_adc_col().alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id"))
@@ -727,15 +859,29 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     PQ codebooks (the q_sim_ann_pq machinery) give it a 16-bit code.
     Queries probe their ``_IVFPQ_NPROBE`` nearest cells and ADC-score
     only those cells' codes via per-query integer lookup tables; the
-    shortlist (max(100, 2% of corpus) per query) is exactly re-ranked.
+    shortlist (max(100, min(2%·corpus, 1024)) per query — capped, see
+    _PQ_ANN_REFINE_CAP) is exactly re-ranked.
 
     Scale shape: both codebooks are O(driver) literals trained on
-    bounded hash-samples; corpus cells+codes are one stateless scan;
-    the candidate join is ONE shuffle keyed by cell whose stream
-    carries (ids, 2-byte codes) — sub-linear in corpus per query AND
-    vector-free, the composed FAISS IVFADC layout. DETERMINISM: exact
-    integer throughout (trained centroids/books integer-exact, ADC
-    integer, refine the shared exact-cosine stage)."""
+    bounded hash-samples, trained ONCE per session (shared index
+    registry — q_sim_ann_ivf/_pq trained them already in a bench or
+    correctness pass; the FAISS index-build/search split); corpus
+    cells+codes are one stateless scan; the candidate join is ONE
+    shuffle keyed by cell whose stream carries (ids, 2-byte codes) —
+    vector-free, the composed FAISS IVFADC layout. Per-query cost:
+    (nprobe/nlist)·n candidates at code width (a FIXED 25% fraction at
+    this constant nlist=32) + an O(cap) exact refine; at real scale
+    nlist grows ∝ √n with nprobe fixed (the FAISS rule — training cost
+    stays bounded because the sample is fixed-size), which is what
+    makes the scanned fraction, and hence per-query work, shrink
+    relative to brute force. DETERMINISM: exact integer throughout
+    (trained centroids/books integer-exact, ADC integer, refine the
+    shared exact-cosine stage).
+
+    Broadcast shape (round-8 fix): the per-query LUT frame (|Q| rows ×
+    4 K-entry LUTs) and the probe skeleton (|Q|·nprobe (query, cell)
+    pairs) broadcast SEPARATELY and meet only per-candidate — the LUTs
+    are not duplicated nprobe× through the explode."""
     import numpy as np
 
     e = _emb(spark, sf_dir)
@@ -743,66 +889,50 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
                  .alias("qv"))
     from .llm_dedup import _spread
 
-    qs = _spread(spark, q)
-    refine = max(_PQ_ANN_REFINE, int(q.count() * _PQ_ANN_REFINE_FRAC))
+    refine = _refine_window(spark, sf_dir, q)
 
-    # coarse quantizer: hash-sample seed + integer Lloyd (IVF's trainer)
-    cents = (
-        e.select("vec_id", "emb")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_IVF_NLIST)
-        .collect()
-    )
-    C = np.stack([r.emb for r in cents])
-    if train_iters > 0:
-        C = _train_ivf_centroids(e.select("emb"), C, train_iters)
+    # coarse quantizer + PQ codebooks: both from the shared trained-
+    # index registry (bit-identical to training inline; see helpers)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    nprobe = min(_IVFPQ_NPROBE, len(cents))
+    nprobe = min(_IVFPQ_NPROBE, C.shape[0])
+    books = _pq_trained_books(spark, sf_dir, q, train_iters)
 
-    # PQ codebooks: hash-sample seed + integer Lloyd on a bounded sample
-    pq_cents = q.orderBy(F.xxhash64("vec_id"), "vec_id") \
-        .limit(_PQ_ANN_K).collect()
-    books = [[list(r.qv[s * _PQ_ANN_SUB:(s + 1) * _PQ_ANN_SUB])
-              for r in pq_cents] for s in range(_PQ_ANN_M)]
-    if train_iters > 0:
-        train = _spread(spark, q.orderBy(F.xxhash64("vec_id"), "vec_id")
-                        .limit(_PQ_ANN_TRAIN_SAMPLE)).persist()
-        books = _train_pq_books(train, books, train_iters)
-        train.unpersist()
-
-    def lut_col(s: int):
-        entries = ", ".join(_pq_subdist(s, c) for c in books[s])
-        return F.expr(f"array({entries})")
-
-    # corpus: ONE scan → (vec_id, cell, codes); the inverted lists
-    emb_cells = _spread(spark, e.select("vec_id", "emb")) \
-        .withColumn("cells", _ivf_assign_udf(Cn, 1)(F.col("emb"))) \
-        .select("vec_id", F.element_at("cells", 1).alias("cell"))
+    # corpus: ONE scan → (vec_id, cell, codes); the inverted lists.
+    # Cell (pandas-UDF matmul on emb) and codes (JVM folds on the
+    # inline-quantized qv) come from the SAME projection — the round-7
+    # shape joined a separate cell frame back to qs on vec_id, a
+    # corpus-sized shuffle join the single scan replaces (round 8).
     corpus = (
-        qs.join(emb_cells, "vec_id")
+        _spread(spark, e.select("vec_id", "emb"))
+        .withColumn("qv", F.expr(_QUANT.replace("embedding", "emb")))
+        .withColumn("cell",
+                    F.element_at(_ivf_assign_udf(Cn, 1)(F.col("emb")), 1))
         .select("vec_id", "cell",
                 *[_pq_code_col(books, s).alias(f"c{s}")
                   for s in range(_PQ_ANN_M)])
     )
+    # per-query LUTs: ONE row per query (no nprobe duplication) …
     queries = (
-        e.filter(F.expr(_QUERY_FILTER))
-        .withColumn("cells", _ivf_assign_udf(Cn, nprobe)(F.col("emb")))
-        .join(q.select(F.col("vec_id").alias("qid2"), "qv"),
-              F.col("vec_id") == F.col("qid2"))
+        q.filter(F.expr(_QUERY_FILTER))
         .select(F.col("vec_id").alias("query_id"),
                 F.col("qv").alias("qqv"),
-                F.explode("cells").alias("cell"),
-                *[lut_col(s).alias(f"lut{s}") for s in range(_PQ_ANN_M)])
+                *[_pq_lut_col(books, s).alias(f"lut{s}")
+                  for s in range(_PQ_ANN_M)])
     )
-    adc_expr = sum(
-        (F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
-         for s in range(1, _PQ_ANN_M)),
-        F.element_at("lut0", F.col("c0") + 1))
+    # … and the probe skeleton: (query_id, cell) pairs only
+    skel = (
+        e.filter(F.expr(_QUERY_FILTER))
+        .withColumn("cells", _ivf_assign_udf(Cn, nprobe)(F.col("emb")))
+        .select(F.col("vec_id").alias("query_id"),
+                F.explode("cells").alias("cell"))
+    )
     cand = (
-        corpus.join(F.broadcast(queries.drop("qqv")), "cell")
+        corpus.join(F.broadcast(skel), "cell")
+        .join(F.broadcast(queries.drop("qqv")), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                adc_expr.alias("adc"))
+                _pq_adc_col().alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id"))
@@ -811,9 +941,7 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
         .filter(F.col("r") <= refine)
         .select("query_id", "neighbor_id")
     )
-    queries_q = queries.select("query_id", "qqv").dropDuplicates(
-        ["query_id"])
-    return _exact_refine_topk(q, queries_q, short)
+    return _exact_refine_topk(q, queries.select("query_id", "qqv"), short)
 
 
 @query("q_sim_ann_ivfpq", oracle=_ANN_RECALL_ORACLE,

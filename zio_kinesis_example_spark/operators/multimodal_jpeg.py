@@ -42,7 +42,8 @@ parallel across partitions at 100 TB (inputs repartitioned like the
 PNG/GIF paths).
 
 Reference parity anchor: the reference pipeline treats record payloads
-as opaque bytes end-to-end (ProducerConsumerExample.scala:31-44); this
+as opaque bytes end-to-end (ProducerRecord payload bytes,
+TestUtils.scala:80; opaque-bytes serde TestMsgJsonSerde.scala:12-15); this
 module is the north-star extension giving those bytes the dominant
 real-world image decode path (closes the round-6 verdict's "What's
 missing #1").

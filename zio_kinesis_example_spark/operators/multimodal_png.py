@@ -36,7 +36,8 @@ Scale: mapInPandas streams Arrow batches — constant memory per task; at
 partitions and the plan carries zero shuffles.
 
 Reference parity anchor: the reference pipeline treats record payloads as
-opaque bytes end-to-end (ProducerConsumerExample.scala:31-44); this module
+opaque bytes end-to-end (ProducerRecord payload bytes, TestUtils.scala:80;
+opaque-bytes serde TestMsgJsonSerde.scala:12-15); this module
 is the north-star extension giving those bytes a real media decode path.
 """
 

@@ -20,7 +20,8 @@
 
 The per-record effect layer of :func:`consume_count` iterates on the
 driver — deliberately: it is the TEST-HARNESS MIRROR of the reference's
-single-process per-record effects (processRecord, C.scala:95-101), kept
+single-process per-record effects (processRecord,
+CheckpointOnChunkEndStreamClient.scala:95-101), kept
 for counters and failure injection, and NOT the scale path. The scale
 path is :func:`consume_observed`: per-record work on executors,
 counting via ``df.observe()``, nothing collected. Gap/order detection
