@@ -169,13 +169,14 @@ def test_csv_roundtrip_newlines_empty_and_null(spark, tmpdir_factory_local):
     assert got == {1: "line one\nline two", 2: "", 3: None, 4: "plain"}
 
 
-def test_csv_sentinel_limitation_is_pinned(spark, tmpdir_factory_local):
-    """The DOCUMENTED in-band-sentinel limit (io.py write_table): a
-    string cell that is literally backslash-N serializes identically to
-    a NULL (the writer does not escape backslashes; the reader applies
-    nullValue after unquoting) and reads back as NULL. Pinned so the
-    behavior is an explicit contract, not an accident — payloads that
-    may contain the sentinel belong in parquet."""
+def test_csv_sentinel_escape_roundtrip(spark, tmpdir_factory_local):
+    """The r8 escape fix (io.py write_table/read_table): the \\N NULL
+    sentinel is taken out of band by doubling literal backslashes on
+    write and halving on read, so a string cell that is literally
+    backslash-N — or any backslash-bearing payload, including ones that
+    look like escaped sentinels — round-trips EXACTLY and stays
+    distinct from NULL (the r7 behavior read all of these back as NULL
+    or mangled them)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from zio_kinesis_example_spark.io import read_table, write_table
@@ -184,12 +185,21 @@ def test_csv_sentinel_limitation_is_pinned(spark, tmpdir_factory_local):
         StructField("id", LongType()),
         StructField("s", StringType()),
     ])
-    df = spark.createDataFrame([(1, "\\N"), (2, None)], schema)
+    rows = [
+        (1, "\\N"),          # the sentinel itself, as a real value
+        (2, None),           # a genuine NULL
+        (3, "\\\\N"),        # pre-escaped-looking payload
+        (4, "\\"),           # lone backslash
+        (5, "a\\b\\\\c"),    # interior single + double backslashes
+        (6, ""),             # empty string stays distinct from NULL
+        (7, "\\N extra"),    # sentinel as a prefix only
+    ]
+    df = spark.createDataFrame(rows, schema)
     d = str(tmpdir_factory_local("csv-sentinel"))
     write_table(df, d, fmt="csv")
     got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
                                          schema=schema).collect()}
-    assert got == {1: None, 2: None}
+    assert got == dict(rows)
 
 
 def test_write_table_rejects_zero_coalesce(spark, tmpdir_factory_local):

@@ -209,6 +209,28 @@ def test_restart_markers_reset_dc_prediction():
     assert np.array_equal(parsed[2], want)
 
 
+def test_fill_bytes_before_rst_and_eoi_decode():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — including RSTn and EOI after the entropy scan. The r8
+    fix: the scan loop previously classified FF FF as end-of-scan and
+    failed the EOI check on these conformant files. (Inside entropy
+    data FF is always stuffed as FF 00, so FF D0 / FF D9 occur only at
+    the real markers and targeted replacement is safe.)"""
+    coefs = np.zeros((4, 8, 8), dtype=np.int64)
+    coefs[:, 0, 0] = [80, -40, 60, -90]
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(32, 8, coefs, qnat, dri=2)
+    assert b"\xff\xd0" in blob and blob.endswith(b"\xff\xd9")
+    want = _jpeg_parse_one(blob)
+    assert want is not None
+    padded = blob.replace(b"\xff\xd0", b"\xff\xff\xd0", 1)
+    padded = padded[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    parsed = _jpeg_parse_one(padded)
+    assert parsed is not None
+    assert parsed[:2] == want[:2]
+    assert np.array_equal(parsed[2], want[2])
+
+
 def test_16bit_dqt_and_skipped_segments():
     coefs = np.zeros((1, 8, 8), dtype=np.int64)
     coefs[0, 0, 0] = 40

@@ -21,7 +21,8 @@ Scale posture:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
 
 _FORMATS = ("parquet", "json", "csv", "orc")
 
@@ -39,23 +40,30 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
             # not silently skip coalescing into a small-file storm
             raise ValueError(f"coalesce_to must be >= 1, got {coalesce_to}")
         df = df.coalesce(coalesce_to)
+    if fmt == "csv":
+        # The NULL sentinel (\N) is taken OUT of band by backslash
+        # escaping (round 8; closes the r7 in-band-sentinel limitation):
+        # every literal backslash in a string cell doubles on write, so
+        # a genuine "\N" value serializes as \\N — which the reader's
+        # nullValue match ("\N", applied after unquoting) does NOT
+        # consume — and read_table's unescape restores it. Literal
+        # string replace (F.replace), not regex. NULL/''/backslash
+        # payloads now all round-trip losslessly (tests/test_io.py).
+        #
+        # Compatibility: CSV directories written by the pre-escape
+        # writer stored backslashes raw; reading them halves backslash
+        # runs (and a literal \N still reads as NULL there) — rewrite
+        # legacy dirs to round-trip exactly.
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StringType):
+                df = df.withColumn(
+                    f.name,
+                    F.replace(F.col(f.name), F.lit("\\"), F.lit("\\\\")))
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         # nullValue sentinel keeps NULL distinguishable from '' on the
         # round trip (default writes both as empty); the matching reader
-        # options are set in read_table.
-        #
-        # DOCUMENTED LIMITATION — the sentinel is in-band: a string cell
-        # whose value is LITERALLY backslash-N serializes identically to
-        # a NULL (Spark's CSV writer does not escape backslashes, and
-        # quoteAll does not disambiguate either: the reader applies
-        # nullValue after unquoting — verified empirically). Such values
-        # read back as NULL. CSV is the lossy interchange edge of this
-        # engine; payloads that may contain the sentinel belong in
-        # parquet/ORC (lossless) or need caller-side escaping. Likewise,
-        # CSV directories written before the sentinel existed store NULL
-        # as '' and must be rewritten to round-trip under read_table's
-        # current options.
+        # options + unescape are in read_table.
         writer = (writer.option("header", "true")
                   .option("nullValue", "\\N"))
     if partition_by:
@@ -85,6 +93,16 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
         reader = (reader.option("header", "true")
                   .option("multiLine", "true")
                   .option("nullValue", "\\N"))
+        df = reader.load(path)
+        # undo write_table's backslash escaping (literal replace): the
+        # nullValue match already happened, so every surviving \\ pair
+        # is one escaped literal backslash
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StringType):
+                df = df.withColumn(
+                    f.name,
+                    F.replace(F.col(f.name), F.lit("\\\\"), F.lit("\\")))
+        return df
     return reader.load(path)
 
 

@@ -299,26 +299,47 @@ def _sem_hash(df: DataFrame) -> int | None:
 
 def _track_persist(df: DataFrame) -> DataFrame:
     """persist() a frame and register it for clear_shared_cache release
-    (or capped, plan-aware LRU eviction — see _LOOSE_PERSISTS_CAP)."""
+    (or capped, plan-aware LRU eviction — see _LOOSE_PERSISTS_CAP).
+
+    Locking (r8 fix): _SHARED_LOCK guards only list mutation and
+    reference snapshots — every py4j round-trip (semanticHash,
+    sameSemantics, unpersist) runs OUTSIDE it, so a slow or wedged JVM
+    gateway can no longer block every concurrent _shared()/persist
+    caller on the registry lock."""
     df = df.persist()
+    h = _sem_hash(df)
+    evictees: list[tuple] = []
     with _SHARED_LOCK:
-        _LOOSE_PERSISTS.append((df.sparkSession, df, _sem_hash(df)))
+        _LOOSE_PERSISTS.append((df.sparkSession, df, h))
         while len(_LOOSE_PERSISTS) > _LOOSE_PERSISTS_CAP:
-            sess, old, oh = _LOOSE_PERSISTS.pop(0)
-            if _session_stopped(sess):
-                continue
-            # hash prefilter keeps this O(1) py4j calls in the common
-            # case; a None hash (unknown) is a potential tie
-            live = [d for s, d, h in _LOOSE_PERSISTS
-                    if s is sess and (oh is None or h is None or h == oh)]
+            evictees.append(_LOOSE_PERSISTS.pop(0))
+    for sess, old, oh in evictees:
+        if _session_stopped(sess):
+            continue
+        # snapshot live-candidate references under the lock; hash
+        # prefilter keeps the out-of-lock comparisons O(1) py4j calls
+        # in the common case (a None hash — unknown — is a potential
+        # tie and must be compared)
+        with _SHARED_LOCK:
+            live = [d for s, d, lh in _LOOSE_PERSISTS
+                    if s is sess and (oh is None or lh is None or lh == oh)]
             live += [d for s, d, _ in _SHARED.values() if s is sess]
-            if any(_same_plan(old, d) for d in live):
-                # unpersisting would evict the live twin's blocks too
-                # (plan-keyed CacheManager); dropping the reference is
-                # enough to keep the registry bounded.
-                continue
-            with contextlib.suppress(Exception):
-                old.unpersist()
+        if any(_same_plan(old, d) for d in live):
+            # unpersisting would evict the live twin's blocks too
+            # (plan-keyed CacheManager); dropping the reference is
+            # enough to keep the registry bounded.
+            continue
+        # re-check registry membership just before unpersisting: a
+        # plan-equal frame registered AFTER the snapshot (the race the
+        # out-of-lock comparison opens) would lose its blocks
+        with _SHARED_LOCK:
+            late = [d for s, d, lh in _LOOSE_PERSISTS
+                    if s is sess and (oh is None or lh is None or lh == oh)
+                    and all(d is not x for x in live)]
+        if any(_same_plan(old, d) for d in late):
+            continue
+        with contextlib.suppress(Exception):
+            old.unpersist()
     return df
 
 

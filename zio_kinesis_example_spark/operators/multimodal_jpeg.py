@@ -431,16 +431,28 @@ def _jpeg_parse(data: bytes):
                     segs[-1].append(b)
                     i += 1
                     continue
-                if i + 1 >= len(data):
+                # T.81-legal fill bytes: a run of 0xFF is padding; only
+                # the byte after the LAST 0xFF classifies the sequence
+                # (stuffed-zero / RSTn / marker) — the libjpeg
+                # jpeg_fill_bit_buffer discipline, mirroring the fill-
+                # byte handling in the header marker walk above (r8 fix:
+                # the scan loop previously treated FF FF as end-of-scan
+                # and failed the EOI check on conformant files)
+                j = i + 1
+                while j < len(data) and data[j] == 0xFF:
+                    j += 1
+                if j >= len(data):
                     return None
-                nxt = data[i + 1]
+                nxt = data[j]
                 if nxt == 0x00:
+                    # stuffed data byte: exactly ONE literal 0xFF
                     segs[-1].append(0xFF)
                 elif 0xD0 <= nxt <= 0xD7:
                     segs.append(bytearray())
                 else:
+                    i = j - 1  # leave i at the marker's 0xFF prefix
                     break
-                i += 2
+                i = j + 1
             if i + 1 >= len(data) or data[i + 1] != 0xD9:
                 return None  # the scan must terminate at EOI
             scan = (tabs, [bytes(s) for s in segs])
