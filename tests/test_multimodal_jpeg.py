@@ -619,3 +619,78 @@ def test_parse_bounds_padded_multi_component_allocation():
     # 63 * 65535 = 4.1M pixels < 2^22? 63*65535 = 4128705 < 4194304 OK
     assert 63 * 65535 <= (1 << 22)
     assert _jpeg_parse(blob) is None
+
+
+def test_recover_corrupted_mid_segment_resyncs_at_rst():
+    """Recovery (r8): corrupting ONE restart segment's entropy bytes
+    loses exactly that segment's MCUs; every other segment decodes
+    bit-identically to the clean file (DC predictor reset at resync)."""
+    from zio_kinesis_example_spark.operators.multimodal_jpeg import _jpeg_parse
+
+    coefs = np.zeros((6, 8, 8), dtype=np.int64)
+    coefs[:, 0, 0] = [80, -40, 60, -90, 30, -10]
+    coefs[:, 1, 1] = [5, -3, 2, -7, 4, -1]  # real AC content too
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(48, 8, coefs, qnat, dri=2)  # 3 segments, RST0+RST1
+    clean = _jpeg_parse(blob, recover=True)
+    assert clean is not None and not clean[4].any()
+    # blank the MIDDLE segment (between RST0 and RST1) entirely
+    i0 = blob.index(b"\xff\xd0")
+    i1 = blob.index(b"\xff\xd1")
+    corrupted = blob[:i0 + 2] + blob[i1:]
+    got = _jpeg_parse(corrupted, recover=True)
+    assert got is not None
+    lost = got[4]
+    assert lost.tolist() == [False, False, True, True, False, False]
+    # surviving blocks decode identically to the clean file's
+    plane_c, plane_g = clean[2][0], got[2][0]
+    assert np.array_equal(plane_c[:, :16], plane_g[:, :16])   # seg 0
+    assert np.array_equal(plane_c[:, 32:], plane_g[:, 32:])   # seg 2
+    # strict mode still rejects the corrupted file outright
+    assert _jpeg_parse(corrupted) is None
+
+
+def test_recover_missing_tail_marks_rest_lost():
+    from zio_kinesis_example_spark.operators.multimodal_jpeg import _jpeg_parse
+
+    coefs = np.zeros((4, 8, 8), dtype=np.int64)
+    coefs[:, 0, 0] = [80, -40, 60, -90]
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(32, 8, coefs, qnat, dri=2)
+    i0 = blob.index(b"\xff\xd0")
+    truncated = blob[:i0] + b"\xff\xd9"  # drop RST0 + second segment
+    got = _jpeg_parse(truncated, recover=True)
+    assert got is not None
+    assert got[4].tolist() == [False, False, True, True]
+    assert np.array_equal(got[2][0][:, :16],
+                          _jpeg_parse(blob, recover=True)[2][0][:, :16])
+
+
+def test_recover_rejects_multi_component_scans():
+    """Recovery is defined for single-component 1x1 scans only."""
+    from zio_kinesis_example_spark.operators.multimodal_jpeg import (
+        _jpeg_parse, jpeg420_encode_batch,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [b"abc"]})
+    blob = bytes(next(jpeg420_encode_batch(iter([pdf])))["payload"][0])
+    assert _jpeg_parse(blob) is not None         # valid color file
+    assert _jpeg_parse(blob, recover=True) is None
+
+
+def test_recover_total_loss_single_segment():
+    """No restart anchor (one segment) → corruption loses everything,
+    but the file still reports structure (planes all zeroed/neutral)."""
+    from zio_kinesis_example_spark.operators.multimodal_jpeg import _jpeg_parse
+
+    coefs = np.zeros((2, 8, 8), dtype=np.int64)
+    coefs[:, 0, 0] = [80, -40]
+    qnat = np.ones((8, 8), dtype=np.int64)
+    blob = _ref_jpeg(16, 8, coefs, qnat)
+    # strip the whole entropy scan: headers end at SOS payload end
+    sos_at = blob.index(b"\xff\xda")
+    sos_len = int.from_bytes(blob[sos_at + 2:sos_at + 4], "big")
+    headers = blob[:sos_at + 2 + sos_len]
+    got = _jpeg_parse(headers + b"\xff\xd9", recover=True)
+    assert got is not None
+    assert got[4].tolist() == [True, True]

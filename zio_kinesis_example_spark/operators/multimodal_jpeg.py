@@ -299,7 +299,7 @@ _JPEG_SAMPLINGS = (
 )
 
 
-def _jpeg_parse(data: bytes):
+def _jpeg_parse(data: bytes, recover: bool = False):
     """One file's full baseline decode, grayscale or color. Returns
     (width, height, [plane_0, ...], samplings) with plane_i an
     (ch_i, cw_i) int64 pixel array per component (chroma planes carry
@@ -312,7 +312,19 @@ def _jpeg_parse(data: bytes):
     Multi-component scans are MCU-interleaved per T.81 A.2.3 (per-MCU
     block order: each component's v×h blocks raster-wise, components in
     SOS order) with per-component DC predictors and quantization
-    tables; RSTn resets every predictor and is counted in MCUs."""
+    tables; RSTn resets every predictor and is counted in MCUs.
+
+    ``recover=True`` (round 8; single-component 1×1 scans only — None
+    otherwise): an entropy-decode failure no longer fails the FILE.
+    The restart interval bounds the damage — the current restart
+    segment's MCUs are marked lost (their coefficients zeroed, partial
+    decodes discarded), and decoding resynchronizes at the next RSTn
+    boundary with the DC predictor reset, exactly what T.81 restart
+    markers exist for. A missing tail (fewer entropy segments than the
+    MCU count needs) marks the remaining MCUs lost. Returns
+    (width, height, [plane], samplings, lost) with ``lost`` a bool
+    array over MCUs (= blocks at 1×1). Header/structure defects still
+    return None — recovery only covers the entropy-coded scan."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -512,21 +524,53 @@ def _jpeg_parse(data: bytes):
             k += 1
         return True
 
-    for mcu in range(mx_n * my_n):
+    total = mx_n * my_n
+    if recover and (len(comps) != 1 or (comps[0][1], comps[0][2]) != (1, 1)):
+        return None  # recovery is defined for single-component 1x1 scans
+    lost = np.zeros(total, dtype=bool) if recover else None
+    mcu = 0
+    while mcu < total:
         if dri and mcu and mcu % dri == 0:  # restart: realign, reset DCs
             seg_idx += 1
             if seg_idx >= len(segs):
+                if recover:
+                    lost[mcu:] = True  # missing tail: rest of the MCUs
+                    break
                 return None
             bits = _Bits(segs[seg_idx])
             preds = [0] * len(comps)
         mx, my = mcu % mx_n, mcu // mx_n
+        failed = False
         for ci, (_cid, h_i, v_i, _tq) in enumerate(comps):
             _gh, gw = grids[ci]
             for bv in range(v_i):
                 for bh_ in range(h_i):
                     bi = (my * v_i + bv) * gw + (mx * h_i + bh_)
                     if not decode_block(coefs[ci], bi, ci):
-                        return None
+                        if not recover:
+                            return None
+                        failed = True
+                        break
+                if failed:
+                    break
+            if failed:
+                break
+        if not failed:
+            mcu += 1
+            continue
+        # recovery: the whole current restart segment is lost — zero any
+        # coefficients already written for it (partial decodes included)
+        # and resume at the next restart boundary; without a restart
+        # interval there is no resync anchor and everything is lost
+        seg_lo = (mcu // dri) * dri if dri else 0
+        seg_hi = min(seg_lo + dri, total) if dri else total
+        lost[seg_lo:seg_hi] = True
+        gw = grids[0][1]
+        for m2 in range(seg_lo, seg_hi):
+            coefs[0][(m2 // mx_n) * gw + (m2 % mx_n), :] = 0
+        if seg_hi >= total:
+            break
+        mcu = seg_hi
     a = _idct_basis()
     planes = []
     for ci, (_cid, h_i, v_i, tq_i) in enumerate(comps):
@@ -540,7 +584,10 @@ def _jpeg_parse(data: bytes):
         ch = (h * v_i + vmax - 1) // vmax
         planes.append(pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
                       .reshape(gh * 8, gw * 8)[:ch, :cw])
-    return w, h, planes, tuple((h_i, v_i) for _cid, h_i, v_i, _tq in comps)
+    samp = tuple((h_i, v_i) for _cid, h_i, v_i, _tq in comps)
+    if recover:
+        return w, h, planes, samp, lost
+    return w, h, planes, samp
 
 
 def _jpeg_parse_one(data: bytes):
@@ -833,3 +880,173 @@ def q_multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         fused_round_trip(jpeg420_encode_batch, jpeg420_decode_batch),
         schema=JPEG420_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q_multimodal_jpeg_recover — restart-marker error RECOVERY (round 8)
+# --------------------------------------------------------------------------
+# The decode queries above prove the conformant path; this one proves
+# the robustness path restart markers exist for (T.81 B.2.4.4): when an
+# entropy segment is corrupted, a decoder that honors RSTn loses ONLY
+# that segment's MCUs and resynchronizes at the next marker with the DC
+# predictor reset. The fixture corrupts ONE deterministic segment per
+# file (index doc_id % n_segs, entropy bytes dropped entirely — worst
+# case) and the oracle recomputes the surviving MCU ranges' pixel sums
+# from first principles. Files whose only segment is corrupted (the
+# smallest dim class has nb=2 ≤ DRI → one segment, no RST anchor)
+# correctly recover NOTHING — resync needs an anchor.
+
+_JPEG_DRI = 2  # restart interval (MCUs per entropy segment)
+
+JPEG_RECOVER_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("jpeg_ok", BooleanType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_segs", IntegerType()),
+    StructField("n_lost_blocks", IntegerType()),
+    StructField("recovered_sum", LongType()),
+])
+
+
+@functools.lru_cache(maxsize=None)
+def _jpeg_headers_dri(w: int, h: int, dri: int) -> bytes:
+    """The grayscale headers with a DRI segment spliced before SOS."""
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    base = _jpeg_headers(w, h)
+    assert base.endswith(sos)
+    return base[:-len(sos)] + _seg(0xDD, struct.pack(">H", dri)) + sos
+
+
+def _scan_bytes_dri(block_vals, dri: int, bad_seg: int) -> bytes:
+    """DRI-segmented entropy scan with cycling RSTn separators; segment
+    ``bad_seg`` emits NO entropy bytes (its data is "lost") while its
+    surrounding RSTn anchors survive. Each segment restarts the DC
+    predictor at 0 (_scan_bytes starts pred=0), per T.81."""
+    parts = []
+    for si, lo in enumerate(range(0, len(block_vals), dri)):
+        if si:
+            parts.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
+        if si != bad_seg:
+            parts.append(_scan_bytes(block_vals[lo:lo + dri]))
+    return b"".join(parts)
+
+
+def jpeg_dri_corrupt_encode_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload=text bytes) → DRI-segmented grayscale JFIF with
+    one deterministically corrupted restart segment per file."""
+    import numpy as np
+
+    for pdf in batches:
+        from .multimodal import _flat_batch
+
+        buf, starts, lens = _flat_batch(pdf["payload"])
+        doc_id = pdf["doc_id"].to_numpy()
+        out: list = [None] * len(doc_id)
+        cls = doc_id % len(_JPEG_DIMS)
+        for c, (w, h) in enumerate(_JPEG_DIMS):
+            sel = np.nonzero(cls == c)[0]
+            if len(sel) == 0:
+                continue
+            nb = ((w + 7) // 8) * ((h + 7) // 8)
+            n_segs = (nb + _JPEG_DRI - 1) // _JPEG_DRI
+            m = np.arange(nb, dtype=np.int64)
+            idx = starts[sel][:, None] + (
+                m[None, :] % np.maximum(lens[sel], 1)[:, None])
+            vals = buf[idx]
+            vals[lens[sel] == 0] = 0
+            head = _jpeg_headers_dri(w, h, _JPEG_DRI)
+            for j, i in enumerate(sel):
+                bad = int(doc_id[i]) % n_segs
+                out[i] = (head + _scan_bytes_dri(vals[j], _JPEG_DRI, bad)
+                          + b"\xff\xd9")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def jpeg_recover_decode_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Recovery decode: per-segment loss containment + RSTn resync
+    (``_jpeg_parse(recover=True)``). recovered_sum counts ONLY pixels of
+    surviving blocks (the lost mask gates per-pixel block indices)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _jpeg_parse(bytes(payload) if payload else b"",
+                                 recover=True)
+            if parsed is None or len(parsed[2]) != 1:
+                rows.append((doc_id, False, 0, 0, 0, 0, 0))
+            else:
+                w, h, planes, _samp, lost = parsed
+                plane = planes[0]
+                bw = (w + 7) // 8
+                nb = bw * ((h + 7) // 8)
+                n_segs = (nb + _JPEG_DRI - 1) // _JPEG_DRI
+                by = np.arange(plane.shape[0]) // 8
+                bx = np.arange(plane.shape[1]) // 8
+                ok_mask = ~lost[by[:, None] * bw + bx[None, :]]
+                rows.append((doc_id, True, w, h, n_segs, int(lost.sum()),
+                             int(plane[ok_mask].sum())))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "jpeg_ok", "width", "height", "n_segs",
+            "n_lost_blocks", "recovered_sum"])
+        for c in ("width", "height", "n_segs", "n_lost_blocks"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+# Oracle mirror: layout constants are CASE arithmetic (nb and n_segs per
+# dim class), the corrupted segment index is doc_id % n_segs, and the
+# recovered sum weights each SURVIVING block's cyclic text byte by its
+# visible (cropped) pixel count — a decoder that loses the wrong MCU
+# range, forgets to reset the predictor at resync, or leaks partial
+# decodes from the corrupted segment changes the sum.
+def _jpeg_recover_oracle() -> str:
+    w = "CASE doc_id % 3 WHEN 0 THEN 14 WHEN 1 THEN 21 ELSE 38 END"
+    h = "CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 11 ELSE 19 END"
+    bw = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 5 END"
+    nb = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 6 ELSE 15 END"
+    nsegs = "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 8 END"
+    bad = f"(doc_id % ({nsegs}))"
+    vis = (f"least(8, ({w}) - (m % ({bw})) * 8) "
+           f"* least(8, ({h}) - (m // ({bw})) * 8)")
+    rec = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
+           f"list_sum(list_transform(generate_series(0, ({nb}) - 1), "
+           f"m -> CASE WHEN m // {_JPEG_DRI} = {bad} THEN 0 ELSE "
+           f"ascii(substring(text, (m % length(text)) + 1, 1)) "
+           f"* ({vis}) END)) END")
+    return f"""
+        SELECT doc_id,
+               TRUE AS jpeg_ok,
+               CAST({w} AS INT) AS width,
+               CAST({h} AS INT) AS height,
+               CAST({nsegs} AS INT) AS n_segs,
+               CAST(least({_JPEG_DRI}, ({nb}) - {bad} * {_JPEG_DRI})
+                   AS INT) AS n_lost_blocks,
+               CAST({rec} AS BIGINT) AS recovered_sum
+        FROM documents
+    """
+
+
+@query("q_multimodal_jpeg_recover", oracle=_jpeg_recover_oracle(),
+       tags=("multimodal",))
+def q_multimodal_jpeg_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-marker error RECOVERY: encode each document as a
+    DRI-segmented baseline JFIF with ONE corrupted entropy segment
+    (deterministic index, bytes dropped entirely), then decode with
+    per-segment loss containment — only the corrupted segment's MCUs
+    are lost, decoding resyncs at the next RSTn with the DC predictor
+    reset, and the hash-checked recovered_sum proves the surviving MCU
+    ranges decoded exactly. One fused Python stage over spread
+    partitions, like the whole codec family."""
+    from .llm_dedup import _spread
+    from .multimodal import fused_round_trip
+
+    docs = _spread(spark, binary_docs(spark, sf_dir)
+                   .select("doc_id", "payload"))
+    return docs.mapInPandas(
+        fused_round_trip(jpeg_dri_corrupt_encode_batch,
+                         jpeg_recover_decode_batch),
+        schema=JPEG_RECOVER_SCHEMA)
