@@ -211,3 +211,38 @@ def test_write_table_rejects_zero_coalesce(spark, tmpdir_factory_local):
     with _pytest.raises(ValueError, match="coalesce_to"):
         write_table(df, str(tmpdir_factory_local("bad-coalesce")),
                     coalesce_to=0)
+
+
+def test_csv_legacy_dir_without_marker_reads_unescaped(
+        spark, tmpdir_factory_local):
+    """Directories written before the r8 escape (no _zke_csv_escaped_v1
+    marker) keep their exact old read behavior: backslash runs are NOT
+    halved, and the in-band \\N sentinel limitation still applies
+    there (a literal \\N reads as NULL) — rewriting the dir is what
+    upgrades it to the lossless contract."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zio_kinesis_example_spark.io import (
+        _CSV_ESCAPE_MARKER, read_table, write_table,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("s", StringType()),
+    ])
+    # raw pre-r8 bytes: simulate by writing with plain Spark options
+    # (no escaping), as the old writer did
+    d = str(tmpdir_factory_local("csv-legacy"))
+    df = spark.createDataFrame([(1, "a\\b"), (2, "\\N"), (3, "x")], schema)
+    (df.write.format("csv").mode("overwrite")
+       .option("header", "true").option("nullValue", "\\N").save(d))
+    assert not os.path.exists(os.path.join(d, _CSV_ESCAPE_MARKER))
+    got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
+                                         schema=schema).collect()}
+    assert got == {1: "a\\b", 2: None, 3: "x"}
+    # and the r8 writer stamps the marker
+    d2 = str(tmpdir_factory_local("csv-stamped"))
+    write_table(df, d2, fmt="csv")
+    assert os.path.exists(os.path.join(d2, _CSV_ESCAPE_MARKER))

@@ -26,6 +26,15 @@ from pyspark.sql.types import StringType, StructType
 
 _FORMATS = ("parquet", "json", "csv", "orc")
 
+#: Layout-version marker for escaped CSV directories (round 8): dirs
+#: written with backslash escaping carry this file; read_table only
+#: unescapes when it is present, so pre-escape directories (raw
+#: backslashes) read back exactly as before instead of having their
+#: backslash runs silently halved. Local-filesystem paths (this
+#: engine's CSV scope); a lake deployment would use the Hadoop
+#: FileSystem API for the same touch/exists pair.
+_CSV_ESCAPE_MARKER = "_zke_csv_escaped_v1"
+
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
                 partition_by: list[str] | None = None,
@@ -50,10 +59,11 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
         # string replace (F.replace), not regex. NULL/''/backslash
         # payloads now all round-trip losslessly (tests/test_io.py).
         #
-        # Compatibility: CSV directories written by the pre-escape
-        # writer stored backslashes raw; reading them halves backslash
-        # runs (and a literal \N still reads as NULL there) — rewrite
-        # legacy dirs to round-trip exactly.
+        # Compatibility: the directory is stamped with
+        # _CSV_ESCAPE_MARKER; read_table unescapes ONLY stamped dirs,
+        # so pre-escape directories keep their exact old read behavior
+        # (raw backslashes preserved; a literal \N still reads as NULL
+        # there — rewrite legacy dirs to get the lossless round trip).
         for f in df.schema.fields:
             if isinstance(f.dataType, StringType):
                 df = df.withColumn(
@@ -69,6 +79,11 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+    if fmt == "csv":
+        import os
+
+        with open(os.path.join(path, _CSV_ESCAPE_MARKER), "w"):
+            pass
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -94,6 +109,10 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                   .option("multiLine", "true")
                   .option("nullValue", "\\N"))
         df = reader.load(path)
+        import os
+
+        if not os.path.exists(os.path.join(path, _CSV_ESCAPE_MARKER)):
+            return df  # legacy (pre-escape) layout: read exactly as before
         # undo write_table's backslash escaping (literal replace): the
         # nullValue match already happened, so every surviving \\ pair
         # is one escaped literal backslash

@@ -330,12 +330,14 @@ def _track_persist(df: DataFrame) -> DataFrame:
             # enough to keep the registry bounded.
             continue
         # re-check registry membership just before unpersisting: a
-        # plan-equal frame registered AFTER the snapshot (the race the
-        # out-of-lock comparison opens) would lose its blocks
+        # plan-equal frame registered AFTER the snapshot — in EITHER
+        # registry (_shared() registration no longer serializes with
+        # eviction) — would lose its blocks
         with _SHARED_LOCK:
             late = [d for s, d, lh in _LOOSE_PERSISTS
-                    if s is sess and (oh is None or lh is None or lh == oh)
-                    and all(d is not x for x in live)]
+                    if s is sess and (oh is None or lh is None or lh == oh)]
+            late += [d for s, d, _ in _SHARED.values() if s is sess]
+            late = [d for d in late if all(d is not x for x in live)]
         if any(_same_plan(old, d) for d in late):
             continue
         with contextlib.suppress(Exception):

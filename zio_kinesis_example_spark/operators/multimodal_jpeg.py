@@ -179,11 +179,13 @@ def _scan_bytes(block_vals) -> bytes:
 
 
 def _encode_docs(batches, dims, nb_fn, headers_fn, scan_fn):
-    """Shared encoder scaffolding for both JPEG queries: flat-batch the
+    """Shared encoder scaffolding for the JPEG queries: flat-batch the
     payloads, pick the dim class by doc_id, gather the cyclic
     scan-order block bytes (zeros for empty text), and assemble
     SOI..scan..EOI per file. The variants differ only in the block
-    count, headers, and scan serializer."""
+    count, headers, and scan serializer. ``scan_fn`` receives
+    (block_vals, doc_id, nb) so per-doc serializers (the r8 corrupted-
+    segment fixture) share this scaffolding too."""
     import numpy as np
 
     for pdf in batches:
@@ -204,7 +206,8 @@ def _encode_docs(batches, dims, nb_fn, headers_fn, scan_fn):
             vals[lens[sel] == 0] = 0
             head = headers_fn(w, h)
             for j, i in enumerate(sel):
-                out[i] = head + scan_fn(vals[j]) + b"\xff\xd9"
+                out[i] = (head + scan_fn(vals[j], int(doc_id[i]), len(m))
+                          + b"\xff\xd9")
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
 
@@ -216,7 +219,7 @@ def jpeg_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     yield from _encode_docs(
         batches, _JPEG_DIMS,
         lambda w, h: ((w + 7) // 8) * ((h + 7) // 8),
-        _jpeg_headers, _scan_bytes)
+        _jpeg_headers, lambda vals, _doc, _nb: _scan_bytes(vals))
 
 
 def _build_huff(bits, vals) -> dict | None:
@@ -779,7 +782,7 @@ def jpeg420_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     yield from _encode_docs(
         batches, _JPEG420_DIMS,
         lambda w, h: 6 * ((w + 15) // 16) * ((h + 15) // 16),
-        _jpeg420_headers, _scan420_bytes)
+        _jpeg420_headers, lambda vals, _doc, _nb: _scan420_bytes(vals))
 
 
 def jpeg420_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -935,33 +938,17 @@ def _scan_bytes_dri(block_vals, dri: int, bad_seg: int) -> bytes:
 def jpeg_dri_corrupt_encode_batch(
         batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, payload=text bytes) → DRI-segmented grayscale JFIF with
-    one deterministically corrupted restart segment per file."""
-    import numpy as np
+    one deterministically corrupted restart segment per file (the
+    shared ``_encode_docs`` scaffolding; only the scan serializer — and
+    the DRI splice in the headers — differ from the clean encoder)."""
+    def scan(vals, doc, nb):
+        n_segs = (nb + _JPEG_DRI - 1) // _JPEG_DRI
+        return _scan_bytes_dri(vals, _JPEG_DRI, doc % n_segs)
 
-    for pdf in batches:
-        from .multimodal import _flat_batch
-
-        buf, starts, lens = _flat_batch(pdf["payload"])
-        doc_id = pdf["doc_id"].to_numpy()
-        out: list = [None] * len(doc_id)
-        cls = doc_id % len(_JPEG_DIMS)
-        for c, (w, h) in enumerate(_JPEG_DIMS):
-            sel = np.nonzero(cls == c)[0]
-            if len(sel) == 0:
-                continue
-            nb = ((w + 7) // 8) * ((h + 7) // 8)
-            n_segs = (nb + _JPEG_DRI - 1) // _JPEG_DRI
-            m = np.arange(nb, dtype=np.int64)
-            idx = starts[sel][:, None] + (
-                m[None, :] % np.maximum(lens[sel], 1)[:, None])
-            vals = buf[idx]
-            vals[lens[sel] == 0] = 0
-            head = _jpeg_headers_dri(w, h, _JPEG_DRI)
-            for j, i in enumerate(sel):
-                bad = int(doc_id[i]) % n_segs
-                out[i] = (head + _scan_bytes_dri(vals[j], _JPEG_DRI, bad)
-                          + b"\xff\xd9")
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+    yield from _encode_docs(
+        batches, _JPEG_DIMS,
+        lambda w, h: ((w + 7) // 8) * ((h + 7) // 8),
+        lambda w, h: _jpeg_headers_dri(w, h, _JPEG_DRI), scan)
 
 
 def jpeg_recover_decode_batch(
