@@ -83,6 +83,36 @@ def cyclic_text_sum_sql(n_expr: str) -> str:
             "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
 
 
+def phash_sql() -> str:
+    """DuckDB fragment: the dHash hi/lo CTE chain (cyclic 8×9 pixel
+    grid, neighbor-compare bit packing into two 32-bit halves) — ONE
+    definition shared by the q_multimodal_phash and
+    q_multimodal_phash_pairs oracles (r8 review: the ~20-line CTE was
+    copy-pasted between them, the exact drift cyclic_text_sum_sql
+    exists to prevent). Yields CTEs ``px`` and ``h``; ``h`` has columns
+    (doc_id, phash_hi, phash_lo)."""
+    def half(lo_k: int, hi_k: int, shift: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series({lo_k}, {hi_k}), "
+            "k -> CASE WHEN "
+            "ascii(substring(text, (((k // 8) * 9 + (k % 8)) % len) + 1, 1)) "
+            "< ascii(substring(text, "
+            "(((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1)) "
+            f"THEN 1 << {shift} ELSE 0 END)) AS BIGINT)")
+
+    return f"""
+        px AS (
+            SELECT doc_id, length(text) AS len, text
+            FROM documents WHERE length(text) > 0
+        ),
+        h AS (
+            SELECT doc_id,
+                   {half(0, 31, "k")} AS phash_lo,
+                   {half(32, 63, "(k - 32)")} AS phash_hi
+            FROM px
+        )"""
+
+
 def _segment_sums(buf, starts, stops):
     """Vectorized per-segment byte sums over the flat buffer:
     np.add.reduceat on interleaved [start0, stop0, start1, ...] indices,
@@ -829,30 +859,8 @@ def phash_batch(batches):
 
 @query(
     "q_multimodal_phash",
-    oracle="""
-        WITH px AS (
-            SELECT doc_id, length(text) AS len, text
-            FROM documents WHERE length(text) > 0
-        ),
-        h AS (
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(generate_series(0, 31),
-                        k -> CASE WHEN
-                             ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
-                           < ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
-                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS phash_lo,
-                   CAST(list_sum(list_transform(generate_series(32, 63),
-                        k -> CASE WHEN
-                             ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
-                           < ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
-                             THEN 1 << (k - 32) ELSE 0 END)) AS BIGINT)
-                       AS phash_hi
-            FROM px
-        )
+    oracle=f"""
+        WITH {phash_sql()}
         SELECT doc_id, phash_hi, phash_lo,
                CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo)
                     AS BIGINT) AS n_bucket
@@ -960,10 +968,16 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
             cuts = np.bincount(doc_idx[1:][same_doc],
                                weights=(diffs[same_doc] > _CUT_THRESH),
                                minlength=len(lens))
+            # frame-less (empty-payload) docs emit NO row — the oracle's
+            # GROUP BY over the frame expansion drops them, as do the
+            # sibling frame queries (r8 review fix; latent until the
+            # corpus carries an empty text)
+            keep = n_frames > 0
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "n_frames": pd.Series(n_frames, dtype="int64"),
-                "n_cuts": pd.Series(cuts.astype("int64"), dtype="int64"),
+                "doc_id": pdf["doc_id"].to_numpy()[keep],
+                "n_frames": pd.Series(n_frames[keep], dtype="int64"),
+                "n_cuts": pd.Series(cuts[keep].astype("int64"),
+                                    dtype="int64"),
             })
 
     return binary_docs(spark, sf_dir).mapInPandas(
@@ -976,34 +990,14 @@ _PHASH_HAM_T = 8  # near-dup threshold: ≤ 8 of 64 bits differ
 @query(
     "q_multimodal_phash_pairs",
     oracle=f"""
-        WITH px AS (
-            SELECT doc_id, length(text) AS len, text
-            FROM documents WHERE length(text) > 0
-        ),
-        h AS (
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(generate_series(0, 31),
-                        k -> CASE WHEN
-                             ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
-                           < ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
-                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS lo,
-                   CAST(list_sum(list_transform(generate_series(32, 63),
-                        k -> CASE WHEN
-                             ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8)) % len) + 1, 1))
-                           < ascii(substring(text,
-                                 (((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1))
-                             THEN 1 << (k - 32) ELSE 0 END)) AS BIGINT) AS hi
-            FROM px
-        )
+        WITH {phash_sql()}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.hi, b.hi))
-                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+               CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                    + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT)
+                   AS hamming
         FROM h a JOIN h b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-              <= {_PHASH_HAM_T}
+        WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) <= {_PHASH_HAM_T}
     """,
     tags=("multimodal", "dedup", "approx"),
 )

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from .multimodal import binary_docs
+from .multimodal import _flat_batch, binary_docs
 
 _GIF_DIMS = ((11, 4), (19, 6), (27, 9))  # (width, height) by doc_id % 3
 
@@ -168,8 +168,6 @@ def gif_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        from .multimodal import _flat_batch
-
         buf, starts, lens = _flat_batch(pdf["payload"])
         doc_id = pdf["doc_id"].to_numpy()
         out: list = [None] * len(doc_id)

@@ -63,7 +63,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from .multimodal import binary_docs
+from .multimodal import _flat_batch, binary_docs
 
 _JPEG_DIMS = ((14, 6), (21, 11), (38, 19))  # (width, height) by doc_id % 3
 _JPEG_DC_QUANT = 2   # skipping dequantization halves every pixel delta
@@ -189,8 +189,6 @@ def _encode_docs(batches, dims, nb_fn, headers_fn, scan_fn):
     import numpy as np
 
     for pdf in batches:
-        from .multimodal import _flat_batch
-
         buf, starts, lens = _flat_batch(pdf["payload"])
         doc_id = pdf["doc_id"].to_numpy()
         out: list = [None] * len(doc_id)

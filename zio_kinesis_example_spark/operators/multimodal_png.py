@@ -55,7 +55,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from .multimodal import binary_docs
+from .multimodal import _flat_batch, binary_docs
 
 _PNG_DIMS = ((13, 5), (21, 8), (29, 11))  # (width, height) by doc_id % 3
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -123,8 +123,6 @@ def png_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        from .multimodal import _flat_batch
-
         buf, starts, lens = _flat_batch(pdf["payload"])
         doc_id = pdf["doc_id"].to_numpy()
         out: list = [None] * len(doc_id)
@@ -191,11 +189,18 @@ def _png_parse_one(data: bytes):
         return None
     bpp = 3 if ctype_v == 2 else 1
     rb = w * bpp
+    want = h * (1 + rb)
     try:
-        stream = zlib.decompress(b"".join(idat))
+        # BOUNDED inflate (r8): cap output at the expected filtered size
+        # + 1 probe byte — an unbounded zlib.decompress lets a small
+        # crafted IDAT (zlib reaches ~1000:1, multi-IDAT unbounded)
+        # exhaust executor memory before the size check; the contract is
+        # png_ok=False, never a MemoryError.
+        d = zlib.decompressobj()
+        stream = d.decompress(b"".join(idat), want + 1)
     except zlib.error:
         return None
-    if len(stream) != h * (1 + rb):
+    if len(stream) != want or d.unconsumed_tail or not d.eof:
         return None
     rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + rb)
     recon = np.zeros((h, rb), dtype=np.int64)
