@@ -183,3 +183,52 @@ def test_ivfpq_recall_and_refine_exactness(spark):
     assert hits / total >= 0.4, f"IVFPQ recall collapsed: {hits/total:.2f}"
     assert all(len(v) == _K for v in got.values())
     assert set(got) == set(truth)
+
+
+def test_refine_window_is_capped_and_floored():
+    """The r8 refine contract: R = max(floor, min(2%·n, cap)) — floored
+    at 100, proportional through the proxy scales, CONSTANT beyond the
+    cap (the FAISS bounded-reorder convention; an uncapped R ∝ n made
+    the refine stage asymptotically brute force)."""
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _PQ_ANN_REFINE, _PQ_ANN_REFINE_CAP, _PQ_ANN_REFINE_FRAC,
+    )
+
+    def window(n: int) -> int:
+        return max(_PQ_ANN_REFINE,
+                   min(int(n * _PQ_ANN_REFINE_FRAC), _PQ_ANN_REFINE_CAP))
+
+    assert window(2_000) == 100          # sf0.1: floor
+    assert window(20_000) == 400         # 10x proxy: proportional
+    assert window(60_000) == 1024        # 30x proxy: cap binds
+    assert window(10**9) == _PQ_ANN_REFINE_CAP  # constant at any scale
+
+
+def test_ann_index_registry_trains_once_per_session(spark):
+    """The r8 index-build/search split: the trained IVF centroids and
+    PQ codebooks are memoized per (session, sf_dir, params) — a second
+    plan build must NOT retrain (the FAISS convention; IVFPQ previously
+    re-derived both parents' codebooks on every run)."""
+    import numpy as np
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    S.clear_ann_cache()
+    try:
+        e = S._emb(spark, SF_SMALL)
+        c1 = S._ivf_centroids(spark, SF_SMALL, e, 1)
+        calls = []
+        orig = S._train_ivf_centroids
+        S._train_ivf_centroids = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        try:
+            c2 = S._ivf_centroids(spark, SF_SMALL, e, 1)
+        finally:
+            S._train_ivf_centroids = orig
+        assert calls == []               # cache hit: no retraining
+        assert np.array_equal(c1, c2)
+        # distinct train_iters are distinct artifacts (the train_iters=0
+        # baseline tests must never collide with the trained path)
+        c0 = S._ivf_centroids(spark, SF_SMALL, e, 0)
+        assert not np.array_equal(c0, c1)
+    finally:
+        S.clear_ann_cache()
