@@ -228,7 +228,7 @@ def test_shared_registry_race_loser_is_unpersisted(spark):
 
     def build():
         with _SHARED_LOCK:
-            _SHARED[key] = (spark, rival, False)
+            _SHARED[key] = (spark, rival, False, None)
         return mine
 
     got = _shared(spark, "/tmp/test-sfdir", "test_race", build)
@@ -255,7 +255,7 @@ def test_shared_registry_race_same_plan_keeps_winner_cached(spark):
 
     def build():
         with _SHARED_LOCK:
-            _SHARED[key] = (spark, rival, True)
+            _SHARED[key] = (spark, rival, True, None)
         # identical plan, distinct object — the true race shape
         return spark.range(9).withColumnRenamed("id", "v")
 

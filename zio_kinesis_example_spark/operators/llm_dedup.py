@@ -149,12 +149,18 @@ _DUCK_MINHASH = (
 # pipeline performs — not a local-only trick. If an outside caller ran
 # clearCache() (bench.py does between timed runs), the frame is
 # re-persisted lazily; nothing here is correctness-bearing.
+#: value = (session, frame, persisted?, semantic hash or None). The
+#: hash is captured at registration so eviction paths can re-check
+#: plan-equality candidates with LOCAL int compares (no py4j under the
+#: global lock).
 _SHARED: dict[tuple[str, str, str],
-              tuple[SparkSession, DataFrame, bool]] = {}
+              tuple[SparkSession, DataFrame, bool, int | None]] = {}
 _SHARED_KEY_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
-# RLock, not Lock: a build() may itself request a shared frame (the minhash
-# bucket build starts from the shared shingle frame), re-entering _shared
-# on the same thread.
+# RLock kept for safety: no current build re-enters its OWN key (the r3
+# codegen inlining removed the shingle-frame nesting the original
+# comment described), but builds may legally call _shared() for OTHER
+# keys (cc_labels builds from the shingle frame), and re-entrancy on
+# the global lock costs nothing.
 _SHARED_LOCK = threading.RLock()
 
 
@@ -174,87 +180,113 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build,
     frame (the CC label fixpoint eagerly localCheckpoints its result) —
     persisting again would store the same rows twice on the executors.
 
-    The GLOBAL lock guards only the registry dict; build() runs under a
+    The GLOBAL lock guards only registry-dict reads/writes — every py4j
+    round-trip (isStopped, storageLevel, persist, semanticHash) runs
+    OUTSIDE it (the r8 locking rule: a slow or wedged JVM gateway must
+    never stall unrelated registry callers); build() runs under a
     PER-KEY lock so a long materializing build (the CC fixpoint runs
     whole Spark jobs) never blocks threads building unrelated frames.
     """
     k = (spark.sparkContext.applicationId, sf_dir, key)
     with _SHARED_LOCK:
-        # evict entries whose owning session is gone: their DataFrame
-        # handles are dead weight keyed by stale applicationIds
-        for sk, (sess, _, _) in list(_SHARED.items()):
-            if _session_stopped(sess):
-                del _SHARED[sk]
-                _SHARED_KEY_LOCKS.pop(sk, None)
-        key_lock = _SHARED_KEY_LOCKS.setdefault(k, threading.RLock())
-    with key_lock:
+        entry = _SHARED.get(k)
+    if entry is None:
+        # MISS path only: sweep entries whose owning session is gone
+        # (their frames are dead weight keyed by stale applicationIds).
+        # The isStopped py4j probes run outside the lock on a snapshot;
+        # deletion re-confirms identity under the lock.
         with _SHARED_LOCK:
-            entry = _SHARED.get(k)
-        if entry is None:
-            df = build()
-            if persist:
-                df = df.persist()
+            items = list(_SHARED.items())
+        stale = [sk for sk, e in items if _session_stopped(e[0])]
+        with _SHARED_LOCK:
+            for sk in stale:
+                cur = _SHARED.get(sk)
+                if cur is not None and cur[0] is dict(items)[sk][0]:
+                    del _SHARED[sk]
+                    _SHARED_KEY_LOCKS.pop(sk, None)
+            key_lock = _SHARED_KEY_LOCKS.setdefault(k, threading.RLock())
+        with key_lock:
             with _SHARED_LOCK:
-                # Re-validate before storing: clear_shared_cache() may have
-                # dropped our key lock mid-build, letting another thread run
-                # a duplicate build and register first. Keep whichever frame
-                # is registered; unpersist the loser ONLY when its plan
-                # differs from the winner's — Spark's CacheManager is
-                # PLAN-keyed (uncacheQuery matches by sameResult), so for
-                # the common same-build race the duplicate persist() was a
-                # no-op on the winner's entry and unpersisting the loser
-                # would evict the winner's cache too. When plan equality
-                # cannot be determined, prefer a possible (bounded) leak
-                # over evicting the registered frame.
-                existing = _SHARED.get(k)
-                if existing is not None and existing[1] is not df:
-                    same_plan = True
-                    with contextlib.suppress(Exception):
-                        same_plan = bool(
-                            df._jdf.queryExecution().analyzed().sameResult(
-                                existing[1]._jdf.queryExecution().analyzed()))
-                    if persist and not same_plan \
-                            and not _session_stopped(spark):
+                entry = _SHARED.get(k)
+            if entry is None:
+                df = build()
+                if persist:
+                    df = df.persist()
+                h = _sem_hash(df)  # py4j, outside the global lock
+                with _SHARED_LOCK:
+                    # Re-validate before storing: clear_shared_cache()
+                    # may have dropped our key lock mid-build, letting
+                    # another thread build and register first. Keep
+                    # whichever frame is registered.
+                    existing = _SHARED.get(k)
+                    if existing is None or existing[1] is df:
+                        _SHARED[k] = (spark, df, persist, h)
+                        existing = None
+                if existing is not None:
+                    # Unpersist the loser ONLY when its plan differs
+                    # from the winner's — CacheManager is PLAN-keyed
+                    # (uncacheQuery matches by sameResult), so for the
+                    # common same-build race the duplicate persist() was
+                    # a no-op on the winner's entry and unpersisting the
+                    # loser would evict the winner's cache too. The
+                    # comparison + unpersist run outside the global lock
+                    # (r8 rule); the residual window — a third frame
+                    # plan-equal to the DIFFERENT-planned loser
+                    # registering mid-unpersist — is rare and
+                    # performance-only. Indeterminate equality counts
+                    # as a match: a bounded leak beats evicting the
+                    # registered frame.
+                    winner = existing[1]
+                    if persist:
+                        same_plan = True
                         with contextlib.suppress(Exception):
-                            df.unpersist()
-                    df = existing[1]
-                else:
-                    _SHARED[k] = (spark, df, persist)
-        else:
-            df = entry[1]
-            if entry[2]:
-                lvl = df.storageLevel
-                if not (lvl.useMemory or lvl.useDisk):
-                    df.persist()
-        return df
+                            same_plan = bool(
+                                df._jdf.queryExecution().analyzed()
+                                .sameResult(winner._jdf.queryExecution()
+                                            .analyzed()))
+                        if not same_plan and not _session_stopped(spark):
+                            with contextlib.suppress(Exception):
+                                df.unpersist()
+                    df = winner
+                return df
+    df = entry[1]
+    if entry[2]:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            df.persist()
+    return df
 
 
 def clear_shared_cache(unpersist: bool = True) -> int:
     """Drop every cached dedup intermediate, optionally unpersisting live
-    frames; returns the number of entries dropped. Callers that
-    interleave dedup runs with storage-sensitive work should call this
-    between phases.
+    frames; returns the number of entries dropped (keyed + loose).
+    Callers that interleave dedup runs with storage-sensitive work
+    should call this between phases — it is a PHASE-BOUNDARY reset:
+    a registration racing the clear may have its just-persisted frame
+    unpersisted along with the plan-equal cleared one (the plan-keyed
+    CacheManager), recomputing later; callers are expected not to clear
+    mid-flight.
 
     Scope note: this guarantees the NEXT access rebuilds from scratch
     (timing coldness — the registry forgets the frames). unpersist()
     frees CacheManager storage, but blocks behind a localCheckpoint
     (cc_labels) are only released when the JVM object is GC'd via the
     ContextCleaner — dropping the reference here is what makes that
-    possible, not immediate."""
+    possible, not immediate. The unpersist py4j calls run OUTSIDE the
+    registry lock (the r8 locking rule)."""
     with _SHARED_LOCK:
-        n = len(_SHARED)
-        for _, (sess, df, _) in list(_SHARED.items()):
-            if unpersist and not _session_stopped(sess):
-                with contextlib.suppress(Exception):
-                    df.unpersist()
+        keyed = [(e[0], e[1]) for e in _SHARED.values()]
+        loose = [(s, d) for s, d, _h in _LOOSE_PERSISTS]
+        n = len(keyed) + len(loose)
         _SHARED.clear()
         _SHARED_KEY_LOCKS.clear()
-        for sess, df, _h in _LOOSE_PERSISTS:
-            if unpersist and not _session_stopped(sess):
+        _LOOSE_PERSISTS.clear()
+    if unpersist:
+        for sess, df in keyed + loose:
+            if not _session_stopped(sess):
                 with contextlib.suppress(Exception):
                     df.unpersist()
-        _LOOSE_PERSISTS.clear()
-        return n
+    return n
 
 
 #: Query-internal persisted frames (no registry key — e.g. the distinct-
@@ -323,25 +355,34 @@ def _track_persist(df: DataFrame) -> DataFrame:
         with _SHARED_LOCK:
             live = [d for s, d, lh in _LOOSE_PERSISTS
                     if s is sess and (oh is None or lh is None or lh == oh)]
-            live += [d for s, d, _ in _SHARED.values() if s is sess]
+            live += [d for s, d, _p, lh in _SHARED.values()
+                     if s is sess and (oh is None or lh is None or lh == oh)]
+            seen = list(live)
         if any(_same_plan(old, d) for d in live):
             # unpersisting would evict the live twin's blocks too
             # (plan-keyed CacheManager); dropping the reference is
             # enough to keep the registry bounded.
             continue
-        # re-check registry membership just before unpersisting: a
-        # plan-equal frame registered AFTER the snapshot — in EITHER
-        # registry (_shared() registration no longer serializes with
-        # eviction) — would lose its blocks
+        # Close the registration race: under the lock, re-check for
+        # entries added since the snapshot using the STORED hashes only
+        # (local int compares — no py4j under the lock; unknown hash =
+        # potential twin = skip, eviction is performance-only), then
+        # unpersist while still holding it — a plan-equal registration
+        # cannot interleave because registration also takes this lock.
+        # The single bounded unpersist call under the lock is the
+        # deliberate exception to the no-py4j-under-lock rule: it is
+        # what makes the decision and the action atomic.
         with _SHARED_LOCK:
-            late = [d for s, d, lh in _LOOSE_PERSISTS
-                    if s is sess and (oh is None or lh is None or lh == oh)]
-            late += [d for s, d, _ in _SHARED.values() if s is sess]
-            late = [d for d in late if all(d is not x for x in live)]
-        if any(_same_plan(old, d) for d in late):
-            continue
-        with contextlib.suppress(Exception):
-            old.unpersist()
+            fresh = [1 for s, d, lh in _LOOSE_PERSISTS
+                     if s is sess and all(d is not x for x in seen)
+                     and (oh is None or lh is None or lh == oh)]
+            fresh += [1 for s, d, _p, lh in _SHARED.values()
+                      if s is sess and all(d is not x for x in seen)
+                      and (oh is None or lh is None or lh == oh)]
+            if fresh:
+                continue
+            with contextlib.suppress(Exception):
+                old.unpersist()
     return df
 
 
