@@ -181,6 +181,94 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q_sim_range_search — radius search (round 8): FAISS's OTHER core call
+# --------------------------------------------------------------------------
+#: Cosine radius τ = 1/4 (exact rational): for the synthetic ~N(0, 1/64)
+#: cosine distribution this is ≈2σ → ~2% of pairs qualify, so the result
+#: set is non-empty yet bounded at every SF. Membership is decided by
+#: the EXACT integer predicate 16·dot² ≥ na·nb (dot > 0) over the
+#: floor(x·1e6)-quantized vectors — q_dedup_embedding's rule at a
+#: different rational threshold; no float ever decides a row, so the
+#: query is exactly oracle-checkable (NOT a recall contract).
+_RANGE_TAU_NUM = 1
+_RANGE_TAU_DEN = 4
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
+                   FROM embeddings WHERE {_QUERY_FILTER}),
+        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM embeddings),
+        pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(list_zip(qe, cv),
+                              p -> p[1] * p[2])) AS HUGEINT) AS dot,
+                         CAST(list_sum(list_transform(qe, x -> x * x))
+                              AS HUGEINT) AS na,
+                         CAST(list_sum(list_transform(cv, x -> x * x))
+                              AS HUGEINT) AS nb
+                  FROM q, c WHERE c.vec_id <> query_id)
+        SELECT query_id, neighbor_id,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                     6) AS cosine
+        FROM pairs
+        WHERE dot > 0 AND na > 0 AND nb > 0
+          AND {_RANGE_TAU_DEN * _RANGE_TAU_DEN} * dot * dot
+              >= {_RANGE_TAU_NUM * _RANGE_TAU_NUM} * na * nb
+    """,
+    tags=("similarity",),
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL neighbors with cosine ≥ τ per query —
+    FAISS's second core operation next to top-k (`range_search`), the
+    primitive behind "find every near-duplicate of this document"
+    rather than "find the 5 closest".
+
+    DETERMINISM: membership is the exact cross-multiplied integer
+    comparison den²·dot² ≥ num²·na·nb over quantized vectors (decimal
+    (38,0) on Spark — dot² ≤ 4.1e27 — HUGEINT on DuckDB), and the
+    emitted cosine is one double division of exactly-agreed operands:
+    the row SET and every value are bit-identical on both engines.
+
+    Scale shape: the exact brute scan is the baseline twin of
+    q_sim_cosine_topk (broadcast queries × map-side corpus, no corpus
+    shuffle; the predicate prunes to ~2% before anything is emitted —
+    no per-query window at all, so this is CHEAPER than top-k at the
+    same scan cost). At 100 TB the bucketed path composes the existing
+    ANN cell restriction (IVF cells / LSH buckets) with this same exact
+    in-cell predicate — q_dedup_embedding's blocked-BLAS kernel is that
+    shape with label blocks as the stand-in buckets."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("qv"))
+    q = e.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe"))
+    dot = F.expr("aggregate(zip_with(qe, qv, (x, y) -> x * y), 0L, "
+                 "(s, v) -> s + v)")
+    na = F.expr("aggregate(qe, 0L, (s, v) -> s + v * v)")
+    nb = F.expr("aggregate(qv, 0L, (s, v) -> s + v * v)")
+    d2 = "cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))"
+    member = F.expr(
+        f"dot > 0 AND na > 0 AND nb > 0 AND "
+        f"{_RANGE_TAU_DEN * _RANGE_TAU_DEN} * {d2} >= "
+        f"{_RANGE_TAU_NUM * _RANGE_TAU_NUM} * "
+        f"cast(na as decimal(38,0)) * cast(nb as decimal(38,0))")
+    return (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+        .filter(member)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("dot").cast("double")
+                        / (F.sqrt(F.col("na").cast("double"))
+                           * F.sqrt(F.col("nb").cast("double"))), 6)
+                .alias("cosine"))
+    )
+
+
 _PLANES_NP = None
 
 
