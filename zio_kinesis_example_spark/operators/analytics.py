@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import ts_lit
 
 
 @query(
@@ -64,11 +65,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate")
-        < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        < ts_lit("1998-01-01")
     )
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate")
-        > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        > ts_lit("1998-01-01")
     )
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
@@ -134,9 +135,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate")
-         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+         >= ts_lit("1996-01-01"))
         & (F.col("o_orderdate")
-           < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+           < ts_lit("1997-01-01"))
     )
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")

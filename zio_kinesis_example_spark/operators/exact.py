@@ -32,7 +32,15 @@ def cents_sum(col: str = "value", dp: int = 6) -> Column:
         F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(100.0), dp)
 
 
-def dec_sum_double(col: str) -> Column:
+def ts_lit(day: str) -> Column:
+    """Midnight TIMESTAMP_NTZ literal for a 'YYYY-MM-DD' day string —
+    ONE definition of the date-literal idiom (r8 review: five inline
+    spellings across relational/analytics/tpch risked drifting if the
+    timezone/type policy ever changes)."""
+    return F.lit(day + " 00:00:00").cast("timestamp_ntz")
+
+
+def dec_sum_double(col: str, dp: int = 4) -> Column:
     """Exact DECIMAL(18,4) sum of a ≤4dp numeric column, emitted as
     DOUBLE: the decimal sum is exact (never reassociates), and the one
     decimal→double conversion is correctly rounded from the same exact
@@ -40,7 +48,7 @@ def dec_sum_double(col: str) -> Column:
     a raw double SUM whose partition-merge order diverges across
     engines once groups reach ~1e7 rows (the 9-significant-digit
     canonicalization boundary)."""
-    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+    return F.sum(F.col(col).cast(f"decimal(18,{dp})")).cast("double")
 
 
 def sql_dec_sum_double(col: str) -> str:
@@ -48,11 +56,11 @@ def sql_dec_sum_double(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18, 4))) AS DOUBLE)"
 
 
-def dec_avg_double(col: str) -> Column:
+def dec_avg_double(col: str, dp: int = 4) -> Column:
     """Exact-sum average emitted as DOUBLE: decimal sum (exact), cast
     to double, ONE division by the group count — both engines compute
     the identical dividend and divisor."""
-    return (F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+    return (F.sum(F.col(col).cast(f"decimal(18,{dp})")).cast("double")
             / F.count(F.lit(1)))
 
 

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load
-from .exact import KNUTH, cents_sum, dec_avg_double, dec_sum_double
+from .exact import (
+    KNUTH, cents_sum, dec_avg_double, dec_sum_double, sql_dec_sum_double,
+    ts_lit,
+)
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -88,10 +91,9 @@ def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_inner",
-    oracle="""
+    oracle=f"""
         SELECT c_mktsegment,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS revenue,
+               {sql_dec_sum_double("o_totalprice")} AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -116,12 +118,10 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_broadcast",
-    oracle="""
+    oracle=f"""
         SELECT p_brand,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_price,
+               {sql_dec_sum_double("l_quantity")} AS sum_qty,
+               {sql_dec_sum_double("l_extendedprice")} AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -326,7 +326,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum_double("l_quantity").alias("sum_qty"),
@@ -409,9 +409,9 @@ def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_rollup",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(l_extendedprice) AS sum_price,
+               {sql_dec_sum_double("l_extendedprice")} AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -419,19 +419,22 @@ def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals; Spark expands grouping sets in one pass."""
+    """Hierarchical subtotals; Spark expands grouping sets in one pass.
+    Money sums via the exact-decimal rule (r8 review: the grand-total
+    group aggregates the WHOLE table — the exact group size where raw
+    double sums reassociate apart across engines)."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").alias("sum_price"),
+        dec_sum_double("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "q_agg_cube",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(l_extendedprice) AS sum_price,
+               {sql_dec_sum_double("l_extendedprice")} AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -439,20 +442,20 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All grouping combinations."""
+    """All grouping combinations; exact-decimal money sums (see
+    q_agg_rollup)."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").alias("sum_price"),
+        dec_sum_double("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "q_agg_grouping_sets",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_price,
+               {sql_dec_sum_double("o_totalprice")} AS sum_price,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -466,10 +469,9 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer in the session — the sibling convention is v_*/__* names)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_gs_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_price,
+               {sql_dec_sum_double("o_totalprice")} AS sum_price,
                COUNT(*) AS n
         FROM v_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -883,9 +885,9 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate")
-         >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+         >= ts_lit("1997-01-01"))
         & (F.col("o_orderdate")
-           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+           < ts_lit("1998-01-01"))
     )
     full = (
         o.select("o_custkey", F.quarter("o_orderdate").alias("qtr"))

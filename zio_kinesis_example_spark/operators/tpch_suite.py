@@ -38,10 +38,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from .exact import dec_avg_double, dec_sum_double, ts_lit
 
 
 def _ts(lit: str):
-    return F.lit(lit + " 00:00:00").cast("timestamp_ntz")
+    return ts_lit(lit)
 
 
 def _money(col: str = "l_extendedprice"):
@@ -525,9 +526,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the brand filter prunes part at the scan; lineitem is
     reduced by a SEMI join against those parts BEFORE the per-part
     average (the subquery only ever needs averages for brand parts), so
-    the threshold aggregate runs over the reduced set, broadcasts, and
-    rides the same reduced scan for the final filter — lineitem full-scans
-    once, not once per subquery evaluation.
+    the threshold aggregate runs over the reduced set and broadcasts.
+    The physical plan scans lineitem TWICE (the threshold branch and
+    the probe branch each carry their own broadcast-semi-joined scan —
+    Spark has no subplan reuse below an exchange here); both scans are
+    brand-pruned by the pushed semi join, which is the win over the
+    naive correlated form's once-per-part evaluation. (r8 review: an
+    earlier docstring claimed a single scan.)
     """
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
     pkeys = p.select("p_partkey")
@@ -543,8 +548,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-              .cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dec_sum_double("l_extendedprice")
+              / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -747,8 +752,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     thr = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-              / F.count(F.lit(1))).alias("a"))
+        .agg(dec_avg_double("c_acctbal", dp=2).alias("a"))
     )
     recent = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= _ts("1999-01-01")).select("o_custkey")
