@@ -132,3 +132,23 @@ def test_stream_stream_interval_join_left_outer(spark, tmpdir_factory_local):
     assert pairs == [(1, 2), (3, None), (9, 8)]
     null_row = next(r for r in emitted if r.purchase_id is None)
     assert null_row.purchase_ts is None and null_row.click_id == 3
+
+
+def test_stream_static_enrichment_same_key_name(spark, tmpdir_factory_local):
+    """The common enrichment invocation: stream and dimension share the
+    key COLUMN NAME. The r8 aliased join must resolve it (the unaliased
+    form failed analysis with AMBIGUOUS_REFERENCE)."""
+    src, ckpt = _dirs(tmpdir_factory_local, "senrich-same")
+    prod = ShardDirProducer(src, n_shards=2, batch_size=20)
+    prod.produce_all(40)
+
+    valid, _ = decode_json(shard_source(spark, src))
+    dim = load(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(valid, dim, "id", "id") \
+        .select(F.col("s.id").alias("id"), "c_mktsegment")
+    emitted: list = []
+    run_available_now(enriched, ckpt, emitted)
+    assert len(emitted) == 40
+    assert all(r.c_mktsegment is not None for r in emitted)

@@ -308,3 +308,24 @@ def test_pattern_stateful_rejects_late_pre_view_purchase(spark,
     prod.produce(2, 2)
     emitted += drain()
     assert sorted(r.purchase_id for r in emitted) == [3]
+
+
+def test_stateful_running_count_null_seq_transport(spark,
+                                                   tmpdir_factory_local):
+    """The kinesis/kafka envelope contract: seq is NULL (position rides
+    seq_str). The stateful counter must count rows and keep max_seq at
+    its prior value instead of aborting on int(NaN) (r8 review fix)."""
+    from pyspark.sql import functions as F
+
+    src, ckpt = _dirs(tmpdir_factory_local, "stateful-nullseq")
+    prod = ShardDirProducer(src, n_shards=2, batch_size=25)
+    prod.produce_all(50)
+
+    env = shard_source(spark, src).withColumn(
+        "seq", F.lit(None).cast("long"))
+    emitted: list = []
+    run_available_now(running_count_stateful(env), ckpt, emitted,
+                      output_mode="update")
+    latest = {r.shard_id: (r.running_count, r.max_seq) for r in emitted}
+    assert sum(c for c, _ in latest.values()) == 50
+    assert all(m == 0 for _, m in latest.values())

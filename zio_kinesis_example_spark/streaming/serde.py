@@ -19,6 +19,41 @@ TESTMSG_SCHEMA = StructType([StructField("id", IntegerType())])
 _CORRUPT = "_corrupt_payload"
 
 
+def _decode_with_flag(df: DataFrame, schema: StructType):
+    """Shared decode scaffold for :func:`decode_json` and
+    :func:`decode_json_flagged` (r8 review: the subtlest semantics in
+    this module — the corrupt-record channel, the required-first-field
+    rule, the tombstone rule — must have ONE definition). Returns
+    (decoded_with_msg, ok_predicate).
+
+    - PERMISSIVE from_json yields a struct of nulls on malformed input,
+      so the explicit corrupt-record column is the real typed error
+      channel.
+    - data IS NULL (e.g. a Kafka tombstone) must dead-letter too:
+      from_json(NULL) is a null struct whose corrupt field is null, so
+      the corrupt-record check alone would route it to the valid side
+      as an all-null payload row.
+    - The schema's FIRST field is required (TestMsg.id is a
+      non-optional constructor field): structurally valid JSON lacking
+      it is a decode FAILURE.
+    """
+    schema_with_err = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType())]
+    )
+    decoded = df.withColumn(
+        "msg",
+        F.from_json(
+            F.col("data"), schema_with_err,
+            {"columnNameOfCorruptRecord": _CORRUPT},
+        ),
+    )
+    required = schema.fields[0].name
+    ok = (F.col("data").isNotNull()
+          & F.col(f"msg.{_CORRUPT}").isNull()
+          & F.col(f"msg.{required}").isNotNull())
+    return decoded, ok
+
+
 def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
                 ) -> tuple[DataFrame, DataFrame]:
     """(valid, dead_letter) split of an envelope stream.
@@ -39,24 +74,7 @@ def decode_json(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
     Left-fail a missing required field, and an id-less "valid" row would
     otherwise flow NULL keys into downstream keyed sinks.
     """
-    schema_with_err = StructType(
-        list(schema.fields) + [StructField(_CORRUPT, StringType())]
-    )
-    decoded = df.withColumn(
-        "msg",
-        F.from_json(
-            F.col("data"), schema_with_err,
-            {"columnNameOfCorruptRecord": _CORRUPT},
-        ),
-    )
-    # data IS NULL (e.g. a Kafka tombstone) must dead-letter too:
-    # from_json(NULL) is a null struct whose corrupt field is null, so
-    # the corrupt-record check alone would route it to the valid side
-    # as an all-null payload row
-    required = schema.fields[0].name
-    ok = (F.col("data").isNotNull()
-          & F.col(f"msg.{_CORRUPT}").isNull()
-          & F.col(f"msg.{required}").isNotNull())
+    decoded, ok = _decode_with_flag(df, schema)
     valid = (
         decoded.filter(ok)
         .select("*", "msg.*")
@@ -79,20 +97,7 @@ def decode_json_flagged(df: DataFrame, schema: StructType = TESTMSG_SCHEMA
     gap/high-water tracking runs over all rows, per-record effects only
     over the decodable ones.
     """
-    schema_with_err = StructType(
-        list(schema.fields) + [StructField(_CORRUPT, StringType())]
-    )
-    decoded = df.withColumn(
-        "msg",
-        F.from_json(
-            F.col("data"), schema_with_err,
-            {"columnNameOfCorruptRecord": _CORRUPT},
-        ),
-    )
-    required = schema.fields[0].name
-    ok = (F.col("data").isNotNull()
-          & F.col(f"msg.{_CORRUPT}").isNull()
-          & F.col(f"msg.{required}").isNotNull())
+    decoded, ok = _decode_with_flag(df, schema)
     return (
         decoded.withColumn("decode_ok", ok)   # while msg still exists
         .select("*", "msg.*")

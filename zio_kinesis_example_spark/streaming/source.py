@@ -219,8 +219,19 @@ def kafka_source(spark: SparkSession, topic: str,
 
       shard_id       ← kafka partition (ordered unit, like a shard)
       partition_key  ← record key
-      seq            ← offset (monotone per partition, like sequenceNumber)
+      seq            ← NULL (see below); seq_str ← zero-padded offset
       data           ← value decoded as UTF-8 JSON
+
+    ``seq`` is NULL here like the Kinesis path (r8 review fix): Kafka
+    offsets are monotone per partition but legitimately NON-contiguous
+    (transactional commit/abort markers occupy offsets; compaction
+    removes records), so running them through the dense +1 contiguity
+    checks (order_violations_frame, consume_count's high-water fold)
+    would report spurious gaps on a healthy stream — contiguity is a
+    property of the hermetic producer only. The ordering token is
+    ``seq_str``: the offset zero-padded to 20 digits, so lexicographic
+    order is numeric order (the Kinesis fixed-width convention; a raw
+    string would sort "10" < "9").
 
     ``maxOffsetsPerTrigger`` is the pacing knob mirroring the file
     source's ``maxFilesPerTrigger`` (reference op 23 rate limiting).
@@ -236,6 +247,7 @@ def kafka_source(spark: SparkSession, topic: str,
     return df.select(
         F.col("partition").cast("string").alias("shard_id"),
         F.col("key").cast("string").alias("partition_key"),
-        F.col("offset").alias("seq"),
+        F.lit(None).cast("long").alias("seq"),
+        F.lpad(F.col("offset").cast("string"), 20, "0").alias("seq_str"),
         F.col("value").cast("string").alias("data"),
     )

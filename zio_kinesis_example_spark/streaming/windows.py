@@ -118,8 +118,13 @@ def running_count_stateful(envelope: DataFrame) -> DataFrame:
         (count, max_seq) = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            if len(pdf):
-                max_seq = max(max_seq, int(pdf["seq"].max()))
+            # NULL-seq transports (kinesis_source emits seq = NULL and
+            # carries its position in seq_str) make the column all-NaN;
+            # int(NaN) would abort the query — skip like consume_count
+            # and order_violations_frame do (r8 review fix)
+            s = pdf["seq"].dropna()
+            if len(s):
+                max_seq = max(max_seq, int(s.max()))
         state.update((count, max_seq))
         yield pd.DataFrame({
             "shard_id": [key[0]],
@@ -156,7 +161,16 @@ def run_available_now(sink_df: DataFrame, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_s)
+    try:
+        finished = q.awaitTermination(timeout_s)
+    except Exception as exc:
+        # awaitTermination THROWS StreamingQueryException when the query
+        # failed (the r8 review fix: the q.exception() branch below was
+        # unreachable for real failures, so q.stop() never ran and the
+        # advertised RuntimeError contract was bypassed)
+        if q.isActive:
+            q.stop()
+        raise RuntimeError(str(exc)) from exc
     if q.isActive:
         q.stop()
     if q.exception() is not None:
@@ -211,9 +225,15 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame,
                          stream_key: str, dim_key: str) -> DataFrame:
     """Stream-static broadcast enrichment: every micro-batch hash-joins
     against the (re-read per batch, hence updatable) static dimension —
-    the no-shuffle lookup-table pattern; the stream side never exchanges."""
-    return stream.join(F.broadcast(dim),
-                       F.col(stream_key) == F.col(dim_key), "left")
+    the no-shuffle lookup-table pattern; the stream side never exchanges.
+
+    Sides are aliased so the common same-name-key invocation
+    (stream_key == dim_key, e.g. both 'id') resolves unambiguously
+    instead of failing analysis with AMBIGUOUS_REFERENCE (r8 review;
+    sink._merge's pattern)."""
+    s, d = stream.alias("s"), dim.alias("d")
+    return s.join(F.broadcast(d),
+                  F.col(f"s.{stream_key}") == F.col(f"d.{dim_key}"), "left")
 
 
 def dedup_within_watermark(events: DataFrame, keys: list[str],
@@ -276,7 +296,12 @@ def pattern_matches_stateful(events: DataFrame) -> DataFrame:
         lv, le = state.get if state.exists else (0, 0)
         out_id, out_pts, out_vts = [], [], []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["event_ts", "id"])
+            # an unparseable event_ts arrives as NaT (with_event_time
+            # nulls it); NaT.value is INT64_MIN and would poison the
+            # anchors / fabricate year-1677 matches — drop such rows
+            # before updating the automaton (r8 review fix)
+            pdf = pdf.dropna(subset=["event_ts"]) \
+                .sort_values(["event_ts", "id"])
             for _, row in pdf.iterrows():
                 ts_us = int(row["event_ts"].value // 1_000)
                 et = row["event_type"]
