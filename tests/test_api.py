@@ -396,3 +396,42 @@ def test_holt_smooth_nonlinear_and_two_point(spark):
     r = api.holt_smooth(two, ["k"], "i", "x").collect()[0]
     # l1=3, b1=4; then fold x2=7: l=.4*7+.6*7=7, b=.3*4+.7*4=4
     assert (r.level, r.trend) == (7.0, 4.0)
+
+
+def test_asof_join_excludes_null_right_ts(spark):
+    """A right row with NULL ts must never match (NULL is not 'less
+    than' anything) — the r8 review fix: ascending NULLS FIRST ordering
+    previously parked it inside every left row's preceding frame."""
+    trades = spark.createDataFrame(
+        [("A", 10, 1)], ["sym", "t", "trade_id"])
+    quotes = spark.createDataFrame(
+        [("A", None, 999.0), ("A", 5, 1.5)], ["sym", "t", "px"])
+    out = api.asof_join(trades, quotes, key="sym",
+                        left_ts="t", right_ts="t", right_cols=["px"])
+    assert out.collect()[0].asof_px == 1.5
+    # with ONLY the NULL-ts quote present there is no match at all
+    only_null = quotes.filter(F.col("t").isNull())
+    out2 = api.asof_join(trades, only_null, key="sym",
+                         left_ts="t", right_ts="t", right_cols=["px"])
+    assert out2.collect()[0].asof_px is None
+
+
+def test_dedup_exact_excludes_null_text(spark):
+    """NULL payloads must not fold into one sha2(NULL) group declaring
+    unrelated rows copies of each other (r8 review fix)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, None)],
+        ["id", "text"])
+    out = api.dedup_exact(df, "text", "id").collect()
+    assert len(out) == 1 and out[0].n_copies == 2
+
+
+def test_containment_pairs_ignores_contentless_docs(spark):
+    """NULL/empty texts share no real n-grams; they must not pair
+    quadratically via the '' shingle (r8 review fix)."""
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, ""), (4, ""), (5, None)],
+        ["pid", "body"])
+    pairs = {(r.id_a, r.id_b) for r in
+             api.containment_pairs(df, "body", "pid").collect()}
+    assert pairs == {(1, 2)}

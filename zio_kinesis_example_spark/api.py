@@ -26,9 +26,16 @@ from .operators.llm_similarity import cosine, lsh_buckets  # noqa: F401
 def dedup_exact(df: DataFrame, text_col: str,
                 id_col: str) -> DataFrame:
     """Group identical ``text_col`` payloads by content digest; keep the
-    minimum id as canonical. One hash-partitioned shuffle at any scale."""
+    minimum id as canonical. One hash-partitioned shuffle at any scale.
+
+    NULL payloads are EXCLUDED (r8 review): sha2(NULL) is NULL and
+    groupBy folds every NULL-text row into one group — unrelated rows
+    would be declared copies of each other. A NULL payload has no
+    content to deduplicate on; callers wanting them dropped or kept
+    should handle them explicitly."""
     return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"),
              F.count(F.lit(1)).alias("n_copies"))
     )
@@ -64,7 +71,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     other unorderable type) raises AnalysisException at plan time. For
     an explicit policy, pre-dedupe the right side per (key, right_ts)
     with ``dedup_latest`` before calling."""
-    r = right.select(
+    # NULL right_ts rows are EXCLUDED (r8 review): ascending order puts
+    # NULLs first, so such a row would sit inside every left row's
+    # preceding frame and match rows that have no genuine earlier right
+    # row — but NULL is not "less than" anything (SQL ASOF joins drop
+    # NULL keys).
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key), F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__kind"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
@@ -136,9 +148,17 @@ def pack_sequences(df: DataFrame, part_cols: list[str], order_col: str,
         Window.partitionBy(*part_cols).orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn(
-        "seq_bin", (before / F.lit(bin_size)).cast("long"))
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    # integer DIV, not double /: past ~2^53 cumulative size the double
+    # quotient rounds before any floor/cast and a row just below a bin
+    # boundary can land one bin high (q_text_pack's documented rule;
+    # r8 review aligned this twin with it)
+    return (
+        df.withColumn("__before", before)
+        .withColumn("seq_bin",
+                    F.expr(f"__before div {int(bin_size)}").cast("long"))
+        .drop("__before")
+    )
 
 
 def stratified_sample(df: DataFrame, stratum_cols: list[str],
@@ -351,7 +371,14 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     live on the driver as O(k·dim) literals, so each iteration is one
     scan + one partial-agged (cluster, dim) mean — no lineage growth,
     corpus-size-independent driver state (the q_embed_kmeans codebook
-    trainer, reusable)."""
+    trainer, reusable).
+
+    DOMAIN BOUND (r8 review): squared-distance terms are int64, so a
+    scaled coordinate difference must stay under √(2⁶³) ≈ 3.04e9 —
+    with the default scale=1e6 that means |x − y| < ~3038 per raw
+    component. Unit-scale embeddings are far inside the bound; for
+    large-magnitude raw features pass a smaller ``scale`` (the same
+    exactness holds at any scale ≤ 1e6)."""
     q = df.select(
         F.col(id_col).alias("__id"),
         F.expr(f"transform(cast({vec_col} as array<double>), "
@@ -394,10 +421,12 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
             upd.setdefault(r.cluster_id, {})[r.i] = r.s
         for c, comp in upd.items():
             cents[c] = [comp[i] for i in range(dim)]
-    out = df.join(last.select("__id", "cluster_id"),
-                  F.col(id_col) == F.col("__id")).drop("__id")
+    # materialize the narrow label frame BEFORE releasing the cached
+    # working set (r8 review: unpersisting first made every downstream
+    # action on the result recompute the whole scan+assign chain)
+    labels = last.select("__id", "cluster_id").localCheckpoint(eager=True)
     q.unpersist()
-    return out
+    return df.join(labels, F.col(id_col) == F.col("__id")).drop("__id")
 
 
 def repeated_spans(df: DataFrame, text_col: str, id_col: str,
@@ -454,9 +483,15 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
         f"i -> concat_ws(' ', slice(__terms, i, {n})))) "
         f"ELSE array(concat_ws(' ', __terms)) END"
     )
+    # NULL/empty texts are EXCLUDED (r8 review): split(NULL) -> NULL
+    # terms and the short-doc branch would emit the shared '' shingle,
+    # pairing every contentless doc with every other quadratically at
+    # cont=1.0 (m empty rows -> ~m^2/2 bogus pairs). A doc with no
+    # content has no n-grams to contain.
     e = (
-        df.select(F.col(id_col).alias("__id"),
-                  F.split(F.col(text_col), " ").alias("__terms"))
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col).alias("__id"),
+                F.split(F.col(text_col), " ").alias("__terms"))
         .select("__id", F.expr(sh).alias("__sh"))
         .select("__id", F.size("__sh").cast("long").alias("__n"),
                 F.explode("__sh").alias("__g"))
@@ -505,7 +540,10 @@ def pq_assign(df: DataFrame, vec_col: str, id_col: str,
     this function quantizes ``vec_col`` into; subspaces are equal
     consecutive slices. Returns the input ids plus code_<s> and the
     exact total quantization error. Codebooks ride along as literals —
-    one stateless scan, zero shuffles at any corpus size."""
+    one stateless scan, zero shuffles at any corpus size. Same int64
+    domain bound as :func:`kmeans_fit`: |scaled x − centroid| must stay
+    under ~3.04e9 per component (unit-scale embeddings at scale=1e6 are
+    far inside; shrink ``scale`` for large-magnitude features)."""
     sub = None
     for s, book in enumerate(codebooks):
         dims = {len(c) for c in book}
@@ -712,7 +750,9 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str], order_col: str,
     """Exact-integer CUSUM changepoint per key (the q_ts_changepoint
     algorithm, reusable): the ``order_col`` position where the running
     deviation of BIGINT ``count_col`` from the series mean peaks, using
-    the scaled form k·Σᵢ − i·Σ (never a float division). Returns
+    the scaled form k·Σᵢ − i·Σ (never a float division; the products
+    are DECIMAL(38,0) — k·cum exceeds int64 once n·Σ passes ~9.2e18,
+    reachable on 100 TB keys, r8 review). Returns
     (key_cols…, cp_at, dev_scaled, n_points, total)."""
     tot = df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("__k"), F.sum(count_col).alias("__s"))
@@ -722,8 +762,9 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str], order_col: str,
         .withColumn("__cum", F.sum(count_col).over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("__i", F.row_number().over(w).cast("long"))
-        .withColumn("__dev", F.abs(F.col("__k") * F.col("__cum")
-                                   - F.col("__i") * F.col("__s")))
+        .withColumn("__dev", F.abs(
+            F.col("__k").cast("decimal(38,0)") * F.col("__cum")
+            - F.col("__i").cast("decimal(38,0)") * F.col("__s")))
     )
     rnw = Window.partitionBy(*key_cols).orderBy(F.desc("__dev"), order_col)
     return (
@@ -809,9 +850,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         large = (
             nbrs.join(lmins, "u")
             .filter(F.col("v") > F.col("u"))
+            # no u != v filter needed: m = min(Γ(u) ∪ {u}) ≤ u < v, so
+            # greatest(v,m) = v and least(v,m) = m can never be equal
+            # (r8 review: one dead plan node per round removed from the
+            # loop whose lineage size is the bottleneck)
             .select(F.greatest("v", "m").alias("u"),
                     F.least("v", "m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
