@@ -675,3 +675,28 @@ def test_png_gif_codec_plans_one_exchange_pruned_scan(spark):
         assert "text" in read_schema and "doc_id" in read_schema, name
         assert "lang" not in read_schema, name  # pruned
         assert plan.count("MapInPandas (") == 1, name
+
+
+def test_jpeg_recover_single_fused_python_stage(spark):
+    """The recovery round trip obeys the codec-family rule: ONE
+    repartition Exchange (RoundRobin spread) then ONE fused MapInPandas
+    — corrupt-encode and recover-decode never cross the JVM boundary
+    separately."""
+    plan = _plan(spark, "q_multimodal_jpeg_recover", "simple")
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_range_search_is_broadcast_scan_without_window(spark):
+    """Radius search must be the map-side scan shape: the query set
+    broadcasts (one BroadcastNestedLoopJoin over the corpus — the exact
+    baseline's legitimate shape), the corpus never hash-exchanges, and
+    there is NO per-query window (range search needs no rank cut —
+    that's what makes it cheaper than the top-k twin)."""
+    import re
+
+    plan = _plan(spark, "q_sim_range_search", "formatted")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
