@@ -49,20 +49,37 @@ _DECON_SHINGLES = f"""
 _BENCH_SOURCE = "src19"
 
 
+def _decon_gram_ctes(p: str = "") -> str:
+    """The 5-gram contamination CTE chain (t/s/e/b, suffixable) — ONE
+    SQL definition shared by the q_curate_decontaminate oracle and
+    _PIPELINE_ORACLE (r8 review: the funnel oracle re-stated the rule
+    by hand; an edit to one copy would leave the other stale)."""
+    return f"""t{p} AS (SELECT doc_id, source, string_split(text, ' ') AS terms
+               FROM documents),
+        s{p} AS (SELECT doc_id, source,
+                      list_distinct(CASE WHEN len(terms) >= {_DECON_N}
+                        THEN list_transform(
+                                 generate_series(1, len(terms) - {_DECON_N - 1}),
+                                 i -> array_to_string(terms[i:i+{_DECON_N - 1}], ' '))
+                        ELSE [] END) AS grams
+               FROM t{p}),
+        e{p} AS (SELECT doc_id, source, unnest(grams) AS g FROM s{p}),
+        b{p} AS (SELECT DISTINCT g FROM e{p}
+                 WHERE source = '{_BENCH_SOURCE}')"""
+
+
+def _rep_count_cte(name: str = "rc") -> str:
+    """Per-(doc, term) count CTE — the repetition rule's base, shared by
+    the q_curate_repetition oracle and _PIPELINE_ORACLE."""
+    return f"""{name} AS (SELECT doc_id, term, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents) GROUP BY 1, 2)"""
+
+
 @query(
     "q_curate_decontaminate",
     oracle=f"""
-        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS terms
-                   FROM documents),
-        s AS (SELECT doc_id, source,
-                     list_distinct(CASE WHEN len(terms) >= {_DECON_N}
-                       THEN list_transform(
-                                generate_series(1, len(terms) - {_DECON_N - 1}),
-                                i -> array_to_string(terms[i:i+{_DECON_N - 1}], ' '))
-                       ELSE [] END) AS grams
-              FROM t),
-        e AS (SELECT doc_id, source, unnest(grams) AS g FROM s),
-        b AS (SELECT DISTINCT g FROM e WHERE source = '{_BENCH_SOURCE}')
+        WITH {_decon_gram_ctes()}
         SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         FROM e JOIN b USING (g)
         WHERE e.source <> '{_BENCH_SOURCE}'
@@ -165,17 +182,14 @@ def q_curate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_curate_repetition",
-    oracle="""
-        WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                   FROM documents),
-        c AS (SELECT doc_id, term, COUNT(*) AS n
-              FROM e GROUP BY doc_id, term)
+    oracle=f"""
+        WITH {_rep_count_cte("c")}
         SELECT doc_id,
                CAST(SUM(n) AS BIGINT) AS n_terms,
                CAST(COUNT(*) AS BIGINT) AS n_distinct,
                round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_term_ratio,
                round(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS type_token_ratio,
-               (CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.2) AS is_repetitive
+               (CAST(MAX(n) AS DOUBLE) / SUM(n) > {_REP_THRESHOLD}) AS is_repetitive
         FROM c GROUP BY doc_id
     """,
     tags=("curation", "text", "quality"),
@@ -250,7 +264,10 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = d.groupBy("lang", "source").agg(
         F.sum("n_tokens").alias("dom_tokens")
     )
-    total = d.agg(F.sum("n_tokens").alias("total_tokens"))
+    # total from the TINY dom aggregate, not a second full-corpus scan
+    # (r8 review: int64 sums are associative, so summing the domain
+    # sums is exact-identical to summing the corpus directly)
+    total = dom.agg(F.sum("dom_tokens").alias("total_tokens"))
     budget = dom.crossJoin(F.broadcast(total)).select(
         "lang", "source",
         F.floor(
@@ -297,25 +314,13 @@ _PIPELINE_ORACLE = (
                        FROM documents GROUP BY 1) k
                    ON sha256(d.text) = k.h
                  WHERE d.doc_id <> k.keep),
-        t5 AS (SELECT doc_id, source, string_split(text, ' ') AS terms
-               FROM documents),
-        s5 AS (SELECT doc_id, source,
-                      list_distinct(CASE WHEN len(terms) >= {_DECON_N}
-                        THEN list_transform(
-                                 generate_series(1, len(terms) - {_DECON_N - 1}),
-                                 i -> array_to_string(terms[i:i+{_DECON_N - 1}], ' '))
-                        ELSE [] END) AS grams
-               FROM t5),
-        e5 AS (SELECT doc_id, source, unnest(grams) AS g FROM s5),
-        b5 AS (SELECT DISTINCT g FROM e5 WHERE source = '{_BENCH_SOURCE}'),
+        {_decon_gram_ctes("5")},
         dc AS (SELECT DISTINCT e5.doc_id FROM e5 JOIN b5 USING (g)
                WHERE e5.source <> '{_BENCH_SOURCE}'),
-        rc AS (SELECT doc_id, term, COUNT(*) AS n
-               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                     FROM documents) GROUP BY 1, 2),
+        {_rep_count_cte()},
         rep AS (SELECT doc_id FROM (
                     SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS r
-                    FROM rc GROUP BY doc_id) WHERE r > 0.2),
+                    FROM rc GROUP BY doc_id) WHERE r > {_REP_THRESHOLD}),
         drops AS (SELECT doc_id FROM xdup UNION SELECT doc_id FROM nd
                   UNION SELECT doc_id FROM dc UNION SELECT doc_id FROM rep)
     SELECT d.doc_id, d.lang, d.source,
@@ -406,7 +411,7 @@ _GATE_MAX_WORDS = 5_000
 _GATE_MEAN_WLEN = (2.0, 10.0)
 _GATE_UNIQUE_FRAC = 0.30
 _GATE_TOP_FRAC = 0.20
-_GATE_STOPWORDS = ("the", "a", "and", "of")
+from .llm_text import STOPWORDS as _GATE_STOPWORDS  # noqa: E402 (one shared vocabulary, r8 review)
 _GATE_MIN_STOPHITS = 2
 
 

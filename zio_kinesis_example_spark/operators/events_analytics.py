@@ -627,7 +627,9 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival-time distribution per event type (median / p99 /
-    max gap seconds) — the feed-health metric that catches stalled
+    max gap MICROSECONDS — median_gap_us / p99_gap_us / max_gap_us;
+    r8 review: an earlier header said seconds) — the feed-health
+    metric that catches stalled
     producers and bursty sources (the batch twin of monitoring the
     streaming source's silence).
 

@@ -124,7 +124,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     pred = None
-    for i, lang in enumerate(reversed(_LANGS)):
+    for lang in reversed(_LANGS):
         if pred is None:
             pred = F.lit(lang)
         else:
@@ -138,21 +138,29 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ONE stopword vocabulary shared by q_text_quality's score (Spark +
+#: oracle) and curation's q_curate_quality_gates battery (r8 review:
+#: four literal copies could drift; the gate docstring calls itself
+#: "the gate form of q_text_quality's scores").
+STOPWORDS = ("the", "a", "and", "of")
+_SQL_STOPS = "(" + ", ".join(f"'{t}'" for t in STOPWORDS) + ")"
+
+
 @query(
     "q_text_quality",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_terms,
                n_chars,
                round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS avg_term_len,
                round(CAST(len(list_filter(string_split(text, ' '),
-                                          t -> t IN ('the', 'a', 'and', 'of')))
+                                          t -> t IN {_SQL_STOPS}))
                           AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS stopword_ratio,
                round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
                      * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-                                          t -> t IN ('the', 'a', 'and', 'of')))
+                                          t -> t IN {_SQL_STOPS}))
                                    AS DOUBLE)
                               / len(string_split(text, ' '))), 6)
                    AS quality_score
@@ -168,7 +176,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_terms = F.size(terms).cast("long")
     n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("double")
     stop = F.size(
-        F.filter(terms, lambda t: t.isin("the", "a", "and", "of"))
+        F.filter(terms, lambda t: t.isin(*STOPWORDS))
     ).cast("double")
     stop_ratio = stop / F.size(terms)
     return d.select(
@@ -305,12 +313,20 @@ _DUCK_UNIGRAM_CTE = """
               FROM documents)"""
 
 _DUCK_BPT_SELECT = """
-        SELECT d.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_terms,
-               round(-SUM(log2(CAST(tf.n AS DOUBLE) / tot.t)) / COUNT(*), 6)
-                   AS bits_per_token
-        FROM d JOIN tf USING (term) CROSS JOIN tot
-        GROUP BY d.doc_id
+        , per AS (
+            SELECT d.doc_id, d.term,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS DOUBLE)
+                       * -log2(CAST(MIN(tf.n) AS DOUBLE) / MIN(tot.t))
+                       AS val
+            FROM d JOIN tf USING (term) CROSS JOIN tot
+            GROUP BY d.doc_id, d.term)
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_terms,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         array_agg(val ORDER BY term)), (x, y) -> x + y)
+                     / CAST(SUM(k) AS DOUBLE), 6) AS bits_per_token
+        FROM per GROUP BY doc_id
     """
 
 
@@ -327,8 +343,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join shape a real n-gram LM scorer uses).
 
     DETERMINISM: p = term-count/total is an exact-BIGINT ratio; each
-    log₂ is one libm call on identical doubles, summed per doc and
-    rounded 6dp (q_events_entropy's float-emission rule).
+    log₂ is one libm call on identical doubles. The per-doc sum runs as
+    an ORDERED fold over (distinct term, k·−log₂p) in term order on
+    BOTH engines (Spark aggregate over a sorted struct array ≡ DuckDB
+    list_reduce over array_agg(… ORDER BY term) — the chi2-drift
+    technique; r8 review: a plain F.sum of doubles merges in
+    partition-dependent order, a latent rounding-boundary flake), then
+    one division by the exact token count and 6dp rounding.
 
     Scale shape: the term-frequency table is a partial-agged aggregate
     (vocabulary-sized — bounded by the language, not the corpus) and
@@ -340,16 +361,26 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     tot = tf.agg(F.sum("n").alias("t"))
-    return (
+    per = (
         terms.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.round(
-                -F.sum(F.log2(F.col("n").cast("double") / F.col("t")))
-                / F.count(F.lit(1)), 6).alias("bits_per_token"),
-        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"),
+             F.first("n").alias("n"), F.first("t").alias("t"))
+        .withColumn(
+            "val",
+            F.col("k").cast("double")
+            * -F.log2(F.col("n").cast("double") / F.col("t")))
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("term", "val"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["val"])
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("k").alias("n_terms"),
+             F.round(fold / F.sum("k").cast("double"), 6)
+             .alias("bits_per_token"))
     )
 
 
