@@ -312,7 +312,10 @@ _DUCK_UNIGRAM_CTE = """
         d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents)"""
 
-_DUCK_BPT_SELECT = """
+#: the per-(doc, distinct-term) surprisal terms — a top-level CTE so
+#: composers (q_text_ccnet_buckets) can nest _DUCK_BPT_SELECT inside
+#: their own CTE while ``per`` stays in the outer WITH chain
+_DUCK_PER_CTE = """
         , per AS (
             SELECT d.doc_id, d.term,
                    CAST(COUNT(*) AS BIGINT) AS k,
@@ -320,7 +323,9 @@ _DUCK_BPT_SELECT = """
                        * -log2(CAST(MIN(tf.n) AS DOUBLE) / MIN(tot.t))
                        AS val
             FROM d JOIN tf USING (term) CROSS JOIN tot
-            GROUP BY d.doc_id, d.term)
+            GROUP BY d.doc_id, d.term)"""
+
+_DUCK_BPT_SELECT = """
         SELECT doc_id,
                CAST(SUM(k) AS BIGINT) AS n_terms,
                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -332,7 +337,7 @@ _DUCK_BPT_SELECT = """
 
 @query(
     "q_text_unigram_logprob",
-    oracle=_DUCK_UNIGRAM_CTE + _DUCK_BPT_SELECT,
+    oracle=_DUCK_UNIGRAM_CTE + _DUCK_PER_CTE + _DUCK_BPT_SELECT,
     tags=("text", "quality", "lm"),
 )
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,9 +46,11 @@ from ..registry import query
 # break: rank arithmetic is then pure integer bucketing — no float
 # threshold ever decides a bucket boundary. The score CTEs are the SHARED
 # fragments from llm_text (one definition of the surprisal on both sides).
-from .llm_text import _DUCK_BPT_SELECT, _DUCK_UNIGRAM_CTE  # noqa: E402
+from .llm_text import (  # noqa: E402
+    _DUCK_BPT_SELECT, _DUCK_PER_CTE, _DUCK_UNIGRAM_CTE,
+)
 
-_CCNET_ORACLE = _DUCK_UNIGRAM_CTE + """,
+_CCNET_ORACLE = _DUCK_UNIGRAM_CTE + _DUCK_PER_CTE + """,
         bpt AS (""" + _DUCK_BPT_SELECT + """),
     ranked AS (
         SELECT doc.doc_id, doc.lang, bpt.n_terms, bpt.bits_per_token,
