@@ -534,7 +534,11 @@ def test_ccnet_single_lang_window_no_corpus_shuffle(spark):
     plan = _plan(spark, "q_text_ccnet_buckets", mode="simple")
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan
-    assert "partial_count(1), partial_sum(LOG2" in plan
+    # the surprisal fold is the r8 ORDERED-fold shape: a partial-agged
+    # collect_list per doc (the token scores fold in term-sorted order
+    # driver-independently), still map-side-combined before the one
+    # per-doc exchange
+    assert "partial_count(1), partial_collect_list(struct(term" in plan
 
 
 def test_time_to_convert_shares_one_sort_across_windows(spark):

@@ -21,16 +21,14 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import ts_lit
+from .exact import SQL_MONEY, SQL_REV, money_term, rev_str, ts_lit
 
 
 @query(
     "q_tpch_q3",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
-                         AS DECIMAL(30, 8)) AS VARCHAR) AS revenue,
+               {SQL_REV} AS revenue,
                o_orderdate,
                o_orderpriority
         FROM customer
@@ -40,8 +38,7 @@ from .exact import ts_lit
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                     * CAST(1 - l_discount AS DECIMAL(18, 4))) DESC,
+        ORDER BY SUM({SQL_MONEY}) DESC,
                  l_orderkey
         LIMIT 10
     """,
@@ -71,13 +68,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > ts_lit("1998-01-01")
     )
-    price = F.col("l_extendedprice").cast("decimal(18,4)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(price * disc).cast("decimal(30,8)").alias("rev_dec"))
+        .agg(F.sum(money_term()).cast("decimal(30,8)").alias("rev_dec"))
         .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
@@ -91,11 +86,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q5",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
-                         AS DECIMAL(30, 8)) AS VARCHAR) AS revenue
+               {SQL_REV} AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -155,12 +148,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("decimal(30,8)").cast("string").alias("revenue")
-        )
+        .agg(rev_str(money_term()).alias("revenue"))
     )
 
 
@@ -459,12 +447,10 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_part_abc",
-    oracle="""
+    oracle=f"""
         WITH rev AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                            * CAST(1 - l_discount AS DECIMAL(18, 4)))
-                        AS DECIMAL(30, 8)) AS rev
+                   CAST(SUM({SQL_MONEY}) AS DECIMAL(30, 8)) AS rev
             FROM lineitem GROUP BY l_partkey
         ),
         tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38, 8)) AS t FROM rev),
@@ -500,9 +486,7 @@ def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                   * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-             .cast("decimal(30,8)").alias("rev"))
+        .agg(F.sum(money_term()).cast("decimal(30,8)").alias("rev"))
     )
     tot = rev.agg(F.sum("rev").cast("decimal(38,8)").alias("t"))
     w = (Window.orderBy(F.col("rev").desc(), "l_partkey")

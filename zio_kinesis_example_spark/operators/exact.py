@@ -68,3 +68,48 @@ def sql_dec_avg_double(col: str) -> str:
     """DuckDB twin of :func:`dec_avg_double`."""
     return (f"(CAST(SUM(CAST({col} AS DECIMAL(18, 4))) AS DOUBLE)"
             f" / COUNT(*))")
+
+def money_term(col: str = "l_extendedprice"):
+    """Exact per-row revenue term: price × (1 − discount), both factors
+    DECIMAL so the product never reassociates in floats — ONE definition
+    (r8 review: tpch_suite, analytics q3/q5, and q_part_abc each spelled
+    it inline; the SQL twin is SQL_MONEY)."""
+    return (F.col(col).cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+
+
+def rev_str(expr) -> Column:
+    """Exact decimal revenue sum rendered as the canonical string both
+    engines print identically (q_tpch_q3's emission rule; SQL twin
+    SQL_REV)."""
+    return F.sum(expr).cast("decimal(30,8)").cast("string")
+
+
+#: SQL-side twins of money_term / rev_str.
+SQL_MONEY = ("CAST(l_extendedprice AS DECIMAL(18, 4)) "
+             "* CAST(1 - l_discount AS DECIMAL(18, 4))")
+SQL_REV = f"CAST(CAST(SUM({SQL_MONEY}) AS DECIMAL(30, 8)) AS VARCHAR)"
+
+def hourly_cents_mean(e, out_col: str, hour_col: str = "bucket_hour"):
+    """Per-(event_type, hour) mean of a 2dp ``value`` column via EXACT
+    BIGINT cents + ONE identical division — a double SUM(value)
+    reassociates in partition order and diverged from DuckDB by 1 ulp at
+    sf0.1 (q_ts_interpolate's rule). ONE definition shared with
+    q_ts_autocorr (r8 review: the block was copied verbatim between the
+    two module pairs). SQL twin: SQL_HOURLY_CENTS_MEAN."""
+    return (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias(hour_col))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("__svc"),
+             F.count(F.lit(1)).alias("__cv"))
+        .select("event_type", hour_col,
+                (F.col("__svc") / (F.lit(100.0) * F.col("__cv")))
+                .alias(out_col))
+    )
+
+
+#: DuckDB twin of :func:`hourly_cents_mean` (the SELECT-list fragment;
+#: callers add their own aliases/filters/GROUP BY).
+SQL_HOURLY_CENTS_MEAN = ("SUM(CAST(round(value * 100) AS BIGINT)) "
+                         "/ (100.0 * COUNT(*))")
+

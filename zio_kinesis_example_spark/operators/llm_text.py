@@ -316,22 +316,18 @@ _DUCK_UNIGRAM_CTE = """
 #: composers (q_text_ccnet_buckets) can nest _DUCK_BPT_SELECT inside
 #: their own CTE while ``per`` stays in the outer WITH chain
 _DUCK_PER_CTE = """
-        , per AS (
+        , scored AS (
             SELECT d.doc_id, d.term,
-                   CAST(COUNT(*) AS BIGINT) AS k,
-                   CAST(COUNT(*) AS DOUBLE)
-                       * -log2(CAST(MIN(tf.n) AS DOUBLE) / MIN(tot.t))
-                       AS val
-            FROM d JOIN tf USING (term) CROSS JOIN tot
-            GROUP BY d.doc_id, d.term)"""
+                   -log2(CAST(tf.n AS DOUBLE) / tot.t) AS val
+            FROM d JOIN tf USING (term) CROSS JOIN tot)"""
 
 _DUCK_BPT_SELECT = """
         SELECT doc_id,
-               CAST(SUM(k) AS BIGINT) AS n_terms,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                          array_agg(val ORDER BY term)), (x, y) -> x + y)
-                     / CAST(SUM(k) AS DOUBLE), 6) AS bits_per_token
-        FROM per GROUP BY doc_id
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS bits_per_token
+        FROM scored GROUP BY doc_id
     """
 
 
@@ -349,12 +345,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DETERMINISM: p = term-count/total is an exact-BIGINT ratio; each
     log₂ is one libm call on identical doubles. The per-doc sum runs as
-    an ORDERED fold over (distinct term, k·−log₂p) in term order on
-    BOTH engines (Spark aggregate over a sorted struct array ≡ DuckDB
+    an ORDERED fold over the token-level scores in term order on BOTH
+    engines (Spark aggregate over a sorted struct array ≡ DuckDB
     list_reduce over array_agg(… ORDER BY term) — the chi2-drift
-    technique; r8 review: a plain F.sum of doubles merges in
-    partition-dependent order, a latent rounding-boundary flake), then
-    one division by the exact token count and 6dp rounding.
+    technique; within-term ties carry identical values so the order
+    inside a term cannot change the sum; r8 review: a plain F.sum of
+    doubles merges in partition-dependent order, a latent
+    rounding-boundary flake), then one division by the exact token
+    count and 6dp rounding.
 
     Scale shape: the term-frequency table is a partial-agged aggregate
     (vocabulary-sized — bounded by the language, not the corpus) and
@@ -366,25 +364,24 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     tot = tf.agg(F.sum("n").alias("t"))
-    per = (
+    scored = (
         terms.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("k"),
-             F.first("n").alias("n"), F.first("t").alias("t"))
-        .withColumn(
-            "val",
-            F.col("k").cast("double")
-            * -F.log2(F.col("n").cast("double") / F.col("t")))
+        .select("doc_id", "term",
+                (-F.log2(F.col("n").cast("double") / F.col("t")))
+                .alias("val"))
     )
+    # term-sorted fold over the TOKEN stream: equal terms carry equal
+    # vals, so the within-term order ties cannot change the sum, and
+    # the single per-doc groupBy keeps the old one-exchange plan shape
     fold = F.aggregate(
         F.sort_array(F.collect_list(F.struct("term", "val"))),
         F.lit(0.0),
         lambda acc, x: acc + x["val"])
     return (
-        per.groupBy("doc_id")
-        .agg(F.sum("k").alias("n_terms"),
-             F.round(fold / F.sum("k").cast("double"), 6)
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"),
+             F.round(fold / F.count(F.lit(1)).cast("double"), 6)
              .alias("bits_per_token"))
     )
 

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
 
 # --------------------------------------------------------------------------
 # q_ts_autocorr — lag autocorrelation of the hourly mean series
@@ -43,8 +44,7 @@ _AC_ORACLE = f"""
     WITH hourly AS (
         SELECT event_type,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-               SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*))
-                   AS x
+               {SQL_HOURLY_CENTS_MEAN} AS x
         FROM events GROUP BY 1, 2
     ),
     stats AS (
@@ -104,13 +104,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per series. Lags ride one window sort shared across all three.
     """
     e = load(spark, sf_dir, "events")
-    hourly = (
-        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
-             F.count(F.lit(1)).alias("cv"))
-        .select("event_type", "h",
-                (F.col("svc") / (F.lit(100.0) * F.col("cv"))).alias("x"))
-    )
+    hourly = hourly_cents_mean(e, "x", hour_col="h")
 
     def ofold(term):
         return F.expr(

@@ -244,8 +244,9 @@ def _seqlen_case(col: str) -> str:
         SELECT bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-               CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_waste,
-               round(CAST(SUM(bucket - n_tokens) AS DOUBLE)
+               CAST(SUM(bucket - least(n_tokens, bucket)) AS BIGINT)
+                   AS padding_waste,
+               round(CAST(SUM(bucket - least(n_tokens, bucket)) AS DOUBLE)
                      / (bucket * COUNT(*)), 6) + 0.0 AS waste_frac
         FROM b GROUP BY bucket
     """,
@@ -262,7 +263,9 @@ def q_text_seqlen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DETERMINISM: all-integer bucketing and sums; the single double
     division is one identical op on exactly-agreed operands, rounded
-    6dp with negative-zero normalization.
+    6dp with negative-zero normalization. Overflow-bucket docs (longer
+    than the top menu length) count zero padding — the trainer
+    truncates them, it does not pad.
 
     Scale shape: stateless projection + ONE partial-agged groupBy on a
     ≤10-value key — map-side combine collapses the corpus to |menu|
@@ -282,7 +285,11 @@ def q_text_seqlen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
-            F.sum(F.col("bucket") - F.col("n_tokens"))
+            # least(): docs LONGER than the top menu length land in the
+            # overflow bucket and are TRUNCATED by the trainer, padding
+            # zero — without the clamp their negative "waste" silently
+            # cancels real padding in the overflow aggregate (r8 review)
+            F.sum(F.col("bucket") - F.least("n_tokens", "bucket"))
             .alias("padding_waste"),
         )
         .select(

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
 
 
 @query(
@@ -156,8 +157,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
     spine = (
-        load(spark, sf_dir, "events")
-        .select("event_type").distinct()
+        e.select("event_type").distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
             "event_type",
@@ -310,8 +310,7 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
-                   SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*))
-                       AS v
+                   __HOURLY_CENTS_MEAN__ AS v
             FROM events WHERE event_type IN ('purchase', 'signup')
             GROUP BY 1, 2
         ),
@@ -355,7 +354,8 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN p.v + (n.v - p.v) * (th - p.t) / (n.t - p.t)
                      END, 6) AS value_interp
         FROM j
-    """,
+    """.replace("__HOURLY_CENTS_MEAN__",
+               SQL_HOURLY_CENTS_MEAN),
     tags=("timeseries", "interpolate", "gapfill"),
 )
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,19 +377,10 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     types = ("purchase", "signup")
     e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*types))
-    # EXACT BIGINT cents for the hourly mean (values carry 2dp —
-    # q_ts_seasonal's rule): a double SUM(value) reassociates in
-    # partition order and diverged from DuckDB by 1 ulp at sf0.1, which
-    # the 6dp rounding then amplified into a last-digit mismatch. The
-    # exact integer sum + ONE identical division is engine-independent.
-    hourly = (
-        e.groupBy("event_type",
-                  F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
-             F.count(F.lit(1)).alias("cv"))
-        .select("event_type", "bucket_hour",
-                (F.col("svc") / (F.lit(100.0) * F.col("cv"))).alias("v"))
-    )
+    # EXACT BIGINT cents for the hourly mean — the shared
+    # exact.hourly_cents_mean rule (see its docstring for the 1-ulp
+    # reassociation history)
+    hourly = hourly_cents_mean(e, "v")
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),

@@ -38,29 +38,17 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from .exact import dec_avg_double, dec_sum_double, ts_lit
+from .exact import (
+    SQL_MONEY, SQL_REV, dec_avg_double, dec_sum_double, money_term,
+    rev_str, ts_lit,
+)
 
-
-def _ts(lit: str):
-    return ts_lit(lit)
-
-
-def _money(col: str = "l_extendedprice"):
-    """Exact per-row revenue term: extendedprice × (1 − discount)."""
-    return (F.col(col).cast("decimal(18,4)")
-            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-
-
-def _rev_str(expr) -> F.Column:
-    """Exact decimal sum rendered as the canonical string both engines
-    print identically (q_tpch_q3's emission rule)."""
-    return F.sum(expr).cast("decimal(30,8)").cast("string")
-
-
-# SQL-side twins of the helpers above.
-_SQL_MONEY = ("CAST(l_extendedprice AS DECIMAL(18, 4)) "
-              "* CAST(1 - l_discount AS DECIMAL(18, 4))")
-_SQL_REV = f"CAST(CAST(SUM({_SQL_MONEY}) AS DECIMAL(30, 8)) AS VARCHAR)"
+# local aliases: the idiom is defined ONCE in exact.py (r8 review)
+_ts = ts_lit
+_money = money_term
+_rev_str = rev_str
+_SQL_MONEY = SQL_MONEY
+_SQL_REV = SQL_REV
 
 
 @query(
