@@ -537,9 +537,8 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a flat byte buffer, no per-row Python (the audio sibling of
     q_multimodal_decode_bmp).
     """
-    from .multimodal import binary_docs
 
-    from .multimodal import fused_round_trip
+    from .multimodal import binary_docs, fused_round_trip
 
     return binary_docs(spark, sf_dir).select("doc_id", "payload") \
         .mapInPandas(fused_round_trip(wav_encode_batch, wav_decode_batch),
@@ -1214,7 +1213,12 @@ def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import q_join_grid_neighbors
 
-    pairs = q_join_grid_neighbors(spark, sf_dir)
+    # materialize the radius-bounded pair list ONCE: both union branches
+    # consume the grid-join subtree, and Spark re-executes the whole
+    # scan + 5x explode + shuffle join per branch otherwise (only leaf
+    # exchanges dedupe via ReusedExchange) — the q_graph_triangles
+    # convention (r8 review)
+    pairs = q_join_grid_neighbors(spark, sf_dir).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "cheb_dist"
     ).unionByName(pairs.select(

@@ -104,6 +104,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting candidate; bucket width tunes replication vs occupancy at
     100 TB (rule: bucket ≈ typical interval span).
     """
+    from ..api import interval_overlap_join
     from .advanced import q_win_session_batch
 
     s = q_win_session_batch(spark, sf_dir).select(
@@ -112,37 +113,20 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_us"),
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
     )
-    b = s.withColumn(
-        "bucket",
-        F.explode(F.sequence(F.expr(f"s_us DIV {_BUCKET_US}"),
-                             F.expr(f"e_us DIV {_BUCKET_US}"))),
-    )
-    a, bb = b.alias("a"), b.alias("b")
+    # the bucketize/equi-join/ownership core is api.interval_overlap_join
+    # ("the q_join_interval_overlap algorithm, reusable") bound back to
+    # its registry query (r8 review); the user_a < user_b cut rides the
+    # join as a residual predicate exactly as before (Catalyst collapses
+    # the adjacent filter into the join condition)
     pairs = (
-        a.join(
-            bb,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.s_us") <= F.col("b.e_us"))
-            & (F.col("b.s_us") <= F.col("a.e_us")),
-        )
-        # Ownership rule instead of a distinct: a pair sharing k buckets
-        # is emitted ONLY in the bucket containing the overlap start —
-        # exactly-once without a dedup shuffle.
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-            (F.least("a.e_us", "b.e_us")
-             - F.greatest("a.s_us", "b.s_us")).alias("ov"),
-            F.col("a.bucket").alias("bucket"),
-            F.greatest("a.s_us", "b.s_us").alias("ov_start"),
-        )
-        .filter(F.expr(f"ov_start DIV {_BUCKET_US}") == F.col("bucket"))
-        .drop("bucket", "ov_start")
+        interval_overlap_join(s, s, "s_us", "e_us", bucket_us=_BUCKET_US)
+        .filter(F.col("l_user_id") < F.col("r_user_id"))
     )
-    return pairs.groupBy("user_a", "user_b").agg(
-        F.count(F.lit(1)).alias("n_overlaps"),
-        F.sum("ov").cast("long").alias("overlap_us"),
+    return (
+        pairs.groupBy(F.col("l_user_id").alias("user_a"),
+                      F.col("r_user_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"),
+             F.sum("overlap_us").cast("long").alias("overlap_us"))
     )
 
 
@@ -176,7 +160,7 @@ _HOLT_ORACLE = """
                    AS b
         FROM r JOIN idx nx
           ON nx.event_type = r.event_type AND nx.i = r.i + 1)
-    SELECT event_type, n AS n_hours, round(l, 6) AS level,
+    SELECT event_type, n AS n_hours, round(l, 6) + 0.0 AS level,
            round(b, 6) + 0.0 AS trend, round(l + b, 6) + 0.0 AS forecast_next
     FROM r WHERE i = n
 """
@@ -209,47 +193,28 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through applyInPandasWithState carrying (l, b) as state — the
     streaming running-count pattern.
     """
+    from ..api import holt_smooth
+
     e = load(spark, sf_dir, "events")
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
     )
-    series = (
-        hourly.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_hours"),
-            F.expr("transform(sort_array(collect_list(struct(h, x))), "
-                   "s -> s.x)").alias("xs"),
-        )
-        .filter(F.col("n_hours") >= 2)
-    )
-    # init l=x1, b=x2-x1 — Spark [] is 0-BASED (xs[0] is x1), unlike
-    # DuckDB's 1-based lists; the earlier xs[1]/xs[2] init was the
-    # second/third element, invisible at 6dp on these ~170-point series
-    # (init decays as 0.6^n) but divergent from the oracle on short ones
-    fold = F.expr("""
-        aggregate(
-            slice(xs, 2, size(xs) - 1),
-            named_struct('l', xs[0], 'b', xs[1] - xs[0]),
-            (acc, x) -> named_struct(
-                'l', CAST(0.4 AS DOUBLE) * x
-                     + CAST(0.6 AS DOUBLE) * (acc.l + acc.b),
-                'b', CAST(0.3 AS DOUBLE)
-                       * ((CAST(0.4 AS DOUBLE) * x
-                           + CAST(0.6 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
-                     + CAST(0.7 AS DOUBLE) * acc.b))
-    """)
-    return (
-        series.withColumn("st", fold)
-        .select(
-            "event_type", "n_hours",
-            F.round(F.col("st.l"), 6).alias("level"),
-            # + 0.0 on both sides: a tiny-negative trend rounds to -0.0
-            # in DuckDB but +0.0 in Spark (the documented sign-bit rule)
-            (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
-            (F.round(F.col("st.l") + F.col("st.b"), 6)
-             + F.lit(0.0)).alias("forecast_next"),
-        )
+    # the fold itself is api.holt_smooth — "the q_ts_holt algorithm,
+    # reusable" bound back to its registry query (r8 review: the inline
+    # copy had already drifted from the library once before)
+    sm = holt_smooth(hourly, ["event_type"], "h", "x",
+                     alpha=0.4, beta=0.3)
+    return sm.select(
+        "event_type", F.col("n_points").alias("n_hours"),
+        # + 0.0 on both sides for EVERY emitted component: level is not
+        # monotone-positive either (r8 review — a collapsing series
+        # drives it negative, and a tiny-negative rounds to -0.0 in
+        # DuckDB but +0.0 in Spark, the documented sign-bit rule)
+        (F.round(F.col("level"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("trend"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("forecast_next"), 6)
+         + F.lit(0.0)).alias("forecast_next"),
     )
 
 
@@ -380,6 +345,11 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.row_number().over(w).cast("long"))
     )
     d = c.withColumn(
+        # plain BIGINT products are SAFE here because k is calendar-
+        # bounded (hourly buckets: k ≤ ~10⁴) so k·S < 2⁶³ holds per the
+        # docstring bound; the GENERIC library twin api.cusum_changepoint
+        # hardens with decimal(38,0) instead because its order_col
+        # cardinality is unbounded (r8 review cross-reference)
         "dev", F.abs(F.col("k") * F.col("cum") - F.col("i") * F.col("s"))
     )
     rnw = Window.partitionBy("event_type").orderBy(F.desc("dev"), "h")

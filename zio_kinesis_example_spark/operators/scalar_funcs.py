@@ -333,7 +333,9 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-        SELECT SUM(l_extendedprice * l_discount) AS revenue,
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                        * CAST(l_discount AS DECIMAL(8, 4))) AS DOUBLE)
+                   AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -358,8 +360,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
-             .alias("revenue"),
+            # exact-decimal money product/sum (r8 review: a raw double
+            # SUM reassociates in partition order — the repo's money
+            # rule; DECIMAL(18,4)·(8,4) is exact for 2dp price × ≤4dp
+            # discount), ONE cast to double at the end
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                  * F.col("l_discount").cast("decimal(8,4)"))
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

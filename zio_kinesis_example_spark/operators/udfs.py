@@ -23,6 +23,7 @@ from pyspark.sql.types import DoubleType
 
 from ..catalog import load
 from ..registry import query
+from .exact import dec_sum_double
 
 
 @pandas_udf(DoubleType())
@@ -36,7 +37,8 @@ def price_bucket(price: pd.Series) -> pd.Series:
     oracle="""
         SELECT floor(o_totalprice / 1000) * 1000 AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               SUM(o_totalprice) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
+                   AS sum_price
         FROM orders
         GROUP BY 1
     """,
@@ -52,7 +54,10 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("sum_price"),
+            # exact-decimal sum (r8 review: the raw double SUM was the
+            # one unguarded money sum left in this file; q_udaf rounds
+            # for the same reason)
+            dec_sum_double("o_totalprice").alias("sum_price"),
         )
     )
 
