@@ -193,6 +193,7 @@ def test_csv_sentinel_escape_roundtrip(spark, tmpdir_factory_local):
         (5, "a\\b\\\\c"),    # interior single + double backslashes
         (6, ""),             # empty string stays distinct from NULL
         (7, "\\N extra"),    # sentinel as a prefix only
+        (8, "  padded  "),   # writer whitespace trimming disabled (r8)
     ]
     df = spark.createDataFrame(rows, schema)
     d = str(tmpdir_factory_local("csv-sentinel"))
@@ -246,3 +247,35 @@ def test_csv_legacy_dir_without_marker_reads_unescaped(
     d2 = str(tmpdir_factory_local("csv-stamped"))
     write_table(df, d2, fmt="csv")
     assert os.path.exists(os.path.join(d2, _CSV_ESCAPE_MARKER))
+
+
+def test_csv_append_into_legacy_dir_is_refused(spark, tmpdir_factory_local):
+    """Appending escaped rows into a pre-escape directory would mix
+    layouts (and stamping it would halve the legacy rows' backslashes on
+    read) — write_table must refuse; mode='ignore' on a legacy dir must
+    not stamp the marker either."""
+    import os
+
+    import pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zio_kinesis_example_spark.io import (
+        _CSV_ESCAPE_MARKER, read_table, write_table,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("s", StringType()),
+    ])
+    d = str(tmpdir_factory_local("csv-legacy-append"))
+    df = spark.createDataFrame([(1, "a\\b")], schema)
+    (df.write.format("csv").mode("overwrite")
+       .option("header", "true").option("nullValue", "\\N").save(d))
+    with pytest.raises(ValueError, match="legacy"):
+        write_table(df, d, fmt="csv", mode="append")
+    write_table(df, d, fmt="csv", mode="ignore")  # no-op, no stamp
+    assert not os.path.exists(os.path.join(d, _CSV_ESCAPE_MARKER))
+    got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
+                                         schema=schema).collect()}
+    assert got == {1: "a\\b"}  # legacy bytes still read unhalved

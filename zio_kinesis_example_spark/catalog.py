@@ -26,19 +26,31 @@ TABLES: tuple[str, ...] = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at *any* scale factor
-#: (region=5 rows, nation=25 rows — fixed-size in TPC-H-style generators).
-ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
+#: applicationIds already configured — configure() used to re-issue its
+#: conf.set py4j round trips on EVERY load() call (thousands per sweep,
+#: r8 review); one pass per session is enough (queries never change
+#: these confs mid-session).
+_CONFIGURED: set[str] = set()
 
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to a session we may not have created
-    (the driver passes its own SparkSession into ``queries()`` callables)."""
+    (the driver passes its own SparkSession into ``queries()`` callables).
+    Memoized per applicationId; only the cannot-modify-static-conf case
+    is tolerated (r8 review: a blanket except swallowed genuinely
+    invalid values, e.g. a bad timezone string, leaving the session
+    silently misconfigured and every timestamp oracle mysteriously
+    red)."""
+    app = spark.sparkContext.applicationId
+    if app in _CONFIGURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on this build — builder already set it for ours
+        except Exception as exc:
+            if "CANNOT_MODIFY_CONFIG" not in str(exc)                     and "Cannot modify" not in str(exc):
+                raise
+    _CONFIGURED.add(app)
     return spark
 
 

@@ -73,17 +73,39 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if fmt == "csv":
         # nullValue sentinel keeps NULL distinguishable from '' on the
         # round trip (default writes both as empty); the matching reader
-        # options + unescape are in read_table.
+        # options + unescape are in read_table. The whitespace options
+        # disable the WRITER's default trimming (r8 review: Spark's CSV
+        # writer defaults ignore{Leading,Trailing}WhiteSpace to TRUE on
+        # write — '  padded  ' silently came back 'padded'; the reader
+        # side already defaults to false).
         writer = (writer.option("header", "true")
-                  .option("nullValue", "\\N"))
+                  .option("nullValue", "\\N")
+                  .option("ignoreLeadingWhiteSpace", "false")
+                  .option("ignoreTrailingWhiteSpace", "false"))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(path)
     if fmt == "csv":
         import os
 
-        with open(os.path.join(path, _CSV_ESCAPE_MARKER), "w"):
-            pass
+        marker = os.path.join(path, _CSV_ESCAPE_MARKER)
+        existed = os.path.isdir(path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(path))
+        if existed and mode == "append" and not os.path.exists(marker):
+            # appending escaped rows into a pre-escape directory would
+            # mix layouts, and stamping it would corrupt the legacy
+            # rows' backslashes on read (r8 review)
+            raise ValueError(
+                "append into a legacy (pre-escape) CSV directory: "
+                "rewrite it with mode='overwrite' first")
+        writer.save(path)
+        # stamp ONLY when this call actually (re)wrote the layout: an
+        # ignore-mode no-op on an existing legacy dir must not flip its
+        # read semantics
+        if not (mode == "ignore" and existed):
+            with open(marker, "w"):
+                pass
+        return
+    writer.save(path)
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",

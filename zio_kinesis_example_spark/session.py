@@ -25,12 +25,18 @@ from pyspark.sql import SparkSession
 # `catalog.configure(spark)` can apply them to sessions we did not create.
 RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS); Spark's parquet reader rejects
-    # it unless read as raw int64 ns (converted in catalog.load_events).
+    # it unless read as raw int64 ns (converted in catalog.load()).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # plan-affecting confs that must match between the bench session and
+    # a driver-provided one (r8 review: without these the driver ran
+    # 10MB-threshold shuffle joins and row-pickled toPandas where the
+    # bench broadcast and Arrow-batched — different plans, same values)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
@@ -47,10 +53,8 @@ def get_spark(app_name: str = "zio-kinesis-example-spark",
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -141,7 +141,7 @@ def compare_all(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> list[CompareResult]:
     con = duckdb_connection(sf_dir)
     results = []
-    for name in names or sorted(all_specs()):
+    for name in sorted(all_specs()) if names is None else names:
         try:
             results.append(compare_one(spark, con, name, sf_dir))
         except Exception as e:  # surface, don't abort the sweep
