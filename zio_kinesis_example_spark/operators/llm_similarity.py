@@ -310,25 +310,37 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
 def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure LSH ANN plan (what ships at 100 TB, and what bench.py
     times): multi-table bucket candidates → exact cosine re-rank.
-    Returns (query_id, neighbor_id, cosine, rnk)."""
+    Returns (query_id, neighbor_id, cosine, rnk).
+
+    Broadcast shape (r8, the IVFPQ split applied here too): the bucket
+    SKELETON (query_id, table, sig) broadcasts without vectors — the
+    old frame replicated each query's 512-byte embedding L_TABLES=12×
+    through the explode — and the one-row-per-query payload joins by
+    query_id. Scoring happens BEFORE the pair dedup, so the
+    dropDuplicates exchange carries (ids, one double) instead of both
+    full vectors (~60× fewer bytes); duplicate pairs score identically,
+    so which duplicate survives cannot matter."""
     e = _emb(spark, sf_dir)
     buckets = lsh_buckets(e)
-    q = lsh_buckets(e.filter(F.expr(_QUERY_FILTER))).select(
+    qv = e.filter(F.expr(_QUERY_FILTER))
+    skel = lsh_buckets(qv).select(
         F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
         F.col("table_id").alias("q_table_id"),
         F.col("sig").alias("q_sig"),
     )
+    queries = qv.select(F.col("vec_id").alias("query_id"),
+                        F.col("emb").alias("qe"))
     cand = (
         buckets.join(
-            F.broadcast(q),
+            F.broadcast(skel),
             (F.col("table_id") == F.col("q_table_id"))
             & (F.col("sig") == F.col("q_sig"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "emb")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine("qe", "emb").alias("s"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", F.col("neighbor_id"), cosine("qe", "emb").alias("s"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("s").desc(), F.col("neighbor_id")
@@ -415,8 +427,21 @@ def _recall_contract(spark: SparkSession, sf_dir: str,
     recall@k vs the exact brute-force top-k is ≥ ``floor``. Every column
     is exactly derivable in ANSI SQL (n_queries from the query-set
     predicate, recall_ok a constant TRUE), so the driver hash-checks the
-    bound instead of falling back to a rows-only count."""
-    exact = q_sim_cosine_topk(spark, sf_dir)
+    bound instead of falling back to a rows-only count.
+
+    The exact baseline's (query, neighbor) top-k pairs are computed ONCE
+    per (session, sf_dir) and cached as driver data (r8 review: the four
+    ANN contracts each re-ran the brute-force crossJoin — 4× the most
+    expensive scan in the family). |Q|·k tuples is measurement-tooling
+    state: a production recall evaluation runs over a bounded query
+    sample, and these contracts are exactly that evaluation."""
+    pairs = _ann_cached(
+        spark, sf_dir, f"exact_topk:{_K}",
+        lambda: [(r.query_id, r.neighbor_id)
+                 for r in q_sim_cosine_topk(spark, sf_dir)
+                 .select("query_id", "neighbor_id").collect()])
+    exact = spark.createDataFrame(
+        pairs, "query_id long, neighbor_id long")
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(ann_plan.select("query_id", "neighbor_id").withColumn(
@@ -479,7 +504,12 @@ def _ivf_assign_udf(Cn, n_cells: int):
     @pandas_udf(ArrayType(IntegerType()))
     def assign(emb: pd.Series) -> pd.Series:
         X = np.stack(emb.to_numpy())
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        # zero-norm guard (the family's convention — topk scores such
+        # rows 0.0): an all-zero vector divides to NaN and lands in a
+        # NaN-ordering-dependent cell; norm 1 keeps its sims exactly 0
+        # and the argsort deterministic. No-op for any nonzero vector.
+        Xn = X / np.where(nrm == 0.0, 1.0, nrm)
         sims = Xn @ Cn.T                                      # (n, nlist)
         order = np.argsort(-sims, axis=1)[:, :n_cells]
         return pd.Series(list(order.astype("int32")))
@@ -516,12 +546,14 @@ def _train_ivf_centroids(X, C0, iters: int):
     import numpy as np
 
     C = C0.astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(xn == 0.0, 1.0, xn)  # the _ivf_assign_udf guard
     # Spark's (x * SCALE).cast("long"): double multiply, truncate
     # toward zero — numpy astype(int64) truncates toward zero too
     Xi = (X * _IVF_TRAIN_SCALE).astype(np.int64)
     for _ in range(iters):
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cn_ = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
         cell = np.argsort(-(Xn @ Cn.T), axis=1)[:, 0]
         newC = C.copy()
         for c in range(C.shape[0]):
@@ -596,7 +628,8 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
 
     e = _emb(spark, sf_dir)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
     nprobe = min(_IVF_NPROBE, C.shape[0])
 
     def make_assign(n_cells: int):
@@ -982,7 +1015,8 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     # coarse quantizer + PQ codebooks: both from the shared trained-
     # index registry (bit-identical to training inline; see helpers)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
     nprobe = min(_IVFPQ_NPROBE, C.shape[0])
     books = _pq_trained_books(spark, sf_dir, q, train_iters)
 
@@ -1048,7 +1082,7 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8            # clusters
 _KM_ITERS = 3        # fixed Lloyd iterations (fixpoint variant: loop + stop)
-_KM_SCALE = 1_000_000
+_KM_SCALE = _COS_SCALE  # ONE quantization rule (r8 review)
 _KM_DIM = 64
 _KM_HASH = 2654435761  # Knuth multiplicative hash, computable in ANSI SQL
 _KM_K16 = (_KM_HASH * 65536) % 4294967296
@@ -1146,6 +1180,13 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KM_K)
         .collect()
     )
+    if len(init) < _KM_K:
+        # fail loudly on a sub-K corpus: cents_lit() would otherwise
+        # KeyError on the driver mid-plan-build (r8 review; the api
+        # twin kmeans_fit raises the same way)
+        raise ValueError(
+            f"q_embed_kmeans: k={_KM_K} exceeds the {len(init)} "
+            "input vectors")
     cents: dict[int, list[int]] = {i: list(r.v) for i, r in enumerate(init)}
 
     def cents_lit():
@@ -1259,6 +1300,27 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(e: DataFrame, label_out: str = "label"):
+    """Per-label MEAN centroid of the quantized vector column ``v`` in
+    truncating integer division (both engines truncate toward zero):
+    |c| ≤ SCALE independent of the member count, so downstream folds
+    stay int64-exact at ANY corpus size — raw component sums wrap
+    around ~4·10⁴ members, and the decimal fallback measured ~4× slower
+    (interpreted decimal lambdas). ONE definition shared by
+    q_embed_cohesion and q_embed_silhouette (r8 review: the block was
+    copied verbatim and must stay bit-identical for the "same rule"
+    determinism claims). Returns (label_out, c: array<bigint>)."""
+    return (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy(F.col("label").alias(label_out), "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(label_out, "i", F.expr("s DIV cnt").alias("cm"))
+        .groupBy(label_out)
+        .agg(F.expr("transform(sort_array(collect_list(struct(i, cm))), "
+                    "p -> p.cm)").alias("c"))
+    )
+
+
 @query(
     "q_embed_cohesion",
     oracle=f"""
@@ -1331,22 +1393,9 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"transform(emb, x -> cast(floor(x * {_KM_SCALE}.0D) as bigint))")
         .alias("v"),
     )
-    # MEAN centroid in truncating integer division (both engines
-    # truncate toward zero), NOT the raw component sum: |c| stays
-    # <= SCALE no matter how many members a label has, so every fold
-    # below is int64-exact at ANY corpus size — the decimal/HUGEINT
-    # alternative measured ~4x slower (interpreted decimal lambdas).
-    comp = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        .select("label", "i", F.expr("s DIV cnt").alias("cm"))
-    )
-    cent = (
-        comp.groupBy("label")
-        .agg(F.expr("transform(sort_array(collect_list(struct(i, cm))), "
-                    "p -> p.cm)").alias("c"))
-    )
+    # MEAN centroid via the shared label_centroids helper (one
+    # definition of the truncated-integer-mean rule, r8 review)
+    cent = label_centroids(e)
     scored = (
         e.join(F.broadcast(cent), "label")
         .select(

@@ -230,7 +230,7 @@ def q_curate_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_embed_pq — product-quantization code assignment
 # --------------------------------------------------------------------------
-_PQ_SCALE = 1_000_000   # the q_embed_kmeans quantization rule
+from .llm_similarity import _COS_SCALE as _PQ_SCALE  # noqa: E402  # ONE quantization rule (r8 review)
 _PQ_M = 2               # subspaces (dim 64 → two 32-d halves)
 _PQ_K = 16              # centroids per subspace
 _PQ_SUBDIM = 32

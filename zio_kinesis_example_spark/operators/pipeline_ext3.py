@@ -114,7 +114,7 @@ from .llm_similarity import _QUERY_FILTER as _HN_QUERY_FILTER  # noqa: E402
 from .llm_similarity import _emb  # noqa: E402
 
 _HN_K = 5
-_HN_SCALE = 1_000_000
+from .llm_similarity import _COS_SCALE as _HN_SCALE  # noqa: E402  # ONE quantization rule (r8 review)
 
 
 @query(
@@ -188,6 +188,14 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_sim_ann_lsh) instead of brute-force — same window, bounded
     candidates.
     """
+    # NOT a call into q_sim_cosine_topk's machinery despite the family
+    # resemblance (r8 review considered and declined the merge): this
+    # query's float association is sqrt(na·nn) — ONE sqrt of the exact
+    # integer product — while topk computes sqrt(na)·sqrt(nb); each
+    # matches its own oracle bit-for-bit and unifying either side would
+    # move hashes. The sentinel (-2.0 vs 0.0) and the carried label
+    # columns differ too. The shared contract is the _COS_SCALE
+    # quantization rule (imported above), not the expression text.
     quant = f"transform(emb, x -> cast(floor(x * {_HN_SCALE}.0D) as bigint))"
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", F.expr(quant).alias("qv"),
@@ -231,7 +239,7 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_embed_covariance — exact dimension-covariance matrix
 # --------------------------------------------------------------------------
-_COV_SCALE = 1_000_000
+_COV_SCALE = _HN_SCALE
 _COV_DIM = 64
 
 
@@ -380,7 +388,7 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_embed_silhouette — own-vs-best-other centroid margins
 # --------------------------------------------------------------------------
-_SIL_SCALE = 1_000_000
+_SIL_SCALE = _HN_SCALE
 
 
 @query(
@@ -456,20 +464,11 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
                f"x -> CAST(floor(x * {_SIL_SCALE}.0D) AS BIGINT))").alias("v"),
     )
-    # MEAN centroid in truncating integer division (both engines
-    # truncate toward zero): |c| <= SCALE independent of the member
-    # count, so every fold below is int64-exact at ANY corpus size —
-    # q_embed_cohesion's rule (raw sums wrap around ~4e4 members, and
-    # the decimal fallback measured ~4x slower).
-    cent = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .groupBy(F.col("label").alias("clabel"), "i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        .select("clabel", "i", F.expr("s DIV cnt").alias("cm"))
-        .groupBy("clabel")
-        .agg(F.expr("transform(sort_array(collect_list(struct(i, cm))), "
-                    "p -> p.cm)").alias("c"))
-    )
+    # MEAN centroid via llm_similarity.label_centroids — ONE definition
+    # of q_embed_cohesion's truncated-integer-mean rule (r8 review)
+    from .llm_similarity import label_centroids
+
+    cent = label_centroids(e, label_out="clabel")
     dot = F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0L, "
                  "(a, t) -> a + t)")
     nv = F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")
@@ -611,7 +610,11 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(10 * F.col("rn").cast("long") >= 9 * F.col("n"),
                          F.col("dur_us"))).alias("p90_us"),
             F.max("dur_us").alias("max_us"),
-            F.round(F.sum("dur_us").cast("double") / F.min("n"), 6)
+            # decimal(38,0) sum: dur_us sums can pass int64 at the
+            # same ~214M-user scale the rn cast above guards (the
+            # oracle sums in HUGEINT; one double division at the end)
+            F.round(F.sum(F.col("dur_us").cast("decimal(38,0)"))
+                    .cast("double") / F.min("n"), 6)
             .alias("avg_us"),
         )
     )
