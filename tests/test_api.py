@@ -43,6 +43,39 @@ def test_sessionize_and_pack_generic(spark):
     assert bins == [0, 0, 0, 0, 1]  # 4th doc starts at 2400 -> bin 1
 
 
+def test_pack_sequences_preserves_caller_temp_name(spark):
+    """r9 advice: the staging cumsum must not clobber a caller column
+    that happens to share the helper's temp name — the name is generated
+    collision-proof, and every input column survives in the result."""
+    docs = spark.createDataFrame(
+        [("en", i, 1100, f"keep{i}") for i in range(3)],
+        "lang string, i long, n long, __zke_pack_before string")
+    packed = api.pack_sequences(docs, ["lang"], "i", "n", bin_size=2048)
+    assert "__zke_pack_before" in packed.columns
+    rows = packed.orderBy("i").collect()
+    assert [r["__zke_pack_before"] for r in rows] == \
+        ["keep0", "keep1", "keep2"]
+    assert [r.seq_bin for r in rows] == [0, 0, 1]
+
+
+def test_configure_reaches_cloned_sessions(spark):
+    """r9 advice: SparkSession.newSession() shares the applicationId but
+    carries its OWN SQLConf — configure() must be memoized per session
+    object, so the correctness-bearing runtime confs (UTC timezone,
+    nanosAsLong) land on the clone too."""
+    from zio_kinesis_example_spark import catalog
+
+    clone = spark.newSession()
+    try:
+        clone.conf.set("spark.sql.session.timeZone", "America/New_York")
+        catalog.configure(clone)
+        assert clone.conf.get("spark.sql.session.timeZone") == "UTC"
+        # parent session untouched by the clone's detour
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        clone.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_merge_and_dedup_generic(spark):
     base = spark.createDataFrame(
         [(1, "a"), (2, "b")], "k long, v string")

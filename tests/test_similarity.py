@@ -204,6 +204,60 @@ def test_refine_window_is_capped_and_floored():
     assert window(10**9) == _PQ_ANN_REFINE_CAP  # constant at any scale
 
 
+def test_ann_index_persists_across_sessions(spark, tmpdir_factory_local,
+                                            monkeypatch):
+    """FAISS write_index/read_index parity (r9): the trained artifacts
+    (IVF centroids, PQ codebooks, corpus count) persist to disk; a COLD
+    session (simulated by emptying the in-memory registry) loads them
+    with ZERO training work — no Lloyd pass runs — and every loaded
+    artifact plus the full IVFPQ result is bit-identical. Reference
+    anchor: durable state survives process death
+    (CheckpointOnChunkEndStreamClient.scala:31-44) applied to index
+    state."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    store = tmpdir_factory_local("zke-annidx")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR", store)
+    S.clear_ann_cache()
+    try:
+        e = S._emb(spark, SF_SMALL)
+        q = e.select("vec_id", F.expr(
+            S._QUANT.replace("embedding", "emb")).alias("qv"))
+        c1 = S._ivf_centroids(spark, SF_SMALL, e, S._IVF_TRAIN_ITERS)
+        b1 = S._pq_trained_books(spark, SF_SMALL, q, S._PQ_ANN_TRAIN_ITERS)
+        n1 = S._corpus_count(spark, SF_SMALL, q)
+        r1 = sorted(map(tuple, S._ann_ivfpq_plan(spark, SF_SMALL).collect()))
+
+        # cold session: in-memory registry empty, disk store populated
+        S.clear_ann_cache()
+
+        def boom(*a, **k):
+            raise AssertionError("training ran on a persisted index")
+
+        monkeypatch.setattr(S, "_train_ivf_centroids", boom)
+        monkeypatch.setattr(S, "_train_pq_books", boom)
+        c2 = S._ivf_centroids(spark, SF_SMALL, e, S._IVF_TRAIN_ITERS)
+        b2 = S._pq_trained_books(spark, SF_SMALL, q, S._PQ_ANN_TRAIN_ITERS)
+        n2 = S._corpus_count(spark, SF_SMALL, q)
+        assert np.array_equal(c1, c2)
+        assert c2.dtype == np.float64 and b1 == b2 and n1 == n2
+        r2 = sorted(map(tuple, S._ann_ivfpq_plan(spark, SF_SMALL).collect()))
+        assert r1 == r2
+
+        # a corpus-fingerprint mismatch must invalidate, not serve stale
+        monkeypatch.setattr(S, "_corpus_fingerprint",
+                            lambda sf: "regenerated-corpus")
+        S.clear_ann_cache()
+        assert S._ann_disk_load(
+            spark, __import__("os").path.realpath(SF_SMALL),
+            f"ivfC:{S._IVF_NLIST}:{S._IVF_TRAIN_ITERS}", "f8_2d") is None
+    finally:
+        S.clear_ann_cache()
+
+
 def test_ann_index_registry_trains_once_per_session(spark):
     """The r8 index-build/search split: the trained IVF centroids and
     PQ codebooks are memoized per (session, sf_dir, params) — a second

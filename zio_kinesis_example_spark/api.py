@@ -152,12 +152,17 @@ def pack_sequences(df: DataFrame, part_cols: list[str], order_col: str,
     # integer DIV, not double /: past ~2^53 cumulative size the double
     # quotient rounds before any floor/cast and a row just below a bin
     # boundary can land one bin high (q_text_pack's documented rule;
-    # r8 review aligned this twin with it)
+    # r8 review aligned this twin with it). The cumsum stages in a
+    # COLLISION-PROOF temp name (r9 advice: a fixed '__before' would
+    # overwrite — then drop — a caller column of that name).
+    tmp = "__zke_pack_before"
+    while tmp in df.columns:
+        tmp += "_"
     return (
-        df.withColumn("__before", before)
+        df.withColumn(tmp, before)
         .withColumn("seq_bin",
-                    F.expr(f"__before div {int(bin_size)}").cast("long"))
-        .drop("__before")
+                    F.expr(f"`{tmp}` div {int(bin_size)}").cast("long"))
+        .drop(tmp)
     )
 
 

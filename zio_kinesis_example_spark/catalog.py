@@ -15,6 +15,7 @@ same code path reads a partitioned lake; only ``sf_dir`` changes.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,31 +27,58 @@ TABLES: tuple[str, ...] = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-#: applicationIds already configured — configure() used to re-issue its
-#: conf.set py4j round trips on EVERY load() call (thousands per sweep,
-#: r8 review); one pass per session is enough (queries never change
-#: these confs mid-session).
-_CONFIGURED: set[str] = set()
+#: SparkSession objects already configured — configure() used to re-issue
+#: its conf.set py4j round trips on EVERY load() call (thousands per
+#: sweep, r8 review); one pass per session is enough (queries never
+#: change these confs mid-session). Keyed by SESSION IDENTITY, not
+#: applicationId (r9 advice): cloned sessions (SparkSession.newSession /
+#: a separate SQLConf) share one applicationId but carry their OWN conf,
+#: and an appId key would silently skip the correctness-bearing runtime
+#: confs (nanosAsLong, UTC timezone, broadcast threshold) on the clone.
+#: A WeakSet so dead session wrappers never pin memory.
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _is_cannot_modify(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's you-may-not-set-a-static-conf error.
+
+    Matched by error CLASS first (``CANNOT_MODIFY_CONFIG`` — stable
+    across Spark releases via the error-class framework; PySpark 4
+    exposes it as ``getCondition()``, older as ``getErrorClass()``),
+    with the message-substring check only as a fallback for exception
+    types that carry no class accessor (r9 advice: a release that
+    rewords the message must not turn the benign static-conf case into
+    a hard raise at query time)."""
+    for accessor in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, accessor, None)
+        if callable(fn):
+            try:
+                cls = fn()
+            except Exception:
+                cls = None
+            if cls is not None:
+                return "CANNOT_MODIFY_CONFIG" in str(cls)
+    return ("CANNOT_MODIFY_CONFIG" in str(exc)
+            or "Cannot modify" in str(exc))
 
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to a session we may not have created
     (the driver passes its own SparkSession into ``queries()`` callables).
-    Memoized per applicationId; only the cannot-modify-static-conf case
+    Memoized per session object; only the cannot-modify-static-conf case
     is tolerated (r8 review: a blanket except swallowed genuinely
     invalid values, e.g. a bad timezone string, leaving the session
     silently misconfigured and every timestamp oracle mysteriously
     red)."""
-    app = spark.sparkContext.applicationId
-    if app in _CONFIGURED:
+    if spark in _CONFIGURED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception as exc:
-            if "CANNOT_MODIFY_CONFIG" not in str(exc)                     and "Cannot modify" not in str(exc):
+            if not _is_cannot_modify(exc):
                 raise
-    _CONFIGURED.add(app)
+    _CONFIGURED.add(spark)
     return spark
 
 
