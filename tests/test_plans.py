@@ -692,6 +692,30 @@ def test_jpeg_recover_single_fused_python_stage(spark):
     assert plan.count("MapInPandas") == 1
 
 
+def test_range_search_ann_is_cell_keyed_no_corpus_broadcast(spark):
+    """The IVF-composed radius search must be a cell-keyed EQUI join —
+    no crossJoin/cartesian, no nested-loop, and no per-query window
+    (membership is a predicate, not a rank cut). This is the scale
+    promise the exact twin's docstring makes: the corpus is never
+    broadcast and the candidate stream is the probed-cell fraction."""
+    import re
+
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _range_search_ann_plan,
+    )
+
+    df = _range_search_ann_plan(spark, SF_SMALL)
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        df.explain("formatted")
+    buf = out.getvalue()
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", buf)) == 0
+    assert "CartesianProduct" not in buf
+    assert "Window" not in buf
+    assert ("SortMergeJoin" in buf) or ("ShuffledHashJoin" in buf) \
+        or ("BroadcastHashJoin" in buf)
+
+
 def test_range_search_is_broadcast_scan_without_window(spark):
     """Radius search must be the map-side scan shape: the query set
     broadcasts (one BroadcastNestedLoopJoin over the corpus — the exact

@@ -204,6 +204,22 @@ def test_refine_window_is_capped_and_floored():
     assert window(10**9) == _PQ_ANN_REFINE_CAP  # constant at any scale
 
 
+def test_range_search_ann_exact_membership_and_recall(spark):
+    """The IVF-composed radius search must emit ONLY exactly-correct
+    pairs (a strict subset of the exact radius truth — coverage is the
+    only approximate axis, the FAISS IndexIVF.range_search semantic)
+    and recover at least the documented floor of the truth set."""
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    truth = set(S._exact_radius_pairs(spark, SF_SMALL))
+    got = {(r.query_id, r.neighbor_id)
+           for r in S._range_search_ann_plan(spark, SF_SMALL).collect()}
+    assert got <= truth                     # zero false positives
+    assert truth                            # non-degenerate fixture
+    recall = len(got) / len(truth)
+    assert recall >= S._RANGE_ANN_RECALL_FLOOR, recall
+
+
 def test_ann_index_persists_across_sessions(spark, tmpdir_factory_local,
                                             monkeypatch):
     """FAISS write_index/read_index parity (r9): the trained artifacts

@@ -196,6 +196,35 @@ _RANGE_TAU_NUM = 1
 _RANGE_TAU_DEN = 4
 
 
+def _range_dot_norm_cols(qe: str = "qe", qv: str = "qv"):
+    """(dot, na, nb) int64 columns between quantized query column ``qe``
+    and quantized corpus column ``qv`` — shared by the exact radius scan
+    and the IVF-composed variant so membership is ONE rule."""
+    dot = F.expr(f"aggregate(zip_with({qe}, {qv}, (x, y) -> x * y), 0L, "
+                 "(s, v) -> s + v)")
+    na = F.expr(f"aggregate({qe}, 0L, (s, v) -> s + v * v)")
+    nb = F.expr(f"aggregate({qv}, 0L, (s, v) -> s + v * v)")
+    return dot, na, nb
+
+
+def _range_member_expr():
+    """The exact integer radius predicate den²·dot² ≥ num²·na·nb
+    (dot > 0) in decimal(38,0) — no float ever decides membership."""
+    d2 = "cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))"
+    return F.expr(
+        f"dot > 0 AND na > 0 AND nb > 0 AND "
+        f"{_RANGE_TAU_DEN * _RANGE_TAU_DEN} * {d2} >= "
+        f"{_RANGE_TAU_NUM * _RANGE_TAU_NUM} * "
+        f"cast(na as decimal(38,0)) * cast(nb as decimal(38,0))")
+
+
+def _range_cosine_col():
+    """One double division of exactly-agreed integer operands."""
+    return F.round(F.col("dot").cast("double")
+                   / (F.sqrt(F.col("na").cast("double"))
+                      * F.sqrt(F.col("nb").cast("double"))), 6)
+
+
 @query(
     "q_sim_range_search",
     oracle=f"""
@@ -245,28 +274,16 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(_QUANT).alias("qv"))
     q = e.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qe"))
-    dot = F.expr("aggregate(zip_with(qe, qv, (x, y) -> x * y), 0L, "
-                 "(s, v) -> s + v)")
-    na = F.expr("aggregate(qe, 0L, (s, v) -> s + v * v)")
-    nb = F.expr("aggregate(qv, 0L, (s, v) -> s + v * v)")
-    d2 = "cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))"
-    member = F.expr(
-        f"dot > 0 AND na > 0 AND nb > 0 AND "
-        f"{_RANGE_TAU_DEN * _RANGE_TAU_DEN} * {d2} >= "
-        f"{_RANGE_TAU_NUM * _RANGE_TAU_NUM} * "
-        f"cast(na as decimal(38,0)) * cast(nb as decimal(38,0))")
+    dot, na, nb = _range_dot_norm_cols()
     return (
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 dot.alias("dot"), na.alias("na"), nb.alias("nb"))
-        .filter(member)
+        .filter(_range_member_expr())
         .select("query_id", "neighbor_id",
-                F.round(F.col("dot").cast("double")
-                        / (F.sqrt(F.col("na").cast("double"))
-                           * F.sqrt(F.col("nb").cast("double"))), 6)
-                .alias("cosine"))
+                _range_cosine_col().alias("cosine"))
     )
 
 
@@ -582,6 +599,15 @@ def _recall_contract(spark: SparkSession, sf_dir: str,
         lambda: [(r.query_id, r.neighbor_id)
                  for r in q_sim_cosine_topk(spark, sf_dir)
                  .select("query_id", "neighbor_id").collect()])
+    return _recall_vs_pairs(spark, sf_dir, ann_plan, floor, pairs)
+
+
+def _recall_vs_pairs(spark: SparkSession, sf_dir: str,
+                     ann_plan: DataFrame, floor: float,
+                     pairs: list) -> DataFrame:
+    """The contract body shared by the top-k contracts and the radius
+    contract: join the ANN plan against a driver-held exact truth set
+    and emit one hash-checkable (n_queries, recall_ok) row."""
     exact = spark.createDataFrame(
         pairs, "query_id long, neighbor_id long")
     hits = (
@@ -813,6 +839,107 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ the documented floor, constant TRUE in the DuckDB oracle."""
     return _recall_contract(
         spark, sf_dir, _ann_ivf_plan(spark, sf_dir), _IVF_RECALL_FLOOR)
+
+
+# --------------------------------------------------------------------------
+# q_sim_range_search_ann (round 9) — IVF-composed radius search
+# --------------------------------------------------------------------------
+#: More cells than top-k IVF: a radius set reaches deeper into the
+#: neighborhood than the top-5, so the probe needs wider coverage (the
+#: IVFPQ convention). Recall measured vs the exact radius set
+#: (deterministic — trained centroids + exact integer membership):
+#: see _RANGE_ANN_RECALL_FLOOR.
+_RANGE_ANN_NPROBE = 8
+# Measured radius-set recall vs the exact truth (deterministic — trained
+# centroids + exact integer membership, zero false positives at every
+# SF): 0.643 / 0.583 / 0.529 at sf0.001/0.01/0.1 with nprobe=8/nlist=32
+# — cells concentrate radius neighbors well above the 25% candidate
+# fraction. Floor sits below every measured point (family convention).
+_RANGE_ANN_RECALL_FLOOR = 0.30
+
+
+def _range_search_ann_plan(spark: SparkSession, sf_dir: str,
+                           train_iters: int = _IVF_TRAIN_ITERS
+                           ) -> DataFrame:
+    """IVF-composed radius search — the 100 TB path the exact scan's
+    docstring promises (FAISS IndexIVF.range_search): probed cells
+    restrict WHICH pairs are tested, the SAME exact integer predicate
+    (den²·dot² ≥ num²·na·nb, decimal(38,0)) decides membership in-cell —
+    so every emitted row is exactly correct; only coverage is
+    approximate (a neighbor outside the probed cells is missed, the
+    FAISS semantic).
+
+    Scale shape vs the exact twin: the brute scan broadcasts |Q| = n/50
+    queries against every corpus row — the broadcast GROWS with the
+    corpus and the candidate stream is |Q|·n. Here the corpus keys by
+    its ONE nearest cell and queries explode over nprobe cells: one
+    cell-keyed equi-join (no corpus broadcast, no crossJoin), candidate
+    stream ≈ |Q|·n·nprobe/nlist — the same (nprobe/nlist) fraction the
+    IVFPQ proxy measured EXACTLY flat at 1×/10×/30× — and at production
+    scale nlist grows ∝ √n with the trained-index registry keeping
+    training O(sample). The cell-keyed shuffle carries full quantized
+    vectors (unlike IVFPQ's codes) because range membership is EXACT,
+    not ranked — there is no shortlist to refine, so the vector must be
+    present where the predicate runs."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters)
+    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
+    nprobe = min(_RANGE_ANN_NPROBE, C.shape[0])
+    quant = F.expr(_QUANT.replace("embedding", "emb"))
+    corpus = (
+        e.withColumn("cells", _ivf_assign_udf(Cn, 1)(F.col("emb")))
+        .select("vec_id", quant.alias("qv"),
+                F.element_at("cells", 1).alias("cell"))
+    )
+    queries = (
+        e.filter(F.expr(_QUERY_FILTER))
+        .withColumn("cells", _ivf_assign_udf(Cn, nprobe)(F.col("emb")))
+        .select(F.col("vec_id").alias("query_id"), quant.alias("qe"),
+                F.explode("cells").alias("cell"))
+    )
+    dot, na, nb = _range_dot_norm_cols()
+    # no dropDuplicates: each corpus row lives in exactly ONE cell and a
+    # query's probed cells are distinct, so a (query, neighbor) pair can
+    # appear at most once
+    return (
+        corpus.join(queries, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+        .filter(_range_member_expr())
+        .select("query_id", "neighbor_id",
+                _range_cosine_col().alias("cosine"))
+    )
+
+
+def _exact_radius_pairs(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-cached exact radius truth set (the q_sim_range_search
+    result — ~2% of pairs at τ=1/4, bounded at every committed SF), the
+    exact_topk precedent applied to radius search."""
+    return _ann_cached(
+        spark, sf_dir,
+        f"exact_radius:{_RANGE_TAU_NUM}/{_RANGE_TAU_DEN}",
+        lambda: [(r.query_id, r.neighbor_id)
+                 for r in q_sim_range_search(spark, sf_dir)
+                 .select("query_id", "neighbor_id").collect()])
+
+
+@query("q_sim_range_search_ann", oracle=_ANN_RECALL_ORACLE,
+       tags=("similarity", "approx"), bench_fn=_range_search_ann_plan)
+def q_sim_range_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-composed radius search with the hash-checkable recall-bound
+    contract (the q_sim_ann_* pattern): one row asserting overall
+    radius-set recall vs the exact q_sim_range_search truth is ≥ the
+    documented floor — constant TRUE in the DuckDB oracle; bench.py
+    times the pure composed plan (_range_search_ann_plan). Every
+    emitted pair is exactly correct (same integer predicate); the
+    contract grades COVERAGE, the only approximate axis."""
+    return _recall_vs_pairs(
+        spark, sf_dir, _range_search_ann_plan(spark, sf_dir),
+        _RANGE_ANN_RECALL_FLOOR, _exact_radius_pairs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
