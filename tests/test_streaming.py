@@ -770,6 +770,95 @@ def test_incremental_dedup_streaming_twin(spark, tmpdir_factory_local):
             for r in index.current(spark).collect()} == idx1
 
 
+def test_streaming_ann_probe_restart_safe(spark, tmpdir_factory_local):
+    """Streaming similarity probe (round 9): arriving vectors get a
+    top-k verdict against the PERSISTED trained IVF index per
+    micro-batch (foreachBatch), landing in the idempotent keyed upsert
+    sink. Asserted: (a) the final state after a two-wave
+    restart-from-checkpoint run equals the single-shot batch twin over
+    the same index; (b) an at-least-once REPLAY of an already-committed
+    batch leaves the state byte-identical (kill-mid-commit analogue —
+    the reference's resume-from-checkpoint contract,
+    CheckpointOnChunksTest.scala:37-47, applied to index lookups)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, UpsertSink, decode_json, ivf_index, probe_topk,
+        shard_source, topk_ingest,
+    )
+
+    from .conftest import SF_SMALL
+
+    src = tmpdir_factory_local("annprobe-src")
+    ckpt = tmpdir_factory_local("annprobe-ckpt")
+    state = tmpdir_factory_local("annprobe-state")
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    ids = sorted(vecs)[:60]
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("emb", ArrayType(DoubleType())),
+    ])
+    prod = ShardDirProducer(
+        src, n_shards=2, batch_size=30,
+        payload_fn=lambda i: {"query_id": ids[i - 1],
+                              "emb": vecs[ids[i - 1]]},
+    )
+    corpus_cells, Cn = ivf_index(spark, SF_SMALL)
+    sink = UpsertSink(state, key="query_id", seq_col="neighbors")
+    ingest = topk_ingest(sink, corpus_cells, Cn)
+
+    def run():
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        q = (
+            valid.select("query_id", "emb")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: first 30 vectors
+    prod.produce_all(30)
+    run()
+    s1 = {r.query_id: r.neighbors for r in sink.current(spark).collect()}
+    assert set(s1) == set(ids[:30])
+
+    # wave 2 (restart from the same checkpoint): remaining 30
+    prod.produce_all(60, start=31)
+    run()
+    got = {r.query_id: r.neighbors for r in sink.current(spark).collect()}
+    assert set(got) == set(ids)
+    assert all(got[i] == s1[i] for i in ids[:30])  # history stable
+
+    # batch twin over the same frozen index = the streamed verdicts
+    queries = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids], "query_id long, emb array<double>")
+    want: dict[int, list[int]] = {}
+    for r in probe_topk(queries, corpus_cells, Cn).collect():
+        want.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id))
+    want_s = {q: " ".join(str(n) for _, n in sorted(v))
+              for q, v in want.items()}
+    assert got == want_s
+
+    # at-least-once replay of a committed batch: state unchanged
+    replay = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids[:30]],
+        "query_id long, emb array<double>")
+    ingest(replay, batch_id=0)
+    assert {r.query_id: r.neighbors
+            for r in sink.current(spark).collect()} == want_s
+
+    corpus_cells.unpersist()
+
+
 def test_flagged_decode_keeps_gap_detection_honest(spark,
                                                    tmpdir_factory_local):
     """Dead-lettered records consume transport seqs: with the split
