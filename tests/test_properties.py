@@ -367,6 +367,82 @@ def test_fuzz_wav_decoder_never_crashes():
     run()
 
 
+def _asof_null_model(clicks, purchases):
+    """api.asof_join's contract under NULLs (r8 review class, now
+    property-locked): NULL-right_ts rows are EXCLUDED (NULL is not
+    'less than' anything); NULL keys group null-safely as ONE ordinary
+    key (the merge_upsert convention); a NULL-left_ts purchase matches
+    nothing (its preceding frame holds only other NULL-ts rows, all
+    excluded or payload-free)."""
+    out = {}
+    live = [(cid, cu, ct) for cid, cu, ct in clicks if ct is not None]
+    for pid, pu, pt in purchases:
+        best = None
+        if pt is not None:
+            for cid, cu, ct in live:
+                if cu == pu and ct < pt and (
+                    best is None or (ct, cid) > (best[1], best[0])
+                ):
+                    best = (cid, ct)
+        out[pid] = best[0] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    clicks=st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 2)),
+                              st.one_of(st.none(), st.integers(0, 50))),
+                    min_size=0, max_size=20),
+    purchases=st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 2)),
+                                 st.one_of(st.none(), st.integers(0, 50))),
+                       min_size=1, max_size=20),
+)
+def test_asof_join_null_keys_and_ts_match_model(spark, clicks, purchases):
+    """NULL-key windows property sweep (r8 recurring class #1): asof
+    over streams where keys AND timestamps can be NULL must match the
+    documented model — no NULLS-FIRST frame pollution, no NULL-key
+    row silently matching every partition."""
+    from zio_kinesis_example_spark import api
+
+    c_rows = [(i, u, t) for i, (u, t) in enumerate(clicks)]
+    p_rows = [(1000 + i, u, t) for i, (u, t) in enumerate(purchases)]
+    c = spark.createDataFrame(
+        c_rows or [(None, None, None)],
+        "click_id long, user_id long, ts_us long"
+    ).filter(F.col("click_id").isNotNull()).select(
+        "click_id", "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    p = spark.createDataFrame(
+        p_rows, "purchase_id long, user_id long, ts_us long"
+    ).select("purchase_id", "user_id",
+             F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    res = api.asof_join(p, c, key="user_id", left_ts="ts", right_ts="ts",
+                        right_cols=["ts", "click_id"])
+    got = {r.purchase_id: r.asof_click_id for r in res.collect()}
+    assert got == _asof_null_model(c_rows, p_rows)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(
+    st.one_of(st.integers(0, 2**32), st.integers(0, 2**62)),
+    min_size=1, max_size=30, unique=True))
+def test_knuth_draw_matches_bigint_model_at_scale(spark, keys):
+    """At-scale int64 products property sweep (r8 recurring class #2):
+    the 16-bit-split Knuth draw equals Python's arbitrary-precision
+    (key · KNUTH) mod 2^32 for keys up to 2^62 — the direct int64
+    product overflows under ANSI for keys above ~3.47e9, which is
+    exactly the snowflake-id domain the split form exists for."""
+    from zio_kinesis_example_spark.operators.advanced import (
+        _KNUTH, _U32, _knuth_draw)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.draw for r in df.select(
+        "k", F.expr(_knuth_draw("k", "DIV")).alias("draw")).collect()}
+    assert got == {k: (k * _KNUTH) % _U32 for k in keys}
+
+
 def test_flat_batch_segment_sums_match_python():
     """The flat-buffer primitives every codec kernel builds on: for ANY
     list of byte payloads, _flat_batch offsets partition the buffer
