@@ -209,10 +209,24 @@ def _range_dot_norm_cols(qe: str = "qe", qv: str = "qv"):
 
 def _range_member_expr():
     """The exact integer radius predicate den²·dot² ≥ num²·na·nb
-    (dot > 0) in decimal(38,0) — no float ever decides membership."""
+    (dot > 0) in decimal(38,0) — no float ever decides membership.
+
+    A CONSERVATIVE double prefilter leads the conjunction (the
+    q_dedup_embedding rule: wide float pre-filter bounding the exact
+    arithmetic): den²·dot_d² ≥ 0.998·num²·na_d·nb_d in float64. Double
+    products of these ≤6.4e13 operands carry < 1e-15 relative error, so
+    the 0.2% margin can never drop a true member — the decimal(38,0)
+    comparison still DECIDES every emitted row; it just runs on the few
+    % of candidates that survive the cheap double filter instead of the
+    whole candidate stream (the 30× proxy measured the all-candidates
+    decimal math dominating the composed radius scan's wall)."""
     d2 = "cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))"
+    pre = (f"{_RANGE_TAU_DEN * _RANGE_TAU_DEN}.0D * cast(dot as double) "
+           f"* cast(dot as double) >= 0.998D * "
+           f"{_RANGE_TAU_NUM * _RANGE_TAU_NUM}.0D "
+           f"* cast(na as double) * cast(nb as double)")
     return F.expr(
-        f"dot > 0 AND na > 0 AND nb > 0 AND "
+        f"dot > 0 AND na > 0 AND nb > 0 AND ({pre}) AND "
         f"{_RANGE_TAU_DEN * _RANGE_TAU_DEN} * {d2} >= "
         f"{_RANGE_TAU_NUM * _RANGE_TAU_NUM} * "
         f"cast(na as decimal(38,0)) * cast(nb as decimal(38,0))")
