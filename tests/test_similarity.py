@@ -269,7 +269,9 @@ def test_ann_index_persists_across_sessions(spark, tmpdir_factory_local,
         S.clear_ann_cache()
         assert S._ann_disk_load(
             spark, __import__("os").path.realpath(SF_SMALL),
-            f"ivfC:{S._IVF_NLIST}:{S._IVF_TRAIN_ITERS}", "f8_2d") is None
+            f"ivfC:{S._IVF_NLIST}:{S._IVF_TRAIN_ITERS}"
+            f":s{S._IVF_TRAIN_SAMPLE}:q{S._IVF_TRAIN_SCALE}",
+            "f8_2d") is None
     finally:
         S.clear_ann_cache()
 

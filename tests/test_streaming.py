@@ -856,6 +856,15 @@ def test_streaming_ann_probe_restart_safe(spark, tmpdir_factory_local):
     assert {r.query_id: r.neighbors
             for r in sink.current(spark).collect()} == want_s
 
+    # in-batch re-delivery (r9 review): the SAME record twice inside one
+    # micro-batch must not garble the verdict (A,A,B,B,C ranking)
+    doubled = spark.createDataFrame(
+        [(ids[0], vecs[ids[0]]), (ids[0], vecs[ids[0]])],
+        "query_id long, emb array<double>")
+    ingest(doubled, batch_id=99)
+    assert {r.query_id: r.neighbors
+            for r in sink.current(spark).collect()} == want_s
+
     corpus_cells.unpersist()
 
 

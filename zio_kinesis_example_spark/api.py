@@ -156,8 +156,9 @@ def pack_sequences(df: DataFrame, part_cols: list[str], order_col: str,
     # COLLISION-PROOF temp name (r9 advice: a fixed '__before' would
     # overwrite — then drop — a caller column of that name).
     tmp = "__zke_pack_before"
-    while tmp in df.columns:
-        tmp += "_"
+    taken = {c.casefold() for c in df.columns}   # Spark resolution is
+    while tmp.casefold() in taken:               # case-INsensitive by
+        tmp += "_"                               # default (r9 review)
     return (
         df.withColumn(tmp, before)
         .withColumn("seq_bin",

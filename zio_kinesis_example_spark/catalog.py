@@ -56,8 +56,12 @@ def _is_cannot_modify(exc: Exception) -> bool:
                 cls = fn()
             except Exception:
                 cls = None
-            if cls is not None:
-                return "CANNOT_MODIFY_CONFIG" in str(cls)
+            if cls is not None and "CANNOT_MODIFY_CONFIG" in str(cls):
+                return True
+    # FALL THROUGH on a non-matching class (r9 review): legacy Spark
+    # spells this error with a _LEGACY_ERROR_TEMP_* class and only the
+    # message identifies it — an early `return False` there would
+    # hard-raise the exact benign case this function exists to tolerate.
     return ("CANNOT_MODIFY_CONFIG" in str(exc)
             or "Cannot modify" in str(exc))
 

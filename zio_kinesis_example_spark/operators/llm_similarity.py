@@ -676,6 +676,19 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _ann_lsh_plan(spark, sf_dir), _LSH_RECALL_FLOOR)
 
 
+def _normalized_centroids(C):
+    """Row-normalized centroid matrix with the family's zero-norm guard
+    (norm 0 → 1: an all-zero centroid keeps its sims exactly 0 and the
+    argsort deterministic). ONE implementation (r9 review: this snippet
+    had been copy-pasted at five sites) — the trainer's 'replicates the
+    assign UDF verbatim' determinism contract depends on assignment and
+    training sharing the exact same guard."""
+    import numpy as np
+
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.where(nrm == 0.0, 1.0, nrm)
+
+
 def _ivf_assign_udf(Cn, n_cells: int):
     """Pandas UDF assigning each vector its ``n_cells`` nearest centroids
     (one numpy matmul per Arrow batch, (n × nlist) with nlist a constant).
@@ -686,12 +699,11 @@ def _ivf_assign_udf(Cn, n_cells: int):
     @pandas_udf(ArrayType(IntegerType()))
     def assign(emb: pd.Series) -> pd.Series:
         X = np.stack(emb.to_numpy())
-        nrm = np.linalg.norm(X, axis=1, keepdims=True)
-        # zero-norm guard (the family's convention — topk scores such
-        # rows 0.0): an all-zero vector divides to NaN and lands in a
-        # NaN-ordering-dependent cell; norm 1 keeps its sims exactly 0
-        # and the argsort deterministic. No-op for any nonzero vector.
-        Xn = X / np.where(nrm == 0.0, 1.0, nrm)
+        # _normalized_centroids applied to the batch: zero-norm rows
+        # keep sims exactly 0 and the argsort deterministic (an all-zero
+        # vector would otherwise divide to NaN and land in a
+        # NaN-ordering-dependent cell)
+        Xn = _normalized_centroids(X)
         sims = Xn @ Cn.T                                      # (n, nlist)
         order = np.argsort(-sims, axis=1)[:, :n_cells]
         return pd.Series(list(order.astype("int32")))
@@ -728,14 +740,12 @@ def _train_ivf_centroids(X, C0, iters: int):
     import numpy as np
 
     C = C0.astype(np.float64)
-    xn = np.linalg.norm(X, axis=1, keepdims=True)
-    Xn = X / np.where(xn == 0.0, 1.0, xn)  # the _ivf_assign_udf guard
+    Xn = _normalized_centroids(X)  # the _ivf_assign_udf guard
     # Spark's (x * SCALE).cast("long"): double multiply, truncate
     # toward zero — numpy astype(int64) truncates toward zero too
     Xi = (X * _IVF_TRAIN_SCALE).astype(np.int64)
     for _ in range(iters):
-        cn_ = np.linalg.norm(C, axis=1, keepdims=True)
-        Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
+        Cn = _normalized_centroids(C)
         cell = np.argsort(-(Xn @ Cn.T), axis=1)[:, 0]
         newC = C.copy()
         for c in range(C.shape[0]):
@@ -778,8 +788,13 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
             C = _train_ivf_centroids(X, C, train_iters)
         return C
 
+    # the artifact id carries EVERY constant the trained value depends
+    # on (r9 review: a tuned sample size or quantization scale must
+    # invalidate the persisted copy, not silently serve a stale index)
     return _ann_cached(
-        spark, sf_dir, f"ivfC:{_IVF_NLIST}:{train_iters}", build,
+        spark, sf_dir,
+        f"ivfC:{_IVF_NLIST}:{train_iters}:s{_IVF_TRAIN_SAMPLE}"
+        f":q{_IVF_TRAIN_SCALE}", build,
         disk="f8_2d")
 
 
@@ -811,8 +826,7 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
 
     e = _emb(spark, sf_dir)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
-    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
-    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
+    Cn = _normalized_centroids(C)
     nprobe = min(_IVF_NPROBE, C.shape[0])
 
     def make_assign(n_cells: int):
@@ -899,8 +913,7 @@ def _range_search_ann_plan(spark: SparkSession, sf_dir: str,
 
     e = _emb(spark, sf_dir)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
-    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
-    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
+    Cn = _normalized_centroids(C)
     nprobe = min(_RANGE_ANN_NPROBE, C.shape[0])
     quant = F.expr(_QUANT.replace("embedding", "emb"))
     corpus = (
@@ -1085,9 +1098,11 @@ def _pq_trained_books(spark: SparkSession, sf_dir: str, q: DataFrame,
             books = _train_pq_books(V, books, train_iters)
         return books
 
+    # every value-determining constant in the id (r9 review; see ivfC)
     return _ann_cached(
         spark, sf_dir,
-        f"pqB:{_PQ_ANN_M}x{_PQ_ANN_K}:{train_iters}", build,
+        f"pqB:{_PQ_ANN_M}x{_PQ_ANN_K}:{train_iters}"
+        f":s{_PQ_ANN_TRAIN_SAMPLE}:sub{_PQ_ANN_SUB}:q{_COS_SCALE}", build,
         disk="json")
 
 
@@ -1301,8 +1316,7 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     # coarse quantizer + PQ codebooks: both from the shared trained-
     # index registry (bit-identical to training inline; see helpers)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
-    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
-    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
+    Cn = _normalized_centroids(C)
     nprobe = min(_IVFPQ_NPROBE, C.shape[0])
     books = _pq_trained_books(spark, sf_dir, q, train_iters)
 

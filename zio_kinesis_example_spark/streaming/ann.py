@@ -45,18 +45,20 @@ def ivf_index(spark: SparkSession, sf_dir: str,
     floats, shipped in the assign UDF's closure). Centroids come from
     the persisted trained-index store when present — a fresh session
     runs ZERO training jobs."""
-    import numpy as np
+    from ..operators.llm_dedup import _track_persist
 
     if train_iters is None:
         train_iters = _sim._IVF_TRAIN_ITERS
     e = _sim._emb(spark, sf_dir)
     C = _sim._ivf_centroids(spark, sf_dir, e, train_iters)
-    cn_ = np.linalg.norm(C, axis=1, keepdims=True)
-    Cn = C / np.where(cn_ == 0.0, 1.0, cn_)
-    corpus_cells = (
+    Cn = _sim._normalized_centroids(C)
+    # tracked persist (r9 review): clear_shared_cache() releases the
+    # frame and the capped plan-aware LRU bounds a long-lived driver
+    # that builds many stream indexes — an untracked loose persist
+    # would pin executor storage until session death.
+    corpus_cells = _track_persist(
         e.withColumn("cells", _sim._ivf_assign_udf(Cn, 1)(F.col("emb")))
         .select("vec_id", "emb", F.element_at("cells", 1).alias("cell"))
-        .persist()
     )
     return corpus_cells, Cn
 
@@ -95,11 +97,18 @@ def topk_ingest(sink, corpus_cells: DataFrame, Cn,
     (query_id, neighbors = rank-ordered neighbor ids) — into ``sink``
     (UpsertSink keyed by query_id). Serializing the top-k to a string
     makes the upsert row atomic: a replayed batch rewrites the whole
-    verdict, never a partial rank set."""
+    verdict, never a partial rank set.
+
+    IN-BATCH dedupe per key (r9 review): an at-least-once source can
+    re-deliver the same record twice inside ONE micro-batch — without
+    the dedupe the doubled candidates would window-rank as A,A,B,B,C
+    and the verdict string would garble. One vector per key per batch,
+    greatest payload wins on a genuine same-key conflict (deterministic
+    — the asof/UpsertSink tie convention; array ordering is
+    lexicographic), matching what the sink itself would keep."""
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        topk = probe_topk(
-            batch.select("query_id", "emb"), corpus_cells, Cn,
-            nprobe=nprobe, k=k)
+        queries = batch.groupBy("query_id").agg(F.max("emb").alias("emb"))
+        topk = probe_topk(queries, corpus_cells, Cn, nprobe=nprobe, k=k)
         verdicts = (
             topk.groupBy("query_id")
             .agg(F.array_join(
