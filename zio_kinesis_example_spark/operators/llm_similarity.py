@@ -8,10 +8,11 @@ Scale design:
   window row_number, which AQE executes as partial top-k per partition.
   Cost is O(|Q|·|corpus|·dim): the exact baseline, correct at any scale
   but linear in corpus size per query.
-- **LSH** (q_sim_ann_lsh): random-hyperplane signatures (16 bits) computed
-  per-row with deterministic integer-weight planes (seeded, embedded as
-  literals) → candidates = bucket-mates (single shuffle on signature) →
-  exact cosine re-rank within bucket. Sub-linear probe cost; recall vs the
+- **LSH** (q_sim_ann_lsh): multi-table random-hyperplane signatures
+  (L=12 tables × k=6 bits) computed per-row with deterministic
+  integer-weight planes (seeded, embedded as literals) → candidates =
+  bucket-mates in ANY table (single shuffle on (table_id, sig)) → exact
+  cosine re-rank within bucket. Sub-linear probe cost; recall vs the
   brute-force baseline is asserted in tests/test_similarity.py.
 - **IVF** (q_sim_ann_ivf): Lloyd-trained coarse quantizer (nlist cells,
   O(nlist·dim) driver codebook), nprobe cells probed per query — the
@@ -72,11 +73,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine(a: str, b: str):
-    """cos(a, b) over array<double> columns — JVM-side fold, float64."""
+    """cos(a, b) over array<double> columns — JVM-side fold, float64.
+
+    Zero-norm rows score 0.0 (the family convention, matching the exact
+    baseline's guard): without it the division yields NaN, which
+    Spark's DESCENDING window order ranks FIRST — a degenerate all-zero
+    corpus row would take rnk 1 in every bucket/cell it reaches
+    (r9 review)."""
     dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
     na = F.expr(f"aggregate({a}, 0D, (s, v) -> s + v * v)")
     nb = F.expr(f"aggregate({b}, 0D, (s, v) -> s + v * v)")
-    return dot / F.sqrt(na * nb)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)) \
+        .otherwise(dot / F.sqrt(na * nb))
 
 
 #: Input quantization for the EXACT similarity baseline (the
@@ -149,11 +157,8 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF paths deliberately do NOT spread — their kernels are per-batch
     # BLAS matmuls that prefer few large Arrow batches (spreading them
     # measured 1.6s → 5.5s).
-    dot = F.expr("aggregate(zip_with(qe, qv, (x, y) -> x * y), 0L, "
-                 "(s, v) -> s + v)")
-    na = F.expr("aggregate(qe, 0L, (s, v) -> s + v * v)")
-    nb = F.expr("aggregate(qv, 0L, (s, v) -> s + v * v)")
-    pairs = (
+    dot, na, nb = _range_dot_norm_cols()   # ONE fold rule, shared with
+    pairs = (                              # the range/refine stages
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -822,8 +827,6 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
     and trained ≥ hash-sample baseline — asserted in
     tests/test_similarity.py.
     """
-    import numpy as np
-
     e = _emb(spark, sf_dir)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
     Cn = _normalized_centroids(C)
@@ -841,12 +844,16 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
                 F.col("emb").alias("qe"),
                 F.explode("cells").alias("cell"))
     )
+    # no dropDuplicates (r9 review — it cost a full exchange over the
+    # candidate stream for pairs that CANNOT repeat): each corpus row
+    # lives in exactly ONE cell and a query's probed cells are distinct
+    # argsort indices, so a (query, neighbor) pair appears at most once
+    # — the same invariant _range_search_ann_plan documents.
     cand = (
         corpus.join(queries, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine("qe", "emb").alias("s"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("s").desc(), F.col("neighbor_id"))
@@ -909,8 +916,6 @@ def _range_search_ann_plan(spark: SparkSession, sf_dir: str,
     vectors (unlike IVFPQ's codes) because range membership is EXACT,
     not ranked — there is no shortlist to refine, so the vector must be
     present where the predicate runs."""
-    import numpy as np
-
     e = _emb(spark, sf_dir)
     C = _ivf_centroids(spark, sf_dir, e, train_iters)
     Cn = _normalized_centroids(C)
@@ -1226,10 +1231,7 @@ def _exact_refine_topk(q: DataFrame, queries: DataFrame,
                             F.col("qv").alias("nv")), "neighbor_id")
         .join(F.broadcast(queries.select("query_id", "qqv")), "query_id")
     )
-    dot = F.expr("aggregate(zip_with(qqv, nv, (x, y) -> x * y), "
-                 "0L, (s, v) -> s + v)")
-    na = F.expr("aggregate(qqv, 0L, (s, v) -> s + v * v)")
-    nb = F.expr("aggregate(nv, 0L, (s, v) -> s + v * v)")
+    dot, na, nb = _range_dot_norm_cols("qqv", "nv")  # the ONE fold rule
     s_col = F.when((na == F.lit(0)) | (nb == F.lit(0)), F.lit(0.0)) \
         .otherwise(dot.cast("double")
                    / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))))
@@ -1304,8 +1306,6 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     4 K-entry LUTs) and the probe skeleton (|Q|·nprobe (query, cell)
     pairs) broadcast SEPARATELY and meet only per-candidate — the LUTs
     are not duplicated nprobe× through the explode."""
-    import numpy as np
-
     e = _emb(spark, sf_dir)
     q = e.select("vec_id", F.expr(_QUANT.replace("embedding", "emb"))
                  .alias("qv"))
@@ -1648,6 +1648,19 @@ def label_centroids(e: DataFrame, label_out: str = "label"):
                    list_sum(list_transform(e.v, x -> x * x)) AS nv,
                    list_sum(list_transform(cent.c, x -> x * x)) AS nc
             FROM e JOIN cent USING (label)
+        ),
+        -- zero-norm guard (r9 review): 0/0 is NaN and the engines then
+        -- DIVERGE (Spark's floor(NaN) casts NULL, DuckDB raises) —
+        -- a degenerate member or all-zero centroid scores cosine 0.0,
+        -- the family convention. cosd carries Spark's association
+        -- EXACTLY (see the floor comment below).
+        cosed AS (
+            SELECT label,
+                   CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+                        ELSE CAST(dot AS DOUBLE)
+                             / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))
+                   END AS cosd
+            FROM scored
         )
         SELECT label,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -1656,14 +1669,11 @@ def label_centroids(e: DataFrame, label_out: str = "label"):
                -- (1e6*dot)/sqrt where 1e6*dot exceeds 2^53 and floors
                -- differently (r6 review: cosine exactly 1 floored to
                -- 999999 one way, 1000000 the other)
-               round(SUM(CAST(floor(1000000.0 * (CAST(dot AS DOUBLE)
-                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))))
+               round(SUM(CAST(floor(1000000.0 * cosd)
                          AS BIGINT)) / (1000000.0 * COUNT(*)), 6)
                    AS avg_cohesion,
-               round(MIN(CAST(dot AS DOUBLE)
-                         / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))), 6)
-                   AS min_cohesion
-        FROM scored GROUP BY label
+               round(MIN(cosd), 6) AS min_cohesion
+        FROM cosed GROUP BY label
     """,
     tags=("similarity", "embedding", "clustering", "quality"),
 )
@@ -1706,8 +1716,14 @@ def q_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(c, 0L, (a, x) -> a + x * x)").alias("nc"),
         )
     )
-    cos = (F.col("dot").cast("double")
-           / F.sqrt(F.col("nv").cast("double") * F.col("nc").cast("double")))
+    # zero-norm guard (r9 review): matches the oracle's CASE — 0/0 is
+    # NaN and Spark's floor(NaN).cast(long) silently NULLs while DuckDB
+    # raises; a degenerate member/centroid scores 0.0 instead.
+    cos = F.when((F.col("nv") == F.lit(0)) | (F.col("nc") == F.lit(0)),
+                 F.lit(0.0)) \
+        .otherwise(F.col("dot").cast("double")
+                   / F.sqrt(F.col("nv").cast("double")
+                            * F.col("nc").cast("double")))
     # the mean sums floor-scaled int64 cosines, not raw doubles: a
     # double sum reassociates in partition order and diverges between
     # engines once groups grow (q_ts_interpolate's sf0.1 lesson); the
