@@ -865,6 +865,16 @@ def test_streaming_ann_probe_restart_safe(spark, tmpdir_factory_local):
     assert {r.query_id: r.neighbors
             for r in sink.current(spark).collect()} == want_s
 
+    # poison records (r9 review): a NULL or wrong-dimension vector must
+    # cost its own verdict, never crash the batch (permanent
+    # replay-crash loop)
+    poison = spark.createDataFrame(
+        [(999_999, None), (999_998, [1.0, 2.0])],
+        "query_id long, emb array<double>")
+    ingest(poison, batch_id=100)
+    assert {r.query_id: r.neighbors
+            for r in sink.current(spark).collect()} == want_s
+
     corpus_cells.unpersist()
 
 

@@ -47,10 +47,16 @@ def dedup_latest(df: DataFrame, key_cols: list[str],
     (pass fully tie-broken ordering — determinism under retries is the
     point; dropDuplicates keeps an arbitrary row)."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    # collision-proof temp name (r9 review — the pack_sequences rule:
+    # a fixed '__rn' would overwrite, then drop, a caller's column)
+    tmp = "__zke_dedup_rn"
+    taken = {c.casefold() for c in df.columns}
+    while tmp.casefold() in taken:
+        tmp += "_"
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(tmp, F.row_number().over(w))
+        .filter(F.col(tmp) == 1)
+        .drop(tmp)
     )
 
 
@@ -81,7 +87,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(1).alias("__kind"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
     )
-    payload_type = r.schema["__payload"].dataType.simpleString()
+    # cast() takes the DataType OBJECT — a simpleString round-trip
+    # breaks on names the DDL parser cannot re-read (spaces, commas,
+    # colons; r9 review)
+    payload_type = r.schema["__payload"].dataType
     l = left.select(
         F.col(key), F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__kind"),
@@ -100,7 +109,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
     matched = (
         r.select(F.col(key), "__ts", "__kind", "__payload",
-                 F.lit(None).cast(l.schema["__left"].dataType.simpleString())
+                 F.lit(None).cast(l.schema["__left"].dataType)
                   .alias("__left"))
         .unionByName(l)
         .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
@@ -200,10 +209,28 @@ def merge_upsert(base: DataFrame, delta: DataFrame,
     with k rows for a key that matches m base rows produces k·m merged
     rows, exactly the ambiguity standard MERGE rejects with an error;
     pre-dedupe with ``dedup_latest`` (what UpsertSink does) when the
-    delta may hold multiple versions per key."""
+    delta may hold multiple versions per key.
+
+    Column-set mismatch raises up front (r9 review: the UpsertSink copy
+    of this algorithm selected delta's columns while this one selected
+    base's — a schema-evolved batch would raise deep inside one and
+    silently DROP the new column in the other; SQL MERGE's schema
+    contract is explicit, so the divergence is now an explicit error
+    at the one shared implementation)."""
+    if set(base.columns) != set(delta.columns):
+        raise ValueError(
+            f"merge_upsert: base columns {sorted(base.columns)} != "
+            f"delta columns {sorted(delta.columns)}")
+    # collision-proof marker name (the pack_sequences rule): a caller
+    # column literally named '__dp' would be overwritten by the marker
+    # and persisted as the constant 1
+    marker = "__zke_merge_dp"
+    taken = {c.casefold() for c in delta.columns}
+    while marker.casefold() in taken:
+        marker += "_"
     b = base.alias("b")
-    d = delta.withColumn("__dp", F.lit(1)).alias("d")
-    take_delta = F.col("d.__dp").isNotNull()
+    d = delta.withColumn(marker, F.lit(1)).alias("d")
+    take_delta = F.col(f"d.{marker}").isNotNull()
     return b.join(d, F.col(f"b.{key}").eqNullSafe(F.col(f"d.{key}")),
                   "full_outer") \
         .select(*[
@@ -392,6 +419,9 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     ).persist()
     first = q.first()
     if first is None:
+        # release before raising (r9 review: the error paths leaked
+        # the persisted working set until session death)
+        q.unpersist()
         raise ValueError("kmeans_fit: input DataFrame is empty")
     dim = len(first["__v"])
     # xxhash64 seeding, not (id * knuth) % 2^32: the Knuth multiply
@@ -399,6 +429,7 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     init = (q.orderBy(F.xxhash64(F.col("__id")), "__id")
             .limit(k).collect())
     if len(init) < k:
+        q.unpersist()   # a repeated k-probe would pin one cache per try
         raise ValueError(
             f"kmeans_fit: k={k} exceeds the {len(init)} input rows")
     cents = {i: list(r["__v"]) for i, r in enumerate(init)}
@@ -713,11 +744,18 @@ def holt_smooth(df: DataFrame, key_cols: list[str], order_col: str,
     Series shorter than 2 points are dropped. Returns
     (key_cols…, n_points, level, trend, forecast_next) at full double
     precision (callers round for display). One shuffle: the series
-    collect; fold order comes from sort_array, not a window sort."""
+    collect; fold order comes from sort_array, not a window sort.
+
+    NULL ticks are SKIPPED (r9 review): collect_list keeps struct
+    elements whose .x is NULL, so one bad tick would otherwise NULL the
+    init (b = x₂−x₁) and propagate NULL through the whole fold —
+    destroying the key's entire output. n_points counts the non-null
+    ticks actually folded."""
     a, ia = float(alpha), 1.0 - float(alpha)
     bcoef, ib = float(beta), 1.0 - float(beta)
     series = (
-        df.groupBy(*key_cols)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.expr(f"transform(sort_array(collect_list(struct({order_col} "

@@ -67,17 +67,32 @@ def probe_topk(queries: DataFrame, corpus_cells: DataFrame, Cn,
                nprobe: int = 3, k: int = 5) -> DataFrame:
     """Exact-cosine top-k of each query row against the probed cells of
     the frozen index — one cell-keyed equi-join, deterministic
-    (score desc, neighbor_id asc). ``queries``: (query_id, emb)."""
+    (score desc, neighbor_id asc). ``queries``: (query_id, emb).
+
+    MALFORMED vectors are DROPPED before the assign UDF (r9 review:
+    decode_json only requires the schema's FIRST field, so a payload
+    like '{"query_id": 7}' flows in with emb NULL — np.stack on a None,
+    or a wrong-dimension vector in the dgemm, would crash the UDF and
+    wedge the stream in a permanent replay-crash loop; a poison record
+    must cost its own verdict, never the stream).
+
+    NO self-exclusion (r9 review): arriving query ids are their OWN
+    namespace — an external id that happens to collide with a corpus
+    vec_id is an unrelated entity, and FAISS search excludes nothing.
+    (The registry ANN plans exclude self because there the query set IS
+    corpus rows; that logic stays in llm_similarity.)"""
     nprobe = min(nprobe, Cn.shape[0])
+    dim = int(Cn.shape[1])
     q = (
-        queries.withColumn(
+        queries.filter(F.col("emb").isNotNull()
+                       & (F.size("emb") == dim))
+        .withColumn(
             "cells", _sim._ivf_assign_udf(Cn, nprobe)(F.col("emb")))
         .select(F.col("query_id"), F.col("emb").alias("qe"),
                 F.explode("cells").alias("cell"))
     )
     cand = (
         corpus_cells.join(q, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 _sim.cosine("qe", "emb").alias("s"))
     )

@@ -31,7 +31,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 class UpsertSink:
@@ -83,40 +82,34 @@ class UpsertSink:
         return spark.read.parquet(os.path.join(self.base_dir, v))
 
     # -- the sink ------------------------------------------------------
+    # Both steps delegate to the api twins (r9 review: the sink carried
+    # near-verbatim copies of api.dedup_latest / api.merge_upsert whose
+    # docstrings cite "the UpsertSink rule" — and the copies had already
+    # drifted on schema evolution and on temp-name collisions; one
+    # implementation keeps the NULL-key and whole-row semantics from
+    # forking again).
     def _dedupe_batch(self, batch: DataFrame) -> DataFrame:
-        w = Window.partitionBy(self.key).orderBy(F.col(self.seq_col).desc())
-        return (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        from ..api import dedup_latest
+
+        # FULLY tie-broken ordering (r9 review): seq ties previously
+        # kept a shuffle-order-dependent row, so a crash between the
+        # pointer swap and the offset commit could replay to a
+        # DIFFERENT survivor — violating the byte-identical-replay
+        # contract. The whole-row struct breaks every tie
+        # deterministically (payloads must be orderable types — the
+        # asof_join restriction).
+        tiebreak = F.struct(*[F.col(c) for c in batch.columns]).desc()
+        return dedup_latest(batch, [self.key],
+                            [F.col(self.seq_col).desc(), tiebreak])
 
     def _merge(self, base: DataFrame | None, delta: DataFrame) -> DataFrame:
         if base is None:
             return delta
-        cols = delta.columns
-        # NULL-safe key equality + an explicit delta-presence marker:
-        # a NULL key (decoded NULL id, NULL Kafka record key) must merge
-        # as ONE group like any other key value. A plain == join never
-        # matches NULL, and keying take_delta on d.key IS NOT NULL would
-        # discard a NULL-key delta's data in favor of all-NULL base
-        # columns — appending a garbage row per batch.
-        b = base.alias("b")
-        d = delta.withColumn("__dp", F.lit(1)).alias("d")
-        joined = b.join(
-            d, F.col(f"b.{self.key}").eqNullSafe(F.col(f"d.{self.key}")),
-            "full_outer",
-        )
-        # WHOLE-ROW replacement, not per-column coalesce: when the delta
-        # has the key, every field comes from the delta — a legitimate
-        # set-to-NULL update must not inherit the stale base value and
-        # produce a mixed row that never existed in the stream.
-        take_delta = F.col("d.__dp").isNotNull()
-        return joined.select(*[
-            F.when(take_delta, F.col(f"d.{c}"))
-            .otherwise(F.col(f"b.{c}")).alias(c)
-            for c in cols
-        ])
+        from ..api import merge_upsert
+
+        # NULL-safe key equality, whole-row replacement, explicit
+        # column-set contract — see merge_upsert's docstring
+        return merge_upsert(base, delta, self.key)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
