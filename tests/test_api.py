@@ -160,7 +160,9 @@ def test_zorder_key_generic(spark):
 def test_decontaminate_generic(spark):
     from zio_kinesis_example_spark.api import decontaminate
     bench = spark.createDataFrame(
-        [(1, "a b c d e f")], "id long, text string")
+        [(1, "a b c d e f"),
+         (2, "a b c d e q")],        # 'a b c d e' appears in BOTH bench
+        "id long, text string")      # docs: must count once, not twice
     train = spark.createDataFrame(
         [(10, "a b c d e zz"),       # shares 'a b c d e'
          (11, "x y z w v u"),        # disjoint
@@ -168,6 +170,11 @@ def test_decontaminate_generic(spark):
         "id long, text string")
     got = {r.id: r.n_shared_grams
            for r in decontaminate(train, bench, "text", "id").collect()}
+    # DISTINCT-gram counting on both sides (r9 review: the sf0.01
+    # oracle fixture cannot distinguish distinct-vs-duplicate counting,
+    # so this unit fixture locks the semantic): train-side repeats of a
+    # shared gram count once (doc 12), bench-side duplicates of one
+    # gram count once (doc 10 = 1, not 2).
     assert got == {10: 1, 12: 1}
 
 

@@ -213,7 +213,13 @@ def q_curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Target corpus size (whitespace tokens) for the assembly query.
-_TOKEN_BUDGET = 50_000
+#: 10k, NOT a value above the verification corpus (r9 review: the old
+#: 50k exceeded sf0.01's ~27k total tokens, so the cum_tokens cut was a
+#: no-op at the oracle gate and the entire budget-allocation subplan —
+#: the proportional floor, the '<=' boundary, the per-domain window —
+#: was hash-green without ever being exercised; at 10k every domain's
+#: cut binds at sf0.01 AND sf0.1).
+_TOKEN_BUDGET = 10_000
 
 
 @query(
@@ -288,14 +294,20 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .llm_dedup import _DUCK_MINHASH as _MH  # noqa: E402 (oracle fragment)
-
 #: Full-funnel oracle: regenerates the SAME LSH buckets (portable hash),
 #: verified near-dup pairs, exact-dup groups, 5-gram contamination set,
 #: and repetition scores, then applies the identical drop rules.
-_PIPELINE_ORACLE = (
-    "WITH" + _MH
-    + f""",
+#: Registered as a CALLABLE (resolved after every module loads): a
+#: module-level ``from .llm_dedup import _DUCK_MINHASH`` hoisted all of
+#: llm_dedup's query registrations into the middle of curation's import,
+#: contradicting the registry's cheap-modules-first serve order
+#: (r9 review).
+def _pipeline_oracle() -> str:
+    from .llm_dedup import _DUCK_MINHASH as _MH  # oracle fragment
+
+    return (
+        "WITH" + _MH
+        + f""",
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM buckets a JOIN buckets b
                    ON a.band_id = b.band_id
@@ -329,12 +341,12 @@ _PIPELINE_ORACLE = (
     WHERE d.source <> '{_BENCH_SOURCE}'
       AND d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
-)
+    )
 
 
 @query(
     "q_curate_pipeline",
-    oracle=_PIPELINE_ORACLE,
+    oracle=_pipeline_oracle,
     tags=("curation", "pipeline", "e2e"),
 )
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +423,12 @@ _GATE_MAX_WORDS = 5_000
 _GATE_MEAN_WLEN = (2.0, 10.0)
 _GATE_UNIQUE_FRAC = 0.30
 _GATE_TOP_FRAC = 0.20
-from .llm_text import STOPWORDS as _GATE_STOPWORDS  # noqa: E402 (one shared vocabulary, r8 review)
+# one shared vocabulary AND one shared SQL rendering (r8/r9 review): the
+# tuple-repr IN-list broke on one-element tuples — ('the',) is a SQL
+# syntax error — and on quote-bearing terms; _SQL_STOPS is the explicit
+# join-based builder llm_text already maintains.
+from .llm_text import STOPWORDS as _GATE_STOPWORDS  # noqa: E402
+from .llm_text import _SQL_STOPS as _GATE_SQL_STOPS  # noqa: E402
 _GATE_MIN_STOPHITS = 2
 
 
@@ -433,7 +450,7 @@ _GATE_MIN_STOPHITS = 2
                         SELECT COUNT(*) AS c FROM unnest(w) AS u(term)
                         GROUP BY term)) AS top_n,
                    len(list_filter(list_distinct(w),
-                       x -> x IN {tuple(_GATE_STOPWORDS)})) AS stop_hits
+                       x -> x IN {_GATE_SQL_STOPS})) AS stop_hits
             FROM t
         )
         SELECT doc_id, lang, source,
@@ -680,16 +697,22 @@ def q_curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (the slice materializes downstream only where consumed). No
     shuffle at all.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w"), F.size(F.split("text", " ")).alias("n"))
+    # split ONCE (r9 review: the doubled split expression leaned on
+    # codegen CSE; q_curate_quality_gates' single-w discipline applies)
+    d = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.split("text", " ").alias("w")) \
+        .select("doc_id", "w", F.size("w").alias("n"))
     return (
         d.select(
             "doc_id", "n", "w",
-            F.posexplode(F.expr(
+            # plain explode: sequence position and value are identical
+            # by construction, so posexplode's discarded value column
+            # was dead weight (r9 review)
+            F.explode(F.expr(
                 f"sequence(0, CASE WHEN n <= {_CHUNK_LEN} THEN 0 "
                 f"ELSE cast(ceil(cast(n - {_CHUNK_LEN} as double) "
                 f"/ {_CHUNK_STRIDE}) as int) END)"
-            )).alias("chunk_no", "_v"),
+            )).alias("chunk_no"),
         )
         .select(
             "doc_id",

@@ -312,9 +312,12 @@ _DUCK_UNIGRAM_CTE = """
         d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents)"""
 
-#: the per-(doc, distinct-term) surprisal terms — a top-level CTE so
-#: composers (q_text_ccnet_buckets) can nest _DUCK_BPT_SELECT inside
-#: their own CTE while ``per`` stays in the outer WITH chain
+#: ``scored``: one surprisal row per TOKEN INSTANCE (one per unnested
+#: token of d — NOT per distinct term; _DUCK_BPT_SELECT's COUNT(*)
+#: counts tokens). A top-level CTE so composers (q_text_ccnet_buckets)
+#: can nest _DUCK_BPT_SELECT inside their own CTE while ``scored``
+#: stays in the outer WITH chain. (r9 review: the old comment named a
+#: nonexistent ``per`` CTE at the wrong granularity.)
 _DUCK_PER_CTE = """
         , scored AS (
             SELECT d.doc_id, d.term,

@@ -30,6 +30,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Spec:
     name: str
     fn: QueryFn
+    #: DuckDB oracle SQL. May be registered as a ZERO-ARG CALLABLE that
+    #: returns the string — resolved once at the end of _ensure_loaded,
+    #: so an oracle needing a fragment from another operator module can
+    #: DEFER that import (r9 review: a module-level fragment import in
+    #: curation.py hoisted all of llm_dedup's registrations into the
+    #: middle of the cheap-modules-first order, perturbing the
+    #: harness's serve-order tiebreak). Every reader outside this
+    #: module sees a plain string or None.
     oracle: str | None
     tags: tuple[str, ...] = ()
     doc: str = ""
@@ -44,9 +52,12 @@ class Spec:
 _SPECS: dict[str, Spec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+def query(name: str,
+          oracle: "str | Callable[[], str] | None" = None,
+          tags: tuple[str, ...] = (),
           bench: bool = True, bench_fn: QueryFn | None = None):
-    """Register a query. ``oracle=None`` → driver does a rows-only check."""
+    """Register a query. ``oracle=None`` → driver does a rows-only check;
+    a zero-arg callable defers fragment imports (see Spec.oracle)."""
     def deco(fn: QueryFn) -> QueryFn:
         if name in _SPECS:
             raise ValueError(f"duplicate query name: {name}")
@@ -110,4 +121,9 @@ def _ensure_loaded() -> None:
     from .operators import multimodal_gif  # noqa: F401
     # round-7 addition, last for the same serve-order reason.
     from .operators import multimodal_jpeg  # noqa: F401
+    # resolve lazily-registered oracles (see Spec.oracle) now that every
+    # module has registered — readers always see plain strings
+    for s in _SPECS.values():
+        if callable(s.oracle):
+            s.oracle = s.oracle()
     _loaded = True
