@@ -311,20 +311,27 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH s AS (
             SELECT user_id, event_type, ts,
-                   last_value(CASE WHEN event_type = 'view' THEN ts END
-                              IGNORE NULLS) OVER w AS last_view,
-                   last_value(CASE WHEN event_type = 'error' THEN ts END
-                              IGNORE NULLS) OVER w AS last_error
+                   last_value(CASE WHEN event_type = 'view' THEN
+                       struct_pack(ts := ts, event_id := event_id) END
+                       IGNORE NULLS) OVER w AS lv,
+                   last_value(CASE WHEN event_type = 'error' THEN
+                       struct_pack(ts := ts, event_id := event_id) END
+                       IGNORE NULLS) OVER w AS le
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         )
+        -- anchors are (ts, event_id) STRUCTS, not bare timestamps
+        -- (r9 review): 'no error in between' is a SEQUENCE-position
+        -- predicate, and a bare-ts compare misjudged an error sharing
+        -- the view's exact microsecond — le < lv is the same tie-broken
+        -- lexicographic order the window itself sorts by.
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
         FROM s
         WHERE event_type = 'purchase'
-          AND last_view IS NOT NULL
-          AND ts - last_view <= INTERVAL 30 MINUTE
-          AND (last_error IS NULL OR last_error < last_view)
+          AND lv IS NOT NULL
+          AND ts - lv.ts <= INTERVAL 30 MINUTE
+          AND (le IS NULL OR le < lv)
         GROUP BY user_id
     """,
     tags=("events", "sequence", "pattern"),
@@ -344,25 +351,29 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
+    # (ts, event_id) STRUCT anchors (r9 review): 'no error in between'
+    # is a sequence-position predicate — a bare-ts compare misjudged an
+    # error sharing the anchoring view's exact microsecond; the struct
+    # compares in the window's own tie-broken lexicographic order.
     last_view = F.last(
-        F.when(F.col("event_type") == "view", F.col("ts")),
+        F.when(F.col("event_type") == "view",
+               F.struct("ts", "event_id")),
         ignorenulls=True).over(w)
     last_error = F.last(
-        F.when(F.col("event_type") == "error", F.col("ts")),
+        F.when(F.col("event_type") == "error",
+               F.struct("ts", "event_id")),
         ignorenulls=True).over(w)
     return (
         # ONE select for both anchors: separate withColumns leave two
         # Window nodes (CollapseWindow skips them); a single projection
         # plans one Window over one sort (asserted in test_plans).
-        e.select("*", last_view.alias("last_view"),
-                 last_error.alias("last_error"))
+        e.select("*", last_view.alias("lv"), last_error.alias("le"))
         .filter(
             (F.col("event_type") == "purchase")
-            & F.col("last_view").isNotNull()
-            & (F.col("ts") - F.col("last_view")
+            & F.col("lv").isNotNull()
+            & (F.col("ts") - F.col("lv.ts")
                <= F.expr("INTERVAL 30 MINUTES"))
-            & (F.col("last_error").isNull()
-               | (F.col("last_error") < F.col("last_view")))
+            & (F.col("le").isNull() | (F.col("le") < F.col("lv")))
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
@@ -384,16 +395,27 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(n) AS BIGINT) AS s1,
                    CAST(SUM(n * n) AS BIGINT) AS s2
             FROM hourly GROUP BY event_type
+        ),
+        j AS (
+            SELECT h.event_type, h.h, h.n,
+                   h.n - CAST(m.s1 AS DOUBLE) / m.k AS dev,
+                   (m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+                       / (m.k - 1) AS var
+            FROM hourly h JOIN m USING (event_type)
+            WHERE m.k > 1
         )
-        SELECT h.event_type, h.h, h.n,
-               round((h.n - CAST(m.s1 AS DOUBLE) / m.k)
-                     / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
-                            / (m.k - 1)), 6) + 0.0 AS z,
-               abs((h.n - CAST(m.s1 AS DOUBLE) / m.k)
-                   / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
-                          / (m.k - 1))) > 3.0 AS is_anomaly
-        FROM hourly h JOIN m USING (event_type)
-        WHERE m.k > 1
+        -- var <= 0 guard (r9 review): a constant series has var 0 and
+        -- the engines DIVERGE on 0/0 (Spark ANSI raises DIVIDE_BY_ZERO,
+        -- DuckDB yields NULL); a flat series is by definition not
+        -- anomalous, so z = 0.0 / not-an-anomaly on BOTH engines. The
+        -- <= also absorbs a fractionally-negative var from the s1^2/k
+        -- double rounding at extreme counts (sqrt would be NaN vs raise).
+        SELECT event_type, h, n,
+               round(CASE WHEN var <= 0 THEN 0.0
+                          ELSE dev / sqrt(var) END, 6) + 0.0 AS z,
+               CASE WHEN var <= 0 THEN FALSE
+                    ELSE abs(dev / sqrt(var)) > 3.0 END AS is_anomaly
+        FROM j
     """,
     tags=("events", "anomaly", "stats"),
 )
@@ -425,13 +447,19 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s1").cast("double") / F.col("k")
     var = ((F.col("s2") - F.col("s1").cast("double") * F.col("s1")
             / F.col("k")) / (F.col("k") - 1))
-    z = (F.col("n") - mean) / F.sqrt(var)
+    z_raw = (F.col("n") - mean) / F.sqrt(var)
+    # var <= 0 guard (r9 review, mirrors the oracle's CASE): a constant
+    # series would otherwise raise DIVIDE_BY_ZERO under ANSI where the
+    # oracle yields NULL — a flat series scores z = 0.0, not anomalous.
+    z = F.when(var <= F.lit(0.0), F.lit(0.0)).otherwise(z_raw)
+    flag = F.when(var <= F.lit(0.0), F.lit(False)) \
+        .otherwise(F.abs(z_raw) > 3.0)
     return (
         hourly.join(F.broadcast(m), "event_type")
         .select("event_type", "h", "n",
                 # + 0.0: z in (-5e-7, 0) rounds to -0.0 in DuckDB
                 (F.round(z, 6) + F.lit(0.0)).alias("z"),
-                (F.abs(z) > 3.0).alias("is_anomaly"))
+                flag.alias("is_anomaly"))
     )
 
 

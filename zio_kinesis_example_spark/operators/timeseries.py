@@ -30,7 +30,32 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
+from .exact import SQL_HOURLY_CENTS_MEAN, dec_sum_double, hourly_cents_mean
+
+
+def _hourly_spine(hourly: DataFrame) -> DataFrame:
+    """Dense (event_type × hour) spine derived from the BOUNDED hourly
+    aggregate — ONE definition shared by q_ts_gapfill and
+    q_ts_interpolate (r9 review: the construction was duplicated
+    near-verbatim, and both queries additionally re-scanned the RAW
+    events table for bounds and the type list while their docstrings
+    claimed one raw scan; every type and hour present in raw survives
+    the rollup, so deriving both from ``hourly`` is result-identical —
+    and measured: Catalyst FOLDS these derived aggregates through the
+    rollup into single-column pruned raw scans (ts-only /
+    event_type-only metadata passes), so the VALUE aggregation runs
+    once and the bounds/type passes never read the fact columns)."""
+    bounds = hourly.agg(F.min("bucket_hour").alias("lo"),
+                        F.max("bucket_hour").alias("hi"))
+    return (
+        hourly.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour")))
+            .alias("bucket_hour"),
+        )
+    )
 
 
 @query(
@@ -40,7 +65,12 @@ from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   SUM(value) AS sum_value,
+                   -- DECIMAL partials kept decimal THROUGH the second
+                   -- level (r9 review: a raw double sum-of-sums
+                   -- reassociates in partition order TWICE — the exact
+                   -- 1-ulp drift class exact.dec_sum_double closes);
+                   -- one double conversion at the very end
+                   SUM(CAST(value AS DECIMAL(18,4))) AS sum_value,
                    MAX(value) AS max_value
             FROM events
             GROUP BY 1, 2
@@ -48,7 +78,7 @@ from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
         SELECT CAST(date_trunc('day', bucket_hour) AS TIMESTAMP) AS bucket_day,
                event_type,
                CAST(SUM(n_events) AS BIGINT) AS n_events,
-               SUM(sum_value) AS sum_value,
+               CAST(SUM(sum_value) AS DOUBLE) AS sum_value,
                MAX(max_value) AS max_value,
                CAST(COUNT(*) AS BIGINT) AS hours_with_data
         FROM hourly
@@ -76,7 +106,10 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # decimal partials stay decimal through the day level — see
+            # the oracle comment (raw double sum-of-sums is the at-scale
+            # 1-ulp hash hazard, squared by the two-level shape)
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
             F.max("value").alias("max_value"),
         )
     )
@@ -87,7 +120,7 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
             F.max("max_value").alias("max_value"),
             F.count(F.lit(1)).alias("hours_with_data"),
         )
@@ -101,17 +134,19 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   SUM(value) AS sum_value
+                   CAST(SUM(CAST(value AS DECIMAL(18, 4))) AS DOUBLE)
+                       AS sum_value
             FROM events GROUP BY 1, 2
         ),
+        -- bounds and the type list come from the BOUNDED hourly
+        -- aggregate, not a raw re-scan (see _hourly_spine)
         bounds AS (
-            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
-                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
-            FROM events
+            SELECT MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+            FROM hourly
         ),
         spine AS (
             SELECT t.event_type, g.h AS bucket_hour
-            FROM (SELECT DISTINCT event_type FROM events) t
+            FROM (SELECT DISTINCT event_type FROM hourly) t
             CROSS JOIN (
                 SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
                 FROM bounds
@@ -137,9 +172,13 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the spine is generated, not scanned — |types| ×
     |hours| rows (thousands) independent of raw volume, so the join's
-    build side is the TINY spine-joined aggregate, and the raw table is
-    touched exactly once by the hourly pre-aggregation. The forward fill
-    is one window sort per series, partitioned on event_type.
+    build side is the TINY spine-joined aggregate. The VALUE columns are
+    aggregated in exactly one raw pass; the spine's bounds/type-list are
+    written against the hourly aggregate (_hourly_spine) and Catalyst
+    folds them through the rollup into single-column pruned raw scans
+    (ts-only / event_type-only) — cheap metadata passes, not repeats of
+    the value aggregation. The forward fill is one window sort per
+    series, partitioned on event_type.
     """
     e = load(spark, sf_dir, "events")
     hourly = (
@@ -149,23 +188,14 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # exact decimal sum emitted as double (r9 review: the raw
+            # double SUM was the documented 1-ulp reassociation hazard
+            # feeding the hash compare — and the forward fill COPIES
+            # this value, so exactness here covers filled rows too)
+            dec_sum_double("value").alias("sum_value"),
         )
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = (
-        e.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 1 hour"))
-            ).alias("bucket_hour"),
-        )
-    )
+    spine = _hourly_spine(hourly)
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_hour")
@@ -189,7 +219,12 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, ts,
                CAST(COUNT(*) OVER w AS BIGINT) AS trailing_cnt_1h,
-               SUM(value) OVER w AS trailing_sum_1h
+               -- exact DECIMAL frame sum (r9 review): DuckDB computes
+               -- windowed double sums via segment-tree association,
+               -- Spark re-accumulates frames sequentially — same frame,
+               -- different addition order; decimal never reassociates
+               CAST(SUM(CAST(value AS DECIMAL(18, 4))) OVER w AS DOUBLE)
+                   AS trailing_sum_1h
         FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
         WINDOW w AS (
             PARTITION BY user_id ORDER BY ts_s
@@ -222,7 +257,9 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("trailing_cnt_1h"),
-        F.sum("value").over(w).alias("trailing_sum_1h"),
+        # exact decimal frame sum — see the oracle comment
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("trailing_sum_1h"),
     )
 
 
@@ -314,16 +351,16 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE event_type IN ('purchase', 'signup')
             GROUP BY 1, 2
         ),
+        -- bounds and the type list come from the BOUNDED hourly
+        -- aggregate, not raw re-scans (see _hourly_spine)
         bounds AS (
-            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
-                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
-            FROM events WHERE event_type IN ('purchase', 'signup')
+            SELECT MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+            FROM hourly
         ),
         spine AS (
             SELECT t.event_type, g.h AS bucket_hour,
                    CAST(epoch(g.h) // 3600 AS BIGINT) AS th
-            FROM (SELECT DISTINCT event_type FROM events
-                  WHERE event_type IN ('purchase', 'signup')) t
+            FROM (SELECT DISTINCT event_type FROM hourly) t
             CROSS JOIN (SELECT unnest(generate_series(lo, hi,
                                       INTERVAL 1 HOUR)) AS h
                         FROM bounds) g
@@ -370,10 +407,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE ops on both engines, emitted rounded 6dp (the module's
     float-emission rule).
 
-    Scale shape: raw table touched ONCE by the hourly pre-aggregation
-    (bounded at |types|×|hours| rows, broadcast); the generated spine
-    never shuffles for the join; prev/next anchors are two frames over
-    ONE window sort per series — no self-join, no per-gap search.
+    Scale shape: the value column is aggregated in ONE raw pass
+    (bounded at |types|×|hours| rows, broadcast); the spine's
+    bounds/type-list derive from the hourly aggregate (_hourly_spine;
+    Catalyst folds them into single-column pruned raw scans); the
+    generated spine never shuffles for the join; prev/next anchors are
+    two frames over ONE window sort per series — no self-join, no
+    per-gap search.
     """
     types = ("purchase", "signup")
     e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*types))
@@ -381,23 +421,10 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact.hourly_cents_mean rule (see its docstring for the 1-ulp
     # reassociation history)
     hourly = hourly_cents_mean(e, "v")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = (
-        e.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour")))
-            .alias("bucket_hour"),
-        )
-        .withColumn(
-            "th",
-            F.expr("CAST(unix_seconds(cast(bucket_hour as timestamp)) "
-                   "DIV 3600 AS BIGINT)"),
-        )
+    spine = _hourly_spine(hourly).withColumn(
+        "th",
+        F.expr("CAST(unix_seconds(cast(bucket_hour as timestamp)) "
+               "DIV 3600 AS BIGINT)"),
     )
     entry = F.when(F.col("v").isNotNull(),
                    F.struct(F.col("th").alias("t"), F.col("v").alias("v")))
