@@ -589,10 +589,14 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
             FROM customer WHERE c_custkey % 10 = 0),
         inserts AS (
-            -- negated keys: disjoint from the (positive) base key domain
-            -- at EVERY scale factor, unlike a fixed +1e6 offset which
-            -- collides with live custkeys once customer exceeds 1M rows
-            SELECT -c_custkey AS c_custkey,
+            -- -(key+1): strictly NEGATIVE synthetic keys, disjoint from
+            -- the >= 0 base key domain at EVERY scale factor (r9 review:
+            -- plain -key collided on key 0 — fixture custkeys start at
+            -- 0, -0 == 0, and the full-outer join emitted a DUPLICATE
+            -- primary key for customer 0, violating the CDC contract;
+            -- a fixed +1e6 offset likewise collides once customer
+            -- exceeds 1M rows)
+            SELECT -(c_custkey + 1) AS c_custkey,
                    'new_' || c_name AS c_name,
                    0.0 AS c_acctbal
             FROM customer WHERE c_custkey % 100 = 0),
@@ -620,10 +624,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
     )
     inserts = (
-        # negated keys: disjoint from the positive base domain at any SF
-        # (a fixed offset collides once customer outgrows it)
+        # -(key+1): strictly negative, disjoint from the >= 0 base
+        # domain at any SF (r9 review: plain -key collided on key 0 and
+        # duplicated customer 0 in the merged snapshot; a fixed offset
+        # collides once customer outgrows it)
         c.filter(F.col("c_custkey") % 100 == 0)
-        .select((-F.col("c_custkey")).alias("c_custkey"),
+        .select((-(F.col("c_custkey") + 1)).alias("c_custkey"),
                 F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
                 F.lit(0.0).alias("c_acctbal"))
     )
@@ -767,12 +773,17 @@ def _knuth_draw(key: str, div: str) -> str:
 @query(
     "q_sample_mixture",
     oracle=f"""
+        -- thresholds interpolated as PYTHON-computed integers (r9
+        -- review): Python int() truncates while DuckDB CAST(double AS
+        -- BIGINT) rounds to nearest — the two agreed for the current
+        -- constants only by accident of their fractional parts; one
+        -- source of truth keeps a boundary draw from diverging
         SELECT doc_id, lang, source
         FROM documents
         WHERE {_knuth_draw("doc_id", "//")}
-              < CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 10
-                          THEN {_MIX_HI} * {_U32}
-                          ELSE {_MIX_LO} * {_U32} END AS BIGINT)
+              < CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                     THEN {int(_MIX_HI * _U32)}
+                     ELSE {int(_MIX_LO * _U32)} END
     """,
     tags=("sampling", "pipeline"),
 )
@@ -1069,8 +1080,11 @@ def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.add_months(d.cast("date"), 3).cast("timestamp_ntz")
-         .alias("plus_3_months"),
+        # interval add on the TIMESTAMP itself (r9 review: add_months on
+        # a date cast silently discarded time-of-day while the oracle's
+        # + INTERVAL preserves it — equal only while fixture orderdates
+        # happen to be midnight)
+        (d + F.expr("INTERVAL 3 MONTHS")).alias("plus_3_months"),
         F.round(
             F.datediff(d, F.lit("1995-06-01")) / F.lit(30.4375), 4
         ).alias("months_approx"),
@@ -1150,13 +1164,22 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL precision shared by BOTH sketch queries' build, bench, and error
+#: bounds (r9 review: lgConfigK=12 was spelled four times and the rsd
+#: formula twice — tuning one literal would silently desynchronize the
+#: benched plan from the correctness-checked one and leave the error
+#: bound stale).
+_HLL_LG_K = 12
+_HLL_RSD = 1.04 / (2 ** _HLL_LG_K) ** 0.5
+
+
 def _sketch_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure two-level sketch plan (what bench.py times): daily HLL
     sketches merged to a per-type global estimate — no exact twin."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    ).agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"))
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
@@ -1197,13 +1220,12 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    rsd = 1.04 / (2 ** 12) ** 0.5
     joined = merged.join(exact, "event_type")
     return joined.select(
         "event_type",
         "n_exact",
         (F.abs(F.col("approx_users") - F.col("n_exact"))
-         <= F.lit(3 * rsd) * F.col("n_exact")).alias("sketch_ok"),
+         <= F.lit(3 * _HLL_RSD) * F.col("n_exact")).alias("sketch_ok"),
     )
 
 
@@ -1258,7 +1280,10 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     zval = F.expr(" + ".join(terms))
     return (
         li.select("l_orderkey", "l_partkey", zval.alias("zval"))
-        .groupBy((F.col("zval") / 1048576).cast("long").alias("zbucket"))
+        # integer DIV, not double / + cast (r9 review: the file's own
+        # q_text_pack rule — value-safe today only because zval < 2^32;
+        # a wider interleave would cross 2^53 and round one bucket off)
+        .groupBy(F.expr("zval DIV 1048576").alias("zbucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_orderkey").alias("min_ok"),
@@ -1323,23 +1348,32 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sketch_intersect_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pure sketch plan bench.py times: two per-type HLL sketches,
-    inclusion-exclusion intersection estimate, no exact twin."""
+def _sketch_intersect_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row (est_intersection, est_union) frame — the single
+    statement of the inclusion-exclusion pipeline, shared by the bench
+    plan and the correctness contract (the q_agg_sketch_merge
+    anti-desync rule applied to this query too, r9 review)."""
     e = load(spark, sf_dir, "events")
     sk = (
         e.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        .agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"),
              F.hll_sketch_estimate(
-                 F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+                 F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K))).alias("est"))
     )
     u = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
         F.sum("est").alias("sum_each"),
     )
     return u.select(
-        (F.col("sum_each") - F.col("est_union")).alias("est_intersection"))
+        (F.col("sum_each") - F.col("est_union")).alias("est_intersection"),
+        "est_union")
+
+
+def _sketch_intersect_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure sketch plan bench.py times: two per-type HLL sketches,
+    inclusion-exclusion intersection estimate, no exact twin."""
+    return _sketch_intersect_parts(spark, sf_dir).select("est_intersection")
 
 
 @query(
@@ -1369,27 +1403,18 @@ def q_agg_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan via ``bench_fn``.
     """
     e = load(spark, sf_dir, "events")
-    ab = e.filter(F.col("event_type").isin("click", "purchase"))
-    sk = ab.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-    est_each = sk.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est"), "sk")
-    u = est_each.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
-        F.sum("est").alias("sum_each"),
-    ).select((F.col("sum_each") - F.col("est_union")).alias("est_int"),
-             "est_union")
+    # the SAME pipeline bench.py times (shared builder, anti-desync)
+    u = _sketch_intersect_parts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click") \
         .select("user_id").distinct()
     purch = e.filter(F.col("event_type") == "purchase") \
         .select("user_id").distinct()
     exact = clicks.intersect(purch).agg(
         F.count(F.lit(1)).alias("n_exact"))
-    rsd = 1.04 / (2 ** 12) ** 0.5
     return exact.crossJoin(F.broadcast(u)).select(
         "n_exact",
-        (F.abs(F.col("est_int") - F.col("n_exact"))
-         <= F.lit(3 * rsd) * F.col("est_union")).alias("sketch_ok"),
+        (F.abs(F.col("est_intersection") - F.col("n_exact"))
+         <= F.lit(3 * _HLL_RSD) * F.col("est_union")).alias("sketch_ok"),
     )
 
 
@@ -1595,7 +1620,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("long").alias("n_orders"),
             F.round(
-                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+                # i cast LONG before the doubling (r9 review: row_number
+                # is 32-bit, so 2*i overflows int at >2^30 rows per
+                # class — ANSI raises — while the oracle's BIGINT math
+                # is correct; n is already long via the count window)
+                F.sum((2 * F.col("i").cast("long") - F.col("n") - 1)
+                      * F.col("x"))
                 .cast("double")
                 / (F.max("n").cast("double")
                    * F.sum("x").cast("double")), 6).alias("gini"),
