@@ -198,10 +198,11 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build,
         with _SHARED_LOCK:
             items = list(_SHARED.items())
         stale = [sk for sk, e in items if _session_stopped(e[0])]
-        with _SHARED_LOCK:
+        snap = dict(items)   # hoisted (r9 review: rebuilding this dict
+        with _SHARED_LOCK:   # per stale key was O(n·stale) under the lock)
             for sk in stale:
                 cur = _SHARED.get(sk)
-                if cur is not None and cur[0] is dict(items)[sk][0]:
+                if cur is not None and cur[0] is snap[sk][0]:
                     del _SHARED[sk]
                     _SHARED_KEY_LOCKS.pop(sk, None)
             key_lock = _SHARED_KEY_LOCKS.setdefault(k, threading.RLock())
@@ -367,11 +368,16 @@ def _track_persist(df: DataFrame) -> DataFrame:
         # entries added since the snapshot using the STORED hashes only
         # (local int compares — no py4j under the lock; unknown hash =
         # potential twin = skip, eviction is performance-only), then
-        # unpersist while still holding it — a plan-equal registration
-        # cannot interleave because registration also takes this lock.
-        # The single bounded unpersist call under the lock is the
-        # deliberate exception to the no-py4j-under-lock rule: it is
-        # what makes the decision and the action atomic.
+        # unpersist while still holding it. RESIDUAL window (r9 review):
+        # _shared's builder calls df.persist() BEFORE it takes this lock
+        # to register, so a plan-equal twin that is persisted but not
+        # yet registered can still lose its cache entry here — the
+        # affected query then runs uncached (recomputes, never wrong);
+        # accepted as performance-only, since closing it would mean
+        # registering unpersisted frames or holding the lock across
+        # py4j persist calls. The single bounded unpersist call under
+        # the lock is the deliberate exception to the
+        # no-py4j-under-lock rule: it makes decision + action atomic.
         with _SHARED_LOCK:
             fresh = [1 for s, d, lh in _LOOSE_PERSISTS
                      if s is sess and all(d is not x for x in seen)

@@ -130,6 +130,23 @@ def _segment_sums(buf, starts, stops):
     return np.where(stops > starts, sums, 0)
 
 
+def _fanout(counts):
+    """Per-doc 1→N expansion indices: (doc_idx, rank) where ``doc_idx``
+    repeats each doc's index for its count and ``rank`` is the 0-based
+    within-doc slot. ONE implementation of the repeat/cumsum/arange
+    idiom (r9 review: it was copy-pasted in three kernels — frame
+    sampling, energy windows, scene cuts — where an off-by-one fix in
+    one copy would silently miss the others)."""
+    import numpy as np
+
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    first = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    rank = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+    return doc_idx, rank
+
+
 def fused_round_trip(encode_batch, decode_batch):
     """Chain an encode kernel into a decode kernel INSIDE one Python
     stage: ``decode(encode(batches))`` streaming batch by batch.
@@ -184,9 +201,13 @@ def decode_image_real(payload: bytes) -> "object":
     LZW). A JPEG-magic payload that fails the parse raises ValueError
     (corrupt data or a layout outside the decoder's scope — progressive,
     arithmetic, or exotic samplings — are indistinguishable without
-    PIL/opencv and neither is a caller bug this function can repair);
-    only formats with no decoder here at all (WebP/AVIF) raise
-    NotImplementedError."""
+    PIL/opencv and neither is a caller bug this function can repair).
+    EVERY other magic raises NotImplementedError — including
+    PNG/GIF/BMP/PPM/WAV, whose in-repo decoders live in their own
+    modules with their own parse contracts and are NOT routed through
+    this dispatch (pinned by tests/test_entry.py; this function is the
+    documented third-party-codec boundary, not a universal decoder),
+    as well as formats with no decoder here at all (WebP/AVIF)."""
     if payload[:2] == b"\xff\xd8":
         from .multimodal_jpeg import _jpeg_parse
 
@@ -582,9 +603,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. The oracle recomputes the fake codec's arithmetic in SQL (text is
     ascii, so byte i == char i), proving the Arrow round-trip is lossless
     and the batch plumbing correct."""
-    return binary_docs(spark, sf_dir).mapInPandas(
-        fake_decode_batch, schema=DECODE_SCHEMA
-    )
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
 
 
 # Oracle mirror of the BMP round trip: per size class, the file layout is
@@ -703,14 +723,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_ids = pdf["doc_id"].to_numpy()
             n_frames = -(-lens // _FRAME)                   # ceil
             n_sampled = -(-n_frames // _SAMPLE_EVERY)
-            total = int(n_sampled.sum())
-            # expand to one slot per sampled frame, all in numpy:
-            # doc_idx repeats each doc for its sampled-frame count;
-            # frame_no is the within-doc rank × stride
-            doc_idx = np.repeat(np.arange(len(lens)), n_sampled)
-            first = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(n_sampled[:-1], out=first[1:])
-            rank = np.arange(total, dtype=np.int64) - np.repeat(first, n_sampled)
+            # expand to one slot per sampled frame, all in numpy
+            # (_fanout: doc_idx repeats each doc for its sampled-frame
+            # count; frame_no is the within-doc rank × stride)
+            doc_idx, rank = _fanout(n_sampled)
             frame_no = rank * _SAMPLE_EVERY
             f_start = starts[doc_idx] + frame_no * _FRAME
             f_stop = np.minimum(f_start + _FRAME, starts[doc_idx] + lens[doc_idx])
@@ -728,7 +744,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("frame_bytes", IntegerType()),
         StructField("frame_sum", LongType()),
     ])
-    return binary_docs(spark, sf_dir).mapInPandas(sample_frames, schema=schema)
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(sample_frames, schema=schema)
 
 
 @query(
@@ -803,11 +820,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             sq = (buf - 128) ** 2
             doc_ids = pdf["doc_id"].to_numpy()
             n_win = -(-lens // _WIN)                        # ceil
-            total = int(n_win.sum())
-            doc_idx = np.repeat(np.arange(len(lens)), n_win)
-            first = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(n_win[:-1], out=first[1:])
-            win_no = np.arange(total, dtype=np.int64) - np.repeat(first, n_win)
+            doc_idx, win_no = _fanout(n_win)
             w_start = starts[doc_idx] + win_no * _WIN
             w_stop = np.minimum(w_start + _WIN,
                                 starts[doc_idx] + lens[doc_idx])
@@ -825,7 +838,8 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("n_samples", IntegerType()),
         StructField("energy", LongType()),
     ])
-    return binary_docs(spark, sf_dir).mapInPandas(energy_windows, schema=schema)
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(energy_windows, schema=schema)
 
 
 PHASH_SCHEMA = "doc_id long, phash_hi long, phash_lo long"
@@ -954,11 +968,7 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             buf, starts, lens = _flat_batch(pdf["payload"])
             n_frames = -(-lens // _FRAME)
-            total = int(n_frames.sum())
-            doc_idx = np.repeat(np.arange(len(lens)), n_frames)
-            first = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(n_frames[:-1], out=first[1:])
-            rank = np.arange(total, dtype=np.int64) - np.repeat(first, n_frames)
+            doc_idx, rank = _fanout(n_frames)
             f_start = starts[doc_idx] + rank * _FRAME
             f_stop = np.minimum(f_start + _FRAME,
                                 starts[doc_idx] + lens[doc_idx])
@@ -980,8 +990,13 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     dtype="int64"),
             })
 
-    return binary_docs(spark, sf_dir).mapInPandas(
-        scenecuts, schema="doc_id long, n_frames long, n_cuts long")
+    # doc_id+payload only (r9 review: Spark cannot column-prune through
+    # mapInPandas, so unselected lang/source/n_chars were scanned and
+    # Arrow-serialized into every Python worker — the bmp/phash sites'
+    # existing discipline, now applied to all four kernel queries)
+    return binary_docs(spark, sf_dir).select("doc_id", "payload") \
+        .mapInPandas(scenecuts,
+                     schema="doc_id long, n_frames long, n_cuts long")
 
 
 _PHASH_HAM_T = 8  # near-dup threshold: ≤ 8 of 64 bits differ
@@ -1003,7 +1018,7 @@ _PHASH_HAM_T = 8  # near-dup threshold: ≤ 8 of 64 bits differ
 )
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIRS: documents whose perceptual hashes differ in
-    ≤ {_PHASH_HAM_T} of 64 bits, mined by the radius-EXACT pigeonhole
+    ≤ 8 (_PHASH_HAM_T) of 64 bits, mined by the radius-EXACT pigeonhole
     band scheme (9 chunks over the 64 bits: ≤ 8 differing bits ⇒ at
     least one chunk identical), then exact Hamming verification — the
     same chunk machinery as q_dedup_simhash_pairs (llm_dedup.
@@ -1023,14 +1038,21 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-scale corpora move to the Manku block-pair tables at the same
     threshold, or tighten the radius.
     """
-    from .llm_dedup import simhash_pairs
+    from .llm_dedup import _track_persist, simhash_pairs
 
-    sigs = q_multimodal_phash(spark, sf_dir).select(
+    # TRACKED persist (r9 review): simhash_pairs references the
+    # signature frame 4-5 times (distinct build, both join sides, the
+    # verify), and with an unpersisted input the corpus-wide phash
+    # mapInPandas kernel re-executed per reference (measured: 8
+    # MapInPandas nodes in the executed plan) — q_dedup_simhash_pairs
+    # avoids this only because its signatures come from the
+    # _shared-persisted frame.
+    sigs = _track_persist(q_multimodal_phash(spark, sf_dir).select(
         "doc_id",
         # one 64-bit signature: (x >> sh) & mask extracts chunks
         # correctly under arithmetic shift even when bit 63 makes the
         # long negative
         F.expr("shiftleft(phash_hi, 32) | phash_lo").alias("simhash"),
-    )
+    ))
     return simhash_pairs(sigs, max_hamming=_PHASH_HAM_T,
                          n_chunks=_PHASH_HAM_T + 1, total_bits=64)
