@@ -25,8 +25,8 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from .exact import (
-    KNUTH, cents_sum, dec_avg_double, dec_sum_double, sql_dec_sum_double,
-    ts_lit,
+    KNUTH, SQL_MONEY, cents_sum, dec_avg_double, dec_sum_double,
+    money_term, sql_dec_sum_double, ts_lit,
 )
 from ..registry import query
 
@@ -203,11 +203,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_3way",
-    oracle="""
+    oracle=f"""
         SELECT n_name, r_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                        * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
-                   AS revenue,
+               CAST(SUM({SQL_MONEY}) AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -234,9 +232,10 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                  * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
-            .cast("double").alias("revenue"),
+            # money_term: the ONE shared money spelling (r9 review; the
+            # (8,4) narrow factor is only needed by q_agg_group's
+            # three-factor charge product, not a two-factor sum)
+            F.sum(money_term()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -578,15 +577,22 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame",
     oracle="""
         SELECT event_id, user_id, value,
-               SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                   AS moving_sum
+               -- exact DECIMAL frame sum (r9 review): DuckDB's windowed
+               -- double SUM associates via segment tree while Spark
+               -- re-accumulates frames sequentially — the documented
+               -- 1-ulp divergence class; decimal never reassociates
+               CAST(SUM(CAST(value AS DECIMAL(18, 4)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS moving_sum
         FROM events
     """,
     tags=("window",),
 )
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving 3-row sum per user (explicit ROWS frame)."""
+    """Moving 3-row sum per user (explicit ROWS frame); the frame sum
+    runs in exact DECIMAL (see the oracle comment — the
+    q_win_range_interval rule)."""
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -594,7 +600,9 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-2, Window.currentRow)
     )
     return e.select(
-        "event_id", "user_id", "value", F.sum("value").over(w).alias("moving_sum")
+        "event_id", "user_id", "value",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("moving_sum"),
     )
 
 
@@ -745,14 +753,12 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_case_when",
-    oracle="""
+    oracle=f"""
         SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
                     WHEN l_discount >= 0.04 THEN 'mid'
                     ELSE 'low' END AS disc_tier,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                        * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
-                   AS revenue
+               CAST(SUM({SQL_MONEY}) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY 1
     """,
@@ -769,9 +775,8 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy(tier).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-              * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
-        .cast("double").alias("revenue"),
+        # money_term: the ONE shared money spelling (r9 review)
+        F.sum(money_term()).cast("double").alias("revenue"),
     )
 
 
@@ -1028,6 +1033,11 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRID_CELL = 5       # cell size == radius: neighbors live in 3×3 cells
 _GRID_R = 5          # Chebyshev radius
+# LOAD-BEARING coupling (r9 review): the half-neighborhood probe set
+# only covers ±1-cell offsets, which is complete ONLY while cell ≥
+# radius — tuning one constant without the other would silently drop
+# qualifying pairs that span 2 cells on an axis.
+assert _GRID_CELL >= _GRID_R, "grid probe set requires cell >= radius"
 _GRID_KX = KNUTH  # shared constant (exact.py); derivation comment below
 _GRID_KY = 1540483477
 

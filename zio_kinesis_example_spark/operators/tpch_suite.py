@@ -43,13 +43,6 @@ from .exact import (
     rev_str, ts_lit,
 )
 
-# local aliases: the idiom is defined ONCE in exact.py (r8 review)
-_ts = ts_lit
-_money = money_term
-_rev_str = rev_str
-_SQL_MONEY = SQL_MONEY
-_SQL_REV = SQL_REV
-
 
 @query(
     "q_tpch_q4",
@@ -76,8 +69,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated to nothing.
     """
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01"))
-        & (F.col("o_orderdate") < _ts("1996-04-01"))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-04-01"))
     )
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -94,7 +87,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(date_part('year', l_shipdate) AS INT) AS l_year,
-               {_SQL_REV} AS revenue
+               {SQL_REV} AS revenue
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -125,8 +118,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01"))
-        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
     )
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
@@ -143,7 +136,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(_rev_str(_money()).alias("revenue"))
+        .agg(rev_str(money_term()).alias("revenue"))
     )
 
 
@@ -156,7 +149,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(SUM(volume) AS DOUBLE) AS mkt_share
         FROM (
             SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
-                   CAST({_SQL_MONEY} AS DECIMAL(30, 8)) AS volume,
+                   CAST({SQL_MONEY} AS DECIMAL(30, 8)) AS volume,
                    n2.n_name AS nation
             FROM part
             JOIN lineitem ON p_partkey = l_partkey
@@ -191,8 +184,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01"))
-        & (F.col("o_orderdate") < _ts("1998-01-01"))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
     )
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
@@ -204,7 +197,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp_nation = n.select(F.col("n_nationkey").alias("s_nkey"),
                            F.col("n_name").alias("nation"))
-    vol = _money().cast("decimal(30,8)")
+    vol = money_term().cast("decimal(30,8)")
     sales = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -228,7 +221,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT n_name AS nation,
                CAST(date_part('year', o_orderdate) AS INT) AS o_year,
-               {_SQL_REV} AS sum_profit
+               {SQL_REV} AS sum_profit
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -261,14 +254,14 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(_rev_str(_money()).alias("sum_profit"))
+        .agg(rev_str(money_term()).alias("sum_profit"))
     )
 
 
 @query(
     "q_tpch_q10",
     oracle=f"""
-        SELECT c_custkey, c_name, {_SQL_REV} AS revenue,
+        SELECT c_custkey, c_name, {SQL_REV} AS revenue,
                c_acctbal, n_name, c_mktsegment
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -278,7 +271,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
-        ORDER BY SUM({_SQL_MONEY}) DESC, c_custkey
+        ORDER BY SUM({SQL_MONEY}) DESC, c_custkey
         LIMIT 20
     """,
     tags=("join", "agg", "tpch"),
@@ -294,8 +287,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1997-01-01"))
-        & (F.col("o_orderdate") < _ts("1997-04-01"))
+        (F.col("o_orderdate") >= ts_lit("1997-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-04-01"))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
@@ -304,7 +297,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.sum(_money()).cast("decimal(30,8)").alias("rev_dec"))
+        .agg(F.sum(money_term()).cast("decimal(30,8)").alias("rev_dec"))
         .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name",
@@ -356,10 +349,10 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle=f"""
         SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                                     THEN CAST({_SQL_MONEY} AS DECIMAL(30, 8))
+                                     THEN CAST({SQL_MONEY} AS DECIMAL(30, 8))
                                      ELSE CAST(0 AS DECIMAL(30, 8)) END)
                             AS DOUBLE)
-                     / CAST(SUM(CAST({_SQL_MONEY} AS DECIMAL(30, 8)))
+                     / CAST(SUM(CAST({SQL_MONEY} AS DECIMAL(30, 8)))
                             AS DOUBLE) AS promo_revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -381,11 +374,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     final-merge exchange of one partial row per partition).
     """
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1997-03-01"))
-        & (F.col("l_shipdate") < _ts("1997-04-01"))
+        (F.col("l_shipdate") >= ts_lit("1997-03-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-04-01"))
     )
     p = load(spark, sf_dir, "part")
-    vol = _money().cast("decimal(30,8)")
+    vol = money_term().cast("decimal(30,8)")
     zero = F.lit(0).cast("decimal(30,8)")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
@@ -403,7 +396,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(SUM({_SQL_MONEY}) AS DECIMAL(30, 8)) AS total_rev
+                   CAST(SUM({SQL_MONEY}) AS DECIMAL(30, 8)) AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -431,12 +424,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no window over a single partition.
     """
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1997-01-01"))
-        & (F.col("l_shipdate") < _ts("1997-04-01"))
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-04-01"))
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_money()).cast("decimal(30,8)").alias("total_rev"))
+        .agg(F.sum(money_term()).cast("decimal(30,8)").alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load(spark, sf_dir, "supplier")
@@ -524,9 +517,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
     pkeys = p.select("p_partkey")
+    # NO forced broadcast (r9 review): the brand key set and per-part
+    # thresholds grow linearly with |part| (~4% of it), unlike the
+    # fixed-size nation/region dims the module broadcasts explicitly —
+    # AQE broadcasts them while they fit and degrades gracefully to a
+    # shuffle join at the 100 TB posture instead of OOMing the driver.
     li = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pkeys), F.col("l_partkey") == F.col("p_partkey"),
+        .join(pkeys, F.col("l_partkey") == F.col("p_partkey"),
               "left_semi")
     )
     thr = (
@@ -534,7 +532,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr"))
     )
     return (
-        li.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        li.join(thr, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg((dec_sum_double("l_extendedprice")
               / F.lit(7.0)).alias("avg_yearly"))
@@ -544,7 +542,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle=f"""
-        SELECT {_SQL_REV} AS revenue
+        SELECT {SQL_REV} AS revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -584,7 +582,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(bracket)
-        .agg(_rev_str(_money()).alias("revenue"))
+        .agg(rev_str(money_term()).alias("revenue"))
     )
 
 
@@ -619,11 +617,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1997-01-01"))
-        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
     )
     qual = (
-        li.join(F.broadcast(p.select("p_partkey")),
+        # no forced broadcast: '%red%' parts are ~5% of |part| — SF-
+        # proportional, so the strategy stays AQE's (the Q17 rationale)
+        li.join(p.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -743,7 +743,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_avg_double("c_acctbal", dp=2).alias("a"))
     )
     recent = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= _ts("1999-01-01")).select("o_custkey")
+        F.col("o_orderdate") >= ts_lit("1999-01-01")).select("o_custkey")
     return (
         c.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("a"))
@@ -921,8 +921,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 3 groups).
     """
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ts("1997-01-01"))
-        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
     )
     o = load(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
