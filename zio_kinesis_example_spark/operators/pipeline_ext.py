@@ -118,7 +118,12 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            i -> array_to_string(terms[i:i+2], ' '))
                        ELSE [array_to_string(terms, ' ')] END) AS sh
               FROM t),
-        e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        -- contentless docs are EXCLUDED (r9 review — api.containment_
+        -- pairs' r8 rule applied to this oracle-paired twin too): an
+        -- empty text's single '' shingle would pair every such doc
+        -- with every other at cont = 1.0, ~m^2/2 bogus rows
+        e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+              WHERE NOT (len(sh) = 1 AND sh[1] = '')),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      COUNT(*) AS n_common,
                      MIN(a.n) AS na, MIN(b.n) AS nb
@@ -151,10 +156,19 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import containment_from_exploded
     from .llm_dedup import _with_shingles
 
-    e = _with_shingles(spark, sf_dir).select(
-        F.col("doc_id").alias("__id"),
-        F.size("shingles").cast("long").alias("__n"),
-        F.explode("shingles").alias("__g"),
+    # contentless docs excluded (r9 review: mirrors the oracle and
+    # api.containment_pairs — the cached shingle frame represents an
+    # empty text as the single '' shingle, which would otherwise pair
+    # quadratically at cont = 1.0)
+    e = (
+        _with_shingles(spark, sf_dir)
+        .filter(~((F.size("shingles") == 1)
+                  & (F.element_at("shingles", 1) == "")))
+        .select(
+            F.col("doc_id").alias("__id"),
+            F.size("shingles").cast("long").alias("__n"),
+            F.explode("shingles").alias("__g"),
+        )
     )
     return containment_from_exploded(e, threshold=0.5) \
         .withColumnRenamed("id_a", "doc_a") \
@@ -231,7 +245,9 @@ def q_curate_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_embed_pq — product-quantization code assignment
 # --------------------------------------------------------------------------
 from .llm_similarity import _COS_SCALE as _PQ_SCALE  # noqa: E402  # ONE quantization rule (r8 review)
-_PQ_M = 2               # subspaces (dim 64 → two 32-d halves)
+from .llm_similarity import _QUANT as _PQ_QUANT  # noqa: E402  # and ONE spelling of it (r9 review)
+# subspace count is FIXED at two 32-d halves (d0/d1 on both engines) —
+# a tunable-looking _PQ_M constant was dead code (r9 review)
 _PQ_K = 16              # centroids per subspace
 _PQ_SUBDIM = 32
 
@@ -286,13 +302,10 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import pq_assign
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(cast(embedding as array<double>), "
-            f"x -> cast(floor(x * {_PQ_SCALE}.0D) as bigint))"
-        ).alias("v"),
-    )
+    # _QUANT: the ONE spelling of the quantization transform (r9
+    # review: this was a third inline copy next to llm_similarity._QUANT
+    # and api.pq_assign's internal one)
+    q = emb.select("vec_id", F.expr(_PQ_QUANT).alias("v"))
     cents = [r["v"] for r in q.orderBy("vec_id").limit(_PQ_K).collect()]
     books = [[c[:_PQ_SUBDIM] for c in cents],
              [c[_PQ_SUBDIM:] for c in cents]]
@@ -959,15 +972,18 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     s = part.filter(F.col("p_partkey") % 10 == _BLOOM_SEL) \
         .select("p_partkey")
-    pos_rows = (
-        s.select(F.explode(F.array(
-            *[F.expr(p) for p in
-              _affine_pos(_h_spark("p_partkey"), _BLOOM_AB, _BLOOM_M)]))
-         .alias("p"))
-        .distinct().collect()
-    )
-    positions = sorted(int(r["p"]) for r in pos_rows)
-    n_keys = s.count()
+    # ONE build-side pass (r9 review: the distinct-collect and the
+    # count ran as two separate jobs over the same scan); the collected
+    # state stays bounded at <= 3·|S| positions, as documented.
+    build = s.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(
+            F.array(*[F.expr(p) for p in
+                      _affine_pos(_h_spark("p_partkey"),
+                                  _BLOOM_AB, _BLOOM_M)]))))).alias("pos"),
+    ).first()
+    positions = [int(p) for p in build["pos"]]
+    n_keys = build["n_keys"]
     words = [0] * (_BLOOM_M // 64)
     for p in positions:
         words[p >> 6] |= 1 << (p & 63)
@@ -1177,9 +1193,15 @@ _KNN_K = 3
 @query(
     "q_join_grid_knn",
     oracle=f"""
+        -- mod-first products (r9 review: the direct key*KNUTH product
+        -- is the int64-overflow form relational.py hardened away —
+        -- identical values at every scale since (a*b) mod m ==
+        -- ((a mod m)(b mod m)) mod m, but never overflows)
         WITH pts AS (SELECT o_orderkey AS id,
-                            (o_orderkey * 2654435761) % 10000 AS x,
-                            (o_custkey * 1540483477) % 10000 AS y
+                            ((o_orderkey % 10000) * {2654435761 % 10000})
+                                % 10000 AS x,
+                            ((o_custkey % 10000) * {1540483477 % 10000})
+                                % 10000 AS y
                      FROM orders),
         pairs AS (SELECT a.id AS id, b.id AS nbr,
                          GREATEST(abs(a.x - b.x), abs(a.y - b.y)) AS d

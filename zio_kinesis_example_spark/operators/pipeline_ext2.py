@@ -24,6 +24,8 @@ surface — this module is north-star surface mandated by BASELINE.json.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -369,6 +371,12 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BUCKETS = 8
+#: serializes the probe-then-write below (r9 review: the bare
+#: tableExists-then-saveAsTable was an unsynchronized check-then-act —
+#: two same-session registry threads could both pass the probe and race
+#: overwrite writes onto one path, the hazard _shared()'s per-key locks
+#: exist for; bucketed builds are rare enough for one module lock)
+_BUCKETED_LOCK = threading.Lock()
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
@@ -387,16 +395,26 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     import os
     import tempfile
 
+    import atexit
+    import shutil
+
     app = spark.sparkContext.applicationId.replace("-", "_")
     slug = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:12]
     name = f"zke_bkt_{table}_{slug}"
-    if not spark.catalog.tableExists(name):
-        path = os.path.join(tempfile.gettempdir(), "zke_bucketed", slug,
-                            table)
-        (load(spark, sf_dir, table)
-         .write.bucketBy(_BUCKETS, key).sortBy(key)
-         .option("path", path).mode("overwrite")
-         .format("parquet").saveAsTable(name))
+    with _BUCKETED_LOCK:
+        if not spark.catalog.tableExists(name):
+            root = os.path.join(tempfile.gettempdir(), "zke_bucketed", slug)
+            path = os.path.join(root, table)
+            (load(spark, sf_dir, table)
+             .write.bucketBy(_BUCKETS, key).sortBy(key)
+             .option("path", path).mode("overwrite")
+             .format("parquet").saveAsTable(name))
+            # best-effort /tmp hygiene (r9 review: every session wrote
+            # two fact-table copies under a fresh slug and NOTHING
+            # removed them — repeated bench/driver sessions filled the
+            # disk); the layout is session-scoped state, so delete it
+            # when the driver process exits.
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
     return name
 
 
