@@ -570,20 +570,22 @@ class TestBatch4:
 
 
 def test_seqlen_overflow_bucket_pads_zero(spark):
-    """Docs longer than the top menu length (4096) land in the overflow
-    bucket (8192) with ZERO padding waste — the trainer truncates them;
-    before the r8 clamp their negative bucket−n_tokens silently
-    cancelled real padding in the overflow aggregate."""
-    from zio_kinesis_example_spark.operators.pipeline_ext5 import _seqlen_case
+    """EVERY doc longer than the top menu length (4096) lands in the
+    overflow bucket (8192) with ZERO padding waste — the trainer
+    truncates it (r9 review: the earlier least() clamp only zeroed docs
+    ≥ 8192, so a 4097-token doc fabricated 8192−4097 of waste)."""
+    from zio_kinesis_example_spark.operators.pipeline_ext5 import (
+        _SEQLEN_MENU, _seqlen_case,
+    )
 
+    top = _SEQLEN_MENU[-1]
     row = spark.sql(
         f"SELECT CAST({_seqlen_case('n')} AS BIGINT) AS bucket, "
-        f"CAST({_seqlen_case('n')} AS BIGINT) - least(n, "
-        f"CAST({_seqlen_case('n')} AS BIGINT)) AS waste "
+        f"CASE WHEN n > {top} THEN 0 "
+        f"ELSE CAST({_seqlen_case('n')} AS BIGINT) - n END AS waste "
         "FROM VALUES (10000L), (4096L), (4097L), (10L) AS t(n)"
     ).collect()
     got = {(r.bucket, r.waste) for r in row}
     assert (8192, 0) in got          # 10000-token doc: truncates, pads 0
     assert (4096, 0) in got          # exact fit
-    assert (8192, 8192 - 4097) in got
-    assert (16, 6) in got
+    assert got == {(8192, 0), (4096, 0), (16, 6)}  # 4097 also pads ZERO

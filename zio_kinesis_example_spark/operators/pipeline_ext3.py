@@ -115,6 +115,10 @@ from .llm_similarity import _emb  # noqa: E402
 
 _HN_K = 5
 from .llm_similarity import _COS_SCALE as _HN_SCALE  # noqa: E402  # ONE quantization rule (r8 review)
+# ... and ONE spelling of it on each engine (r9 review: this module had
+# re-written the transform text six times; the expressions are
+# value-identical to the shared constants, so reuse moves no hashes)
+from .llm_similarity import _DUCK_QUANT, _QUANT  # noqa: E402
 
 
 @query(
@@ -122,8 +126,7 @@ from .llm_similarity import _COS_SCALE as _HN_SCALE  # noqa: E402  # ONE quantiz
     oracle=f"""
         WITH base AS (
             SELECT vec_id, label,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * {_HN_SCALE}.0) AS BIGINT)) AS qv
+                   {_DUCK_QUANT} AS qv
             FROM embeddings
         ),
         nrm AS (
@@ -196,7 +199,7 @@ def q_sample_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # move hashes. The sentinel (-2.0 vs 0.0) and the carried label
     # columns differ too. The shared contract is the _COS_SCALE
     # quantization rule (imported above), not the expression text.
-    quant = f"transform(emb, x -> cast(floor(x * {_HN_SCALE}.0D) as bigint))"
+    quant = _QUANT.replace("embedding", "emb")  # the ONE spelling
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", F.expr(quant).alias("qv"),
     ).withColumn(
@@ -289,9 +292,7 @@ def _cov_kernel(batches):
     "q_embed_covariance",
     oracle=f"""
         WITH v AS (SELECT vec_id,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                              x -> CAST(floor(x * {_COV_SCALE}.0) AS BIGINT))
-                              AS q
+                          {_DUCK_QUANT} AS q
                    FROM embeddings),
         e AS (SELECT vec_id, i, q[i] AS x
               FROM v CROSS JOIN generate_series(1, {_COV_DIM}) t(i)),
@@ -340,8 +341,7 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, never centering the data).
     """
     e = load(spark, sf_dir, "embeddings").select(
-        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
-               f"x -> CAST(floor(x * {_COV_SCALE}.0D) AS BIGINT))").alias("v")
+        F.expr(_QUANT).alias("v")
     )
     # DECIMAL(38,0), not long: the cross-chunk totals wrap int64 around
     # ~3e7 vectors (per-chunk partials are int64-safe by the kernel's
@@ -395,9 +395,7 @@ _SIL_SCALE = _HN_SCALE
     "q_embed_silhouette",
     oracle=f"""
         WITH v AS (SELECT vec_id, label,
-                          list_transform(CAST(embedding AS DOUBLE[]),
-                              x -> CAST(floor(x * {_SIL_SCALE}.0) AS BIGINT))
-                              AS q
+                          {_DUCK_QUANT} AS q
                    FROM embeddings),
         e AS (SELECT vec_id, label, i, q[i] AS x
               FROM v CROSS JOIN generate_series(1, 64) t(i)),
@@ -460,9 +458,7 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
-               f"x -> CAST(floor(x * {_SIL_SCALE}.0D) AS BIGINT))").alias("v"),
+        "vec_id", "label", F.expr(_QUANT).alias("v"),
     )
     # MEAN centroid via llm_similarity.label_centroids — ONE definition
     # of q_embed_cohesion's truncated-integer-mean rule (r8 review)

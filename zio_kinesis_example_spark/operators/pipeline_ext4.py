@@ -36,10 +36,18 @@ from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
 # --------------------------------------------------------------------------
 _AC_LAGS = (1, 2, 24)
 
-# The hourly series has a FIXED length (the fixture's one-month span, ~720
-# points) at every scale factor, so the per-series folds are bounded; they
-# still run as ORDERED folds (sort_array / array_agg ORDER BY — the chi2
-# rule) so the float sums associate identically on both engines.
+# The hourly series is CALENDAR-BOUNDED (the fixture's one-month span,
+# ≤ ~720 observed points) at every scale factor, so the per-series folds
+# are bounded; they still run as ORDERED folds (sort_array / array_agg
+# ORDER BY — the chi2 rule) so the float sums associate identically on
+# both engines. Lags are TIME-keyed equality joins (h − lag·1h), not
+# row-offset lag() (r9 review: the hourly series is SPARSE at small SF —
+# at sf0.001 only ~25% of spanned hours exist — so lag(dx, 24) paired an
+# hour with whatever row was 24 ROWS back, ~4 days earlier on average,
+# and r24 measured nothing about daily seasonality; a missing lagged
+# hour now contributes 0 to the numerator, the standard
+# sparse-autocorrelation convention this query already used for series
+# edges).
 _AC_ORACLE = f"""
     WITH hourly AS (
         SELECT event_type,
@@ -59,11 +67,13 @@ _AC_ORACLE = f"""
         FROM hourly h JOIN stats s USING (event_type)
     ),
     lagged AS (
-        SELECT event_type, h, dx,
+        SELECT d.event_type, d.h, d.dx,
                {", ".join(
-                   f"lag(dx, {lg}) OVER (PARTITION BY event_type ORDER BY h)"
-                   f" AS dx{lg}" for lg in _AC_LAGS)}
+                   f"d{lg}.dx AS dx{lg}" for lg in _AC_LAGS)}
         FROM d
+        {" ".join(
+            f"LEFT JOIN d d{lg} ON d{lg}.event_type = d.event_type "
+            f"AND d{lg}.h = d.h - INTERVAL {lg} HOUR" for lg in _AC_LAGS)}
     ),
     folded AS (
         SELECT event_type,
@@ -91,6 +101,10 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags 1h / 2h / 24h — the memory/seasonality diagnostic (r24 near
     r1 means a daily cycle dominates; all near zero means white noise)
     that decides between q_ts_ewma, q_ts_holt, and q_ts_seasonal.
+    Lags are TIME-keyed (h − lag hours), so a sparse series correlates
+    each hour with the hour actually 1/2/24 hours earlier — a missing
+    lagged hour contributes 0, like the series edges (r9 review: the
+    earlier row-offset lag() measured variable, gap-dependent offsets).
 
     DETERMINISM: hourly means are exact-cent sums + one division
     (q_ts_seasonal's rule); every cross-product fold runs ORDERED by
@@ -100,8 +114,8 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the raw table collapses to |types| x |hours| rows in
     ONE partial-agged shuffle; the series length is calendar-bounded
-    (~720 points/month regardless of SF) so the ordered folds are O(1)
-    per series. Lags ride one window sort shared across all three.
+    (≤ ~720 points/month regardless of SF) so the ordered folds and the
+    three time-keyed equality self-joins are O(1) per series.
     """
     e = load(spark, sf_dir, "events")
     hourly = hourly_cents_mean(e, "x", hour_col="h")
@@ -115,11 +129,16 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg((ofold("x") / F.count(F.lit(1))).alias("mean")))
     d = (hourly.join(F.broadcast(stats), "event_type")
          .select("event_type", "h", (F.col("x") - F.col("mean")).alias("dx")))
-    w = Window.partitionBy("event_type").orderBy("h")
-    lagged = d.select(
-        "event_type", "h", "dx",
-        *[F.lag("dx", lg).over(w).alias(f"dx{lg}") for lg in _AC_LAGS],
-    )
+    # TIME-keyed lags (r9 review — see the oracle comment): a row-offset
+    # lag() misaligns on the sparse hourly series; each lag is an exact
+    # equality join on (event_type, h − lag·1h) over the tiny frame
+    lagged = d
+    for lg in _AC_LAGS:
+        shifted = d.select(
+            "event_type",
+            (F.col("h") + F.expr(f"INTERVAL {lg} HOURS")).alias("h"),
+            F.col("dx").alias(f"dx{lg}"))
+        lagged = lagged.join(shifted, ["event_type", "h"], "left")
     folded = lagged.groupBy("event_type").agg(
         ofold("dx * dx").alias("den"),
         *[ofold(f"CASE WHEN dx{lg} IS NOT NULL THEN dx * dx{lg} "

@@ -241,12 +241,19 @@ def _seqlen_case(col: str) -> str:
                    CAST({_seqlen_case("n_tokens")} AS BIGINT) AS bucket
             FROM t
         )
+        -- EVERY doc longer than the top menu length pads zero (r9
+        -- review: the least() clamp only zeroed docs >= 2*top, so
+        -- 4097..8191-token docs fabricated pad-to-8192 waste the
+        -- truncating trainer never pays)
         SELECT bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-               CAST(SUM(bucket - least(n_tokens, bucket)) AS BIGINT)
+               CAST(SUM(CASE WHEN n_tokens > {_SEQLEN_MENU[-1]} THEN 0
+                             ELSE bucket - n_tokens END) AS BIGINT)
                    AS padding_waste,
-               round(CAST(SUM(bucket - least(n_tokens, bucket)) AS DOUBLE)
+               round(CAST(SUM(CASE WHEN n_tokens > {_SEQLEN_MENU[-1]}
+                                   THEN 0 ELSE bucket - n_tokens END)
+                          AS DOUBLE)
                      / (bucket * COUNT(*)), 6) + 0.0 AS waste_frac
         FROM b GROUP BY bucket
     """,
@@ -285,11 +292,12 @@ def q_text_seqlen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
-            # least(): docs LONGER than the top menu length land in the
-            # overflow bucket and are TRUNCATED by the trainer, padding
-            # zero — without the clamp their negative "waste" silently
-            # cancels real padding in the overflow aggregate (r8 review)
-            F.sum(F.col("bucket") - F.least("n_tokens", "bucket"))
+            # EVERY doc longer than the top menu length pads ZERO —
+            # the trainer truncates it (r9 review: the r8 least() clamp
+            # only covered docs >= 2·top, so a 4097-token doc fabricated
+            # 8192−4097 of waste the truncating trainer never pays)
+            F.sum(F.when(F.col("n_tokens") > _SEQLEN_MENU[-1], F.lit(0))
+                  .otherwise(F.col("bucket") - F.col("n_tokens")))
             .alias("padding_waste"),
         )
         .select(
