@@ -50,6 +50,35 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
             raise ValueError(f"coalesce_to must be >= 1, got {coalesce_to}")
         df = df.coalesce(coalesce_to)
     if fmt == "csv":
+        # ONE consolidated CSV block (r9 review: the escape projection,
+        # writer options, and marker/guard logic were split across three
+        # separate branches with a duplicated save site).
+        import os
+
+        marker = os.path.join(path, _CSV_ESCAPE_MARKER)
+        path_existed = os.path.exists(path)
+        had_data = os.path.isdir(path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(path))
+        legacy = had_data and not os.path.exists(marker)
+        if legacy and mode == "append":
+            # appending escaped rows into a pre-escape directory would
+            # mix layouts, and stamping it would corrupt the legacy
+            # rows' backslashes on read (r8 review)
+            raise ValueError(
+                "append into a legacy (pre-escape) CSV directory: "
+                "rewrite it with mode='overwrite' first")
+        if (legacy and mode == "overwrite" and partition_by
+                and str(df.sparkSession.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode",
+                    "static")).lower() == "dynamic"):
+            # dynamic overwrite rewrites ONLY the partitions present in
+            # df, leaving other legacy partitions' raw-backslash rows in
+            # place — stamping afterwards would corrupt them on read
+            # (r9 review: the r8 guard covered append only)
+            raise ValueError(
+                "dynamic partition-overwrite into a legacy (pre-escape) "
+                "CSV directory would mix layouts: rewrite the whole "
+                "directory with static overwrite first")
         # The NULL sentinel (\N) is taken OUT of band by backslash
         # escaping (round 8; closes the r7 in-band-sentinel limitation):
         # every literal backslash in a string cell doubles on write, so
@@ -57,54 +86,37 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
         # nullValue match ("\N", applied after unquoting) does NOT
         # consume — and read_table's unescape restores it. Literal
         # string replace (F.replace), not regex. NULL/''/backslash
-        # payloads now all round-trip losslessly (tests/test_io.py).
-        #
-        # Compatibility: the directory is stamped with
-        # _CSV_ESCAPE_MARKER; read_table unescapes ONLY stamped dirs,
-        # so pre-escape directories keep their exact old read behavior
-        # (raw backslashes preserved; a literal \N still reads as NULL
-        # there — rewrite legacy dirs to get the lossless round trip).
+        # payloads all round-trip losslessly (tests/test_io.py).
+        # read_table unescapes ONLY marker-stamped dirs, so pre-escape
+        # directories keep their exact old read behavior.
         for f in df.schema.fields:
             if isinstance(f.dataType, StringType):
                 df = df.withColumn(
                     f.name,
                     F.replace(F.col(f.name), F.lit("\\"), F.lit("\\\\")))
-    writer = df.write.format(fmt).mode(mode)
-    if fmt == "csv":
-        # nullValue sentinel keeps NULL distinguishable from '' on the
-        # round trip (default writes both as empty); the matching reader
-        # options + unescape are in read_table. The whitespace options
-        # disable the WRITER's default trimming (r8 review: Spark's CSV
-        # writer defaults ignore{Leading,Trailing}WhiteSpace to TRUE on
-        # write — '  padded  ' silently came back 'padded'; the reader
-        # side already defaults to false).
-        writer = (writer.option("header", "true")
+        # nullValue keeps NULL distinguishable from '' on the round
+        # trip; the whitespace options disable the WRITER's default
+        # trimming (r8 review: ignore{Leading,Trailing}WhiteSpace
+        # default TRUE on write — '  padded  ' came back 'padded').
+        writer = (df.write.format(fmt).mode(mode)
+                  .option("header", "true")
                   .option("nullValue", "\\N")
                   .option("ignoreLeadingWhiteSpace", "false")
                   .option("ignoreTrailingWhiteSpace", "false"))
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    if fmt == "csv":
-        import os
-
-        marker = os.path.join(path, _CSV_ESCAPE_MARKER)
-        existed = os.path.isdir(path) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(path))
-        if existed and mode == "append" and not os.path.exists(marker):
-            # appending escaped rows into a pre-escape directory would
-            # mix layouts, and stamping it would corrupt the legacy
-            # rows' backslashes on read (r8 review)
-            raise ValueError(
-                "append into a legacy (pre-escape) CSV directory: "
-                "rewrite it with mode='overwrite' first")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         writer.save(path)
-        # stamp ONLY when this call actually (re)wrote the layout: an
-        # ignore-mode no-op on an existing legacy dir must not flip its
-        # read semantics
-        if not (mode == "ignore" and existed):
+        # stamp ONLY when this call actually (re)wrote the layout.
+        # Spark's ignore mode no-ops whenever the PATH exists — even an
+        # empty pre-created dir (r9 review: counting only data files
+        # stamped a dir the write skipped), so gate on path existence.
+        if not (mode == "ignore" and path_existed):
             with open(marker, "w"):
                 pass
         return
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.save(path)
 
 

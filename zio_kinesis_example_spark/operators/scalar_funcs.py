@@ -205,10 +205,20 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_funcs",
     oracle="""
+        -- TRY_CAST gated on JSON INTEGER types (r9 review): a plain
+        -- CAST RAISED on a non-numeric k where Spark's from_json('k
+        -- INT') yields NULL; it also coerced quoted numerics ('"5"')
+        -- and would round JSON doubles — both of which from_json NULLs.
+        -- The integer-type gate + TRY_CAST matches Spark's
+        -- failure -> NULL contract on every axis.
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-               (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_mod
+               CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               END AS k_int,
+               (CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                END % 10) AS k_mod
         FROM events
     """,
     tags=("function", "json"),
@@ -375,9 +385,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_regex_funcs",
     oracle="""
+        -- TRY_CAST (r9 review): regexp_extract returns '' on a
+        -- non-matching source and CAST('' AS INT) RAISES in DuckDB
+        -- where the Spark side yields NULL — one stray source value at
+        -- a new SF would crash the whole oracle query
         SELECT doc_id,
-               CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INT)
-                   AS src_num,
+               TRY_CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2)
+                        AS INT) AS src_num,
                regexp_matches(text, 'quick|lazy') AS mentions,
                regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g')
                    AS devoweled
@@ -393,8 +407,10 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2)
-        .cast("int").alias("src_num"),
+        # try_cast: a non-matching source extracts '' and a plain cast
+        # RAISES under ANSI (r9 review; mirrors the oracle's TRY_CAST)
+        F.expr("try_cast(regexp_extract(source, '([a-z]+)([0-9]+)', 2) "
+               "AS int)").alias("src_num"),
         F.col("text").rlike("quick|lazy").alias("mentions"),
         F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_")
         .alias("devoweled"),

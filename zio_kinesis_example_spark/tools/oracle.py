@@ -18,6 +18,7 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import SparkSession
@@ -31,9 +32,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     registration the driver performs (__spark_entry__.py docstring)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path(sf_dir, t)}')"
-        )
+        # single quotes doubled (r9 review: an unescaped path containing
+        # ' broke the CREATE VIEW parse before any comparison ran)
+        p = path(sf_dir, t).replace("'", "''")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
@@ -77,8 +79,13 @@ def canonical_rows(df: pd.DataFrame, precision: int = 9) -> list[tuple]:
                 # it to None would equate Spark's NULL with DuckDB's NaN
                 # on 0/0-style divisions and mask the divergence this
                 # harness exists to catch. Only non-float NA markers
-                # (NaT, pandas NA) normalize to NULL.
-                if not (isinstance(v, float) and math.isnan(v)):
+                # (NaT, pandas NA) normalize to NULL. np.floating covers
+                # FLOAT (float32) scalar columns (r9 review: np.float32
+                # is not a float subclass, so a float32 NaN was wrongly
+                # normalized to NULL here while the array-element path
+                # kept it NaN).
+                if not (isinstance(v, (float, np.floating))
+                        and math.isnan(v)):
                     v = None
             elif hasattr(v, "item") and type(v).__name__ != "ndarray":
                 v = v.item()  # numpy scalar → python
