@@ -587,13 +587,18 @@ def test_seqlen_buckets_two_phase_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_autocorr_three_lags_share_one_window_sort(spark):
-    """q_ts_autocorr's lag-1/2/24 columns must ride ONE window over one
-    (event_type, hour) sort — three separate Window nodes would triple
-    the series sort."""
+def test_autocorr_lags_are_time_keyed_joins(spark):
+    """q_ts_autocorr's lag-1/2/24 columns are TIME-keyed equality joins
+    on the bounded hourly frame (r9: the earlier row-offset window lag
+    misaligned on the sparse series) — all broadcast hash joins, no
+    Window node and no per-series sort in the plan (the ordered folds
+    use sort_array, not a Sort operator)."""
     plan = _plan(spark, "q_ts_autocorr", "simple")
-    assert plan.count("Window") == 1
-    assert plan.count("Sort [") == 1
+    assert plan.count("Window") == 0
+    assert plan.count("Sort [") == 0
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan       # tiny frames must broadcast
 
 
 def test_power_users_single_window_sort(spark):
