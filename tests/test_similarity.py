@@ -304,3 +304,55 @@ def test_ann_index_registry_trains_once_per_session(spark):
         assert not np.array_equal(c0, c1)
     finally:
         S.clear_ann_cache()
+
+
+def test_ann_store_failure_warns_once(spark, tmpdir_factory_local,
+                                      monkeypatch):
+    """r10 ADVICE regression: a broken persisted-index location (here:
+    SPARK_GRAFT_ANN_INDEX_DIR pointing at a flat FILE) no longer
+    disables the feature SILENTLY. The first load/store failure of each
+    kind emits one RuntimeWarning — then stays quiet — and the
+    best-effort fallback still trains a correct artifact. A plain cold
+    miss (FileNotFoundError on load) stays warning-free."""
+    import os
+    import warnings
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    blocker = os.path.join(tmpdir_factory_local("annwarn"), "flatfile")
+    with open(blocker, "w") as fh:
+        fh.write("not a directory")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR", blocker)
+    S.clear_ann_cache()
+    S._ANN_STORE_WARNED.clear()
+    try:
+        e = S._emb(spark, SF_SMALL)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            c = S._ivf_centroids(spark, SF_SMALL, e, S._IVF_TRAIN_ITERS)
+        assert c.shape[0] > 0 and c.shape[1] > 0   # fallback trained
+        ours = [x for x in w if issubclass(x.category, RuntimeWarning)
+                and "persisted ANN index" in str(x.message)]
+        assert ours, "broken store produced no warning"
+
+        # same failure kinds again: silent (once-per-process guard)
+        S.clear_ann_cache()
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            S._ivf_centroids(spark, SF_SMALL, e, S._IVF_TRAIN_ITERS)
+        assert not [x for x in w2
+                    if "persisted ANN index" in str(x.message)]
+
+        # healthy empty dir: cold miss is NOT a failure -> no warning
+        S.clear_ann_cache()
+        S._ANN_STORE_WARNED.clear()
+        monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR",
+                           tmpdir_factory_local("annwarn-ok"))
+        with warnings.catch_warnings(record=True) as w3:
+            warnings.simplefilter("always")
+            S._ivf_centroids(spark, SF_SMALL, e, S._IVF_TRAIN_ITERS)
+        assert not [x for x in w3
+                    if "persisted ANN index" in str(x.message)]
+    finally:
+        S.clear_ann_cache()
+        S._ANN_STORE_WARNED.clear()

@@ -1071,3 +1071,69 @@ def test_upsert_sink_survives_mid_batch_jvm_kill(tmpdir_factory_local,
     got = {r["id"]: r["val"] for r in sink.current(spark).collect()}
     assert got == {k: (120 if k == 0 else 110 + k) for k in range(10)}
     assert sink.current_version() == "v2"
+
+
+def test_ann_probe_nan_poison_and_dedupe_order(spark, tmpdir_factory_local):
+    """r10 ADVICE regressions on the streaming ANN probe:
+    (a) a vector containing a NaN or NULL ELEMENT is dropped by the
+        validity filter — cosine over NaN yields NaN, which the
+        descending window ranks FIRST, so before the fix such a poison
+        vector won a deterministic-but-garbage top-k verdict;
+    (b) validity filtering runs BEFORE the in-batch groupBy/max dedupe,
+        so a wrong-dimension poison payload that compares greater
+        lexicographically cannot beat a VALID vector for the same key
+        (before the fix the key silently lost its verdict despite valid
+        data arriving in the same micro-batch)."""
+    import numpy as np
+
+    from zio_kinesis_example_spark.streaming import UpsertSink, topk_ingest
+
+    Cn = np.array([[1.0, 0.0], [0.0, 1.0]])
+    corpus_cells = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, emb array<double>, cell int")
+    state = tmpdir_factory_local("annpoison-state")
+    sink = UpsertSink(state, key="query_id", seq_col="neighbors")
+    ingest = topk_ingest(sink, corpus_cells, Cn, nprobe=2, k=2)
+
+    # (a) NaN element / NULL element / NULL vector: all dropped, only
+    # the clean vector gets a verdict
+    ingest(spark.createDataFrame(
+        [(1, [1.0, 0.0]),
+         (2, [float("nan"), 1.0]),
+         (3, [None, 1.0]),
+         (4, None)],
+        "query_id long, emb array<double>"), batch_id=0)
+    got = {r.query_id: r.neighbors for r in sink.current(spark).collect()}
+    assert set(got) == {1}
+    assert got[1] == "1 2"          # exact cosine order in cell 0
+
+    # (b) same-key conflict: the wrong-dimension [9.0] compares greater
+    # than the valid [0.0, 1.0] under array ordering, so a
+    # dedupe-before-filter would discard the valid row and the key
+    # would get NO verdict; filter-before-dedupe keeps it
+    ingest(spark.createDataFrame(
+        [(5, [9.0]), (5, [0.0, 1.0])],
+        "query_id long, emb array<double>"), batch_id=1)
+    got = {r.query_id: r.neighbors for r in sink.current(spark).collect()}
+    assert got[5] == "3 2"          # the valid vector's verdict
+
+
+def test_upsert_sink_map_payload_dedupes(spark, tmpdir_factory_local):
+    """r10 ADVICE regression: the deterministic seq-tie tiebreak struct
+    is built from ORDERABLE columns only — a batch carrying a MapType
+    payload column must dedupe and merge without AnalysisException
+    (the pre-r9 sink handled maps; the whole-row struct broke that).
+    Ties on the orderable prefix still break arbitrarily for map-only
+    differences — the documented corner."""
+    from zio_kinesis_example_spark.streaming import UpsertSink
+
+    state = tmpdir_factory_local("mapsink-state")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    batch = spark.createDataFrame(
+        [(1, 1, {"a": 1}), (1, 2, {"b": 2}), (2, 1, {"c": 3})],
+        "id long, seq long, payload map<string,int>")
+    sink(batch, batch_id=0)
+    got = {r.id: (r.seq, dict(r.payload))
+           for r in sink.current(spark).collect()}
+    assert got == {1: (2, {"b": 2}), 2: (1, {"c": 3})}

@@ -433,6 +433,28 @@ _ANN_INDEX_CAP = 64
 #: every artifact is deterministic (identical bytes, last-wins).
 _ANN_STORE_FMT = "zke_ann_index_v1"
 
+#: once-per-process warn guard (r10 review): a misconfigured
+#: SPARK_GRAFT_ANN_INDEX_DIR, an unwritable warehouse, or a
+#: non-serializable artifact used to disable the persisted-index
+#: feature SILENTLY (fresh sessions quietly retrain). The fallback
+#: stays best-effort, but the first failure of each kind now emits a
+#: visible warning so the operator can notice the build-cost leak.
+_ANN_STORE_WARNED: set = set()
+
+
+def _ann_store_warn(kind: str, exc: Exception) -> None:
+    import warnings
+
+    key = (kind, type(exc).__name__)
+    if key in _ANN_STORE_WARNED:
+        return
+    _ANN_STORE_WARNED.add(key)
+    warnings.warn(
+        f"persisted ANN index {kind} failed ({type(exc).__name__}: {exc}); "
+        "falling back to in-session retraining — check "
+        "SPARK_GRAFT_ANN_INDEX_DIR / warehouse writability",
+        RuntimeWarning, stacklevel=3)
+
 
 def _ann_store_dir(spark: SparkSession) -> str:
     """Directory for persisted index artifacts: the session's warehouse
@@ -502,7 +524,10 @@ def _ann_disk_load(spark: SparkSession, sf_real: str, artifact: str,
             import numpy as np
             return np.array(data, dtype=np.float64)
         return data                                    # codec == "json"
-    except Exception:
+    except FileNotFoundError:
+        return None                                    # normal cold miss
+    except Exception as exc:
+        _ann_store_warn("load", exc)
         return None
 
 
@@ -524,8 +549,8 @@ def _ann_disk_store(spark: SparkSession, sf_real: str, artifact: str,
                        "corpus": _corpus_fingerprint(sf_real),
                        "data": data}, fh)
         os.replace(tmp, path)
-    except Exception:
-        pass
+    except Exception as exc:
+        _ann_store_warn("store", exc)
 
 
 def _ann_cached(spark: SparkSession, sf_dir: str, artifact: str, build,

@@ -63,6 +63,19 @@ def ivf_index(spark: SparkSession, sf_dir: str,
     return corpus_cells, Cn
 
 
+def _valid_emb(dim: int):
+    """Predicate keeping only well-formed vectors: non-null, exact
+    dimension, and NO null/NaN elements (r10 review: Arrow converts
+    list nulls to NaN, cosine over a NaN element yields NaN, and
+    Spark's descending window ranks NaN FIRST — so a poison vector
+    would win a deterministic-but-garbage top-k verdict instead of
+    being dropped, the same NaN-ordering hazard cosine()'s zero-norm
+    guard exists for)."""
+    return (F.col("emb").isNotNull()
+            & (F.size("emb") == dim)
+            & ~F.expr("exists(emb, x -> x is null or isnan(x))"))
+
+
 def probe_topk(queries: DataFrame, corpus_cells: DataFrame, Cn,
                nprobe: int = 3, k: int = 5) -> DataFrame:
     """Exact-cosine top-k of each query row against the probed cells of
@@ -84,8 +97,7 @@ def probe_topk(queries: DataFrame, corpus_cells: DataFrame, Cn,
     nprobe = min(nprobe, Cn.shape[0])
     dim = int(Cn.shape[1])
     q = (
-        queries.filter(F.col("emb").isNotNull()
-                       & (F.size("emb") == dim))
+        queries.filter(_valid_emb(dim))
         .withColumn(
             "cells", _sim._ivf_assign_udf(Cn, nprobe)(F.col("emb")))
         .select(F.col("query_id"), F.col("emb").alias("qe"),
@@ -120,9 +132,19 @@ def topk_ingest(sink, corpus_cells: DataFrame, Cn,
     and the verdict string would garble. One vector per key per batch,
     greatest payload wins on a genuine same-key conflict (deterministic
     — the asof/UpsertSink tie convention; array ordering is
-    lexicographic), matching what the sink itself would keep."""
+    lexicographic), matching what the sink itself would keep.
+
+    VALIDITY BEFORE DEDUPE (r10 review): the malformed-vector filter
+    runs before the groupBy/max, not only inside probe_topk — otherwise
+    a wrong-dimension poison payload that compares greater (e.g. a
+    large first element) beats a VALID vector for the same key within
+    one batch and the key silently loses its verdict despite valid
+    data arriving."""
+    dim = int(Cn.shape[1])
+
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        queries = batch.groupBy("query_id").agg(F.max("emb").alias("emb"))
+        queries = (batch.filter(_valid_emb(dim))
+                   .groupBy("query_id").agg(F.max("emb").alias("emb")))
         topk = probe_topk(queries, corpus_cells, Cn, nprobe=nprobe, k=k)
         verdicts = (
             topk.groupBy("query_id")

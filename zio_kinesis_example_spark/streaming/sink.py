@@ -31,6 +31,20 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True iff Spark can sort by a column of this type. MapType is the
+    non-orderable case (AnalysisException under ORDER BY); arrays and
+    structs are orderable iff their element/field types are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 class UpsertSink:
@@ -95,10 +109,16 @@ class UpsertSink:
         # kept a shuffle-order-dependent row, so a crash between the
         # pointer swap and the offset commit could replay to a
         # DIFFERENT survivor — violating the byte-identical-replay
-        # contract. The whole-row struct breaks every tie
-        # deterministically (payloads must be orderable types — the
-        # asof_join restriction).
-        tiebreak = F.struct(*[F.col(c) for c in batch.columns]).desc()
+        # contract. The struct breaks ties deterministically — built
+        # from ORDERABLE columns only (r10 review: a whole-row struct
+        # raised AnalysisException for batches carrying a MapType
+        # payload, a regression vs the old arbitrary-tie dedupe).
+        # Rows identical on every orderable column but differing in a
+        # non-orderable one still tie arbitrarily — the pre-r9
+        # behavior, now confined to that corner.
+        orderable = [c for c, f in zip(batch.columns, batch.schema.fields)
+                     if _orderable(f.dataType)]
+        tiebreak = F.struct(*[F.col(c) for c in orderable]).desc()
         return dedup_latest(batch, [self.key],
                             [F.col(self.seq_col).desc(), tiebreak])
 
