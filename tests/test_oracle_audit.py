@@ -1,0 +1,577 @@
+"""Mirrored-oracle audit (round 10): independent pure-Python MODEL tests
+for the registered queries whose DuckDB oracle is a structural
+transliteration of the Spark plan.
+
+Background (VERDICT r9, "What's wrong" #1): q_ts_autocorr's row-offset
+lag() bug survived four hash-green rounds because the oracle used the
+SAME row-offset lag() — the driver's hash check verifies ENGINE PARITY,
+not semantics. The closure is a third, independent formulation: each
+test here runs the REGISTERED query (registry.all_specs()[name].fn) on
+the real sf0.001 tables and compares it to a pure-Python model written
+from the documented SEMANTICS (docstring spec), using direct loops/sets
+— never the windowed/folded algebra the Spark plan and the oracle
+share. A shared defect in that algebra now has to fool three mutually
+independent formulations, one of them trivially auditable Python.
+
+Selection: the MIRRORED-RISK rows of AUDIT.md §3 (ordered folds,
+time-keyed/window-direction logic, sequence anchors, gaps-and-islands
+tricks, hand-written algorithm mirrors). Constants (alphas, windows,
+caps) are imported from the operator modules — they are parameters of
+the spec, not the algebra under test.
+
+Float policy: Spark emits round(x, 6); models compute full-precision
+floats (possibly in a different summation order) and assert
+|model − spark| ≤ 2e-6 — wide enough for fold-order drift, far below
+any semantics defect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zio_kinesis_example_spark.registry import all_specs
+
+from .conftest import SF_SMALL
+
+HOUR_US = 3_600_000_000
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return all_specs()[name].fn(spark, SF_SMALL).toPandas()
+
+
+def _events() -> pd.DataFrame:
+    e = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    # loader truncates TIMESTAMP(NANOS) to µs — mirror that here
+    e["ts"] = e["ts"].dt.floor("us")
+    return e
+
+
+def _us(ts_series: pd.Series) -> pd.Series:
+    """Epoch microseconds, independent of the frame's datetime unit
+    (sf0.001 loads as datetime64[us], generated tables as [ns])."""
+    return (ts_series - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+
+
+def _cents(v: float) -> int:
+    """Spark round(v*100) — HALF_UP on the double product."""
+    x = v * 100.0
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _hour(ts) -> pd.Timestamp:
+    return ts.floor("h")
+
+
+def _hourly_cents_mean(e: pd.DataFrame) -> dict:
+    """{(event_type, hour): exact-cents mean} — the documented hourly
+    mean spec (sum of 2dp cents / (100·count))."""
+    acc: dict = defaultdict(lambda: [0, 0])
+    for t, ts, v in zip(e.event_type, e.ts, e.value):
+        k = (t, _hour(ts))
+        acc[k][0] += _cents(v)
+        acc[k][1] += 1
+    return {k: s / (100.0 * n) for k, (s, n) in acc.items()}
+
+
+# ---------------------------------------------------------------- timeseries
+
+def test_autocorr_matches_time_lag_model(spark):
+    """q_ts_autocorr (the r9 fix, now LOCKED by a third formulation):
+    r_L correlates each observed hour with the hour exactly L hours
+    earlier; unobserved lagged hours contribute 0 to the numerator."""
+    got = {r.event_type: (r.r1, r.r2, r.r24)
+           for _, r in _run(spark, "q_ts_autocorr").iterrows()}
+    m = _hourly_cents_mean(_events())
+    series: dict = defaultdict(dict)
+    for (t, h), v in m.items():
+        series[t][h] = v
+    want = {}
+    for t, hs in series.items():
+        mean = sum(hs.values()) / len(hs)
+        dx = {h: v - mean for h, v in hs.items()}
+        den = sum(d * d for d in dx.values())
+        rs = []
+        for lag in (1, 2, 24):
+            num = sum(d * dx.get(h - pd.Timedelta(hours=lag), 0.0)
+                      for h, d in dx.items())
+            rs.append(num / den if den > 0 else 0.0)
+        want[t] = tuple(rs)
+    assert set(got) == set(want)
+    for t in want:
+        for g, w in zip(got[t], want[t]):
+            assert abs(g - w) <= 2e-6, (t, got[t], want[t])
+
+
+def test_ewma_matches_fold_model(spark):
+    """q_ts_ewma: s0 = x0, s = 0.3·x + 0.7·s over hourly CENT SUMS in
+    ascending hour order."""
+    from zio_kinesis_example_spark.operators.timeseries import _EWMA_ALPHA
+
+    got = {r.event_type: (r.n_hours, r.ewma)
+           for _, r in _run(spark, "q_ts_ewma").iterrows()}
+    acc: dict = defaultdict(dict)
+    for t, ts, v in zip(*(lambda e: (e.event_type, e.ts, e.value))(_events())):
+        h = _hour(ts)
+        acc[t][h] = acc[t].get(h, 0) + _cents(v)
+    want = {}
+    for t, hs in acc.items():
+        xs = [hs[h] / 100.0 for h in sorted(hs)]
+        s = xs[0]
+        for x in xs[1:]:
+            s = _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * s
+        want[t] = (len(xs), s)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert abs(got[t][1] - want[t][1]) <= 2e-6, t
+
+
+def test_holt_matches_two_state_model(spark):
+    """q_ts_holt: l1 = x1, b1 = x2 − x1, then the textbook two-state
+    recurrence (α=0.4, β=0.3) over hourly COUNTS in hour order."""
+    got = {r.event_type: (r.n_hours, r.level, r.trend, r.forecast_next)
+           for _, r in _run(spark, "q_ts_holt").iterrows()}
+    cnt: dict = defaultdict(lambda: defaultdict(int))
+    for t, ts in zip(*(lambda e: (e.event_type, e.ts))(_events())):
+        cnt[t][_hour(ts)] += 1
+    want = {}
+    for t, hs in cnt.items():
+        xs = [float(hs[h]) for h in sorted(hs)]
+        if len(xs) < 2:
+            continue
+        level, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            l_new = 0.4 * x + 0.6 * (level + b)
+            b = 0.3 * (l_new - level) + 0.7 * b
+            level = l_new
+        want[t] = (len(xs), level, b, level + b)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        for g, w in zip(got[t][1:], want[t][1:]):
+            assert abs(g - w) <= 2e-6, (t, got[t], want[t])
+
+
+def test_changepoint_matches_cusum_model(spark):
+    """q_ts_changepoint: the argmax hour of |k·cumsum − i·total| over
+    the sorted hourly-count series, ties to the earliest hour."""
+    got = {r.event_type: (r.cp_hour, r.dev_scaled, r.n_hours, r.n_events)
+           for _, r in _run(spark, "q_ts_changepoint").iterrows()}
+    cnt: dict = defaultdict(lambda: defaultdict(int))
+    for t, ts in zip(*(lambda e: (e.event_type, e.ts))(_events())):
+        cnt[t][_hour(ts)] += 1
+    want = {}
+    for t, hs in cnt.items():
+        hours = sorted(hs)
+        k, s = len(hours), sum(hs.values())
+        cum, best = 0, None
+        for i, h in enumerate(hours, start=1):
+            cum += hs[h]
+            dev = abs(k * cum - i * s)
+            if best is None or dev > best[1]:
+                best = (h, dev)
+        want[t] = (best[0], best[1], k, s)
+    assert {t: (pd.Timestamp(g[0]), int(g[1]), int(g[2]), int(g[3]))
+            for t, g in got.items()} == want
+
+
+def test_interpolate_matches_lerp_model(spark):
+    """q_ts_interpolate: over the GLOBAL hourly spine of the two sparse
+    types, observed hours pass through, interior gaps lerp between the
+    nearest observed hours time-weighted, edges stay NULL."""
+    res = _run(spark, "q_ts_interpolate")
+    got = {(r.event_type, pd.Timestamp(r.bucket_hour)):
+           (bool(r.observed),
+            None if pd.isna(r.value_interp) else r.value_interp)
+           for _, r in res.iterrows()}
+    e = _events()
+    e = e[e.event_type.isin(["purchase", "signup"])]
+    m = _hourly_cents_mean(e)
+    all_hours = sorted({h for (_, h) in m})
+    spine = pd.date_range(all_hours[0], all_hours[-1], freq="h")
+    want = {}
+    for t in {"purchase", "signup"}:
+        obs = sorted(h for (tt, h) in m if tt == t)
+        for h in spine:
+            if (t, h) in m:
+                want[(t, h)] = (True, m[(t, h)])
+                continue
+            prev = max((o for o in obs if o < h), default=None)
+            nxt = min((o for o in obs if o > h), default=None)
+            if prev is None or nxt is None:
+                want[(t, h)] = (False, None)
+                continue
+            p, n, th = (prev.value // 10**9 // 3600,
+                        nxt.value // 10**9 // 3600,
+                        h.value // 10**9 // 3600)
+            v0, v1 = m[(t, prev)], m[(t, nxt)]
+            want[(t, h)] = (False, v0 + (v1 - v0) * (th - p) / (n - p))
+    assert set(got) == set(want)
+    for k, (obs_w, v_w) in want.items():
+        obs_g, v_g = got[k]
+        assert obs_g == obs_w, k
+        if v_w is None:
+            assert v_g is None, k
+        else:
+            assert v_g is not None and abs(v_g - v_w) <= 2e-6, (k, v_g, v_w)
+
+
+# -------------------------------------------------------------------- events
+
+def test_dau_wau_matches_trailing_window_model(spark):
+    """q_events_dau_wau: WAU(d) counts distinct users active anywhere
+    in [d−6, d] — the window DIRECTION is the axis a mirrored fan-out
+    formulation could get wrong on both sides."""
+    got = {pd.Timestamp(r.d): (r.dau, r.wau, r.stickiness)
+           for _, r in _run(spark, "q_events_dau_wau").iterrows()}
+    e = _events()
+    ud = {(u, ts.floor("D")) for u, ts in zip(e.user_id, e.ts)}
+    days = sorted({d for _, d in ud})
+    want = {}
+    for d in days:
+        dau = sum(1 for (_, dd) in ud if dd == d)
+        wau = len({u for (u, dd) in ud
+                   if d - pd.Timedelta(days=6) <= dd <= d})
+        want[d] = (dau, wau, dau / wau)
+    assert set(got) == set(want)
+    for d in want:
+        assert (int(got[d][0]), int(got[d][1])) == want[d][:2], d
+        assert abs(got[d][2] - want[d][2]) <= 2e-6, d
+
+
+def test_attribution_matches_interval_model(spark):
+    """q_events_attribution: each purchase's value splits equally over
+    the SAME user's clicks with 0 ≤ purchase−click ≤ 1h (closed window,
+    backward-looking); each click sums its shares."""
+    from zio_kinesis_example_spark.operators.pipeline_ext import \
+        _ATTR_WINDOW_US
+
+    got = {(r.click_id, r.user_id): (r.n_attributions, r.credit)
+           for _, r in _run(spark, "q_events_attribution").iterrows()}
+    e = _events()
+    us = _us(e.ts)
+    clicks = [(cid, u, t) for cid, u, t, k in
+              zip(e.event_id, e.user_id, us, e.event_type) if k == "click"]
+    purch = [(pid, u, t, v) for pid, u, t, v, k in
+             zip(e.event_id, e.user_id, us, e.value, e.event_type)
+             if k == "purchase"]
+    touches = defaultdict(list)   # purchase -> clicks in window
+    for pid, pu, pt, pv in purch:
+        for cid, cu, ct in clicks:
+            if cu == pu and 0 <= pt - ct <= _ATTR_WINDOW_US:
+                touches[(pid, pv)].append((cid, cu))
+    credit = defaultdict(list)
+    for (pid, pv), cs in touches.items():
+        for cid, cu in cs:
+            credit[(cid, cu)].append((pid, pv / len(cs)))
+    want = {k: (len(v), sum(s for _, s in sorted(v)))
+            for k, v in credit.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert int(got[k][0]) == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def _pattern_model(rows):
+    """Pure-Python CEP scan: purchases whose last preceding view is
+    ≤ 30 min older, with no error between that view and the purchase.
+    rows: (user, ts_us, event_id, type); order = (ts, event_id)."""
+    byu = defaultdict(list)
+    for u, t, i, k in rows:
+        byu[u].append((t, i, k))
+    out = {}
+    for u, seq in byu.items():
+        seq.sort()
+        n = 0
+        last_view = last_err = None          # (ts, event_id) positions
+        for t, i, k in seq:
+            if k == "purchase" and last_view is not None \
+                    and t - last_view[0] <= 30 * 60 * 1_000_000 \
+                    and (last_err is None or last_err < last_view):
+                n += 1
+            if k == "view":
+                last_view = (t, i)
+            elif k == "error":
+                last_err = (t, i)
+        if n:
+            out[u] = n
+    return out
+
+
+def test_pattern_matches_sequence_scan_model(spark):
+    """q_events_pattern vs a direct per-user ordered scan — the anchor
+    logic (strictly-preceding frame, (ts, event_id) tie order,
+    'no error in between') re-derived with explicit positions."""
+    got = {r.user_id: int(r.n_matches)
+           for _, r in _run(spark, "q_events_pattern").iterrows()}
+    e = _events()
+    rows = list(zip(e.user_id, _us(e.ts), e.event_id, e.event_type))
+    assert got == _pattern_model(rows)
+
+
+def test_streaks_matches_run_model(spark):
+    """q_events_streaks: longest run of CONSECUTIVE active days and the
+    number of maximal runs, from the distinct (user, day) set."""
+    got = {r.user_id: (int(r.longest_streak), int(r.n_streaks))
+           for _, r in _run(spark, "q_events_streaks").iterrows()}
+    e = _events()
+    byu = defaultdict(set)
+    for u, ts in zip(e.user_id, e.ts):
+        byu[u].add(ts.floor("D"))
+    want = {}
+    for u, ds in byu.items():
+        days = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (max(runs), len(runs))
+    assert got == want
+
+
+# ------------------------------------------------------------------ curation
+
+def test_drift_chi2_matches_contingency_model(spark):
+    """q_curate_drift_chi2: textbook χ² of each source's lang histogram
+    vs the corpus expectation, zero cells included; df-fixed critical
+    value for the drift verdict."""
+    from zio_kinesis_example_spark.operators.pipeline_ext import _CHI2_CRIT
+
+    got = {r.source: (int(r.n_docs), int(r.n_langs), r.chi2, bool(r.drifted))
+           for _, r in _run(spark, "q_curate_drift_chi2").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    obs = d.groupby(["source", "lang"]).size()
+    langs = sorted(d.lang.unique())
+    lang_tot = d.groupby("lang").size()
+    src_tot = d.groupby("source").size()
+    grand = len(d)
+    want = {}
+    for s in src_tot.index:
+        chi2 = 0.0
+        for lg in langs:
+            exp = src_tot[s] * lang_tot[lg] / grand
+            o = obs.get((s, lg), 0)
+            chi2 += (o - exp) ** 2 / exp
+        want[s] = (int(src_tot[s]), len(langs), chi2, chi2 > _CHI2_CRIT)
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0] and got[s][1] == want[s][1], s
+        assert abs(got[s][2] - want[s][2]) <= 2e-6, s
+        assert got[s][3] == want[s][3], s
+
+
+def _chunk_model(terms, size=64, stride=48):
+    """Direct sliding-window chunker: start at 0, advance by stride,
+    stop once a window reaches the end; short final window kept; a doc
+    shorter than one window yields exactly one chunk."""
+    n = len(terms)
+    out, start, no = [], 0, 0
+    while True:
+        end = min(start + size, n)
+        out.append((no, end - start, terms[start], terms[end - 1]))
+        if end >= n:
+            return out
+        start += stride
+        no += 1
+
+
+def test_chunk_matches_window_model(spark):
+    """q_curate_chunk vs the direct while-loop chunker — the ceil/stride
+    closed form is exactly the kind of arithmetic a mirrored oracle
+    can't catch an off-by-one in."""
+    got = {(r.doc_id, r.chunk_no):
+           (int(r.chunk_tokens), r.first_term, r.last_term)
+           for _, r in _run(spark, "q_curate_chunk").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        for no, ntok, first, last in _chunk_model(text.split(" ")):
+            want[(doc_id, no)] = (ntok, first, last)
+    assert got == want
+
+
+# --------------------------------------------------------------- dedup / sim
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_ngram_jaccard_matches_set_model(spark):
+    """q_dedup_ngram_jaccard vs direct Python SETS: shingle each doc
+    (distinct 3-word shingles; whole text if < 3 terms), candidates =
+    pairs sharing a shingle with global df ≤ cap, n_common = |A∩B| over
+    the FULL sets, keep 101·n_common ≥ |A|+|B| (Jaccard ≥ 1%). The
+    Spark/oracle pair recover |A∩B| by count algebra + hot-key array
+    intersects — this model never does."""
+    from zio_kinesis_example_spark.operators.llm_dedup import _DF_CAP
+
+    got = {(r.doc_a, r.doc_b): (int(r.n_common), r.jaccard)
+           for _, r in _run(spark, "q_dedup_ngram_jaccard").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    sets, posting = {}, defaultdict(set)
+    for doc_id, text in zip(d.doc_id, d.text):
+        terms = text.split(" ")
+        if len(terms) >= 3:
+            sh = {" ".join(terms[i:i + 3]) for i in range(len(terms) - 2)}
+        else:
+            sh = {" ".join(terms)}
+        hs = {_h60(g) for g in sh}
+        sets[doc_id] = hs
+        for h in hs:
+            posting[h].add(doc_id)
+    cands = set()
+    for h, docs in posting.items():
+        if len(docs) <= _DF_CAP:
+            ds = sorted(docs)
+            cands.update((a, b) for i, a in enumerate(ds) for b in ds[i + 1:])
+    want = {}
+    for a, b in cands:
+        common = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if common * 101 >= na + nb:
+            want[(a, b)] = (common, common / (na + nb - common))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark DIV / DuckDB // — truncation toward zero (Python // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_kmeans_matches_numpy_lloyd_model(spark):
+    """q_embed_kmeans vs an independent numpy Lloyd run: quantized
+    int64 vectors, Knuth-hash-ordered seeds, squared-L2 assignment with
+    first-min tie, per-dim truncating-mean update, empty cluster keeps
+    its previous centroid."""
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _KM_ITERS, _KM_K, _KM_SCALE,
+    )
+
+    got = {int(r.cid): (int(r.n_members), int(r.mem_sum), int(r.cent_sum))
+           for _, r in _run(spark, "q_embed_kmeans").iterrows()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    X = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                 * _KM_SCALE).astype(np.int64)
+
+    def draw(vid: int) -> int:
+        return ((vid % 65536) * 2654435761
+                + ((vid // 65536) % 65536) * 2041643008) % 4294967296
+
+    order = sorted(range(len(ids)), key=lambda i: (draw(int(ids[i])), ids[i]))
+    cents = [X[i].copy() for i in order[:_KM_K]]
+    assign = None
+    for _ in range(_KM_ITERS):
+        D = np.stack([((X - c) ** 2).sum(axis=1) for c in cents])  # (k, n)
+        assign = D.argmin(axis=0)                 # first min index on ties
+        for cid in range(_KM_K):
+            members = X[assign == cid]
+            if len(members):
+                s = members.sum(axis=0)
+                cents[cid] = np.array(
+                    [_trunc_div(int(v), len(members)) for v in s],
+                    dtype=np.int64)
+    want = {}
+    for cid in range(_KM_K):
+        members = X[assign == cid]
+        want[cid] = (len(members), int(members.sum()),
+                     int(cents[cid].sum()))
+    assert got == want
+
+
+# ------------------------------------------------ randomized-input re-checks
+# The fixture-data models above audit the real registered plans; these
+# hypothesis variants regenerate a tiny events TABLE per example and run
+# the SAME registered query on it — boundary cases (gap exactly at the
+# window edge, ties at one microsecond, single-hour series) that the
+# fixture never hits.
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:                              # pragma: no cover
+    _HYP = False
+
+_EV_TYPES = ["view", "click", "error", "purchase"]
+
+
+def _write_events(spark, tmpdir, rows):
+    """rows: (event_id, user_id, ts_us, type, value) → a one-table
+    sf_dir the registered queries can load."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, u, t, k, v) for i, u, t, k, v in rows],
+        "event_id long, user_id long, ts_us long, event_type string, "
+        "value double",
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
+        "event_type", "value",
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+if _HYP:
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 2),                       # user
+                  st.integers(0, 3 * HOUR_US),             # ts µs
+                  st.sampled_from(_EV_TYPES)),
+        min_size=1, max_size=40, unique_by=lambda r: (r[0], r[1], r[2])))
+    def test_pattern_model_randomized(spark, tmp_path_factory, rows):
+        """q_events_pattern on randomized event tables: microsecond
+        ties between view/error, purchases exactly 30 min after the
+        view, users with no views at all."""
+        tmpdir = str(tmp_path_factory.mktemp("audit-pattern"))
+        recs = [(i, u, t, k, 0.5) for i, (u, t, k) in enumerate(rows)]
+        _write_events(spark, tmpdir, recs)
+        res = all_specs()["q_events_pattern"].fn(spark, tmpdir).toPandas()
+        got = {r.user_id: int(r.n_matches) for _, r in res.iterrows()}
+        assert got == _pattern_model(
+            [(u, t, i, k) for i, u, t, k, _ in recs])
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 3),                       # user
+                  st.integers(0, 9)),                      # day index
+        min_size=1, max_size=40))
+    def test_dau_wau_model_randomized(spark, tmp_path_factory, rows):
+        """q_events_dau_wau on randomized activity: gaps longer than
+        the window, single-day users, activity exactly 6 days apart
+        (still inside the trailing window)."""
+        tmpdir = str(tmp_path_factory.mktemp("audit-dauwau"))
+        day_us = 86_400_000_000
+        recs = [(i, u, d * day_us + 1, "view", 0.5)
+                for i, (u, d) in enumerate(rows)]
+        _write_events(spark, tmpdir, recs)
+        res = all_specs()["q_events_dau_wau"].fn(spark, tmpdir).toPandas()
+        got = {pd.Timestamp(r.d): (int(r.dau), int(r.wau))
+               for _, r in res.iterrows()}
+        ud = {(u, d) for u, d in rows}
+        epoch = pd.Timestamp("1970-01-01")
+        want = {}
+        for d in sorted({d for _, d in ud}):
+            dau = sum(1 for (_, dd) in ud if dd == d)
+            wau = len({u for (u, dd) in ud if d - 6 <= dd <= d})
+            want[epoch + pd.Timedelta(days=d)] = (dau, wau)
+        assert got == want
