@@ -575,3 +575,263 @@ if _HYP:
             wau = len({u for (u, dd) in ud if d - 6 <= dd <= d})
             want[epoch + pd.Timedelta(days=d)] = (dau, wau)
         assert got == want
+
+
+# ----------------------------------------------------- batch 2: stats/graph
+
+def test_gini_matches_pairwise_model(spark):
+    """q_agg_gini states G via the sorted rank-weighted identity on both
+    sides; the model uses the OTHER classic identity — mean absolute
+    difference: G = ΣᵢΣⱼ|cᵢ−cⱼ| / (2·n·Σc) over exact cents — which a
+    rank/tie defect would not reproduce."""
+    got = {r.o_orderpriority: (int(r.n_orders), r.gini)
+           for _, r in _run(spark, "q_agg_gini").iterrows()}
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    want = {}
+    for pri, grp in o.groupby("o_orderpriority"):
+        c = np.rint(grp.o_totalprice.to_numpy() * 100).astype(np.int64)
+        n = len(c)
+        mad_sum = np.abs(c[:, None] - c[None, :]).sum()
+        want[pri] = (n, float(mad_sum) / (2.0 * n * c.sum()))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def test_wilson_matches_formula_model(spark):
+    """q_supplier_reliability: late counts re-derived with direct pandas
+    date arithmetic and the Wilson lower bound re-stated from the
+    textbook closed form."""
+    got = {int(r.l_suppkey): (int(r.n_items), int(r.n_late),
+                              r.late_rate, r.wilson_lower)
+           for _, r in _run(spark, "q_supplier_reliability").iterrows()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    j = li.merge(o[["o_orderkey", "o_orderdate"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j.l_shipdate > j.o_orderdate + pd.Timedelta(days=30)
+    want = {}
+    z = 1.96
+    for sk, grp in j.groupby("l_suppkey"):
+        n, late = len(grp), int(grp.late.sum())
+        p = late / n
+        lower = ((p + z * z / (2 * n)
+                  - z * math.sqrt(p * (1 - p) / n
+                                  + z * z / (4.0 * n * n)))
+                 / (1 + z * z / n))
+        want[int(sk)] = (n, late, p, lower)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+        assert abs(got[k][3] - want[k][3]) <= 2e-6, k
+
+
+def test_unigram_logprob_matches_model(spark):
+    """q_text_unigram_logprob: per-token corpus surprisal averaged per
+    document, re-derived with plain dict counts and per-token loop."""
+    got = {int(r.doc_id): (int(r.n_terms), r.bits_per_token)
+           for _, r in _run(spark, "q_text_unigram_logprob").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    tf: dict = defaultdict(int)
+    docs = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        toks = text.split(" ")
+        docs[int(doc_id)] = toks
+        for t in toks:
+            tf[t] += 1
+    total = sum(tf.values())
+    want = {}
+    for doc_id, toks in docs.items():
+        bits = sum(-math.log2(tf[t] / total) for t in toks)
+        want[doc_id] = (len(toks), bits / len(toks))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def test_tfidf_matches_model(spark):
+    """q_text_tfidf: tf·ln(N/df) top-3 per doc with the documented
+    (score desc, tf desc, df asc, term asc) tie order, re-derived with
+    dict counts and Python sorting."""
+    got = {(int(r.doc_id), int(r.rnk)): (r.term, int(r.tf), int(r.df))
+           for _, r in _run(spark, "q_text_tfidf").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    tf: dict = defaultdict(int)
+    for doc_id, text in zip(d.doc_id, d.text):
+        for t in text.split(" "):
+            tf[(int(doc_id), t)] += 1
+    df: dict = defaultdict(int)
+    for (_, t) in tf:
+        df[t] += 1
+    n_docs = len(d)
+    per_doc: dict = defaultdict(list)
+    for (doc_id, t), f in tf.items():
+        score = f * math.log(n_docs / df[t])
+        per_doc[doc_id].append((-score, -f, df[t], t))
+    want = {}
+    for doc_id, rows in per_doc.items():
+        for rnk, (_, nf, dfv, t) in enumerate(sorted(rows)[:3], start=1):
+            want[(doc_id, rnk)] = (t, -nf, dfv)
+    assert got == want
+
+
+def test_covariance_matches_numpy_model(spark):
+    """q_embed_covariance: the exact integer numerator n·Σxy − Σx·Σy
+    and the scaled double, re-derived from one numpy Gram product over
+    the quantized matrix."""
+    got = {(int(r["di"]), int(r["dj"])):
+           (int(r["n"]), int(r["cov_num"]), r["cov"])
+           for _, r in _run(spark, "q_embed_covariance").iterrows()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    X = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                 * 1_000_000.0).astype(np.int64)
+    n, dim = X.shape
+    G = X.T @ X                    # int64-safe: |Σxy| ≤ n·1e12
+    sx = X.sum(axis=0)
+    want = {}
+    for i in range(dim):
+        for jj in range(i, dim):
+            num = int(n) * int(G[i, jj]) - int(sx[i]) * int(sx[jj])
+            cov = num / (float(n) * n * 1e6 * 1e6)
+            want[(i + 1, jj + 1)] = (n, num, cov)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+
+
+def test_winsorize_matches_clip_model(spark):
+    """q_curate_winsorize: Tukey fences from numpy's linear-interpolated
+    percentiles (the percentile_cont spec), outliers counted and the
+    clipped sum re-derived by direct clipping."""
+    got = {r.event_type: (int(r.n_events), int(r.n_outliers),
+                          r.winsorized_sum)
+           for _, r in _run(spark, "q_curate_winsorize").iterrows()}
+    e = _events()
+    want = {}
+    for t, grp in e.groupby("event_type"):
+        v = grp.value.to_numpy()
+        p25, p75 = np.percentile(v, [25, 75])  # linear interpolation
+        lo, hi = p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25)
+        inside = (v >= lo) & (v <= hi)
+        wsum = (sum(_cents(x) for x in v[inside]) / 100.0
+                + (v < lo).sum() * lo + (v > hi).sum() * hi)
+        want[t] = (len(v), int((~inside).sum()), wsum)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+
+
+def test_funnel_matches_scan_model(spark):
+    """q_funnel: the strictly-ordered view → click → purchase stage
+    counts re-derived with per-user min-timestamp loops."""
+    row = _run(spark, "q_funnel").iloc[0]
+    e = _events()
+    us = _us(e.ts)
+    by_kind: dict = {k: defaultdict(list) for k in
+                     ("view", "click", "purchase")}
+    for u, t, k in zip(e.user_id, us, e.event_type):
+        if k in by_kind:
+            by_kind[k][u].append(t)
+    t1 = {u: min(ts) for u, ts in by_kind["view"].items()}
+    t2 = {}
+    for u, anchor in t1.items():
+        later = [t for t in by_kind["click"].get(u, []) if t > anchor]
+        if later:
+            t2[u] = min(later)
+    t3 = {}
+    for u, anchor in t2.items():
+        later = [t for t in by_kind["purchase"].get(u, []) if t > anchor]
+        if later:
+            t3[u] = min(later)
+    assert (int(row.n_view), int(row.n_click_after),
+            int(row.n_purchase_after)) == (len(t1), len(t2), len(t3))
+
+
+def test_triangles_matches_adjacency_model(spark):
+    """q_graph_triangles: the co-purchase graph's edge/wedge/triangle
+    census re-derived with Python adjacency sets (ordered-triple
+    enumeration), not a join pyramid."""
+    row = _run(spark, "q_graph_triangles").iloc[0]
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_cnt: dict = defaultdict(int)
+    for _, grp in items.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                pair_cnt[(a, b)] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= 2}
+    adj: dict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_nodes = len(adj)
+    n_edges = len(edges)
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    n_tri = sum(1 for a, b in edges for c in (adj[a] & adj[b]) if c > b)
+    assert (int(row.n_nodes), int(row.n_edges), int(row.n_wedges),
+            int(row.n_triangles)) == (n_nodes, n_edges, n_wedges, n_tri)
+    if n_wedges:
+        assert abs(row.transitivity - 3.0 * n_tri / n_wedges) <= 2e-6
+
+
+def test_pagerank_matches_float_model(spark):
+    """q_graph_pagerank's scaled-integer power iteration vs a plain
+    FLOAT power iteration (damping 0.85, 5 rounds, rank mass 1.0/node):
+    the integer truncation drifts ≤ ~(indeg+1)/0.15 scaled units/node,
+    orders of magnitude below the 1e-4·value tolerance — while a wrong
+    damping factor, edge direction, or degree normalization lands far
+    outside it."""
+    from zio_kinesis_example_spark.operators.analytics import (
+        _PR_ITERS, _PR_SCALE,
+    )
+
+    got = {int(r.node): int(r.pr)
+           for _, r in _run(spark, "q_graph_pagerank").iterrows()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    pairs = {(int(p) * 2, int(s) * 2 + 1)
+             for p, s in zip(li.l_partkey, li.l_suppkey)}
+    edges = pairs | {(b, a) for a, b in pairs}
+    out: dict = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    pr = {v: 1.0 for v in out}
+    for _ in range(_PR_ITERS):
+        nxt: dict = defaultdict(float)
+        for u, nbrs in out.items():
+            share = pr[u] / len(nbrs)
+            for v in nbrs:
+                nxt[v] += share
+        pr = {v: 0.15 + 0.85 * s for v, s in nxt.items()}
+    assert set(got) == set(pr)
+    for v, w in pr.items():
+        assert abs(got[v] / _PR_SCALE - w) <= 1e-4 * w, v
+
+
+def test_asof_nearest_matches_scan_model(spark):
+    """q_ts_asof_nearest: per purchase, the click minimizing |Δt| with
+    distance ties to the EARLIER click — re-derived by brute-force
+    min-over-all-clicks, not the prev/next window scan."""
+    got = {int(r.event_id): (int(r.user_id), int(r.t_us),
+                             int(r.nearest_click_us), int(r.delta_us))
+           for _, r in _run(spark, "q_ts_asof_nearest").iterrows()}
+    e = _events()
+    us = _us(e.ts)
+    clicks = defaultdict(list)
+    for u, t, k in zip(e.user_id, us, e.event_type):
+        if k == "click":
+            clicks[u].append(int(t))
+    want = {}
+    for pid, u, t, k in zip(e.event_id, e.user_id, us, e.event_type):
+        if k != "purchase" or u not in clicks:
+            continue
+        t = int(t)
+        dmin = min(abs(ct - t) for ct in clicks[u])
+        nearest = min(ct for ct in clicks[u] if abs(ct - t) == dmin)
+        want[int(pid)] = (int(u), t, nearest, nearest - t)
+    assert got == want
