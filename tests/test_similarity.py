@@ -356,3 +356,68 @@ def test_ann_store_failure_warns_once(spark, tmpdir_factory_local,
     finally:
         S.clear_ann_cache()
         S._ANN_STORE_WARNED.clear()
+
+
+def test_nlist_dial_range_search(spark):
+    """r10 (verdict item 2): nlist is now a real parameter of the IVF
+    family. At a larger nlist the composed radius search must keep its
+    exactness contract (emitted pairs ⊆ the exact radius truth — zero
+    false positives), keep meaningful coverage, and the trained
+    quantizer registry must key by nlist (no collision with the
+    default index)."""
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    C32 = S._ivf_centroids(spark, SF_SMALL, S._emb(spark, SF_SMALL),
+                           S._IVF_TRAIN_ITERS)
+    C64 = S._ivf_centroids(spark, SF_SMALL, S._emb(spark, SF_SMALL),
+                           S._IVF_TRAIN_ITERS, nlist=64)
+    assert C32.shape[0] == S._IVF_NLIST and C64.shape[0] == 64
+    assert not np.array_equal(C32, C64[:C32.shape[0]])  # retrained, not sliced
+
+    truth = set(S._exact_radius_pairs(spark, SF_SMALL))
+    got64 = {(r.query_id, r.neighbor_id)
+             for r in S._range_search_ann_plan(
+                 spark, SF_SMALL, nlist=64).collect()}
+    assert got64 <= truth                 # exactness survives the dial
+    assert len(got64) / len(truth) >= 0.25  # coverage stays meaningful
+
+
+def test_range_prefilter_equivalence_property(spark):
+    """r10 property lock (r9 verdict carried item): the conservative
+    double prefilter inside _range_member_expr must be ROW-SET NEUTRAL —
+    prefilter-on ≡ the bare exact decimal predicate — on adversarial
+    (dot, na, nb) triples, including exact-boundary cases where
+    16·dot² == na·nb and the documented operand bound (|dot| ≤ 6.4e13)
+    where double error is largest. A prefilter that ever drops a true
+    member violates the exactness contract."""
+    import math
+
+    from pyspark.sql import functions as F
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    rng = np.random.default_rng(0xC0FFEE)
+    rows = []
+    bound = 64 * 10**12          # the docstring operand bound
+    for _ in range(4000):
+        na = int(rng.integers(1, bound))
+        nb = int(rng.integers(1, bound))
+        prod = na * nb
+        d_star = math.isqrt(prod // 16)
+        # straddle the boundary exactly, plus random interior points
+        for dot in (d_star - 1, d_star, d_star + 1,
+                    int(rng.integers(0, min(bound, 4 * d_star + 2) + 1))):
+            rows.append((dot, na, nb))
+    # degenerate axes
+    rows += [(0, 1, 1), (1, 0, 1), (1, 1, 0), (-5, 10, 10)]
+    df = spark.createDataFrame(rows, "dot long, na long, nb long")
+
+    bare = F.expr(
+        "dot > 0 AND na > 0 AND nb > 0 AND "
+        "16 * cast(dot as decimal(38,0)) * cast(dot as decimal(38,0)) "
+        ">= 1 * cast(na as decimal(38,0)) * cast(nb as decimal(38,0))")
+    with_pre = df.filter(S._range_member_expr())
+    without_pre = df.filter(bare)
+    a = {tuple(r) for r in with_pre.collect()}
+    b = {tuple(r) for r in without_pre.collect()}
+    assert a == b, (f"prefilter changed the row set: "
+                    f"dropped={sorted(b - a)[:5]} added={sorted(a - b)[:5]}")

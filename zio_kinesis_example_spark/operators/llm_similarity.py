@@ -792,12 +792,19 @@ def _train_ivf_centroids(X, C0, iters: int):
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
-                   train_iters: int):
+                   train_iters: int, nlist: int = _IVF_NLIST):
     """Trained coarse-quantizer centroid matrix (nlist × dim float64),
     memoized per (session, sf_dir, nlist, train_iters) — q_sim_ann_ivf
     and q_sim_ann_ivfpq share one trained quantizer instead of each
     re-running the seed collect + Lloyd scans (deterministic, so the
-    shared matrix is bit-identical to what each would train alone)."""
+    shared matrix is bit-identical to what each would train alone).
+
+    ``nlist`` is the FAISS production dial (r10, verdict item 2): the
+    registered queries keep the fixed default, but the scale-proxy
+    harness passes larger values to measure the claimed nlist ∝ √n
+    candidate-fraction/recall recovery. The artifact id carries nlist,
+    so differently-sized quantizers never collide in the registry or on
+    disk."""
     import numpy as np
 
     def build():
@@ -809,11 +816,12 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
         rows = (
             e.select("vec_id", "emb")
             .orderBy(F.xxhash64("vec_id"), "vec_id")
-            .limit(_IVF_TRAIN_SAMPLE if train_iters > 0 else _IVF_NLIST)
+            .limit(max(_IVF_TRAIN_SAMPLE, nlist) if train_iters > 0
+                   else nlist)
             .collect()
         )
         X = np.stack([r.emb for r in rows])               # (sample, dim)
-        C = X[:_IVF_NLIST].copy()                         # (nlist, dim)
+        C = X[:nlist].copy()                              # (nlist, dim)
         if train_iters > 0:
             C = _train_ivf_centroids(X, C, train_iters)
         return C
@@ -823,13 +831,14 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
     # invalidate the persisted copy, not silently serve a stale index)
     return _ann_cached(
         spark, sf_dir,
-        f"ivfC:{_IVF_NLIST}:{train_iters}:s{_IVF_TRAIN_SAMPLE}"
+        f"ivfC:{nlist}:{train_iters}:s{_IVF_TRAIN_SAMPLE}"
         f":q{_IVF_TRAIN_SCALE}", build,
         disk="f8_2d")
 
 
 def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
-                  train_iters: int = _IVF_TRAIN_ITERS) -> DataFrame:
+                  train_iters: int = _IVF_TRAIN_ITERS,
+                  nlist: int = _IVF_NLIST) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to LSH (q_sim_ann_lsh).
 
@@ -852,15 +861,23 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str,
     and trained ≥ hash-sample baseline — asserted in
     tests/test_similarity.py.
     """
+    from .llm_dedup import _spread
+
     e = _emb(spark, sf_dir)
-    C = _ivf_centroids(spark, sf_dir, e, train_iters)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _normalized_centroids(C)
     nprobe = min(_IVF_NPROBE, C.shape[0])
 
     def make_assign(n_cells: int):
         return _ivf_assign_udf(Cn, n_cells)
 
-    corpus = e.withColumn("cells", make_assign(1)(F.col("emb"))) \
+    # _spread (r10, the r6 per-file-kernel rule): when the small query
+    # side broadcasts, the per-candidate cosine arithmetic runs INSIDE
+    # the corpus scan stage — a single-parquet-file corpus then
+    # serializes the whole probe onto one core (measured at the 30×
+    # proxy). The repartition is no-op-sized at lake scale.
+    corpus = _spread(spark, e) \
+        .withColumn("cells", make_assign(1)(F.col("emb"))) \
         .select("vec_id", "emb", F.element_at("cells", 1).alias("cell"))
     queries = (
         e.filter(F.expr(_QUERY_FILTER))
@@ -919,8 +936,9 @@ _RANGE_ANN_RECALL_FLOOR = 0.30
 
 
 def _range_search_ann_plan(spark: SparkSession, sf_dir: str,
-                           train_iters: int = _IVF_TRAIN_ITERS
-                           ) -> DataFrame:
+                           train_iters: int = _IVF_TRAIN_ITERS,
+                           nlist: int = _IVF_NLIST,
+                           nprobe: int = _RANGE_ANN_NPROBE) -> DataFrame:
     """IVF-composed radius search — the 100 TB path the exact scan's
     docstring promises (FAISS IndexIVF.range_search): probed cells
     restrict WHICH pairs are tested, the SAME exact integer predicate
@@ -935,19 +953,34 @@ def _range_search_ann_plan(spark: SparkSession, sf_dir: str,
     its ONE nearest cell and queries explode over nprobe cells: one
     cell-keyed equi-join (no corpus broadcast, no crossJoin), candidate
     stream ≈ |Q|·n·nprobe/nlist — the same (nprobe/nlist) fraction the
-    IVFPQ proxy measured EXACTLY flat at 1×/10×/30× — and at production
-    scale nlist grows ∝ √n with the trained-index registry keeping
-    training O(sample). The cell-keyed shuffle carries full quantized
+    IVFPQ proxy measured EXACTLY flat at 1×/10×/30×/100×. Production
+    dial (CORRECTED by the r10 measurement, BASELINE.md r10 tables):
+    radius coverage tracks the fraction — there is no refine stage to
+    recover it — so nlist grows ∝ √n WITH nprobe scaled to hold
+    nprobe/nlist; at equal fraction, finer cells IMPROVE recall
+    (0.475→0.532 over nlist 32→128 at the 100× proxy) at
+    equal-or-lower wall. The earlier ledger form ("recall recovered by
+    growing nlist alone") is true only for the top-k IVFPQ plan, whose
+    capped exact refine absorbs the thinner stream. The trained-index
+    registry keeps training O(sample) at any nlist.
+    The cell-keyed shuffle carries full quantized
     vectors (unlike IVFPQ's codes) because range membership is EXACT,
     not ranked — there is no shortlist to refine, so the vector must be
     present where the predicate runs."""
+    from .llm_dedup import _spread
+
     e = _emb(spark, sf_dir)
-    C = _ivf_centroids(spark, sf_dir, e, train_iters)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _normalized_centroids(C)
-    nprobe = min(_RANGE_ANN_NPROBE, C.shape[0])
+    nprobe = min(nprobe, C.shape[0])
     quant = F.expr(_QUANT.replace("embedding", "emb"))
+    # _spread (r10): with the query side broadcast the exact-integer
+    # membership arithmetic runs inside the corpus scan stage; a
+    # single-file corpus otherwise serializes it onto one core (the r6
+    # per-file-kernel rule, measured at the 30× proxy).
     corpus = (
-        e.withColumn("cells", _ivf_assign_udf(Cn, 1)(F.col("emb")))
+        _spread(spark, e)
+        .withColumn("cells", _ivf_assign_udf(Cn, 1)(F.col("emb")))
         .select("vec_id", quant.alias("qv"),
                 F.element_at("cells", 1).alias("cell"))
     )
@@ -1302,7 +1335,8 @@ _IVFPQ_RECALL_FLOOR = 0.30
 
 
 def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
-                    train_iters: int = _PQ_ANN_TRAIN_ITERS) -> DataFrame:
+                    train_iters: int = _PQ_ANN_TRAIN_ITERS,
+                    nlist: int = _IVF_NLIST) -> DataFrame:
     """IVFPQ: Lloyd-trained coarse quantizer (the q_sim_ann_ivf
     machinery) assigns every vector ONE cell; Lloyd-trained per-subspace
     PQ codebooks (the q_sim_ann_pq machinery) give it a 16-bit code.
@@ -1319,11 +1353,16 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     shuffle keyed by cell whose stream carries (ids, 2-byte codes) —
     vector-free, the composed FAISS IVFADC layout. Per-query cost:
     (nprobe/nlist)·n candidates at code width (a FIXED 25% fraction at
-    this constant nlist=32) + an O(cap) exact refine; at real scale
+    the default nlist=32) + an O(cap) exact refine; at real scale
     nlist grows ∝ √n with nprobe fixed (the FAISS rule — training cost
     stays bounded because the sample is fixed-size), which is what
     makes the scanned fraction, and hence per-query work, shrink
-    relative to brute force. DETERMINISM: exact integer throughout
+    relative to brute force. MEASURED r10 (BASELINE.md r10 tables): at
+    the 100× proxy, nlist 32→64→128 cuts the wall 74→30→25 s with
+    recall@5 flat (0.340/0.348/0.328, floor 0.30) — the capped refine
+    recovers what the thinner candidate stream loses, so the dial is
+    real for top-k (radius search needs the equal-fraction form; see
+    _range_search_ann_plan). DETERMINISM: exact integer throughout
     (trained centroids/books integer-exact, ADC integer, refine the
     shared exact-cosine stage).
 
@@ -1340,7 +1379,7 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
 
     # coarse quantizer + PQ codebooks: both from the shared trained-
     # index registry (bit-identical to training inline; see helpers)
-    C = _ivf_centroids(spark, sf_dir, e, train_iters)
+    C = _ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _normalized_centroids(C)
     nprobe = min(_IVFPQ_NPROBE, C.shape[0])
     books = _pq_trained_books(spark, sf_dir, q, train_iters)

@@ -36,7 +36,8 @@ from ..operators import llm_similarity as _sim
 
 
 def ivf_index(spark: SparkSession, sf_dir: str,
-              train_iters: int | None = None):
+              train_iters: int | None = None,
+              nlist: int | None = None):
     """The frozen search-time index: (corpus_cells, Cn).
 
     ``corpus_cells`` is the corpus keyed by its single nearest trained
@@ -49,15 +50,23 @@ def ivf_index(spark: SparkSession, sf_dir: str,
 
     if train_iters is None:
         train_iters = _sim._IVF_TRAIN_ITERS
+    if nlist is None:
+        nlist = _sim._IVF_NLIST
     e = _sim._emb(spark, sf_dir)
-    C = _sim._ivf_centroids(spark, sf_dir, e, train_iters)
+    C = _sim._ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _sim._normalized_centroids(C)
     # tracked persist (r9 review): clear_shared_cache() releases the
     # frame and the capped plan-aware LRU bounds a long-lived driver
     # that builds many stream indexes — an untracked loose persist
     # would pin executor storage until session death.
+    # _spread (r10, the r6 per-file-kernel rule): the per-batch probe's
+    # exact-cosine arithmetic runs against these persisted partitions —
+    # a single-file corpus would pin every micro-batch to one core.
+    from ..operators.llm_dedup import _spread
+
     corpus_cells = _track_persist(
-        e.withColumn("cells", _sim._ivf_assign_udf(Cn, 1)(F.col("emb")))
+        _spread(spark, e)
+        .withColumn("cells", _sim._ivf_assign_udf(Cn, 1)(F.col("emb")))
         .select("vec_id", "emb", F.element_at("cells", 1).alias("cell"))
     )
     return corpus_cells, Cn
