@@ -835,3 +835,321 @@ def test_asof_nearest_matches_scan_model(spark):
         nearest = min(ct for ct in clicks[u] if abs(ct - t) == dmin)
         want[int(pid)] = (int(u), t, nearest, nearest - t)
     assert got == want
+
+
+# --------------------------------------- batch 3: M-D family-note closures
+# These rows were closed in AUDIT.md by "same algebra as a locked
+# sibling" arguments; direct models are stronger and cost little.
+
+def test_decontaminate_matches_set_model(spark):
+    """q_curate_decontaminate: distinct shared 5-grams with the src19
+    benchmark slice, via raw Python sets."""
+    got = {int(r.doc_id): int(r.n_shared_grams)
+           for _, r in _run(spark, "q_curate_decontaminate").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    grams = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        terms = text.split(" ")
+        grams[int(doc_id)] = (
+            {" ".join(terms[i:i + 5]) for i in range(len(terms) - 4)}
+            if len(terms) >= 5 else set())
+    bench = set()
+    for doc_id, src in zip(d.doc_id, d.source):
+        if src == "src19":
+            bench |= grams[int(doc_id)]
+    want = {}
+    for doc_id, src in zip(d.doc_id, d.source):
+        if src == "src19":
+            continue
+        k = len(grams[int(doc_id)] & bench)
+        if k:
+            want[int(doc_id)] = k
+    assert got == want
+
+
+def test_containment_matches_set_model(spark):
+    """q_text_containment: |A∩B|/|A| over raw shingle sets, keep if
+    either direction ≥ 1/2 (exact 2·n ≥ size), contentless docs out."""
+    got = {(r.doc_a, r.doc_b): (int(r.n_common), int(r.na), int(r.nb))
+           for _, r in _run(spark, "q_text_containment").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    sets, posting = {}, defaultdict(set)
+    for doc_id, text in zip(d.doc_id, d.text):
+        terms = text.split(" ")
+        sh = ({" ".join(terms[i:i + 3]) for i in range(len(terms) - 2)}
+              if len(terms) >= 3 else {" ".join(terms)})
+        if sh == {""}:
+            continue                      # contentless exclusion
+        sets[doc_id] = sh
+        for g in sh:
+            posting[g].add(doc_id)
+    cands = set()
+    for docs in posting.values():
+        ds = sorted(docs)
+        cands.update((a, b) for i, a in enumerate(ds) for b in ds[i + 1:])
+    want = {}
+    for a, b in cands:
+        n = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if 2 * n >= na or 2 * n >= nb:
+            want[(a, b)] = (n, na, nb)
+    assert got == want
+
+
+def test_source_overlap_matches_set_model(spark):
+    """q_text_source_overlap: vocabulary Jaccard per source pair via
+    raw Python sets (the Spark/oracle pair recover it by count
+    algebra)."""
+    got = {(r.source_a, r.source_b): (int(r.n_shared), r.jaccard)
+           for _, r in _run(spark, "q_text_source_overlap").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    vocab = defaultdict(set)
+    for src, text in zip(d.source, d.text):
+        vocab[src] |= set(text.split(" "))
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(vocab[a] & vocab[b])
+            if n:
+                want[(a, b)] = (n, n / len(vocab[a] | vocab[b]))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def test_gapfill_matches_locf_model(spark):
+    """q_ts_gapfill: zero-filled counts + last-observation-carried-
+    forward sums over the generated spine, re-derived with dict scans.
+    The hourly sum quantizes each value to DECIMAL(18,4) half-up — the
+    model reproduces that exactly with Decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    res = _run(spark, "q_ts_gapfill")
+    got = {(r.event_type, pd.Timestamp(r.bucket_hour)):
+           (int(r.n_events),
+            None if pd.isna(r.filled_sum) else r.filled_sum)
+           for _, r in res.iterrows()}
+    e = _events()
+    q4 = Decimal("0.0001")
+    agg: dict = defaultdict(lambda: [0, Decimal(0)])
+    for t, ts, v in zip(e.event_type, e.ts, e.value):
+        k = (t, _hour(ts))
+        agg[k][0] += 1
+        agg[k][1] += Decimal(repr(v)).quantize(q4, rounding=ROUND_HALF_UP)
+    hours = sorted({h for (_, h) in agg})
+    spine = pd.date_range(hours[0], hours[-1], freq="h")
+    want = {}
+    for t in {tt for (tt, _) in agg}:
+        last = None
+        for h in spine:
+            if (t, h) in agg:
+                last = float(agg[(t, h)][1])
+                want[(t, h)] = (agg[(t, h)][0], last)
+            else:
+                want[(t, h)] = (0, last)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert got[k][1] is not None and \
+                abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def test_session_stats_matches_gap_model(spark):
+    """q_events_session_stats: per-user rollup of 1-hour-gap sessions,
+    re-derived with a direct per-user scan."""
+    got = {r.user_id: (int(r.n_sessions), int(r.n_events),
+                       int(r.total_duration_us), r.avg_session_events)
+           for _, r in _run(spark, "q_events_session_stats").iterrows()}
+    e = _events()
+    byu = defaultdict(list)
+    for u, t in zip(e.user_id, _us(e.ts)):
+        byu[u].append(int(t))
+    want = {}
+    for u, ts in byu.items():
+        ts.sort()
+        sessions, cur = [], [ts[0]]
+        for a, b in zip(ts, ts[1:]):
+            if b - a > 3_600_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(b)
+        sessions.append(cur)
+        n_ev = sum(len(s) for s in sessions)
+        dur = sum(s[-1] - s[0] for s in sessions)
+        want[u] = (len(sessions), n_ev, dur, n_ev / len(sessions))
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][:3] == want[u][:3], u
+        assert abs(got[u][3] - want[u][3]) <= 2e-6, u
+
+
+def test_time_to_convert_matches_model(spark):
+    """q_events_time_to_convert: funnel-stage durations and their
+    rank-based percentiles re-derived from the per-user scan model."""
+    got = {r.step_pair: (int(r.n_users), int(r.min_us), int(r.p50_us),
+                         int(r.p90_us), int(r.max_us), r.avg_us)
+           for _, r in _run(spark, "q_events_time_to_convert").iterrows()}
+    e = _events()
+    us = _us(e.ts)
+    by_kind: dict = {k: defaultdict(list) for k in
+                     ("view", "click", "purchase")}
+    for u, t, k in zip(e.user_id, us, e.event_type):
+        if k in by_kind:
+            by_kind[k][u].append(int(t))
+    t1 = {u: min(ts) for u, ts in by_kind["view"].items()}
+    t2, t3 = {}, {}
+    for u, a in t1.items():
+        later = [t for t in by_kind["click"].get(u, []) if t > a]
+        if later:
+            t2[u] = min(later)
+    for u, a in t2.items():
+        later = [t for t in by_kind["purchase"].get(u, []) if t > a]
+        if later:
+            t3[u] = min(later)
+    durs = {
+        "view->click": sorted(t2[u] - t1[u] for u in t2),
+        "click->purchase": sorted(t3[u] - t2[u] for u in t3),
+        "view->purchase": sorted(t3[u] - t1[u] for u in t3),
+    }
+    want = {}
+    for pair, ds in durs.items():
+        if not ds:
+            continue
+        n = len(ds)
+        want[pair] = (n, ds[0], ds[math.ceil(n / 2) - 1],
+                      ds[math.ceil(0.9 * n) - 1], ds[-1], sum(ds) / n)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:5] == want[k][:5], (k, got[k], want[k])
+        assert abs(got[k][5] - want[k][5]) <= 2e-6, k
+
+
+def test_token_budget_matches_fill_model(spark):
+    """q_curate_token_budget: proportional floor allocation + fill in
+    md5(doc_id) order while the inclusive cumsum fits, re-derived with
+    direct dict arithmetic."""
+    got = {int(r.doc_id): (r.lang, r.source, int(r.n_tokens),
+                           int(r.cum_tokens))
+           for _, r in _run(spark, "q_curate_token_budget").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    rows = [(int(i), lg, s, len(t.split(" ")))
+            for i, lg, s, t in zip(d.doc_id, d.lang, d.source, d.text)]
+    total = sum(n for *_, n in rows)
+    dom_tokens: dict = defaultdict(int)
+    for _, lg, s, n in rows:
+        dom_tokens[(lg, s)] += n
+    budget = {k: (10000 * v) // total for k, v in dom_tokens.items()}
+    want = {}
+    by_dom: dict = defaultdict(list)
+    for i, lg, s, n in rows:
+        by_dom[(lg, s)].append((hashlib.md5(str(i).encode()).hexdigest(),
+                                i, n))
+    for dom, docs in by_dom.items():
+        cum = 0
+        for _, i, n in sorted(docs):
+            cum += n
+            if cum <= budget[dom]:
+                want[i] = (dom[0], dom[1], n, cum)
+    assert got == want
+
+
+def test_pack_matches_cumsum_model(spark):
+    """q_text_pack: 2048-token bin assignment by exclusive cumsum in
+    doc_id order per language."""
+    got = {int(r.doc_id): (r.lang, int(r.n_tokens), int(r.seq_bin))
+           for _, r in _run(spark, "q_text_pack").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    by_lang = defaultdict(list)
+    for i, lg, t in zip(d.doc_id, d.lang, d.text):
+        by_lang[lg].append((int(i), len(t.split(" "))))
+    want = {}
+    for lg, docs in by_lang.items():
+        before = 0
+        for i, n in sorted(docs):
+            want[i] = (lg, n, before // 2048)
+            before += n
+    assert got == want
+
+
+def _quant_embeddings():
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    labels = emb.label.to_numpy()
+    X = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                 * 1_000_000.0).astype(np.int64)
+    return labels, X
+
+
+def _int_centroids(labels, X):
+    cents = {}
+    for lb in np.unique(labels):
+        m = X[labels == lb]
+        s = m.sum(axis=0)
+        cents[int(lb)] = np.array(
+            [_trunc_div(int(v), len(m)) for v in s], dtype=np.int64)
+    return cents
+
+
+def test_cohesion_matches_numpy_model(spark):
+    """q_embed_cohesion: member-to-own-centroid cosine (truncating
+    integer-mean centroid), per-label average and worst member —
+    re-derived with numpy."""
+    got = {int(r.label): (int(r.n_vectors), r.avg_cohesion,
+                          r.min_cohesion)
+           for _, r in _run(spark, "q_embed_cohesion").iterrows()}
+    labels, X = _quant_embeddings()
+    cents = _int_centroids(labels, X)
+    want = {}
+    for lb, c in cents.items():
+        m = X[labels == lb].astype(np.float64)
+        nc = float((c.astype(np.float64) ** 2).sum())
+        dots = m @ c.astype(np.float64)
+        nv = (m ** 2).sum(axis=1)
+        cos = np.where((nv > 0) & (nc > 0),
+                       dots / np.sqrt(nv * nc), 0.0)
+        avg = np.floor(1_000_000.0 * cos).sum() / (1e6 * len(m))
+        want[lb] = (len(m), avg, float(cos.min()))
+    assert set(got) == set(want)
+    for lb in want:
+        assert got[lb][0] == want[lb][0], lb
+        assert abs(got[lb][1] - want[lb][1]) <= 3e-6, lb
+        assert abs(got[lb][2] - want[lb][2]) <= 3e-6, lb
+
+
+def test_silhouette_matches_numpy_model(spark):
+    """q_embed_silhouette: own-centroid cosine minus best foreign
+    cosine, floor-scaled to int margins, per-label rollup — numpy
+    re-derivation (±1 scaled unit on the floor boundary)."""
+    got = {int(r.label): (int(r.n_vectors), int(r.n_negative),
+                          int(r.min_margin_scaled), r.avg_margin)
+           for _, r in _run(spark, "q_embed_silhouette").iterrows()}
+    labels, X = _quant_embeddings()
+    cents = _int_centroids(labels, X)
+    lbs = sorted(cents)
+    C = np.stack([cents[lb] for lb in lbs]).astype(np.float64)
+    ncs = (C ** 2).sum(axis=1)
+    want = {}
+    for lb in lbs:
+        m = X[labels == lb].astype(np.float64)
+        nv = (m ** 2).sum(axis=1)
+        cos = np.zeros((len(m), len(lbs)))
+        for j in range(len(lbs)):
+            ok = (nv > 0) & (ncs[j] > 0)
+            cos[:, j] = np.where(
+                ok, (m @ C[j]) / (np.sqrt(nv) * np.sqrt(ncs[j])), 0.0)
+        own = cos[:, lbs.index(lb)]
+        other = np.max(
+            cos[:, [j for j in range(len(lbs)) if lbs[j] != lb]], axis=1)
+        msc = np.floor(1_000_000.0 * (own - other)).astype(np.int64)
+        want[lb] = (len(m), int((msc < 0).sum()), int(msc.min()),
+                    msc.sum() / (1e6 * len(m)))
+    assert set(got) == set(want)
+    for lb in want:
+        assert got[lb][0] == want[lb][0], lb
+        assert got[lb][1] == want[lb][1], lb
+        assert abs(got[lb][2] - want[lb][2]) <= 1, lb
+        assert abs(got[lb][3] - want[lb][3]) <= 3e-6, lb
