@@ -475,3 +475,42 @@ def test_containment_pairs_ignores_contentless_docs(spark):
     pairs = {(r.id_a, r.id_b) for r in
              api.containment_pairs(df, "body", "pid").collect()}
     assert pairs == {(1, 2)}
+
+
+def test_scale_proxy_builder_properties(tmpdir_factory_local):
+    """tools/scale_proxy.build_proxy (r10, now in-repo): the rolled-copy
+    corpus must preserve row count x copies, keep vec_ids disjoint
+    across copies, preserve every vector's norm (np.roll is a
+    permutation), and write one file per copy (the multi-file layout
+    whose absence serialized the first r10 measurement attempt)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zio_kinesis_example_spark.tools.scale_proxy import build_proxy
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = build_proxy(tmpdir_factory_local("proxy-test"), 3, src=src)
+    dest = os.path.join(out, "embeddings.parquet")
+    assert len([f for f in os.listdir(dest)
+                if f.endswith(".parquet")]) == 3
+    t0 = pq.read_table(src)
+    t = pq.read_table(dest)
+    n = t0.num_rows
+    assert t.num_rows == 3 * n
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    assert len(set(ids)) == 3 * n                      # disjoint ids
+    v0 = np.stack(t0.column("embedding").to_pylist()).astype(np.float64)
+    v = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    v = v[order]
+    norms0 = np.sqrt((v0 ** 2).sum(axis=1))
+    for k in range(3):
+        blk = v[k * n:(k + 1) * n]
+        assert np.allclose(np.sqrt((blk ** 2).sum(axis=1)), norms0)
+        # copy k is the roll by 7k (mod dim) of the originals
+        assert np.array_equal(blk, np.roll(v0, (7 * k) % v0.shape[1],
+                                           axis=1))
+    # idempotent: a second call returns without rewriting
+    assert build_proxy(out, 3, src=src) == out

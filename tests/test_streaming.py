@@ -1137,3 +1137,47 @@ def test_upsert_sink_map_payload_dedupes(spark, tmpdir_factory_local):
     got = {r.id: (r.seq, dict(r.payload))
            for r in sink.current(spark).collect()}
     assert got == {1: (2, {"b": 2}), 2: (1, {"c": 3})}
+
+
+def test_ivf_index_drops_poison_corpus_rows(spark, tmpdir_factory_local,
+                                            monkeypatch):
+    """r10 review follow-up: the NaN hazard exists on BOTH sides of the
+    probe. A corpus row with a NaN element would score cosine NaN
+    against every query probing its cell and rank FIRST under the
+    descending window — ivf_index must drop malformed corpus rows the
+    same way topk_ingest drops malformed arriving ones."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+    from zio_kinesis_example_spark.streaming import ivf_index, probe_topk
+
+    src = tmpdir_factory_local("poisoncorpus")
+    base = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = base.column("embedding").to_pylist()
+    ids = base.column("vec_id").to_pylist()
+    labels = base.column("label").to_pylist()
+    dim = len(emb[0])
+    # poison rows: NaN element, null element, wrong dimension
+    emb += [[float("nan")] * dim, [None] + [0.5] * (dim - 1), [1.0, 2.0]]
+    ids += [900_001, 900_002, 900_003]
+    labels += [0, 0, 0]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    }), f"{src}/embeddings.parquet")
+
+    S.clear_ann_cache()
+    corpus_cells, Cn = ivf_index(spark, str(src))
+    kept = {r.vec_id for r in corpus_cells.select("vec_id").collect()}
+    assert kept == set(ids[:-3])          # poison rows dropped
+    # a probing query gets a clean verdict — no NaN at rank 1
+    q = spark.createDataFrame(
+        [(1, [float(x) for x in emb[0]])],
+        "query_id long, emb array<double>")
+    rows = probe_topk(q, corpus_cells, Cn).collect()
+    assert rows and all(r.neighbor_id < 900_000 for r in rows)
+    corpus_cells.unpersist()
+    S.clear_ann_cache()

@@ -449,11 +449,19 @@ def _ann_store_warn(kind: str, exc: Exception) -> None:
     if key in _ANN_STORE_WARNED:
         return
     _ANN_STORE_WARNED.add(key)
-    warnings.warn(
-        f"persisted ANN index {kind} failed ({type(exc).__name__}: {exc}); "
-        "falling back to in-session retraining — check "
-        "SPARK_GRAFT_ANN_INDEX_DIR / warehouse writability",
-        RuntimeWarning, stacklevel=3)
+    try:
+        warnings.warn(
+            f"persisted ANN index {kind} failed "
+            f"({type(exc).__name__}: {exc}); "
+            "falling back to in-session retraining — check "
+            "SPARK_GRAFT_ANN_INDEX_DIR / warehouse writability",
+            RuntimeWarning, stacklevel=3)
+    except Exception:
+        # warnings-as-errors (-W error / pytest filterwarnings=error)
+        # must not break the no-throw best-effort contract: the store is
+        # advisory, and in the store case a valid artifact is already in
+        # hand (r10 review)
+        pass
 
 
 def _ann_store_dir(spark: SparkSession) -> str:

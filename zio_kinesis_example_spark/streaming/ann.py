@@ -53,6 +53,17 @@ def ivf_index(spark: SparkSession, sf_dir: str,
     if nlist is None:
         nlist = _sim._IVF_NLIST
     e = _sim._emb(spark, sf_dir)
+    # Corpus validity BEFORE training (r10 review): a ragged or
+    # NaN-element corpus row would crash the trainer's np.stack — or,
+    # worse, poison rank 1 of every verdict probing its cell (NaN
+    # cosine ranks FIRST descending). The expected dimension is the
+    # corpus majority (one tiny aggregate); malformed rows are dropped
+    # from BOTH the training sample and the persisted cells.
+    dim = int(
+        e.filter(F.col("emb").isNotNull())
+        .groupBy(F.size("emb").alias("d")).count()
+        .orderBy(F.desc("count"), "d").first().d)
+    e = e.filter(_valid_emb(dim))
     C = _sim._ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _sim._normalized_centroids(C)
     # tracked persist (r9 review): clear_shared_cache() releases the

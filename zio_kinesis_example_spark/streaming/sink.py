@@ -35,16 +35,20 @@ from pyspark.sql import types as T
 
 
 def _orderable(dt: T.DataType) -> bool:
-    """True iff Spark can sort by a column of this type. MapType is the
-    non-orderable case (AnalysisException under ORDER BY); arrays and
-    structs are orderable iff their element/field types are."""
-    if isinstance(dt, T.MapType):
-        return False
+    """True iff Spark can sort by a column of this type — an ALLOWLIST
+    mirroring RowOrdering.isOrderable (r10 review: a MapType-only
+    denylist passed CalendarIntervalType/VariantType through to the
+    tiebreak struct, the same AnalysisException class the fix closed
+    for maps). Unknown types default to False: they are merely excluded
+    from the tiebreak (ties on them break arbitrarily), never a
+    crash."""
+    if isinstance(dt, (T.NullType, T.AtomicType)):
+        return True
     if isinstance(dt, T.ArrayType):
         return _orderable(dt.elementType)
     if isinstance(dt, T.StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
-    return True
+    return False
 
 
 class UpsertSink:

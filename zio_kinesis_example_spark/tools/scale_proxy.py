@@ -40,10 +40,22 @@ SCALE = 1_000_000
 
 
 def build_proxy(out_dir: str, copies: int, src: str = SRC) -> str:
-    """Rolled-copy corpus: copies × |src| rows under out_dir."""
+    """Rolled-copy corpus: copies × |src| rows under out_dir.
+
+    Reuse guard (r10 review): an existing dest is reused ONLY if it
+    holds exactly ``copies`` part files — a killed build or a
+    different-copies build is torn down and rebuilt, never silently
+    served at the wrong n."""
+    import shutil
+
     dest = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(dest):
-        return out_dir
+    if os.path.isdir(dest):
+        have = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        if len(have) == copies:
+            return out_dir
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)                    # pre-r10 single-file layout
     t = pq.read_table(src)
     n = t.num_rows
     vec = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
@@ -81,10 +93,11 @@ def exact_radius_truth(ids, X, qmod: int):
     derived independently here in numpy/Python)."""
     qmask = ids % qmod == 0
     Q, qids = X[qmask], ids[qmask]
-    norms = (X.astype(np.float64) ** 2).sum(axis=1)
+    Xf = X.astype(np.float64)              # hoisted once (r10 review)
+    norms = (Xf ** 2).sum(axis=1)
     truth = {}
     for qi, qv in zip(qids, Q):
-        dot = X.astype(np.float64) @ qv.astype(np.float64)
+        dot = Xf @ qv.astype(np.float64)
         nq = float((qv.astype(np.float64) ** 2).sum())
         lhs, rhs = 16.0 * dot * dot, norms * nq
         cand = (dot > 0) & (lhs >= rhs * (1 - 1e-9))
@@ -201,11 +214,20 @@ def measure(spark, dir_: str, nlist: int, qmod: int,
 def main(argv):
     from ..session import get_spark
 
-    copies = [int(a) for a in argv if a.isdigit()] or [30, 100]
-    nlists = [32, 64, 128]
-    for a in argv:
-        if a.startswith("--nlists="):
+    copies, nlists, i = [], [32, 64, 128], 0
+    while i < len(argv):                   # strict parse (r10 review:
+        a = argv[i]                        # silently-ignored args made
+        if a.isdigit():                    # a run measure the WRONG
+            copies.append(int(a))          # configuration)
+        elif a.startswith("--nlists="):
             nlists = [int(x) for x in a.split("=")[1].split(",")]
+        elif a == "--nlists" and i + 1 < len(argv):
+            i += 1
+            nlists = [int(x) for x in argv[i].split(",")]
+        else:
+            raise SystemExit(f"unrecognized argument: {a!r}")
+        i += 1
+    copies = copies or [30, 100]
     # the bench session helper, NOT a bare builder: a default-1g driver
     # GC-thrashed the 30x candidate stream into a single-core crawl
     spark = get_spark("zke-scale-proxy",
@@ -224,9 +246,9 @@ def main(argv):
         d = build_proxy(f"/tmp/zke_proxy_{k}x", k)
         # qmod must be a MULTIPLE of the plan's own query filter
         # (vec_id % 50 = 0) or sampled queries have no plan rows and
-        # recall reads as a miss
-        qmod = {10: 200, 30: 600, 100: 2000}.get(
-            k, 50 * max(1, (k * 20) // 50))
+        # recall reads as a miss; formula gives 200/600/2000 at the
+        # canonical 10x/30x/100x scales
+        qmod = 50 * max(1, (k * 20) // 50)
         for nl in nlists:
             r = measure(spark, d, nl, qmod)
             print(json.dumps(r), flush=True)

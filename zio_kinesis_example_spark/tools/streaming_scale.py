@@ -53,9 +53,13 @@ def measure(spark, dir_: str, nlist: int | None) -> dict:
     e = spark.read.parquet(os.path.join(dir_, "embeddings.parquet"))
     walls = []
     for b in range(N_BATCHES):
+        # EXACTLY BATCH rows per micro-batch at every corpus scale
+        # (r10 review: a mod-997 residue class holds only ~n/997 rows,
+        # so the batch size silently grew with n and confounded the
+        # scale axis); disjoint contiguous id ranges are deterministic.
         batch = (
-            e.filter(F.col("vec_id") % 997 == b)   # disjoint batches
-            .limit(BATCH)
+            e.filter((F.col("vec_id") >= b * BATCH)
+                     & (F.col("vec_id") < (b + 1) * BATCH))
             .select(F.col("vec_id").alias("query_id"),
                     F.col("embedding").cast("array<double>").alias("emb"))
         )
