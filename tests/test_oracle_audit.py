@@ -1153,3 +1153,399 @@ def test_silhouette_matches_numpy_model(spark):
         assert got[lb][1] == want[lb][1], lb
         assert abs(got[lb][2] - want[lb][2]) <= 1, lb
         assert abs(got[lb][3] - want[lb][3]) <= 3e-6, lb
+
+
+# ------------------------------- batch 4: remaining semantic M-D rows
+# Formulation-is-spec rows whose thresholds/tie-breaks still deserve a
+# third formulation: each model below re-states the documented rule
+# with direct Python, not the shared SQL algebra.
+
+_STOPS = ("the", "a", "and", "of")
+
+
+def test_quality_gates_matches_rule_model(spark):
+    """q_curate_quality_gates: the five Gopher rules re-derived per doc
+    (length bounds, mean word length, unique fraction, top-word
+    dominance, distinct-stopword hits) and the composed keep."""
+    got = {int(r.doc_id): (int(r.n_words), bool(r.r_nwords),
+                           bool(r.r_mean_wlen), bool(r.r_unique),
+                           bool(r.r_top_word), bool(r.r_stopwords),
+                           bool(r.keep))
+           for _, r in _run(spark, "q_curate_quality_gates").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        w = text.split(" ")
+        n = len(w)
+        mean_wlen = sum(len(t) for t in w) / n
+        uniq = len(set(w)) / n
+        top = max(__import__("collections").Counter(w).values())
+        stop_hits = len(set(w) & set(_STOPS))
+        r1 = 30 <= n <= 5000
+        r2 = 2.0 <= mean_wlen <= 10.0
+        r3 = uniq > 0.3
+        r4 = top / n <= 0.2
+        r5 = stop_hits >= 2
+        want[int(doc_id)] = (n, r1, r2, r3, r4, r5,
+                             r1 and r2 and r3 and r4 and r5)
+    assert got == want
+
+
+def test_repetition_matches_count_model(spark):
+    """q_curate_repetition: max-term and type-token ratios from direct
+    Counter arithmetic."""
+    from collections import Counter
+
+    got = {int(r.doc_id): (int(r.n_terms), int(r.n_distinct),
+                           r.max_term_ratio, r.type_token_ratio,
+                           bool(r.is_repetitive))
+           for _, r in _run(spark, "q_curate_repetition").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        want[int(doc_id)] = (n, len(c), max(c.values()) / n,
+                             len(c) / n, max(c.values()) / n > 0.2)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+        assert abs(got[k][3] - want[k][3]) <= 2e-6, k
+        assert got[k][4] == want[k][4], k
+
+
+def test_boilerplate_matches_prefix_model(spark):
+    """q_curate_boilerplate: leading-10-term families of size ≥ 3 via a
+    direct dict."""
+    got = {int(r.doc_id): int(r.header_family_size)
+           for _, r in _run(spark, "q_curate_boilerplate").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    fam = defaultdict(list)
+    for doc_id, text in zip(d.doc_id, d.text):
+        w = text.split(" ")
+        if len(w) >= 10:
+            fam[" ".join(w[:10])].append(int(doc_id))
+    want = {i: len(m) for m in fam.values() if len(m) >= 3 for i in m}
+    assert got == want
+
+
+def test_spans_matches_window_model(spark):
+    """q_dedup_spans: 8-term window duplication across documents via
+    direct dict counting (multiplicity on the doc side, distinct-doc on
+    the dup side); zero-span docs emitted with zeros."""
+    got = {int(r.doc_id): (int(r.n_spans), int(r.n_dup_spans),
+                           r.dup_share)
+           for _, r in _run(spark, "q_dedup_spans").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    spans = {}
+    owners = defaultdict(set)
+    for doc_id, text in zip(d.doc_id, d.text):
+        w = text.split(" ")
+        sp = [" ".join(w[i:i + 8]) for i in range(len(w) - 7)] \
+            if len(w) >= 8 else []
+        spans[int(doc_id)] = sp
+        for s in sp:
+            owners[s].add(int(doc_id))
+    want = {}
+    for doc_id, sp in spans.items():
+        dup = sum(1 for s in sp if len(owners[s]) >= 2)
+        want[doc_id] = (len(sp), dup, dup / len(sp) if sp else 0.0)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+
+
+def test_vocab_matches_fingerprint_model(spark):
+    """q_dedup_vocab: identical distinct-term sets group together —
+    groups rebuilt from raw frozensets, md5 fingerprints re-derived."""
+    got = {r.fingerprint: (int(r.n_docs), int(r.canonical_doc_id),
+                           r.member_ids)
+           for _, r in _run(spark, "q_dedup_vocab").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    groups = defaultdict(list)
+    for doc_id, text in zip(d.doc_id, d.text):
+        groups[frozenset(text.split(" "))].append(int(doc_id))
+    want = {}
+    for terms, members in groups.items():
+        if len(members) < 2:
+            continue
+        fp = hashlib.md5(" ".join(sorted(terms)).encode()).hexdigest()
+        want[fp] = (len(members), min(members),
+                    ",".join(str(i) for i in sorted(members)))
+    assert got == want
+
+
+_LANG_MARKERS = {
+    "de": ["der", "und", "nicht", "das", "table", "scan"],
+    "en": ["the", "and", "a", "of", "join", "merge"],
+    "es": ["el", "la", "los", "que", "filter", "row"],
+    "fr": ["le", "la", "les", "des", "group", "sort"],
+    "zh": ["de5", "shi4", "le5", "zai4", "hash", "batch"],
+}
+
+
+def test_langid_matches_argmax_model(spark):
+    """q_text_langid: marker-hit argmax with the documented de>en>es>
+    fr>zh tie cascade, re-derived with direct set intersections."""
+    got = {int(r.doc_id): (r.pred_lang, bool(r.is_correct))
+           for _, r in _run(spark, "q_text_langid").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, lang, text in zip(d.doc_id, d.lang, d.text):
+        terms = set(text.split(" "))
+        s = {lg: len(terms & set(m)) for lg, m in _LANG_MARKERS.items()}
+        # cascade: lg wins iff its score >= every LATER language's
+        for lg, later in (("de", ("en", "es", "fr", "zh")),
+                          ("en", ("es", "fr", "zh")),
+                          ("es", ("fr", "zh")), ("fr", ("zh",))):
+            if all(s[lg] >= s[o] for o in later):
+                pred = lg
+                break
+        else:
+            pred = "zh"
+        want[int(doc_id)] = (pred, pred == lang)
+    assert got == want
+
+
+def test_text_quality_matches_formula_model(spark):
+    """q_text_quality: saturation × (1 − stopword-token ratio) from
+    direct token arithmetic."""
+    got = {int(r.doc_id): (int(r.n_terms), int(r.n_chars),
+                           r.avg_term_len, r.stopword_ratio,
+                           r.quality_score)
+           for _, r in _run(spark, "q_text_quality").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, text, n_chars in zip(d.doc_id, d.text, d.n_chars):
+        w = text.split(" ")
+        n = len(w)
+        chars = sum(len(t) for t in w)
+        stop = sum(1 for t in w if t in _STOPS)
+        q = min(1.0, n / 64) * (1.0 - stop / n)
+        want[int(doc_id)] = (n, int(n_chars), chars / n, stop / n, q)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        for g, w in zip(got[k][2:], want[k][2:]):
+            assert abs(g - w) <= 2e-6, k
+
+
+def test_fingerprint_matches_rolling_hash_model(spark):
+    """q_text_fingerprint: the polynomial rolling hash re-derived with
+    a direct loop, plus the order-sensitivity property the docstring
+    claims (a permuted two-term doc hashes differently)."""
+    got = {int(r.doc_id): int(r.fingerprint)
+           for _, r in _run(spark, "q_text_fingerprint").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+    def fp(text: str) -> int:
+        h = 0
+        for t in text.split(" "):
+            c = ord(t[0]) * 131 + len(t) if t else len(t)
+            h = (h * 131 + c) % 1_000_000_007
+        return h
+
+    want = {int(i): fp(t) for i, t in zip(d.doc_id, d.text)}
+    assert got == want
+    assert fp("alpha beta") != fp("beta alpha")     # order-sensitive
+
+
+def test_mode_matches_tie_model(spark):
+    """q_agg_mode: highest count, ties to the LAST event type
+    alphabetically — the documented struct-max rule re-derived."""
+    from collections import Counter
+
+    got = {int(r.user_id): (r.mode_event_type, int(r.mode_count))
+           for _, r in _run(spark, "q_agg_mode").iterrows()}
+    e = _events()
+    per_user = defaultdict(Counter)
+    for u, t in zip(e.user_id, e.event_type):
+        per_user[int(u)][t] += 1
+    want = {u: max(((n, t) for t, n in c.items()))[::-1]
+            for u, c in per_user.items()}
+    assert got == {u: (t, n) for u, (t, n) in want.items()}
+
+
+def test_basket_affinity_matches_lift_model(spark):
+    """q_basket_affinity: pair support ≥ 3 and lift re-derived from
+    direct basket dicts."""
+    got = {(int(r.part_a), int(r.part_b)): (int(r.together), r.lift)
+           for _, r in _run(spark, "q_basket_affinity").iterrows()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = items.l_orderkey.nunique()
+    supp = items.groupby("l_partkey").size()
+    pair_cnt = defaultdict(int)
+    for _, grp in items.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                pair_cnt[(int(a), int(b))] += 1
+    want = {}
+    for (a, b), c in pair_cnt.items():
+        if c >= 3:
+            want[(a, b)] = (c, c * n_orders / (supp[a] * supp[b]))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, k
+
+
+def test_anomaly_zscore_matches_moment_model(spark):
+    """q_events_anomaly_zscore: z of each hour's count against its
+    type's hourly distribution, re-derived with direct mean/variance
+    (flat series → z = 0, not an anomaly)."""
+    got = {(r.event_type, pd.Timestamp(r.h)): (int(r.n), r.z,
+                                               bool(r.is_anomaly))
+           for _, r in _run(spark, "q_events_anomaly_zscore").iterrows()}
+    e = _events()
+    cnt: dict = defaultdict(lambda: defaultdict(int))
+    for t, ts in zip(e.event_type, e.ts):
+        cnt[t][_hour(ts)] += 1
+    want = {}
+    for t, hs in cnt.items():
+        k = len(hs)
+        if k <= 1:
+            continue
+        vals = list(hs.values())
+        mean = sum(vals) / k
+        var = (sum(v * v for v in vals) - sum(vals) ** 2 / k) / (k - 1)
+        for h, n in hs.items():
+            z = (n - mean) / math.sqrt(var) if var > 0 else 0.0
+            want[(t, h)] = (n, z, abs(z) > 3)
+    assert set(got) == set(want)
+    for kk in want:
+        assert got[kk][0] == want[kk][0], kk
+        assert abs(got[kk][1] - want[kk][1]) <= 2e-6, kk
+        assert got[kk][2] == want[kk][2], kk
+
+
+def test_seasonal_matches_profile_model(spark):
+    """q_ts_seasonal: per-(type, hour-of-day) cents-mean profile and
+    per-event residual re-derived with dict arithmetic."""
+    got = {int(r.event_id): (r.event_type, int(r.hod), r.seasonal,
+                             r.residual)
+           for _, r in _run(spark, "q_ts_seasonal").iterrows()}
+    e = _events()
+    prof: dict = defaultdict(lambda: [0, 0])
+    for t, ts, v in zip(e.event_type, e.ts, e.value):
+        k = (t, ts.hour)
+        prof[k][0] += _cents(v)
+        prof[k][1] += 1
+    want = {}
+    for eid, t, ts, v in zip(e.event_id, e.event_type, e.ts, e.value):
+        s, n = prof[(t, ts.hour)]
+        seasonal = s / (100.0 * n)
+        want[int(eid)] = (t, ts.hour, seasonal, v - seasonal)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+        assert abs(got[k][3] - want[k][3]) <= 2e-6, k
+
+
+def test_backlog_matches_ledger_model(spark):
+    """q_ts_backlog: ±1 per-lineitem order/ship deltas cumulated into
+    the daily open backlog, re-derived with a dict ledger."""
+    got = {pd.Timestamp(r.day): (int(r.n_ordered), int(r.n_shipped),
+                                 int(r.open_backlog))
+           for _, r in _run(spark, "q_ts_backlog").iterrows()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    j = li.merge(o[["o_orderkey", "o_orderdate"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    ordered = defaultdict(int)
+    shipped = defaultdict(int)
+    for d_ in j.o_orderdate.dt.floor("D"):
+        ordered[d_] += 1
+    for d_ in j.l_shipdate.dt.floor("D"):
+        shipped[d_] += 1
+    days = sorted(set(ordered) | set(shipped))
+    want, bal = {}, 0
+    for d_ in days:
+        bal += ordered[d_] - shipped[d_]
+        want[d_] = (ordered[d_], shipped[d_], bal)
+    assert got == want
+
+
+def test_countmin_matches_sketch_model(spark):
+    """q_agg_countmin: the 3-row/2048-cell Count-Min rebuilt with
+    direct Python dicts — exact cells, exact min, and the est ≥ true
+    guarantee asserted independently."""
+    got = {int(r.user_id): (int(r.cnt), int(r.cm_est), int(r.overcount))
+           for _, r in _run(spark, "q_agg_countmin").iterrows()}
+    e = _events()
+    cnt = defaultdict(int)
+    for u in e.user_id:
+        cnt[int(u)] += 1
+    rows = [(1203071381, 946579823), (1528960981, 360922847),
+            (812176523, 1720754035)]
+
+    def h0(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15],
+                   16) % 2147483647
+
+    cells = [defaultdict(int) for _ in rows]
+    pos = {}
+    for u, c in cnt.items():
+        hu = h0(u)
+        pos[u] = [((hu * a + b) % 2147483647) % 2048 for a, b in rows]
+        for j, p in enumerate(pos[u]):
+            cells[j][p] += c
+    want = {}
+    for u, c in cnt.items():
+        est = min(cells[j][p] for j, p in enumerate(pos[u]))
+        want[u] = (c, est, est - c)
+        assert est >= c                     # the CM guarantee itself
+    assert got == want
+
+
+def test_retention_cohorts_matches_model(spark):
+    """q_retention_cohorts: first-activity-day cohorts × day offsets,
+    distinct users, via direct dicts."""
+    got = {(pd.Timestamp(r.cohort_day), int(r.day_offset)):
+           int(r.n_active_users)
+           for _, r in _run(spark, "q_retention_cohorts").iterrows()}
+    e = _events()
+    first = {}
+    for u, ts in zip(e.user_id, e.ts):
+        d_ = ts.floor("D")
+        if u not in first or d_ < first[u]:
+            first[u] = d_
+    pairs = {(u, ts.floor("D")) for u, ts in zip(e.user_id, e.ts)}
+    agg = defaultdict(set)
+    for u, d_ in pairs:
+        agg[(first[u], (d_ - first[u]).days)].add(u)
+    assert got == {k: len(v) for k, v in agg.items()}
+
+
+def test_cohort_ltv_matches_decimal_model(spark):
+    """q_cohort_ltv: first-order-month cohorts, calendar month offsets,
+    exact-decimal cumulative revenue emitted as strings — re-derived
+    with Decimal arithmetic and explicit month math."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {(pd.Timestamp(r.cohort), int(r.month_no)): r.cum_revenue
+           for _, r in _run(spark, "q_cohort_ltv").iterrows()}
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    q2 = Decimal("0.01")
+    first_m = {}
+    for c, d_ in zip(o.o_custkey, o.o_orderdate):
+        m = pd.Timestamp(d_.year, d_.month, 1)
+        if c not in first_m or m < first_m[c]:
+            first_m[c] = m
+    monthly = defaultdict(lambda: Decimal(0))
+    for c, d_, p in zip(o.o_custkey, o.o_orderdate, o.o_totalprice):
+        coh = first_m[c]
+        mno = (d_.year - coh.year) * 12 + (d_.month - coh.month)
+        monthly[(coh, mno)] += Decimal(repr(p)).quantize(
+            q2, rounding=ROUND_HALF_UP)
+    want = {}
+    for coh in {c for c, _ in monthly}:
+        cum = Decimal(0)
+        for mno in sorted(m for c, m in monthly if c == coh):
+            cum += monthly[(coh, mno)]
+            want[(coh, mno)] = str(cum.quantize(q2))
+    assert got == want
