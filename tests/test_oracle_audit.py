@@ -1549,3 +1549,228 @@ def test_cohort_ltv_matches_decimal_model(spark):
             cum += monthly[(coh, mno)]
             want[(coh, mno)] = str(cum.quantize(q2))
     assert got == want
+
+
+# ---------------------- batch 5: portable hash families + window pairs
+# The hash constants are imported (parameters of the declared family);
+# the FAMILY ITSELF is rebuilt in plain Python dicts/loops — a third
+# implementation of each portable-hash contract.
+
+def _doc_shingles() -> dict:
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    out = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        terms = text.split(" ")
+        out[int(doc_id)] = (
+            {" ".join(terms[i:i + 3]) for i in range(len(terms) - 2)}
+            if len(terms) >= 3 else {" ".join(terms)})
+    return out
+
+
+def test_minhash_matches_python_family(spark):
+    """q_dedup_minhash: the 16-permutation / 8-band signature rebuilt
+    with Python min() over the affine family."""
+    from zio_kinesis_example_spark.operators.llm_dedup import (
+        _BANDS, _MH_A, _MH_B, _P31,
+    )
+
+    got = {(int(r.doc_id), int(r.band_id)): int(r.band_hash)
+           for _, r in _run(spark, "q_dedup_minhash").iterrows()}
+    want = {}
+    for doc_id, sh in _doc_shingles().items():
+        hs = [_h60(g) % _P31 for g in sh]
+        sig = [min((a * h + b) % _P31 for h in hs)
+               for a, b in zip(_MH_A, _MH_B)]
+        for band in range(_BANDS):
+            want[(doc_id, band)] = sig[2 * band] * _P31 + sig[2 * band + 1]
+    assert got == want
+
+
+def test_simhash_matches_python_majority(spark):
+    """q_dedup_simhash: 60 strict-majority bit votes over distinct-term
+    hashes, rebuilt with Python bit loops."""
+    got = {int(r.doc_id): int(r.simhash)
+           for _, r in _run(spark, "q_dedup_simhash").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        hs = [_h60(t) for t in set(text.split(" "))]
+        sig = 0
+        for b in range(60):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                sig |= 1 << b
+        want[int(doc_id)] = sig
+    assert got == want
+
+
+def test_bloom_semi_matches_python_filter(spark):
+    """q_join_bloom_semi: the 3-hash/32768-bit bloom rebuilt as a
+    Python set of positions; candidate/exact/false-positive counts and
+    the no-false-negatives guarantee re-derived row-by-row."""
+    from zio_kinesis_example_spark.operators.llm_dedup import _P31
+    from zio_kinesis_example_spark.operators.pipeline_ext import (
+        _BLOOM_AB, _BLOOM_M,
+    )
+
+    row = _run(spark, "q_join_bloom_semi").iloc[0]
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    keys = {int(k) for k in part.p_partkey if k % 10 == 7}
+
+    def positions(k: int):
+        h = _h60(str(k)) % _P31
+        return [((h * a + b) % _P31) % _BLOOM_M for a, b in _BLOOM_AB]
+
+    bits = set()
+    for k in keys:
+        bits.update(positions(k))
+    n_cand = n_exact = n_fp = 0
+    no_fn = True
+    for pk in li.l_partkey:
+        pk = int(pk)
+        passed = all(p in bits for p in positions(pk))
+        exact = pk in keys
+        n_cand += passed
+        n_exact += exact
+        n_fp += passed and not exact
+        if exact and not passed:
+            no_fn = False
+    assert (int(row.n_keys), int(row.bits_set), int(row.n_candidates),
+            int(row.n_exact), int(row.n_false_pos),
+            bool(row.no_false_negatives)) == (
+        len(keys), len(bits), n_cand, n_exact, n_fp, no_fn)
+    assert no_fn                          # the bloom guarantee itself
+
+
+def test_shuffle_epoch_matches_python_model(spark):
+    """q_shuffle_epoch: md5('ep1:'+id) shard + within-shard rank."""
+    got = {int(r.doc_id): (int(r.shard), int(r.pos), int(r.shuffle_key))
+           for _, r in _run(spark, "q_shuffle_epoch").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    rows = [(int(i), _h60(f"ep1:{int(i)}")) for i in d.doc_id]
+    by_shard = defaultdict(list)
+    for i, h in rows:
+        by_shard[h % 8].append((h, i))
+    want = {}
+    for shard, docs in by_shard.items():
+        for pos, (h, i) in enumerate(sorted(docs), start=1):
+            want[i] = (shard, pos, h)
+    assert got == want
+
+
+def test_sample_stratified_matches_python_model(spark):
+    """q_sample_stratified: per-language md5(doc_id) rank ≤ 20."""
+    got = {(r.lang, int(r.doc_id)): int(r.rn)
+           for _, r in _run(spark, "q_sample_stratified").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    by_lang = defaultdict(list)
+    for i, lg in zip(d.doc_id, d.lang):
+        by_lang[lg].append(
+            (hashlib.md5(str(int(i)).encode()).hexdigest(), int(i)))
+    want = {}
+    for lg, docs in by_lang.items():
+        for rn, (_, i) in enumerate(sorted(docs), start=1):
+            if rn <= 20:
+                want[(lg, i)] = rn
+    assert got == want
+
+
+def _knuth(i: int) -> int:
+    return ((i % 65536) * 2654435761
+            + ((i // 65536) % 65536) * 2041643008) % 4294967296
+
+
+def test_sample_mixture_matches_python_model(spark):
+    """q_sample_mixture: Knuth-draw thresholds (90% src0-9, 25%
+    src10-19) re-derived per document."""
+    got = {int(r.doc_id) for _, r in
+           _run(spark, "q_sample_mixture").iterrows()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    want = set()
+    for i, src in zip(d.doc_id, d.source):
+        thr = 3865470566 if int(src[3:]) < 10 else 1073741824
+        if _knuth(int(i)) < thr:
+            want.add(int(i))
+    assert got == want
+
+
+def test_sample_priority_matches_python_model(spark):
+    """q_sample_priority: Duffield-Lund-Thorup priority = scaled draw
+    // weight-cents, 100 smallest — re-derived with direct ints."""
+    got = [(int(r.o_orderkey), int(r.priority))
+           for _, r in _run(spark, "q_sample_priority").iterrows()]
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    rows = []
+    for k, p in zip(o.o_orderkey, o.o_totalprice):
+        cents = _cents(p)
+        if cents >= 1:
+            rows.append(((_knuth(int(k)) * 10000) // cents, int(k)))
+    want = [(k, pr) for pr, k in sorted(rows)[:100]]
+    assert sorted(got) == sorted(want)
+
+
+def test_interval_overlap_matches_python_model(spark):
+    """q_join_interval_overlap: per-user 1h-gap session intervals,
+    cross-user closed-interval overlaps, re-derived with loops."""
+    got = {(int(r.user_a), int(r.user_b)):
+           (int(r.n_overlaps), int(r.overlap_us))
+           for _, r in _run(spark, "q_join_interval_overlap").iterrows()}
+    e = _events()
+    byu = defaultdict(list)
+    for u, t in zip(e.user_id, _us(e.ts)):
+        byu[int(u)].append(int(t))
+    ivs = defaultdict(list)
+    for u, ts in byu.items():
+        ts.sort()
+        cur = [ts[0]]
+        for a, b in zip(ts, ts[1:]):
+            if b - a > 3_600_000_000:
+                ivs[u].append((cur[0], cur[-1]))
+                cur = []
+            cur.append(b)
+        ivs[u].append((cur[0], cur[-1]))
+    want = defaultdict(lambda: [0, 0])
+    users = sorted(ivs)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            for s1, e1 in ivs[ua]:
+                for s2, e2 in ivs[ub]:
+                    if s1 <= e2 and s2 <= e1:
+                        want[(ua, ub)][0] += 1
+                        want[(ua, ub)][1] += min(e1, e2) - max(s1, s2)
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_running_distinct_matches_python_model(spark):
+    """q_win_running_distinct: distinct event types at-or-before each
+    event in (ts, event_id) order, re-derived with a per-user scan."""
+    got = {int(r.event_id): int(r.distinct_types_so_far)
+           for _, r in _run(spark, "q_win_running_distinct").iterrows()}
+    e = _events()
+    byu = defaultdict(list)
+    for i, u, t, k in zip(e.event_id, e.user_id, _us(e.ts), e.event_type):
+        byu[int(u)].append((int(t), int(i), k))
+    want = {}
+    for rows in byu.values():
+        seen = set()
+        for t, i, k in sorted(rows):
+            seen.add(k)
+            want[i] = len(seen)
+    assert got == want
+
+
+def test_markov_matches_python_model(spark):
+    """q_events_markov: consecutive-event transition counts per user in
+    (ts, event_id) order."""
+    got = {(r.prev, r.next): int(r.n_transitions)
+           for _, r in _run(spark, "q_events_markov").iterrows()}
+    e = _events()
+    byu = defaultdict(list)
+    for u, t, i, k in zip(e.user_id, _us(e.ts), e.event_id, e.event_type):
+        byu[int(u)].append((int(t), int(i), k))
+    want = defaultdict(int)
+    for rows in byu.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
