@@ -733,3 +733,24 @@ def test_range_search_is_broadcast_scan_without_window(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "Window" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_ivf_corpus_side_is_spread(spark):
+    """r10: the IVF-family corpus side must repartition (RoundRobin)
+    before the per-candidate arithmetic — with the query side broadcast
+    the whole probe otherwise inherits the corpus scan's input-split
+    parallelism and a single-file corpus serializes onto one core (the
+    r6 per-file-kernel rule, measured at the 30× proxy)."""
+    import re
+
+    from zio_kinesis_example_spark.operators.llm_similarity import (
+        _ann_ivf_plan, _range_search_ann_plan,
+    )
+
+    for plan_fn in (_ann_ivf_plan, _range_search_ann_plan):
+        df = plan_fn(spark, SF_SMALL)
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            df.explain("formatted")
+        buf = out.getvalue()
+        assert "RoundRobinPartitioning" in buf, plan_fn.__name__
