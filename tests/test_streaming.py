@@ -1181,3 +1181,112 @@ def test_ivf_index_drops_poison_corpus_rows(spark, tmpdir_factory_local,
     assert rows and all(r.neighbor_id < 900_000 for r in rows)
     corpus_cells.unpersist()
     S.clear_ann_cache()
+
+
+def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
+    """Streaming EWMA/Holt (round 10): the applyInPandasWithState twin
+    the batch q_ts_ewma / q_ts_holt docstrings promise. Two waves with
+    a restart from the checkpoint between them; the final per-series
+    state must equal an independent pure-Python fold over the FULL
+    series (the same models the oracle audit uses), and re-running the
+    drained stream emits nothing (state restored, not refolded)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    import pandas as pd
+
+    from zio_kinesis_example_spark.streaming import (
+        ShardDirProducer, decode_json, shard_source, smooth_stateful,
+    )
+
+    from .conftest import SF_SMALL
+
+    # hourly count series per event_type from the fixture (driver-side)
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    hourly = (
+        e.select(F.col("event_type"),
+                 F.date_trunc("hour",
+                              F.timestamp_micros(F.expr("ts div 1000")))
+                 .alias("h"))
+        if dict(e.dtypes).get("ts") == "bigint" else
+        e.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+    ).groupBy("event_type", "h").count().collect()
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append(
+            (int(pd.Timestamp(r.h).value // 1000), float(r["count"])))
+    for v in series.values():
+        v.sort()
+    rows = sorted((t, ord_us, x) for t, vs in series.items()
+                  for ord_us, x in vs)
+
+    src = tmpdir_factory_local("smooth-src")
+    ckpt_e = tmpdir_factory_local("smooth-ckpt-ewma")
+    ckpt_h = tmpdir_factory_local("smooth-ckpt-holt")
+    prod = ShardDirProducer(
+        src, n_shards=2, batch_size=50,
+        payload_fn=lambda i: {"series_key": rows[i - 1][0],
+                              "ord": rows[i - 1][1],
+                              "x": rows[i - 1][2]},
+    )
+    schema = StructType([
+        StructField("series_key", StringType()),
+        StructField("ord", LongType()),
+        StructField("x", DoubleType()),
+    ])
+
+    def run(ckpt, beta):
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        out = []
+        q = (
+            smooth_stateful(valid.select("series_key", "ord", "x"),
+                            alpha=0.4 if beta else 0.3, beta=beta)
+            .writeStream.foreachBatch(
+                lambda b, i: out.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    # wave 1: first 60% of the rows (hour order preserved globally:
+    # rows are sorted by (type, hour) and batches split on the sorted
+    # prefix, so each key's points arrive in ascending ord)
+    cut = int(len(rows) * 0.6)
+    prod.produce_all(cut)
+    final_e = {r.series_key: r for r in run(ckpt_e, None)}
+    final_h = {r.series_key: r for r in run(ckpt_h, 0.3)}
+    # wave 2 (restart both from their checkpoints): the rest; update
+    # mode re-emits only TOUCHED keys, so the latest row per key is the
+    # union of both waves' updates
+    prod.produce_all(len(rows), start=cut + 1)
+    final_e.update({r.series_key: r for r in run(ckpt_e, None)})
+    final_h.update({r.series_key: r for r in run(ckpt_h, 0.3)})
+
+    # independent pure-Python folds over the full series
+    for t, vs in series.items():
+        xs = [x for _, x in vs]
+        s = xs[0]
+        for x in xs[1:]:
+            s = 0.3 * x + 0.7 * s
+        assert final_e[t].n_points == len(xs)
+        assert abs(final_e[t].level - s) <= 1e-9, t
+        if len(xs) >= 2:
+            level, b = xs[0], xs[1] - xs[0]
+            for x in xs[1:]:
+                l_new = 0.4 * x + 0.6 * (level + b)
+                b = 0.3 * (l_new - level) + 0.7 * b
+                level = l_new
+            assert abs(final_h[t].level - level) <= 1e-9, t
+            assert abs(final_h[t].trend - b) <= 1e-9, t
+            assert abs(final_h[t].forecast_next - (level + b)) <= 1e-9, t
+
+    # drained stream: nothing re-emitted, state not refolded
+    assert run(ckpt_e, None) == []
+    assert run(ckpt_h, 0.3) == []

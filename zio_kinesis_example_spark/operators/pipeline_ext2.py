@@ -192,8 +192,10 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-agged hourly rollup, then ONE shuffle to
     collect each bounded series (sort_array gives fold order without a
     window sort); per-series state is O(series length). Unbounded series
-    stream through applyInPandasWithState carrying (l, b) as state — the
-    streaming running-count pattern.
+    stream through the IMPLEMENTED streaming twin (streaming/smooth.py
+    `smooth_stateful` with beta set, r10) carrying (l, b) as O(1)
+    state — restart-verified against this fold in
+    tests/test_streaming.py.
     """
     from ..api import holt_smooth
 

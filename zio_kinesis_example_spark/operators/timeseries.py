@@ -499,8 +499,10 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect each series (sort_array on (hour, value) structs gives the
     fold order without a window sort). Per-series state is the series
     itself — fine for bounded series (hours per type); unbounded series
-    stream through `applyInPandasWithState` instead (the streaming
-    running-count pattern with s carried as state).
+    stream through the IMPLEMENTED streaming twin
+    (streaming/smooth.py `smooth_stateful`, r10): the same
+    recurrence carrying O(1) state per key in the state store,
+    restart-verified against this fold in tests/test_streaming.py.
     """
     e = load(spark, sf_dir, "events")
     # exact-cents hourly sums (q_ts_interpolate's rule): a double

@@ -32,3 +32,4 @@ from .consume import (  # noqa: F401
 from .observe import MetricsTap, tapped  # noqa: F401
 from .sink import UpsertSink  # noqa: F401
 from .ann import ivf_index, probe_topk, topk_ingest  # noqa: F401
+from .smooth import smooth_stateful  # noqa: F401
