@@ -1223,6 +1223,9 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
         v.sort()
     rows = sorted((t, ord_us, x) for t, vs in series.items()
                   for ord_us, x in vs)
+    # a single-point series: Holt's seed is provisional there — the
+    # stream must emit l1 = x1 with zero trend, not the zero state
+    rows.append(("zz_solo", 1, 7.5))
 
     src = tmpdir_factory_local("smooth-src")
     ckpt_e = tmpdir_factory_local("smooth-ckpt-ewma")
@@ -1286,6 +1289,11 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
             assert abs(final_h[t].level - level) <= 1e-9, t
             assert abs(final_h[t].trend - b) <= 1e-9, t
             assert abs(final_h[t].forecast_next - (level + b)) <= 1e-9, t
+
+    solo = final_h["zz_solo"]
+    assert (solo.n_points, solo.level, solo.trend,
+            solo.forecast_next) == (1, 7.5, 0.0, 7.5)
+    assert final_e["zz_solo"].level == 7.5
 
     # drained stream: nothing re-emitted, state not refolded
     assert run(ckpt_e, None) == []

@@ -70,7 +70,12 @@ def smooth_stateful(series: DataFrame, alpha: float,
         if not chunks:
             return
         rows = pd.concat(chunks).sort_values(order_col)
-        for x in rows[value_col].astype(float):
+        # poison guard (the streaming-ANN rule): one NaN/null value
+        # would corrupt the key's state FOREVER — a malformed record
+        # costs its own row, never the series
+        vals = rows[value_col].astype(float)
+        vals = vals[~(vals.isna() | (vals.abs() == float("inf")))]
+        for x in vals:
             n += 1
             if beta is None:                       # EWMA
                 level = x if n == 1 else alpha * x + (1 - alpha) * level
@@ -86,12 +91,16 @@ def smooth_stateful(series: DataFrame, alpha: float,
                 trend = beta * (l_new - level) + (1 - beta) * trend
                 level = l_new
         state.update((n, level, trend, first_x))
+        # Holt with one point so far: the seed is provisional — emit
+        # l₁ = x₁ with zero trend (the batch twin omits n<2 series;
+        # a stream must still say something truthful for the key)
+        lv = first_x if (beta is not None and n == 1) else level
         yield pd.DataFrame({
             "series_key": [key[0]],
             "n_points": [n],
-            "level": [level],
+            "level": [lv],
             "trend": [0.0 if beta is None else trend],
-            "forecast_next": [level if beta is None else level + trend],
+            "forecast_next": [lv if beta is None else lv + trend],
         })
 
     return series.groupBy(key_col).applyInPandasWithState(
