@@ -279,3 +279,25 @@ def test_csv_append_into_legacy_dir_is_refused(spark, tmpdir_factory_local):
     got = {r.id: r.s for r in read_table(spark, d, fmt="csv",
                                          schema=schema).collect()}
     assert got == {1: "a\\b"}  # legacy bytes still read unhalved
+
+
+def test_xml_roundtrip_preserves_rows(spark, tmpdir_factory_local):
+    """XML joins the format battery (Spark 4 built-in xml source):
+    declared-schema roundtrip with the fixed row/root tag vocabulary —
+    the document-interchange edge format next to JSON/CSV. Schema
+    inference stays disabled by design, like every non-self-describing
+    format here."""
+    src = load(spark, SF_SMALL, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    df = src.select(*cols)
+    out = tmpdir_factory_local("roundtrip-xml")
+    write_table(df, out, fmt="xml")
+    back = read_table(spark, out, fmt="xml", schema=df.schema)
+    assert _sorted_rows(back, cols) == _sorted_rows(df, cols)
+    # schema-less xml read rejected, the csv/json rule
+    try:
+        read_table(spark, out, fmt="xml")
+    except ValueError as e:
+        assert "declared schema" in str(e)
+    else:
+        raise AssertionError("schema-less xml read must be rejected")

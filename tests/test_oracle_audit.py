@@ -1774,3 +1774,21 @@ def test_markov_matches_python_model(spark):
         for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+def test_audit_table_covers_registry():
+    """AUDIT.md's per-query classification must cover EXACTLY the
+    registered set — a new query landing without its audit row (class +
+    rationale, and a model test if M-R) fails here, enforcing the
+    AUDIT.md §5 maintenance rule mechanically."""
+    import re
+
+    text = open("/root/repo/AUDIT.md").read()
+    section3 = text.split("## 3.")[1].split("## 4.")[0]
+    table = re.findall(r"^\| `(q_[a-z0-9_]+)` \|", section3, re.M)
+    audited = set(table)
+    assert len(table) == len(audited), "duplicate audit rows"
+    registered = set(all_specs())
+    assert audited == registered, (
+        f"unclassified: {sorted(registered - audited)}; "
+        f"stale rows: {sorted(audited - registered)}")

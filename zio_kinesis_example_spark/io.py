@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
 
-_FORMATS = ("parquet", "json", "csv", "orc")
+_FORMATS = ("parquet", "json", "csv", "orc", "xml")
+#: XML element names for the built-in Spark 4 xml source — one
+#: fixed vocabulary on both sides so write/read agree without
+#: caller coordination (Avro stays unsupported: it is an external
+#: data-source module, not shipped in the plain pyspark install).
+_XML_ROW_TAG = "row"
+_XML_ROOT_TAG = "rows"
 
 #: Layout-version marker for escaped CSV directories (round 8): dirs
 #: written with backslash escaping carry this file; read_table only
@@ -115,6 +121,9 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
                 pass
         return
     writer = df.write.format(fmt).mode(mode)
+    if fmt == "xml":
+        writer = (writer.option("rootTag", _XML_ROOT_TAG)
+                  .option("rowTag", _XML_ROW_TAG))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
@@ -135,6 +144,8 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
             raise ValueError(f"{fmt} reads require a declared schema "
                              "(inference is disabled by design)")
         reader = reader.schema(schema)
+    if fmt == "xml":
+        reader = reader.option("rowTag", _XML_ROW_TAG)
     if fmt == "csv":
         # multiLine: values containing newlines were written quoted and
         # must not split records; nullValue mirrors write_table's
