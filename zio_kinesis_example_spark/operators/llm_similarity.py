@@ -1344,7 +1344,8 @@ _IVFPQ_RECALL_FLOOR = 0.30
 
 def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
                     train_iters: int = _PQ_ANN_TRAIN_ITERS,
-                    nlist: int = _IVF_NLIST) -> DataFrame:
+                    nlist: int = _IVF_NLIST,
+                    nprobe: int = _IVFPQ_NPROBE) -> DataFrame:
     """IVFPQ: Lloyd-trained coarse quantizer (the q_sim_ann_ivf
     machinery) assigns every vector ONE cell; Lloyd-trained per-subspace
     PQ codebooks (the q_sim_ann_pq machinery) give it a 16-bit code.
@@ -1389,7 +1390,7 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str,
     # index registry (bit-identical to training inline; see helpers)
     C = _ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _normalized_centroids(C)
-    nprobe = min(_IVFPQ_NPROBE, C.shape[0])
+    nprobe = min(nprobe, C.shape[0])
     books = _pq_trained_books(spark, sf_dir, q, train_iters)
 
     # corpus: ONE scan → (vec_id, cell, codes); the inverted lists.
