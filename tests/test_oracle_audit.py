@@ -1792,3 +1792,226 @@ def test_audit_table_covers_registry():
     assert audited == registered, (
         f"unclassified: {sorted(registered - audited)}; "
         f"stale rows: {sorted(audited - registered)}")
+
+
+# ----------------------------- batch 6: adapted-TPC-H semantics locks
+# The TPC-H rows are engine-definitional EXCEPT where the testdata
+# forced an adaptation (no partsupp/commitdate/phone) — the adaptation
+# is OUR hand-written semantics with no published answer behind it.
+# Direct pandas/loop models for the trickiest adapted formulations.
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+_D4 = Decimal("0.0001")
+_D2 = Decimal("0.01")
+
+
+def _dec(v, q=_D4) -> Decimal:
+    return Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+
+def _rev(price, disc) -> Decimal:
+    """CAST(price AS DEC(18,4)) * CAST(1 - disc AS DEC(18,4)) — the
+    module's exact revenue term, re-derived with Python Decimal."""
+    return _dec(price) * _dec(1.0 - float(disc))
+
+
+def _tables():
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    return li, o
+
+
+def test_tpch_q13_matches_model(spark):
+    """Adapted Q13: priority filter INSIDE the left join — customers
+    with zero qualifying orders must land in the k=0 bucket."""
+    got = {int(r.c_count): int(r.custdist)
+           for _, r in _run(spark, "q_tpch_q13").iterrows()}
+    _, o = _tables()
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    per_cust = defaultdict(int)
+    for ck, pri in zip(o.o_custkey, o.o_orderpriority):
+        if pri != "1-URGENT":
+            per_cust[int(ck)] += 1
+    hist = defaultdict(int)
+    for ck in c.c_custkey:
+        hist[per_cust.get(int(ck), 0)] += 1
+    assert got == dict(hist)
+
+
+def test_tpch_q15_matches_model(spark):
+    """Adapted Q15: exact-decimal quarterly revenue, max-with-ties —
+    the tie inclusion is the hand-written part."""
+    got = {int(r.s_suppkey): r.total_revenue
+           for _, r in _run(spark, "q_tpch_q15").iterrows()}
+    li, _ = _tables()
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    rev = defaultdict(lambda: Decimal(0))
+    for sk, sd, p, d in zip(li.l_suppkey, li.l_shipdate,
+                            li.l_extendedprice, li.l_discount):
+        if lo <= sd < hi:
+            rev[int(sk)] += _rev(p, d)
+    best = max(rev.values())
+    want = {sk: str(r.quantize(Decimal("0.00000001")))
+            for sk, r in rev.items() if r == best}
+    assert got == want
+
+
+def test_tpch_q17_matches_model(spark):
+    """Adapted Q17: lineitems below 0.2× their part's average quantity,
+    one brand, exact-decimal sum / 7.0."""
+    row = _run(spark, "q_tpch_q17").iloc[0]
+    li, _ = _tables()
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    brand7 = {int(k) for k, b in zip(part.p_partkey, part.p_brand)
+              if b == "Brand#7"}
+    qty = defaultdict(list)
+    for pk, q in zip(li.l_partkey, li.l_quantity):
+        qty[int(pk)].append(float(q))
+    total = Decimal(0)
+    for pk, q, p in zip(li.l_partkey, li.l_quantity, li.l_extendedprice):
+        pk = int(pk)
+        if pk in brand7 and float(q) < 0.2 * (sum(qty[pk]) / len(qty[pk])):
+            total += _dec(p)
+    assert abs(float(row.avg_yearly) - float(total) / 7.0) <= 2e-6
+
+
+def test_tpch_q21_matches_model(spark):
+    """Adapted Q21: per supplier, late lineitems (ship > order+60d) of
+    finished multi-supplier orders where it was the ONLY late supplier
+    — the exists/not-exists pair re-derived with per-order scans."""
+    got = [(r.s_name, int(r.numwait))
+           for _, r in _run(spark, "q_tpch_q21").iterrows()]
+    li, o = _tables()
+    sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    sname = {int(k): n for k, n in zip(sup.s_suppkey, sup.s_name)}
+    odate = {int(k): d for k, d in zip(o.o_orderkey, o.o_orderdate)
+             if True}
+    fstat = {int(k) for k, s in zip(o.o_orderkey, o.o_orderstatus)
+             if s == "F"}
+    per_order = defaultdict(list)      # order -> [(supp, late)]
+    for ok, sk, sd in zip(li.l_orderkey, li.l_suppkey, li.l_shipdate):
+        ok = int(ok)
+        late = sd > odate[ok] + pd.Timedelta(days=60)
+        per_order[ok].append((int(sk), late))
+    waits = defaultdict(int)
+    for ok, rows in per_order.items():
+        if ok not in fstat:
+            continue
+        supps = {s for s, _ in rows}
+        late_supps = {s for s, lt in rows if lt}
+        for s, lt in rows:
+            if lt and len(supps) > 1 and late_supps == {s}:
+                waits[sname[s]] += 1
+    want = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_tpch_q22_matches_model(spark):
+    """Adapted Q22 (nation-keyed): rich-balance cut from an exact
+    decimal mean, customers with no recent orders."""
+    got = {int(r.c_nationkey): (int(r.numcust), r.totacctbal)
+           for _, r in _run(spark, "q_tpch_q22").iterrows()}
+    _, o = _tables()
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    pos = [_dec(b, _D2) for b in c.c_acctbal if float(b) > 0.0]
+    thresh = float(sum(pos)) / len(pos)
+    recent = {int(k) for k, d in zip(o.o_custkey, o.o_orderdate)
+              if d >= pd.Timestamp("1999-01-01")}
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for ck, nk, b in zip(c.c_custkey, c.c_nationkey, c.c_acctbal):
+        if float(b) > thresh and int(ck) not in recent:
+            agg[int(nk)][0] += 1
+            agg[int(nk)][1] += _dec(b, _D2)
+    assert got == {nk: (n, str(t.quantize(_D2)))
+                   for nk, (n, t) in agg.items()}
+
+
+def test_tpch_q2_matches_model(spark):
+    """Adapted Q2: best-balance EUROPE supplier per qualifying part
+    over OBSERVED supply pairs (max s_acctbal stands in for min
+    supplycost), ties included, top-100 fully tie-broken."""
+    got = [(float(r.s_acctbal), r.s_name, r.n_name, int(r.p_partkey))
+           for _, r in _run(spark, "q_tpch_q2").iterrows()]
+    li, _ = _tables()
+    sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMALL}/region.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    eu_regions = {int(k) for k, n in zip(reg.r_regionkey, reg.r_name)
+                  if n == "EUROPE"}
+    nat_info = {int(k): (n, int(rk) in eu_regions)
+                for k, n, rk in zip(nat.n_nationkey, nat.n_name,
+                                    nat.n_regionkey)}
+    sup_info = {int(k): (float(b), nm, nat_info[int(nk)])
+                for k, b, nm, nk in zip(sup.s_suppkey, sup.s_acctbal,
+                                        sup.s_name, sup.s_nationkey)}
+    pq_ok = {int(k): (nm, br)
+             for k, nm, br, tp, sz in zip(part.p_partkey, part.p_name,
+                                          part.p_brand, part.p_type,
+                                          part.p_size)
+             if tp == "LARGE" and 10 <= sz <= 30}
+    pairs = {(int(pk), int(sk))
+             for pk, sk in zip(li.l_partkey, li.l_suppkey)}
+    cand = defaultdict(list)
+    for pk, sk in pairs:
+        if pk in pq_ok and sk in sup_info:
+            bal, snm, (nname, in_eu) = sup_info[sk]
+            if in_eu:
+                cand[pk].append((bal, snm, nname))
+    rows = []
+    for pk, cs in cand.items():
+        mb = max(b for b, _, _ in cs)
+        for bal, snm, nname in cs:
+            if bal == mb:
+                rows.append((bal, snm, nname, pk))
+    rows.sort(key=lambda r: (-r[0], r[2], r[1], r[3]))
+    assert got == rows[:100]
+
+
+def test_tpch_q20_matches_model(spark):
+    """Adapted Q20: suppliers who shipped > 200 units of red-named
+    parts in 1997 (shipped volume stands in for availqty)."""
+    got = {(int(r.s_suppkey), r.s_name)
+           for _, r in _run(spark, "q_tpch_q20").iterrows()}
+    li, _ = _tables()
+    sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    red = {int(k) for k, n in zip(part.p_partkey, part.p_name)
+           if "red" in n}
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    vol = defaultdict(float)
+    for pk, sk, sd, q in zip(li.l_partkey, li.l_suppkey,
+                             li.l_shipdate, li.l_quantity):
+        if int(pk) in red and lo <= sd < hi:
+            vol[int(sk)] += float(q)
+    keep = {sk for sk, v in vol.items() if v > 200.0}
+    want = {(int(k), n) for k, n in zip(sup.s_suppkey, sup.s_name)
+            if int(k) in keep}
+    assert got == want
+
+
+def test_tpch_q11_matches_model(spark):
+    """Adapted Q11: per-nation inventory value over observed supply
+    pairs with the 4% (×25) decimal threshold."""
+    got = {r.n_name: r.value
+           for _, r in _run(spark, "q_tpch_q11").iterrows()}
+    li, _ = _tables()
+    sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    nname = {int(k): n for k, n in zip(nat.n_nationkey, nat.n_name)}
+    snat = {int(k): nname[int(nk)]
+            for k, nk in zip(sup.s_suppkey, sup.s_nationkey)}
+    price = {int(k): _dec(p) for k, p in zip(part.p_partkey,
+                                             part.p_retailprice)}
+    pairs = {(int(pk), int(sk))
+             for pk, sk in zip(li.l_partkey, li.l_suppkey)}
+    val = defaultdict(lambda: Decimal(0))
+    for pk, sk in pairs:
+        if pk in price and sk in snat:
+            val[snat[sk]] += price[pk]
+    total = sum(val.values())
+    want = {n: str(v.quantize(_D4)) for n, v in val.items()
+            if v * 25 > total}
+    assert got == want
