@@ -301,3 +301,13 @@ def test_xml_roundtrip_preserves_rows(spark, tmpdir_factory_local):
         assert "declared schema" in str(e)
     else:
         raise AssertionError("schema-less xml read must be rejected")
+    # padded strings survive (r10 review: ignoreSurroundingSpaces
+    # defaults TRUE on read and silently trimmed '  padded  ' —
+    # the same lossy-whitespace class the CSV options closed in r8)
+    pdf = spark.createDataFrame(
+        [(1, "  padded  "), (2, "x")], "id long, s string")
+    out2 = tmpdir_factory_local("roundtrip-xml-pad")
+    write_table(pdf, out2, fmt="xml")
+    back2 = read_table(spark, out2, fmt="xml", schema=pdf.schema)
+    assert {(r.id, r.s) for r in back2.collect()} == \
+        {(1, "  padded  "), (2, "x")}

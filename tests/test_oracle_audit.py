@@ -1885,8 +1885,7 @@ def test_tpch_q21_matches_model(spark):
     li, o = _tables()
     sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
     sname = {int(k): n for k, n in zip(sup.s_suppkey, sup.s_name)}
-    odate = {int(k): d for k, d in zip(o.o_orderkey, o.o_orderdate)
-             if True}
+    odate = {int(k): d for k, d in zip(o.o_orderkey, o.o_orderdate)}
     fstat = {int(k) for k, s in zip(o.o_orderkey, o.o_orderstatus)
              if s == "F"}
     per_order = defaultdict(list)      # order -> [(supp, late)]

@@ -741,8 +741,6 @@ def test_ivf_corpus_side_is_spread(spark):
     the whole probe otherwise inherits the corpus scan's input-split
     parallelism and a single-file corpus serializes onto one core (the
     r6 per-file-kernel rule, measured at the 30× proxy)."""
-    import re
-
     from zio_kinesis_example_spark.operators.llm_similarity import (
         _ann_ivf_plan, _range_search_ann_plan,
     )

@@ -1190,8 +1190,6 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
     state must equal an independent pure-Python fold over the FULL
     series (the same models the oracle audit uses), and re-running the
     drained stream emits nothing (state restored, not refolded)."""
-    import json
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
@@ -1298,3 +1296,39 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
     # drained stream: nothing re-emitted, state not refolded
     assert run(ckpt_e, None) == []
     assert run(ckpt_h, 0.3) == []
+
+    # all-poison FIRST batch for a new key (r10 review): null x rows
+    # are dropped and the key gets NO fabricated zero row and no state
+    import json as _json
+    import os
+
+    def emit_file(name, payload):
+        with open(os.path.join(src, name), "w") as fh:
+            fh.write(_json.dumps({"shard_id": "shard-000",
+                                  "partition_key": "p", "seq": 10**6,
+                                  "data": _json.dumps(payload)}) + "\n")
+
+    emit_file("extra-poison.json", {"series_key": "pp", "ord": 5})
+    out_rows = run(ckpt_e, None)
+    assert all(r.series_key != "pp" for r in out_rows)
+
+    # coefficient mismatch on an existing checkpoint fails LOUDLY (r10
+    # review: silently folding a mixed model was the alternative)
+    emit_file("extra-mismatch.json",
+              {"series_key": "view", "ord": 10**15, "x": 1.0})
+    import pytest as _pytest
+
+    from pyspark.errors import StreamingQueryException
+
+    def run_wrong_alpha():
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        q = (smooth_stateful(valid.select("series_key", "ord", "x"),
+                             alpha=0.9, beta=None)
+             .writeStream.foreachBatch(lambda b, i: b.collect())
+             .outputMode("update")
+             .option("checkpointLocation", ckpt_e)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with _pytest.raises(StreamingQueryException):
+        run_wrong_alpha()

@@ -145,7 +145,11 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                              "(inference is disabled by design)")
         reader = reader.schema(schema)
     if fmt == "xml":
-        reader = reader.option("rowTag", _XML_ROW_TAG)
+        # ignoreSurroundingSpaces defaults TRUE and silently trims
+        # padded string values on read (r10 review — the same lossy-
+        # whitespace class the CSV writer options closed in r8)
+        reader = (reader.option("rowTag", _XML_ROW_TAG)
+                  .option("ignoreSurroundingSpaces", "false"))
     if fmt == "csv":
         # multiLine: values containing newlines were written quoted and
         # must not split records; nullValue mirrors write_table's

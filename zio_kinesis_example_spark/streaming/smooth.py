@@ -42,13 +42,19 @@ _SMOOTH_OUT = StructType([
     StructField("trend", DoubleType()),
     StructField("forecast_next", DoubleType()),
 ])
-#: (n_points, level, trend, first_x) — first_x parks x₁ until Holt's
-#: two-point seed is complete; EWMA ignores trend/first_x.
+#: (n_points, level, trend, first_x, alpha, beta) — first_x parks x₁
+#: until Holt's two-point seed is complete; EWMA ignores trend/first_x.
+#: alpha/beta are RECORDED IN STATE (r10 review): restarting from a
+#: checkpoint with different coefficients (or switching EWMA↔Holt)
+#: would otherwise silently continue the fold as a mixed model; the
+#: mismatch now fails loudly instead. beta = −1.0 encodes EWMA.
 _SMOOTH_STATE = StructType([
     StructField("n", LongType()),
     StructField("level", DoubleType()),
     StructField("trend", DoubleType()),
     StructField("first_x", DoubleType()),
+    StructField("alpha", DoubleType()),
+    StructField("beta", DoubleType()),
 ])
 
 
@@ -62,20 +68,35 @@ def smooth_stateful(series: DataFrame, alpha: float,
     (series_key, n_points, level, trend, forecast_next) row per touched
     key per micro-batch; for EWMA trend is 0.0 and forecast = level."""
 
+    beta_tag = -1.0 if beta is None else float(beta)
+
     def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
-        n, level, trend, first_x = (
-            state.get if state.exists else (0, 0.0, 0.0, 0.0))
+        n, level, trend, first_x, s_alpha, s_beta = (
+            state.get if state.exists
+            else (0, 0.0, 0.0, 0.0, float(alpha), beta_tag))
+        if (s_alpha, s_beta) != (float(alpha), beta_tag):
+            raise ValueError(
+                f"smooth_stateful checkpoint was written with "
+                f"alpha={s_alpha}, beta={'None' if s_beta == -1.0 else s_beta}"
+                f" but restarted with alpha={alpha}, beta={beta} — "
+                "continuing would silently fold a mixed model; use a "
+                "fresh checkpointLocation to change coefficients")
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
-        rows = pd.concat(chunks).sort_values(order_col)
-        # poison guard (the streaming-ANN rule): one NaN/null value
-        # would corrupt the key's state FOREVER — a malformed record
-        # costs its own row, never the series
-        vals = rows[value_col].astype(float)
-        vals = vals[~(vals.isna() | (vals.abs() == float("inf")))]
-        for x in vals:
+        rows = pd.concat(chunks)
+        # poison guard (the streaming-ANN rule): one NaN/null value —
+        # or a null ORDER key, which pandas would sort LAST and fold in
+        # the wrong position (r10 review) — would corrupt the key's
+        # state FOREVER; a malformed record costs its own row, never
+        # the series
+        ok = (~rows[value_col].isna() & ~rows[order_col].isna()
+              & (rows[value_col].astype(float).abs() != float("inf")))
+        rows = rows[ok].sort_values(order_col)
+        if not len(rows) and n == 0:
+            return            # all-poison first batch: no fabricated row
+        for x in rows[value_col].astype(float):
             n += 1
             if beta is None:                       # EWMA
                 level = x if n == 1 else alpha * x + (1 - alpha) * level
@@ -90,7 +111,7 @@ def smooth_stateful(series: DataFrame, alpha: float,
                 l_new = alpha * x + (1 - alpha) * (level + trend)
                 trend = beta * (l_new - level) + (1 - beta) * trend
                 level = l_new
-        state.update((n, level, trend, first_x))
+        state.update((n, level, trend, first_x, float(alpha), beta_tag))
         # Holt with one point so far: the seed is provisional — emit
         # l₁ = x₁ with zero trend (the batch twin omits n<2 series;
         # a stream must still say something truthful for the key)
