@@ -421,3 +421,77 @@ def test_range_prefilter_equivalence_property(spark):
     b = {tuple(r) for r in without_pre.collect()}
     assert a == b, (f"prefilter changed the row set: "
                     f"dropped={sorted(b - a)[:5]} added={sorted(a - b)[:5]}")
+
+
+def test_majority_dim_empty_corpus_raises_descriptive(spark):
+    """r11 ADVICE: an empty or all-NULL corpus used to crash the
+    majority-dimension probe with a bare AttributeError
+    ('NoneType' has no attribute 'd'); it must raise a descriptive
+    ValueError instead — from both the helper and the streaming
+    ivf_index that uses it."""
+    import pytest
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="no valid embedding rows"):
+        S._majority_dim(empty)
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="no valid embedding rows"):
+        S._majority_dim(all_null)
+
+
+def test_centroids_train_on_filtered_sample(spark, tmpdir_factory_local,
+                                            monkeypatch):
+    """r11 ADVICE: _ivf_centroids must train on the validity-FILTERED
+    corpus so the batch plans and the streaming ivf_index (which
+    filters before training) produce the same artifact under the shared
+    cache key — a NaN row in the hash-ordered training sample would
+    otherwise poison batch-trained centroids served to the stream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    src = tmpdir_factory_local("trainpoison")
+    base = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = base.column("embedding").to_pylist()
+    ids = base.column("vec_id").to_pylist()
+    labels = base.column("label").to_pylist()
+    dim = len(emb[0])
+    # poison rows across validity classes; vec_ids chosen so at least
+    # one lands in the head of the xxhash64-ordered training sample is
+    # not required — training over the FULL sf0.001 corpus (65 rows <
+    # _IVF_TRAIN_SAMPLE) guarantees the NaN row is in the sample if
+    # unfiltered
+    emb += [[float("nan")] * dim, [1.0, 2.0]]
+    ids += [800_001, 800_002]
+    labels += [0, 0]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    }), f"{src}/embeddings.parquet")
+
+    S.clear_ann_cache()
+    try:
+        # isolate the disk store per call so BOTH calls genuinely train
+        # (a shared store would serve call 1's artifact to call 2 and
+        # the equality below would be vacuous)
+        monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR",
+                           tmpdir_factory_local("annstore-a"))
+        e = S._emb(spark, str(src))
+        C = S._ivf_centroids(spark, str(src), e, S._IVF_TRAIN_ITERS)
+        assert np.isfinite(C).all(), "NaN poison row reached training"
+        # and the filtered result equals training on the clean corpus
+        # alone (the streaming path's pre-filtered frame)
+        S.clear_ann_cache()
+        monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR",
+                           tmpdir_factory_local("annstore-b"))
+        ev = e.filter(S._valid_emb(dim))
+        C2 = S._ivf_centroids(spark, str(src), ev, S._IVF_TRAIN_ITERS)
+        assert np.array_equal(C, C2)
+    finally:
+        S.clear_ann_cache()

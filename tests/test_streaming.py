@@ -1139,6 +1139,43 @@ def test_upsert_sink_map_payload_dedupes(spark, tmpdir_factory_local):
     assert got == {1: (2, {"b": 2}), 2: (1, {"c": 3})}
 
 
+def test_upsert_sink_variant_payload_dedupes(spark, tmpdir_factory_local):
+    """r11 ADVICE regression: PySpark's VariantType SUBCLASSES
+    AtomicType, so the orderable-allowlist passed variants into the
+    tiebreak struct — and Spark cannot sort variants (AnalysisException
+    DATATYPE_MISMATCH.INVALID_ORDERING_TYPE), crashing the sink's
+    dedupe for any batch carrying a variant payload column — the exact
+    regression class the allowlist claims to close (its comment even
+    names VariantType). Mirrors test_upsert_sink_map_payload_dedupes."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from zio_kinesis_example_spark.streaming import UpsertSink
+    from zio_kinesis_example_spark.streaming.sink import _orderable
+
+    if not hasattr(T, "VariantType"):
+        _pytest.skip("this PySpark has no VariantType")
+    assert _orderable(T.VariantType()) is False
+    # and nested occurrences are excluded too, same as maps
+    assert _orderable(T.ArrayType(T.VariantType())) is False
+
+    state = tmpdir_factory_local("variantsink-state")
+    sink = UpsertSink(state, key="id", seq_col="seq")
+    batch = (
+        spark.createDataFrame(
+            [(1, 1, '{"a": 1}'), (1, 2, '{"b": 2}'), (2, 1, '{"c": 3}')],
+            "id long, seq long, js string")
+        .select("id", "seq", F.parse_json("js").alias("payload"))
+    )
+    sink(batch, batch_id=0)
+    got = {r.id: (r.seq, str(r.payload))
+           for r in sink.current(spark).collect()}
+    assert set(got) == {1, 2}
+    assert got[1][0] == 2 and '"b"' in got[1][1]
+    assert got[2][0] == 1 and '"c"' in got[2][1]
+
+
 def test_ivf_index_drops_poison_corpus_rows(spark, tmpdir_factory_local,
                                             monkeypatch):
     """r10 review follow-up: the NaN hazard exists on BOTH sides of the
@@ -1296,6 +1333,36 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
     # drained stream: nothing re-emitted, state not refolded
     assert run(ckpt_e, None) == []
     assert run(ckpt_h, 0.3) == []
+
+    # wave 3 (r11 — the r10 verdict's order-contract item): rows
+    # arriving in a LATER micro-batch at or below the per-key
+    # high-watermark must leave state UNCHANGED (not silently fold "as
+    # if newest") and be counted dead-letter style. One strictly-late
+    # row (t0's first hour re-sent) and one equal-ord row (zz_solo's
+    # ord 1 — the ≤ boundary).
+    t0 = rows[0][0]
+    wave3 = [(t0, series[t0][0][0], 999_999.0), ("zz_solo", 1, -1.0)]
+    n_before = len(rows)
+    rows.extend(wave3)
+    prod.produce_all(len(rows), start=n_before + 1)
+    upd_e = {r.series_key: r for r in run(ckpt_e, None)}
+    upd_h = {r.series_key: r for r in run(ckpt_h, 0.3)}
+    for upd, ref in ((upd_e, final_e), (upd_h, final_h)):
+        assert set(upd) == {t0, "zz_solo"}
+        for t in upd:
+            assert upd[t].n_points == ref[t].n_points, t
+            assert upd[t].level == ref[t].level, t
+            assert upd[t].trend == ref[t].trend, t
+            assert upd[t].forecast_next == ref[t].forecast_next, t
+            assert upd[t].n_late == 1, t
+    # and a subsequent IN-ORDER point still folds on the uncorrupted
+    # state — the watermark drops late rows, never live ones
+    rows.append(("zz_solo", 2, 2.5))
+    prod.produce_all(len(rows), start=len(rows))
+    nxt = {r.series_key: r for r in run(ckpt_e, None)}
+    assert nxt["zz_solo"].n_points == 2
+    assert abs(nxt["zz_solo"].level - (0.3 * 2.5 + 0.7 * 7.5)) <= 1e-9
+    run(ckpt_h, 0.3)                     # keep the Holt checkpoint drained
 
     # all-poison FIRST batch for a new key (r10 review): null x rows
     # are dropped and the key gets NO fabricated zero row and no state

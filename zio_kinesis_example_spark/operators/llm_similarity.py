@@ -72,6 +72,36 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _majority_dim(e: DataFrame) -> int:
+    """The corpus's majority embedding dimension (one tiny aggregate) —
+    the expected width malformed rows are judged against. Raises a
+    descriptive error on an empty / all-null corpus instead of the bare
+    AttributeError ``.first().d`` used to produce (r11 ADVICE)."""
+    r = (
+        e.filter(F.col("emb").isNotNull())
+        .groupBy(F.size("emb").alias("d")).count()
+        .orderBy(F.desc("count"), "d").first()
+    )
+    if r is None:
+        raise ValueError(
+            "no valid embedding rows in corpus: every emb is NULL or "
+            "the frame is empty — nothing to train or probe against")
+    return int(r.d)
+
+
+def _valid_emb(dim: int):
+    """Predicate keeping only well-formed vectors: non-null, exact
+    ``dim``, and NO null/NaN elements (Arrow converts list nulls to
+    NaN; cosine over a NaN element yields NaN; Spark's descending
+    window ranks NaN FIRST — so a poison vector would win a
+    deterministic-but-garbage verdict instead of being dropped).
+    Shared by the streaming probe (streaming/ann.py) and the centroid
+    trainer so both paths judge validity identically."""
+    return (F.col("emb").isNotNull()
+            & (F.size("emb") == dim)
+            & ~F.expr("exists(emb, x -> x is null or isnan(x))"))
+
+
 def cosine(a: str, b: str):
     """cos(a, b) over array<double> columns — JVM-side fold, float64.
 
@@ -816,13 +846,23 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
     import numpy as np
 
     def build():
+        # Train on the VALIDITY-FILTERED corpus (r11 ADVICE): the
+        # streaming ivf_index trains on filtered rows while the batch
+        # plans passed the raw frame — under the shared artifact key
+        # whichever path trained first won, so batch-trained
+        # NaN-poisoned centroids could be served to the stream despite
+        # its own poison filter. Filtering HERE makes every caller
+        # train on the same cleaned sample (idempotent for callers
+        # that already filtered); the ":vf" key marker below retires
+        # any unfiltered artifact.
+        ev = e.filter(_valid_emb(_majority_dim(e)))
         # ONE bounded collect serves seed + training set: the first
         # nlist rows of the hash-ordered sample are exactly the rows
         # limit(nlist) would return (same global order). The sample
         # plan is a TakeOrderedAndProject — executors each keep their
         # local top-sample by hash, the driver merges ≤ sample rows.
         rows = (
-            e.select("vec_id", "emb")
+            ev.select("vec_id", "emb")
             .orderBy(F.xxhash64("vec_id"), "vec_id")
             .limit(max(_IVF_TRAIN_SAMPLE, nlist) if train_iters > 0
                    else nlist)
@@ -840,7 +880,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame,
     return _ann_cached(
         spark, sf_dir,
         f"ivfC:{nlist}:{train_iters}:s{_IVF_TRAIN_SAMPLE}"
-        f":q{_IVF_TRAIN_SCALE}", build,
+        f":q{_IVF_TRAIN_SCALE}:vf", build,
         disk="f8_2d")
 
 

@@ -57,13 +57,13 @@ def ivf_index(spark: SparkSession, sf_dir: str,
     # NaN-element corpus row would crash the trainer's np.stack — or,
     # worse, poison rank 1 of every verdict probing its cell (NaN
     # cosine ranks FIRST descending). The expected dimension is the
-    # corpus majority (one tiny aggregate); malformed rows are dropped
-    # from BOTH the training sample and the persisted cells.
-    dim = int(
-        e.filter(F.col("emb").isNotNull())
-        .groupBy(F.size("emb").alias("d")).count()
-        .orderBy(F.desc("count"), "d").first().d)
-    e = e.filter(_valid_emb(dim))
+    # corpus majority (one tiny aggregate, descriptive error on an
+    # empty/all-null corpus — r11 ADVICE); malformed rows are dropped
+    # from BOTH the training sample (now enforced INSIDE
+    # _ivf_centroids, so batch plans train on the same cleaned sample
+    # under the shared artifact key — r11 ADVICE) and the persisted
+    # cells.
+    e = e.filter(_valid_emb(_sim._majority_dim(e)))
     C = _sim._ivf_centroids(spark, sf_dir, e, train_iters, nlist)
     Cn = _sim._normalized_centroids(C)
     # tracked persist (r9 review): clear_shared_cache() releases the
@@ -83,17 +83,9 @@ def ivf_index(spark: SparkSession, sf_dir: str,
     return corpus_cells, Cn
 
 
-def _valid_emb(dim: int):
-    """Predicate keeping only well-formed vectors: non-null, exact
-    dimension, and NO null/NaN elements (r10 review: Arrow converts
-    list nulls to NaN, cosine over a NaN element yields NaN, and
-    Spark's descending window ranks NaN FIRST — so a poison vector
-    would win a deterministic-but-garbage top-k verdict instead of
-    being dropped, the same NaN-ordering hazard cosine()'s zero-norm
-    guard exists for)."""
-    return (F.col("emb").isNotNull()
-            & (F.size("emb") == dim)
-            & ~F.expr("exists(emb, x -> x is null or isnan(x))"))
+#: shared with the centroid trainer (r11: one validity definition for
+#: both the streaming probe and batch training — see llm_similarity)
+_valid_emb = _sim._valid_emb
 
 
 def probe_topk(queries: DataFrame, corpus_cells: DataFrame, Cn,

@@ -42,6 +42,13 @@ def _orderable(dt: T.DataType) -> bool:
     for maps). Unknown types default to False: they are merely excluded
     from the tiebreak (ties on them break arbitrarily), never a
     crash."""
+    # VariantType subclasses AtomicType in PySpark but Spark cannot
+    # sort variants (r11 ADVICE: orderBy over a variant raises
+    # DATATYPE_MISMATCH.INVALID_ORDERING_TYPE) — exclude it BEFORE the
+    # AtomicType allowlist. hasattr-guarded: older PySpark has no
+    # VariantType and then nothing can smuggle one in.
+    if hasattr(T, "VariantType") and isinstance(dt, T.VariantType):
+        return False
     if isinstance(dt, (T.NullType, T.AtomicType)):
         return True
     if isinstance(dt, T.ArrayType):

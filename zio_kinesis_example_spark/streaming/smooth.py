@@ -14,11 +14,16 @@ reference's durable-state contract,
 CheckpointOnChunkEndStreamClient.scala:31-44, applied to smoother
 state).
 
-ORDER CONTRACT: rows fold in ascending ``order_col`` within each
-micro-batch; batches must arrive in non-decreasing order ranges (true
-for any append-ordered series feed — the hourly rollup shape). This is
-the same contract the batch fold states via sort_array, applied
-incrementally.
+ORDER CONTRACT (ENFORCED, r11 — the r10 verdict's documented-but-
+unchecked assumption): rows fold in ascending ``order_col`` within each
+micro-batch, and state carries a high-watermark ``last_ord`` — a row
+arriving in a later micro-batch with ord ≤ the watermark is DROPPED and
+COUNTED (``n_late`` in every emitted row), dead-letter style, exactly
+the truthfulness rule the poison guard applies to NaN values. Without
+the watermark a late row would silently fold as if newest, corrupting
+the recurrence. ``order_col`` must be numeric (epoch micros, seq no —
+the batch twins' shape); ords must be strictly increasing per key
+across batches (equal ords in ONE batch fold in stable sort order).
 
 Scale shape: state is 4 doubles per key regardless of series length —
 the whole point versus the batch collect; one row per touched key per
@@ -41,13 +46,16 @@ _SMOOTH_OUT = StructType([
     StructField("level", DoubleType()),
     StructField("trend", DoubleType()),
     StructField("forecast_next", DoubleType()),
+    StructField("n_late", LongType()),
 ])
-#: (n_points, level, trend, first_x, alpha, beta) — first_x parks x₁
-#: until Holt's two-point seed is complete; EWMA ignores trend/first_x.
-#: alpha/beta are RECORDED IN STATE (r10 review): restarting from a
-#: checkpoint with different coefficients (or switching EWMA↔Holt)
-#: would otherwise silently continue the fold as a mixed model; the
-#: mismatch now fails loudly instead. beta = −1.0 encodes EWMA.
+#: (n_points, level, trend, first_x, alpha, beta, last_ord, n_late) —
+#: first_x parks x₁ until Holt's two-point seed is complete; EWMA
+#: ignores trend/first_x. alpha/beta are RECORDED IN STATE (r10
+#: review): restarting from a checkpoint with different coefficients
+#: (or switching EWMA↔Holt) would otherwise silently continue the fold
+#: as a mixed model; the mismatch now fails loudly instead. beta = −1.0
+#: encodes EWMA. last_ord is the order-contract high-watermark and
+#: n_late the running dead-letter count of dropped late rows (r11).
 _SMOOTH_STATE = StructType([
     StructField("n", LongType()),
     StructField("level", DoubleType()),
@@ -55,6 +63,8 @@ _SMOOTH_STATE = StructType([
     StructField("first_x", DoubleType()),
     StructField("alpha", DoubleType()),
     StructField("beta", DoubleType()),
+    StructField("last_ord", DoubleType()),
+    StructField("n_late", LongType()),
 ])
 
 
@@ -72,9 +82,10 @@ def smooth_stateful(series: DataFrame, alpha: float,
 
     def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
-        n, level, trend, first_x, s_alpha, s_beta = (
+        n, level, trend, first_x, s_alpha, s_beta, last_ord, n_late = (
             state.get if state.exists
-            else (0, 0.0, 0.0, 0.0, float(alpha), beta_tag))
+            else (0, 0.0, 0.0, 0.0, float(alpha), beta_tag,
+                  float("-inf"), 0))
         if (s_alpha, s_beta) != (float(alpha), beta_tag):
             raise ValueError(
                 f"smooth_stateful checkpoint was written with "
@@ -93,7 +104,16 @@ def smooth_stateful(series: DataFrame, alpha: float,
         # the series
         ok = (~rows[value_col].isna() & ~rows[order_col].isna()
               & (rows[value_col].astype(float).abs() != float("inf")))
-        rows = rows[ok].sort_values(order_col)
+        rows = rows[ok]
+        # ORDER-CONTRACT ENFORCEMENT (r11, the r10 verdict item): a row
+        # at or below the high-watermark arrived in the wrong
+        # micro-batch — folding it "as if newest" would corrupt the
+        # recurrence for every later point, so it is dropped and
+        # counted like a poison value. Its row costs itself, never the
+        # series.
+        late = rows[order_col].astype(float) <= last_ord
+        n_late += int(late.sum())
+        rows = rows[~late].sort_values(order_col)
         if not len(rows) and n == 0:
             return            # all-poison first batch: no fabricated row
         for x in rows[value_col].astype(float):
@@ -111,7 +131,10 @@ def smooth_stateful(series: DataFrame, alpha: float,
                 l_new = alpha * x + (1 - alpha) * (level + trend)
                 trend = beta * (l_new - level) + (1 - beta) * trend
                 level = l_new
-        state.update((n, level, trend, first_x, float(alpha), beta_tag))
+        if len(rows):
+            last_ord = float(rows[order_col].iloc[-1])
+        state.update((n, level, trend, first_x, float(alpha), beta_tag,
+                      last_ord, n_late))
         # Holt with one point so far: the seed is provisional — emit
         # l₁ = x₁ with zero trend (the batch twin omits n<2 series;
         # a stream must still say something truthful for the key)
@@ -122,6 +145,7 @@ def smooth_stateful(series: DataFrame, alpha: float,
             "level": [lv],
             "trend": [0.0 if beta is None else trend],
             "forecast_next": [lv if beta is None else lv + trend],
+            "n_late": [n_late],
         })
 
     return series.groupBy(key_col).applyInPandasWithState(
