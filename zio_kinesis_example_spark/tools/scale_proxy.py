@@ -156,7 +156,12 @@ def candidate_fraction(spark, dir_: str, nlist: int, nprobe: int) -> float:
 
 
 def measure(spark, dir_: str, nlist: int, qmod: int,
-            nprobe: int | None = None, skip_ivfpq: bool = False) -> dict:
+            nprobe: int | None = None, skip_ivfpq: bool = False,
+            ivfpq_nprobe: int | None = None) -> dict:
+    """``ivfpq_nprobe`` dials the IVFPQ probe width independently of the
+    radius-search ``nprobe`` (r11: the equal-fraction IVFPQ rows probe
+    nlist/4 while radius uses its own registered default); None keeps
+    the plan's registered default."""
     from pyspark.sql import functions as F
 
     from ..operators import llm_similarity as S
@@ -194,15 +199,17 @@ def measure(spark, dir_: str, nlist: int, qmod: int,
         return out
 
     # ---- ivfpq top-5 ----
+    pq_kw = {} if ivfpq_nprobe is None else {"nprobe": ivfpq_nprobe}
+    out["ivfpq_nprobe"] = ivfpq_nprobe
     t5 = exact_top5_truth(ids, X, qmod)
     walls = []
     for _ in range(2):
         t0 = time.time()
-        S._ann_ivfpq_plan(spark, dir_, nlist=nlist).count()
+        S._ann_ivfpq_plan(spark, dir_, nlist=nlist, **pq_kw).count()
         walls.append(round(time.time() - t0, 1))
     out["ivfpq_wall"] = walls
     gq = {}
-    for r in (S._ann_ivfpq_plan(spark, dir_, nlist=nlist)
+    for r in (S._ann_ivfpq_plan(spark, dir_, nlist=nlist, **pq_kw)
               .filter(F.col("query_id") % qmod == 0)
               .select("query_id", "neighbor_id").collect()):
         gq.setdefault(r.query_id, set()).add(r.neighbor_id)
