@@ -12,9 +12,12 @@ with custkey — it joins customer.c_custkey in q_join_skew_salted), so
 each copy is an independent key-island with exactly the 1x join
 fan-out, sharing the fixed nation/region dimensions — the TPC-H
 scaling rule itself (lineitem..supplier grow with SF, nation/region do
-not). Offsets are domain sizes, deliberately NOT multiples of the
+not). Offsets are domain size + 1, deliberately NOT multiples of the
 grid/bucket moduli some queries derive values from (o_orderkey %
-10000), so copies land decorrelated, not stacked.
+10000), so copies land decorrelated, not stacked (see _DOMAINS — the
+first measurement used round domain sizes, which ARE such multiples,
+and the grid queries stacked; ledgered and corrected in BASELINE.md
+r11).
 
 Measured per (query, scale):
 - **wall**: best-of-2 noop-sink runs under the bench cold contract
@@ -51,15 +54,21 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
-#: key-domain offsets (1x domain sizes at sf0.1); every column listed
-#: shifts by k*offset in copy k. user_id shares the custkey domain —
-#: it joins c_custkey.
+#: key-domain offsets (1x domain size + 1 at sf0.1); every column
+#: listed shifts by k*offset in copy k. user_id shares the custkey
+#: domain — it joins c_custkey. The +1 is LOAD-BEARING (r11
+#: self-correction): the round domain sizes (150000, 20000, ...) are
+#: multiples of the 10000 modulus the grid queries derive coordinates
+#: from (x = (o_orderkey % 10000)*c % 10000), so copies STACKED
+#: exactly in x and the spatial pair counts grew ~3x beyond the
+#: density^2 expectation; offset 150001 walks each copy one grid
+#: position over, restoring the decorrelated rolled-copy intent.
 _DOMAINS = {
-    "orderkey": 150_000,
-    "custkey": 15_000,
-    "partkey": 20_000,
-    "suppkey": 1_000,
-    "eventid": 100_000,
+    "orderkey": 150_001,
+    "custkey": 15_001,
+    "partkey": 20_001,
+    "suppkey": 1_001,
+    "eventid": 100_001,
 }
 _SHIFTS: dict[str, dict[str, str]] = {
     "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
@@ -182,7 +191,7 @@ def digest(paths: list[str]) -> None:
         b = base[q]
         w1 = min(b["wall"])
         cells = []
-        flip = ""
+        notes = []
         for k in ks:
             s = scaled.get(q, {}).get(k)
             if s is None:
@@ -194,12 +203,12 @@ def digest(paths: list[str]) -> None:
             jb = {n: b["plan"].get(n, 0) for n in _JOIN_NODES}
             js = {n: s["plan"].get(n, 0) for n in _JOIN_NODES}
             if jb != js:
-                flip = (f"{k}x: " + ", ".join(
+                notes.append(f"{k}x: " + ", ".join(
                     f"{n} {jb[n]}→{js[n]}" for n in _JOIN_NODES
                     if jb[n] != js[n]))
             if s["plan"].get("skew_splits"):
-                flip = (flip + "; " if flip else "") + \
-                    f"{k}x skew_splits={s['plan']['skew_splits']}"
+                notes.append(f"{k}x skew_splits={s['plan']['skew_splits']}")
+        flip = "; ".join(notes)
         print(f"| {q} | {w1:.2f} | " + " | ".join(cells) + f" | {flip} |")
         if flip:
             flips.append((q, flip))
