@@ -230,7 +230,18 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile/percent_rank/cume_dist) per
     priority class, fully tie-broken by o_orderkey so quartile boundaries
     are deterministic. One shuffle on the partition key + in-partition
-    sort; no driver-side work."""
+    sort; no driver-side work.
+
+    Scale ceiling, measured (BASELINE.md r11): the partition key has
+    FIXED cardinality (~5 priority classes), so task parallelism caps
+    at the class count however large orders grows — the flat ~0.2
+    /unit at 10×/30×/100× is this ceiling, not shuffle growth. The
+    100 TB remedy, if a fixed-class distribution rank ever dominates a
+    pipeline, is the q_sort_global pattern per class: range-partition
+    within each class on the order key, then offset-adjust ranks with
+    per-range counts — same output, parallelism restored. Not applied
+    here: the single-shuffle form is the honest default and the
+    measured wall is 10.6 s at 15 M rows/class."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
