@@ -22,8 +22,11 @@ COUNTED (``n_late`` in every emitted row), dead-letter style, exactly
 the truthfulness rule the poison guard applies to NaN values. Without
 the watermark a late row would silently fold as if newest, corrupting
 the recurrence. ``order_col`` must be numeric (epoch micros, seq no —
-the batch twins' shape); ords must be strictly increasing per key
-across batches (equal ords in ONE batch fold in stable sort order).
+the batch twins' shape) and exactly representable as float64 (the
+watermark lives in a DoubleType state slot: |ord| < 2^53 — epoch
+MICROS stay inside that to year ~2255, epoch NANOS do not; feed
+micros); ords must be strictly increasing per key across batches
+(equal ords in ONE batch fold in stable sort order).
 
 Scale shape: state is 4 doubles per key regardless of series length —
 the whole point versus the batch collect; one row per touched key per

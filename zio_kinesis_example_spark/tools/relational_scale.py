@@ -102,11 +102,28 @@ def build_tpch_proxy(out_dir: str, copies: int, src: str = SRC) -> str:
     rows per scaled table, one parquet part file per copy (the
     realistic lake layout — the r10 single-file lesson: one file caps
     the scan at one input partition). nation/region copied fixed.
-    Reuse guard: a dest table is reused only if it holds exactly
-    ``copies`` part files."""
+    Reuse guard: a dest is reused only if a manifest records the SAME
+    copies AND the same key-offset table — the r11 offset correction
+    showed a count-only guard happily serving a stale proxy built
+    under different offsets."""
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "_MANIFEST.json")
+    want = {"copies": copies, "domains": _DOMAINS, "src": src}
+    have = None
+    try:
+        with open(manifest) as fh:
+            have = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if have != want:
+        for name in list(_SHIFTS) + list(_FIXED):
+            p = os.path.join(out_dir, f"{name}.parquet")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
     for name in _FIXED:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
@@ -131,7 +148,11 @@ def build_tpch_proxy(out_dir: str, copies: int, src: str = SRC) -> str:
             pq.write_table(
                 pa.table(dict(zip(t.schema.names, cols))),
                 os.path.join(dest, f"part-{k:05d}.parquet"))
-    return out_dir
+    tmp = f"{manifest}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(want, fh)
+    os.replace(tmp, manifest)          # written LAST: a killed build
+    return out_dir                     # re-reads as a mismatch
 
 
 _JOIN_NODES = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
