@@ -675,8 +675,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: lineitem shuffles once on orderkey (the orders join and
     all three logical self-references ride it); the per-order aggregate
-    emits ≤1 row per order; the top-20 is TakeOrderedAndProject with a
-    full tie-break on s_name (unique per supplier).
+    emits ≤1 row per order; the top-20 is TakeOrderedAndProject.
+
+    GROUPING KEY = s_name, exactly as the oracle (and TPC-H) declare —
+    found by the r11 10×-proxy value-parity sweep: the previous form
+    grouped by suppkey and only then joined names, which agrees with
+    the oracle ONLY while s_name is unique per key (true in the
+    fixtures, violated by the key-island proxy, and not something the
+    query should assume about arbitrary data). The per-suppkey
+    pre-aggregate below keeps the shuffle supplier-sized; the final
+    name-group is over ≤ |supplier| rows.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
@@ -695,9 +703,10 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     return (
         per_order.groupBy("late_supp")
-        .agg(F.sum("n_late_items").alias("numwait"))
+        .agg(F.sum("n_late_items").alias("pre_numwait"))
         .join(s, F.col("s_suppkey") == F.col("late_supp"))
-        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+        .groupBy("s_name")
+        .agg(F.sum("pre_numwait").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
