@@ -1399,3 +1399,76 @@ def test_smooth_stateful_matches_batch_fold(spark, tmpdir_factory_local):
 
     with _pytest.raises(StreamingQueryException):
         run_wrong_alpha()
+
+
+def test_smooth_stateful_nonfinite_order_key_is_poison(
+        spark, tmpdir_factory_local):
+    """r12 (ADVICE): an order key of +inf must be dropped as POISON —
+    not folded — because folding it would set the persisted watermark
+    to +inf and drop every later row for the key as 'late' forever;
+    and an ord of -inf on a FRESH key must not be mis-dropped against
+    the -inf initial watermark (it is poison too, costing its own row,
+    never the key)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from zio_kinesis_example_spark.streaming import (
+        decode_json, shard_source, smooth_stateful,
+    )
+
+    src = tmpdir_factory_local("smooth-infsrc")
+    ckpt = tmpdir_factory_local("smooth-infckpt")
+    schema = StructType([
+        StructField("series_key", StringType()),
+        StructField("ord", DoubleType()),
+        StructField("x", DoubleType()),
+    ])
+    seq = [0]
+
+    def emit(payloads):
+        seq[0] += 1
+        with open(os.path.join(src, f"w{seq[0]:03d}.json"), "w") as fh:
+            for i, p in enumerate(payloads):
+                fh.write(_json.dumps({
+                    "shard_id": "shard-000", "partition_key": "p",
+                    "seq": seq[0] * 100 + i,
+                    "data": _json.dumps(p)}) + "\n")
+
+    def run():
+        valid, _ = decode_json(shard_source(spark, src), schema)
+        out = []
+        q = (smooth_stateful(valid.select("series_key", "ord", "x"),
+                             alpha=0.3, beta=None)
+             .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.series_key: r for r in out}
+
+    emit([{"series_key": "k", "ord": 1.0, "x": 10.0}])
+    assert run()["k"].level == 10.0
+
+    # +inf ord alongside a live in-order row: the inf row is poison
+    # (dropped, NOT counted late, does NOT move the watermark), the
+    # live row folds
+    emit([{"series_key": "k", "ord": float("inf"), "x": 999.0},
+          {"series_key": "k", "ord": 2.0, "x": 5.0},
+          {"series_key": "neg", "ord": float("-inf"), "x": 1.0}])
+    upd = run()
+    assert upd["k"].n_points == 2
+    assert abs(upd["k"].level - (0.3 * 5.0 + 0.7 * 10.0)) <= 1e-9
+    assert upd["k"].n_late == 0          # poison, not late
+    # all-poison first batch for 'neg': no fabricated row, no state
+    assert "neg" not in upd
+
+    # the watermark survived: a later in-order row still folds (with a
+    # poisoned +inf watermark it would be dropped as late)
+    emit([{"series_key": "k", "ord": 3.0, "x": 1.0}])
+    nxt = run()
+    assert nxt["k"].n_points == 3
+    assert nxt["k"].n_late == 0

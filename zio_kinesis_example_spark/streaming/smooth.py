@@ -31,6 +31,12 @@ micros); ords must be strictly increasing per key across batches
 Scale shape: state is 4 doubles per key regardless of series length —
 the whole point versus the batch collect; one row per touched key per
 micro-batch in update mode.
+
+CHECKPOINT BREAK (r11): the state schema grew from 6 to 8 fields
+(``last_ord``/``n_late``); a checkpoint written before r11 cannot be
+resumed — the update function detects the 6-field state and raises a
+descriptive error instead of an opaque tuple-unpack failure. Use a
+fresh checkpointLocation after upgrading.
 """
 
 from __future__ import annotations
@@ -85,6 +91,13 @@ def smooth_stateful(series: DataFrame, alpha: float,
 
     def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
+        if state.exists and len(state.get) != 8:
+            raise ValueError(
+                f"smooth_stateful state has {len(state.get)} fields but "
+                "this version expects 8 (last_ord/n_late were added to "
+                "the state schema in r11) — a checkpoint written by an "
+                "older version cannot be resumed; use a fresh "
+                "checkpointLocation")
         n, level, trend, first_x, s_alpha, s_beta, last_ord, n_late = (
             state.get if state.exists
             else (0, 0.0, 0.0, 0.0, float(alpha), beta_tag,
@@ -104,9 +117,14 @@ def smooth_stateful(series: DataFrame, alpha: float,
         # or a null ORDER key, which pandas would sort LAST and fold in
         # the wrong position (r10 review) — would corrupt the key's
         # state FOREVER; a malformed record costs its own row, never
-        # the series
+        # the series. A non-finite ORDER key is poison too (r12): an
+        # ord of +inf would otherwise pass the ok filter and set the
+        # persisted watermark to +inf, dropping every later row for the
+        # key as "late" forever, and an ord of -inf on a fresh key
+        # would be mis-dropped against the -inf initial watermark.
         ok = (~rows[value_col].isna() & ~rows[order_col].isna()
-              & (rows[value_col].astype(float).abs() != float("inf")))
+              & (rows[value_col].astype(float).abs() != float("inf"))
+              & (rows[order_col].astype(float).abs() != float("inf")))
         rows = rows[ok]
         # ORDER-CONTRACT ENFORCEMENT (r11, the r10 verdict item): a row
         # at or below the high-watermark arrived in the wrong

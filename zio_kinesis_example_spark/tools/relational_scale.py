@@ -131,8 +131,8 @@ def build_tpch_proxy(out_dir: str, copies: int, src: str = SRC) -> str:
     for name, shifts in _SHIFTS.items():
         dest = os.path.join(out_dir, f"{name}.parquet")
         if os.path.isdir(dest):
-            have = [f for f in os.listdir(dest) if f.endswith(".parquet")]
-            if len(have) == copies:
+            parts = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+            if len(parts) == copies:
                 continue
             shutil.rmtree(dest)
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -203,6 +203,11 @@ def digest(paths: list[str]) -> None:
         if m:
             scaled.setdefault(r["query"], {})[int(m.group(1))] = r
     ks = sorted({k for v in scaled.values() for k in v})
+    # no-silent-caps: a query measured at Nx but missing its 1x record
+    # would otherwise vanish from the table entirely
+    for q in sorted(set(scaled) - set(base)):
+        print(f"WARNING: {q} has scaled records but no sf0.1 base row — "
+              "omitted from the table; re-run the 1x measurement")
     print("| query | wall 1x | " + " | ".join(
         f"wall {k}x | /unit | rows {k}x/1x" for k in ks)
         + " | plan flip |")
