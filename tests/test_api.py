@@ -278,6 +278,62 @@ def test_interval_overlap_join_generic(spark):
     assert len(wide) == 1 and wide[0].overlap_us == 72 * H
 
 
+def test_interval_overlap_capped_generic(spark):
+    """r12 fuse invariants: (a) below the cap the capped self-join is
+    IDENTICAL to the exact form and the audit reports zero; (b) above
+    it, per-bucket membership never exceeds cap, the audit counts
+    exactly the over-cap memberships, and kept pairs are the
+    lowest-ranked (s_us-first) intervals — deterministic truncation,
+    never sampling."""
+    H = 3_600_000_000
+    # 5 intervals inside one hour bucket + 1 in another
+    ivs = spark.createDataFrame(
+        [(i, i * 1000, i * 1000 + 500_000) for i in range(5)]
+        + [(9, 10 * H, 10 * H + 1000)],
+        "iid long, s_us long, e_us long")
+
+    def pairset(df):
+        return {(r.l_iid, r.r_iid, r.overlap_us)
+                for r in df.filter("l_iid < r_iid").collect()}
+
+    exact = pairset(api.interval_overlap_join(ivs, ivs, bucket_us=H))
+    # cap above occupancy: identical results, zero audit
+    pairs, audit = api.interval_overlap_self_join_capped(
+        ivs, bucket_us=H, cap=10, tie_cols=("iid",))
+    assert pairset(pairs) == exact
+    a = audit.collect()[0]
+    assert (a.n_buckets_capped, a.n_dropped_memberships) == (0, 0)
+    # cap = 3 binds in the 5-occupancy bucket: only the first 3 by
+    # (s_us, e_us, iid) — iids 0,1,2 — pair; 2 memberships dropped
+    pairs3, audit3 = api.interval_overlap_self_join_capped(
+        ivs, bucket_us=H, cap=3, tie_cols=("iid",))
+    got = pairset(pairs3)
+    assert got == {p for p in exact if p[0] <= 2 and p[1] <= 2}
+    a3 = audit3.collect()[0]
+    assert (a3.n_buckets_capped, a3.n_dropped_memberships) == (1, 2)
+
+
+def test_q_join_interval_overlap_capped_matches_exact_below_cap(spark):
+    """At sf0.001 per-hour occupancy maxes at 6 < cap=20, so the
+    registered capped query must equal the exact query exactly (plus
+    the all-zero audit columns) — the 'results ≡ the exact form below
+    the cap' half of the fuse contract."""
+    from zio_kinesis_example_spark.operators.pipeline_ext2 import (
+        q_join_interval_overlap, q_join_interval_overlap_capped,
+    )
+
+    from .conftest import SF_SMALL
+
+    exact = {(r.user_a, r.user_b): (r.n_overlaps, r.overlap_us)
+             for r in q_join_interval_overlap(spark, SF_SMALL).collect()}
+    capped_rows = q_join_interval_overlap_capped(spark, SF_SMALL).collect()
+    capped = {(r.user_a, r.user_b): (r.n_overlaps, r.overlap_us)
+              for r in capped_rows}
+    assert capped == exact
+    assert all((r.n_buckets_capped, r.n_dropped_memberships) == (0, 0)
+               for r in capped_rows)
+
+
 def test_holt_smooth_generic(spark):
     # a perfectly linear series: level tracks, trend converges to slope
     rows = [("a", i, 10.0 + 2.0 * i) for i in range(50)]
