@@ -1776,6 +1776,22 @@ def test_markov_matches_python_model(spark):
     assert got == dict(want)
 
 
+def test_no_date_trunc_in_oracles():
+    """DuckDB 1.0.0 (the pinned oracle engine) LOSES the NULL validity
+    mask on date_trunc over a table column: the scalar case returns
+    NULL, but the columnar path renders NaT while `IS NULL` returns
+    FALSE, and a window PARTITION BY on the expression becomes
+    NONDETERMINISTIC (r12 null-stress sweep: q_ts_resample_ohlc's
+    oracle `close` flapped across identical runs). `time_bucket` is
+    null-mask-safe and verified calendar-equivalent for every unit used
+    (hour/day/week/month/quarter/year, 0 mismatches over sf0.1) — every
+    oracle uses it instead; this test keeps date_trunc from creeping
+    back."""
+    bad = [n for n, s in all_specs().items()
+           if s.oracle and "date_trunc" in s.oracle]
+    assert bad == [], bad
+
+
 def test_audit_table_covers_registry():
     """AUDIT.md's per-query classification must cover EXACTLY the
     registered set — a new query landing without its audit row (class +

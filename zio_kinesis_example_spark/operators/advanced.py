@@ -40,10 +40,11 @@ from .exact import KNUTH, cents_sum
         -- dependent candidate among equal-ts ties, so ties must be
         -- resolved BEFORE the join for the oracle to be deterministic
         WITH c AS (SELECT user_id, ts, MAX(event_id) AS event_id
-                   FROM events WHERE event_type = 'click'
+                   FROM events
+                   WHERE event_type = 'click' AND ts IS NOT NULL
                    GROUP BY user_id, ts),
              p AS (SELECT user_id, ts, event_id FROM events
-                   WHERE event_type = 'purchase')
+                   WHERE event_type = 'purchase' AND ts IS NOT NULL)
         SELECT p.event_id AS purchase_id,
                p.user_id  AS user_id,
                p.ts       AS purchase_ts,
@@ -67,8 +68,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforces the *strict* inequality. Cost: one shuffle + one sort,
     independent of per-user event counts. Oracle: DuckDB's native ASOF
     LEFT JOIN (independent algorithm — binary search per row).
+
+    NULL CONTRACT (r12): an event with NULL ts has no position on the
+    as-of axis — excluded from both sides (a null-ts click would
+    otherwise sort NULLS-FIRST in Spark and be carried forward as a
+    phantom "latest" click, while DuckDB's ASOF never matches it).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id",
         F.lit(1).alias("kind"),
@@ -299,7 +305,8 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                             OVER (PARTITION BY user_id ORDER BY ts)
                             > 3600000000 THEN 1 ELSE 0 END AS new_sess
-            FROM events),
+            FROM events
+            WHERE ts IS NOT NULL),
         s AS (
             SELECT user_id, ts, value,
                    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
@@ -324,8 +331,16 @@ def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two windows over the SAME (user_id, ts) sort — Catalyst plans one
     exchange + one sort, reused by both window operators, then the final
     aggregation is partial-aggregated. Gap math in integer microseconds
-    (``unix_micros``/``epoch_us``) so both engines compare exactly."""
-    e = load(spark, sf_dir, "events")
+    (``unix_micros``/``epoch_us``) so both engines compare exactly.
+
+    NULL CONTRACT (r12, the null-stress sweep): an event with NULL ts
+    has no position in time and is EXCLUDED from sessionization — the
+    batch analogue of the reference's decode-error dead-letter channel
+    (TestMsgJsonSerde.scala:17-22); a malformed record costs its own
+    row, never the user's sessions. Without the explicit filter the two
+    engines silently disagree on where the null row sorts (Spark NULLS
+    FIRST asc, DuckDB NULLS LAST) and every later lag/island flips."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(wo)
@@ -1039,13 +1054,14 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey,
                first_value(o_totalprice) OVER w AS first_price,
                last_value(o_totalprice) OVER
-                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate NULLS LAST, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                    AS last_price,
                nth_value(o_totalprice, 2) OVER w AS second_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
-                     ORDER BY o_orderdate, o_orderkey)
+                     ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
     tags=("window",),
 )
@@ -1053,9 +1069,15 @@ def q_win_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value window functions (first/last/nth): each customer's first,
     latest, and second order price in orderdate order. last_value uses an
     explicit unbounded-following frame — the default frame ends at the
-    current row, the classic silent-wrong-answer trap."""
+    current row, the classic silent-wrong-answer trap.
+
+    NULL ORDERING (r12, pinned): o_orderdate sorts NULLS LAST ascending
+    on BOTH sides — Spark's asc default is NULLS FIRST, DuckDB's is
+    NULLS LAST, so an unpinned nullable order key silently reassigns
+    first/nth between engines (caught by the null-stress sweep)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     w_full = w.rowsBetween(Window.unboundedPreceding,
                            Window.unboundedFollowing)
     return o.select(
@@ -1074,7 +1096,7 @@ def q_win_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS plus_3_months,
                round(date_diff('day', TIMESTAMP '1995-06-01', o_orderdate)
                      / 30.4375, 4) AS months_approx,
-               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+               CAST(time_bucket(INTERVAL 3 MONTH, o_orderdate) AS TIMESTAMP)
                    AS quarter_start,
                CAST(quarter(o_orderdate) AS INT) AS q,
                CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
@@ -1231,9 +1253,15 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    joined = merged.join(exact, "event_type")
+    # NULL-SAFE join key (r12 null-stress sweep): event_type is a
+    # nullable GROUP key — both aggregates emit a NULL-type group, and a
+    # plain equi-join would silently drop it (null keys never match),
+    # losing a row the oracle keeps
+    joined = merged.alias("m").join(
+        exact.alias("x"),
+        F.col("m.event_type").eqNullSafe(F.col("x.event_type")))
     return joined.select(
-        "event_type",
+        F.col("m.event_type").alias("event_type"),
         "n_exact",
         (F.abs(F.col("approx_users") - F.col("n_exact"))
          <= F.lit(3 * _HLL_RSD) * F.col("n_exact")).alias("sketch_ok"),
@@ -1516,8 +1544,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("mx"),
         )
 
+    # EXHAUSTIVE split (r12 null-stress sweep): `< cut` / `>= cut` are
+    # NOT complements once o_orderdate is nullable — a NULL-dated order
+    # failed both filters and silently vanished from the merged view
+    # while the oracle's flat aggregate kept it. NULL-dated rows belong
+    # to the DELTA partial (unplaceable in the closed historical base).
     base = partial(o.filter(F.col("o_orderdate") < cut))
-    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    delta = partial(o.filter((F.col("o_orderdate") >= cut)
+                             | F.col("o_orderdate").isNull()))
     return (
         base.unionByName(delta)
         .groupBy("o_orderpriority")
@@ -1590,6 +1624,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY o_totalprice, o_orderkey) AS i,
                    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
             FROM orders
+            WHERE o_totalprice IS NOT NULL
         )
         SELECT o_orderpriority,
                CAST(MAX(n) AS BIGINT) AS n_orders,
@@ -1615,8 +1650,15 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count window, and the final aggregate (same partitioning
     throughout); nothing quadratic — the textbook Gini via mean absolute
     difference is O(n²) per group.
+
+    NULL CONTRACT (r12): Gini is a statistic OF the order values — a
+    NULL-priced order has no magnitude to concentrate and is excluded
+    from both rank and n on BOTH sides (leaving it in would shift every
+    rank by the engines' differing null sort position AND dilute n with
+    valueless rows).
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
     wr = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey")
     wn = Window.partitionBy("o_orderpriority")

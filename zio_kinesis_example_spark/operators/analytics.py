@@ -328,8 +328,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_multi_cte",
     oracle="""
         WITH daily AS (
-            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
-                   CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+            SELECT CAST(time_bucket(INTERVAL 1 MONTH, o_orderdate) AS TIMESTAMP) AS m,
+                   CAST(time_bucket(INTERVAL 1 DAY, o_orderdate) AS TIMESTAMP) AS d,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
                         AS DECIMAL(30, 2)) AS rev
             FROM orders GROUP BY 1, 2
@@ -357,6 +357,9 @@ def q_sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily rollup, one month-keyed window over the bounded daily table.
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    # Spark-side SQL keeps date_trunc (Spark has no time_bucket; the
+    # ORACLE uses time_bucket for the DuckDB 1.0.0 null-mask workaround
+    # — Spark's date_trunc propagates nulls correctly)
     return spark.sql("""
         WITH daily AS (
             SELECT date_trunc('month', o_orderdate) AS m,

@@ -26,6 +26,7 @@ from ..registry import query
                lead(ts) OVER w AS valid_to,
                (lead(ts) OVER w IS NULL) AS is_current
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("events", "cdc", "window"),
@@ -37,8 +38,12 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id and one ordered scan (lead);
     ties broken on event_id so interval boundaries are deterministic.
+
+    NULL CONTRACT (r12): a change record with NULL ts has no place in
+    the validity chain — excluded on both sides (unpinned, the engines'
+    differing null sort position flips which real event is "current").
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return e.select(
@@ -126,13 +131,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH first_day AS (
             SELECT user_id,
-                   CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+                   CAST(time_bucket(INTERVAL 1 DAY, MIN(ts)) AS TIMESTAMP) AS cohort_day
             FROM events GROUP BY user_id),
         active AS (
             SELECT DISTINCT e.user_id,
                    f.cohort_day,
                    date_diff('day', f.cohort_day,
-                             CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                             CAST(time_bucket(INTERVAL 1 DAY, e.ts) AS TIMESTAMP))
                        AS day_offset
             FROM events e JOIN first_day f ON e.user_id = f.user_id)
         SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
@@ -179,6 +184,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lag(event_type) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id) AS prev
             FROM events
+            WHERE ts IS NOT NULL
         )
         SELECT prev, event_type AS next,
                CAST(COUNT(*) AS BIGINT) AS n_transitions
@@ -199,8 +205,13 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE shuffle on user_id for the lag window, then a
     partial-agged count into ≤ |types|² groups; the transition matrix is
     tiny at any corpus size.
+
+    NULL CONTRACT (r12): a NULL-ts event has no sequence position and is
+    excluded from the chain on both sides; a NULL event TYPE at a valid
+    ts stays — it is a legitimate transition endpoint both engines group
+    identically.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.withColumn("prev", F.lag("event_type").over(w))
@@ -261,8 +272,9 @@ def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_streaks",
     oracle="""
         WITH days AS (
-            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            SELECT DISTINCT user_id, CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS d
             FROM events
+            WHERE ts IS NOT NULL
         ),
         grp AS (
             SELECT user_id, d,
@@ -290,8 +302,12 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-agged); then ONE window sort per user and two chained
     aggregations riding the same user_id partitioning. All date
     arithmetic is exact.
+
+    NULL CONTRACT (r12): activity at a NULL ts has no day to extend a
+    streak — excluded on both sides (a null day otherwise shifts every
+    row-number anchor by the engines' differing null sort position).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).distinct()
@@ -385,7 +401,7 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH hourly AS (
             SELECT event_type,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
         ),
@@ -466,20 +482,23 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cohort_ltv",
     oracle="""
-        WITH first_order AS (
+        WITH dated AS (
+            SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+        ),
+        first_order AS (
             SELECT o_custkey,
-                   CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+                   CAST(time_bucket(INTERVAL 1 MONTH, MIN(o_orderdate)) AS TIMESTAMP)
                        AS cohort
-            FROM orders GROUP BY o_custkey
+            FROM dated GROUP BY o_custkey
         ),
         monthly AS (
             SELECT f.cohort,
                    CAST(datediff('month', f.cohort,
-                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+                        time_bucket(INTERVAL 1 MONTH, o.o_orderdate)) AS BIGINT)
                        AS month_no,
                    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2)))
                         AS DECIMAL(30, 2)) AS rev
-            FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+            FROM dated o JOIN first_order f ON o.o_custkey = f.o_custkey
             GROUP BY 1, 2
         )
         SELECT cohort, month_no,
@@ -503,8 +522,14 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: first-order anchors = one partial-agged groupBy,
     joined back on custkey (one shuffle); the monthly matrix is
     ≤ |cohorts|×|months| rows, so its cumulative window is free.
+
+    NULL CONTRACT (r12): an UNDATED order has no month on the LTV curve
+    — excluded on both sides (unfiltered, its NULL month_no group sorts
+    before the curve in Spark's cumulative window and after it in
+    DuckDB's, shifting every cumulative cell).
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull())
     first = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
     monthly = (
@@ -534,10 +559,12 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(DISTINCT e2.event_type)
                      FROM events e2
                      WHERE e2.user_id = e.user_id
+                       AND e2.ts IS NOT NULL
                        AND (e2.ts < e.ts
                             OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
                     AS BIGINT) AS distinct_types_so_far
         FROM events e
+        WHERE e.ts IS NOT NULL
     """,
     tags=("events", "window", "distinct"),
 )
@@ -556,8 +583,12 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id, one ordered scan; fully
     tie-broken (ts, event_id).
+
+    NULL CONTRACT (r12): "so far" is undefined at a NULL ts — null-ts
+    rows neither emit a curve point nor feed other rows' sets, on both
+    sides.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     return e.select(
@@ -571,7 +602,7 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_dau_wau",
     oracle="""
         WITH ud AS (
-            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            SELECT DISTINCT user_id, CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS d
             FROM events
         ),
         days AS (SELECT DISTINCT d FROM ud),

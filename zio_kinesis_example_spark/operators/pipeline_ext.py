@@ -699,9 +699,11 @@ def q_merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_asof_nearest",
     oracle="""
         WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
-                   FROM events WHERE event_type = 'purchase'),
+                   FROM events
+                   WHERE event_type = 'purchase' AND ts IS NOT NULL),
         c AS (SELECT user_id, epoch_us(ts) AS ct
-              FROM events WHERE event_type = 'click'),
+              FROM events
+              WHERE event_type = 'click' AND ts IS NOT NULL),
         j AS (SELECT p.event_id, p.user_id, p.t, c.ct,
                      abs(c.ct - p.t) AS d
               FROM p JOIN c USING (user_id)),
@@ -726,9 +728,16 @@ def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries both a backward last(click) frame and a forward
     first(click) frame (no time-range join, no fan-out); the oracle is
     the independent join-and-argmin formulation, so the hash certifies
-    the window algebra against a different algorithm."""
+    the window algebra against a different algorithm.
+
+    NULL CONTRACT (r12): nearest-in-time is undefined at a NULL ts —
+    null-ts purchases and clicks are excluded on both sides (in the
+    window form a null-ts click would sort NULLS-FIRST and become a
+    phantom "previous" click; in the oracle its null distance silently
+    drops the row instead)."""
     e = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase"))
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull())
     ep = F.unix_micros(F.col("ts").cast("timestamp"))
     base = e.select("event_id", "user_id", "event_type", ep.alias("t"))
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -1323,7 +1332,8 @@ _SESS_GAP_US = 3_600_000_000
         WITH o AS (SELECT user_id, epoch_us(ts) AS t,
                           LAG(epoch_us(ts)) OVER (
                               PARTITION BY user_id ORDER BY ts) AS prev
-                   FROM events),
+                   FROM events
+                   WHERE ts IS NOT NULL),
         marked AS (SELECT user_id, t,
                           CASE WHEN prev IS NOT NULL
                                     AND t - prev > {_SESS_GAP_US}
@@ -1362,6 +1372,10 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: q_win_session_batch plans ONE user-keyed sort shared
     by both its windows; this adds two partial-agged rollups on the
     same user partitioning. No joins.
+
+    NULL CONTRACT (r12): inherits q_win_session_batch's rule — null-ts
+    events are not sessionizable and are excluded; the oracle's own
+    session CTE states the same filter.
     """
     from .advanced import q_win_session_batch
 
@@ -1518,11 +1532,11 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
         deltas AS (
-            SELECT date_trunc('day', o.o_orderdate) AS day,
+            SELECT time_bucket(INTERVAL 1 DAY, o.o_orderdate) AS day,
                    CAST(1 AS BIGINT) AS ordered, CAST(0 AS BIGINT) AS shipped
             FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
             UNION ALL
-            SELECT date_trunc('day', l_shipdate), 0, 1 FROM li),
+            SELECT time_bucket(INTERVAL 1 DAY, l_shipdate), 0, 1 FROM li),
         daily AS (SELECT day, SUM(ordered) AS n_ordered,
                          SUM(shipped) AS n_shipped
                   FROM deltas GROUP BY day)
@@ -1530,7 +1544,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_ordered AS BIGINT) AS n_ordered,
                CAST(n_shipped AS BIGINT) AS n_shipped,
                CAST(SUM(n_ordered - n_shipped) OVER (
-                        ORDER BY day
+                        ORDER BY day NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS open_backlog
         FROM daily
@@ -1549,6 +1563,12 @@ def q_ts_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded day table (~2,500 rows at any corpus size — a deliberate
     single-partition window over a provably tiny input; the day-RANGE
     repartition is the swap if the key domain were unbounded).
+
+    NULL ORDERING (r12, pinned): the NULL day group — deltas whose
+    order/ship date is unknown — folds FIRST, as the ledger's opening
+    balance (NULLS FIRST on both sides: Spark's asc default, explicit
+    in the oracle where DuckDB defaults NULLS LAST and would hand the
+    unknown-date deltas the CLOSING balance instead).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -1567,7 +1587,8 @@ def q_ts_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ordered").alias("n_ordered"),
         F.sum("shipped").alias("n_shipped"),
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = (Window.orderBy(F.col("day").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, 0))
     return daily.select(
         "day", "n_ordered", "n_shipped",
         F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)

@@ -54,7 +54,8 @@ _OVERLAP_ORACLE = """
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts)
                         > 3600000000 THEN 1 ELSE 0 END AS new_sess
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL),
     s AS (
         SELECT user_id,
                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
@@ -153,7 +154,8 @@ _OVERLAP_CAPPED_ORACLE = f"""
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts)
                         > 3600000000 THEN 1 ELSE 0 END AS new_sess
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL),
     s AS (
         SELECT user_id,
                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
@@ -263,9 +265,9 @@ def q_join_interval_overlap_capped(spark: SparkSession,
 # literal symmetry keeps the op-order audit trivial).
 _HOLT_ORACLE = """
     WITH RECURSIVE hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h,
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
                CAST(COUNT(*) AS DOUBLE) AS x
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     idx AS (
         SELECT event_type, x,
                CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
@@ -273,17 +275,22 @@ _HOLT_ORACLE = """
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM hourly),
     r AS (
+        -- series-key joins are NULL-SAFE (r12): a NULL event_type is a
+        -- legitimate series Spark's groupBy keeps; a plain = join would
+        -- silently drop it from the recursion
         SELECT i1.event_type, CAST(1 AS BIGINT) AS i, i1.n,
                i1.x AS l, i2.x - i1.x AS b
         FROM idx i1 JOIN idx i2
-          ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+          ON i1.event_type IS NOT DISTINCT FROM i2.event_type
+         AND i1.i = 1 AND i2.i = 2
         UNION ALL
         SELECT r.event_type, r.i + 1, r.n,
                0.4 * nx.x + 0.6 * (r.l + r.b) AS l,
                0.3 * ((0.4 * nx.x + 0.6 * (r.l + r.b)) - r.l) + 0.7 * r.b
                    AS b
         FROM r JOIN idx nx
-          ON nx.event_type = r.event_type AND nx.i = r.i + 1)
+          ON nx.event_type IS NOT DISTINCT FROM r.event_type
+         AND nx.i = r.i + 1)
     SELECT event_type, n AS n_hours, round(l, 6) + 0.0 AS level,
            round(b, 6) + 0.0 AS trend, round(l + b, 6) + 0.0 AS forecast_next
     FROM r WHERE i = n
@@ -318,10 +325,16 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     `smooth_stateful` with beta set, r10) carrying (l, b) as O(1)
     state — restart-verified against this fold in
     tests/test_streaming.py.
+
+    NULL CONTRACT (r12): a NULL-ts event is not a tick — it has no hour
+    on the series axis and is excluded on both sides (its null-h group
+    would otherwise fold at the engines' differing null sort position,
+    corrupting the whole recurrence — the batch twin of the streaming
+    smoother's poison-order guard).
     """
     from ..api import holt_smooth
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
@@ -353,7 +366,8 @@ _PATHS_ORACLE = """
         SELECT user_id, event_type,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL),
     p AS (
         SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         FROM r WHERE rn <= 5 GROUP BY user_id)
@@ -380,8 +394,13 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user path built by sort_array on bounded (rn ≤ 5) structs — no
     second sort; the path table partial-aggregates into the final count,
     and the cut is a TakeOrderedAndProject heap, never a global sort.
+
+    NULL CONTRACT (r12): a NULL-ts event has no position in the journey
+    — excluded on both sides (Spark's NULLS-FIRST default would
+    otherwise seat it in the first-5 prefix, DuckDB's NULLS LAST would
+    not).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
     p = r.groupBy("user_id").agg(
@@ -404,9 +423,9 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUSUM_ORACLE = """
     WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h,
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     tot AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS s
@@ -418,7 +437,8 @@ _CUSUM_ORACLE = """
                CAST(row_number() OVER (PARTITION BY hourly.event_type
                                        ORDER BY h) AS BIGINT) AS i,
                k, s
-        FROM hourly JOIN tot ON hourly.event_type = tot.event_type),
+        FROM hourly JOIN tot
+          ON hourly.event_type IS NOT DISTINCT FROM tot.event_type),
     d AS (
         SELECT event_type, h, k, s, abs(k * cum - i * s) AS dev,
                row_number() OVER (PARTITION BY event_type
@@ -453,8 +473,13 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number + the argmax rank share ONE (event_type, h)-sorted window
     exchange (the cumsum pair) plus one rank window on the same
     partitioning. Only the |series|-row table ever sorts.
+
+    NULL CONTRACT (r12): null-ts events are not ticks (excluded both
+    sides — the holt/ewma rule); the NULL event_type series is
+    legitimate and the totals join is NULL-SAFE so it survives on both
+    sides instead of silently dropping.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -465,7 +490,10 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("h")
     c = (
-        hourly.join(F.broadcast(tot), "event_type")
+        hourly.alias("hh").join(
+            F.broadcast(tot.select(F.col("event_type").alias("te"),
+                                   "k", "s")),
+            F.col("hh.event_type").eqNullSafe(F.col("te"))).drop("te")
         .withColumn("cum", F.sum("n").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("i", F.row_number().over(w).cast("long"))

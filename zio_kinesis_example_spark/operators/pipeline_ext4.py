@@ -51,7 +51,7 @@ _AC_LAGS = (1, 2, 24)
 _AC_ORACLE = f"""
     WITH hourly AS (
         SELECT event_type,
-               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                {SQL_HOURLY_CENTS_MEAN} AS x
         FROM events GROUP BY 1, 2
     ),

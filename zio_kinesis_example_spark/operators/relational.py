@@ -556,14 +556,20 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(o_totalprice)  OVER w AS prev_price,
                lead(o_totalprice) OVER w AS next_price
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
     tags=("window",),
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic lag/lead over a deterministic per-customer order."""
+    """Analytic lag/lead over a deterministic per-customer order.
+
+    NULL ORDERING (r12, pinned): o_orderdate sorts NULLS LAST ascending
+    on BOTH sides — Spark defaults NULLS FIRST asc, DuckDB NULLS LAST,
+    so unpinned null dates silently shift every lag/lead neighbor."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -582,7 +588,8 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- re-accumulates frames sequentially — the documented
                -- 1-ulp divergence class; decimal never reassociates
                CAST(SUM(CAST(value AS DECIMAL(18, 4)))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS LAST, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS DOUBLE) AS moving_sum
         FROM events
@@ -592,11 +599,15 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 3-row sum per user (explicit ROWS frame); the frame sum
     runs in exact DECIMAL (see the oracle comment — the
-    q_win_range_interval rule)."""
+    q_win_range_interval rule).
+
+    NULL ORDERING (r12, pinned): ts sorts NULLS LAST ascending on BOTH
+    sides — an unpinned nullable order key shifts which rows share a
+    3-row frame between engines."""
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
     return e.select(
@@ -609,7 +620,7 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_win_tumbling_batch",
     oracle="""
-        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
                    AS sum_value

@@ -14,7 +14,7 @@ Type-alignment notes (Spark ↔ DuckDB oracle):
 - Spark length/size/instr → INT, DuckDB → BIGINT: oracle casts to INT.
 - Spark ceil/floor → BIGINT, DuckDB → DOUBLE: oracle casts to BIGINT.
 - Spark year/month/day → INT, DuckDB → BIGINT: oracle casts to INT.
-- DuckDB date_trunc('month', ts) → DATE; Spark F.trunc → DATE: aligned.
+- DuckDB time_bucket(INTERVAL 1 MONTH, ts) → DATE; Spark F.trunc → DATE: aligned.
 """
 
 from __future__ import annotations
@@ -64,7 +64,7 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INT) AS order_year,
                CAST(month(o_orderdate) AS INT) AS order_month,
-               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(time_bucket(INTERVAL 1 MONTH, o_orderdate) AS TIMESTAMP) AS month_start,
                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
                    AS days_since_epoch_start,
                CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
@@ -169,7 +169,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH c AS (
             SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY user_id, event_type
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
         )
         SELECT user_id,
                to_json(map_from_entries(
@@ -187,8 +189,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON rendering (insertion-ordered in each engine) is identical. The
     event_types list is serialized to a space-joined string (array-typed
     output cells are unhashable in a pandas canonicalizer).
+
+    NULL CONTRACT (r12): a NULL event_type cannot key a map — Spark
+    RAISES NULL_MAP_KEY where DuckDB silently accepts it — so null-typed
+    rows contribute no entry on either side (and stay out of the types
+    list too: collect_list skips nulls, DuckDB's list() keeps them — the
+    filter removes both divergences at the source).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     return counts.groupBy("user_id").agg(
         F.to_json(
@@ -321,7 +330,13 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is serialized with to_json for output: a raw struct column
     round-trips as Row-vs-dict depending on the reader's Arrow setting,
     so text is the portable comparison form (int/string fields only —
-    float formatting would differ)."""
+    float formatting would differ).
+
+    NULL CONTRACT (r12): to_json keeps null fields explicitly
+    (ignoreNullFields=false) — Spark's default silently DROPS a null
+    struct field from the JSON while DuckDB renders "field":null,
+    changing the document shape per row; a stable JSON schema is the
+    intended semantics for a serialized profile."""
     c = load(spark, sf_dir, "customer")
     profile = F.struct(
         F.col("c_nationkey").alias("nation"),
@@ -329,7 +344,8 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
-        F.to_json(profile).alias("profile_json"),
+        F.to_json(profile, {"ignoreNullFields": "false"})
+        .alias("profile_json"),
         profile.getField("nation").alias("nation_again"),
         F.round(
             F.struct(

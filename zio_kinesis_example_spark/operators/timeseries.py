@@ -62,7 +62,7 @@ def _hourly_spine(hourly: DataFrame) -> DataFrame:
     "q_ts_rollup_hypertable",
     oracle="""
         WITH hourly AS (
-            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+            SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    -- DECIMAL partials kept decimal THROUGH the second
@@ -75,7 +75,7 @@ def _hourly_spine(hourly: DataFrame) -> DataFrame:
             FROM events
             GROUP BY 1, 2
         )
-        SELECT CAST(date_trunc('day', bucket_hour) AS TIMESTAMP) AS bucket_day,
+        SELECT CAST(time_bucket(INTERVAL 1 DAY, bucket_hour) AS TIMESTAMP) AS bucket_day,
                event_type,
                CAST(SUM(n_events) AS BIGINT) AS n_events,
                CAST(SUM(sum_value) AS DOUBLE) AS sum_value,
@@ -132,7 +132,7 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH hourly AS (
             SELECT event_type,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18, 4))) AS DOUBLE)
                        AS sum_value
@@ -268,14 +268,14 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ranked AS (
             SELECT event_type,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
                    value,
                    row_number() OVER (
-                       PARTITION BY event_type, date_trunc('hour', ts)
+                       PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
                        ORDER BY ts, event_id
                    ) AS rn_asc,
                    row_number() OVER (
-                       PARTITION BY event_type, date_trunc('hour', ts)
+                       PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
                        ORDER BY ts DESC, event_id DESC
                    ) AS rn_desc
             FROM events
@@ -346,7 +346,7 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH hourly AS (
             SELECT event_type,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                   CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
                    __HOURLY_CENTS_MEAN__ AS v
             FROM events WHERE event_type IN ('purchase', 'signup')
             GROUP BY 1, 2
@@ -464,7 +464,7 @@ _EWMA_ALPHA = 0.3
     oracle=f"""
         WITH hourly AS (
             SELECT event_type,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                    SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS v
             FROM events GROUP BY 1, 2
         ),

@@ -8,7 +8,10 @@ digits (strictly tighter than the driver's hash compare). NaN vs NULL:
 in float64-dtype pandas columns BOTH engines surface SQL NULL as NaN
 (toPandas / .df() conversion), so that distinction is unverifiable here
 and queries must CASE-guard 0/0-style divisions by convention (the r4
-rule); in object-dtype columns NaN and None canonicalize distinctly.
+rule); in object-dtype columns (strings, booleans, decimals) every NA
+marker — float NaN included — canonicalizes to NULL, because NaN is not
+a representable VALUE there (r12: DuckDB renders a NULL BOOLEAN as
+object-dtype NaN, Spark as None; both are the SQL NULL).
 """
 
 from __future__ import annotations
@@ -69,23 +72,31 @@ def _canon_val(v, precision: int = 9):
 
 def canonical_rows(df: pd.DataFrame, precision: int = 9) -> list[tuple]:
     cols = sorted(df.columns)
+    # object-dtype columns (strings, booleans, decimals) cannot carry
+    # NaN as a VALUE — a float NaN there is an NA marker (r12
+    # null-stress sweep: DuckDB's .df() renders a NULL BOOLEAN as
+    # object-dtype NaN while Spark's toPandas gives None; the SQL value
+    # is NULL on both sides). The NaN≠NULL policy below protects
+    # 0/0-style divergences, which only exist in float-dtype columns.
+    is_obj = [df[c].dtype == object for c in cols]
     out = []
     for row in df[cols].itertuples(index=False, name=None):
         vals = []
-        for v in row:
+        for v, obj_col in zip(row, is_obj):
             if v is not None and not isinstance(v, (list, tuple, dict, bytes)) \
                and type(v).__name__ != "ndarray" and pd.isna(v):
-                # float NaN stays NaN (canonicalizes "\x00nan"): mapping
-                # it to None would equate Spark's NULL with DuckDB's NaN
-                # on 0/0-style divisions and mask the divergence this
-                # harness exists to catch. Only non-float NA markers
-                # (NaT, pandas NA) normalize to NULL. np.floating covers
-                # FLOAT (float32) scalar columns (r9 review: np.float32
-                # is not a float subclass, so a float32 NaN was wrongly
-                # normalized to NULL here while the array-element path
-                # kept it NaN).
-                if not (isinstance(v, (float, np.floating))
-                        and math.isnan(v)):
+                # float NaN stays NaN (canonicalizes "\x00nan") in
+                # FLOAT-dtype columns: mapping it to None would equate
+                # Spark's NULL with DuckDB's NaN on 0/0-style divisions
+                # and mask the divergence this harness exists to catch.
+                # Non-float NA markers (NaT, pandas NA) and ANY NA in an
+                # object-dtype column normalize to NULL. np.floating
+                # covers FLOAT (float32) scalar columns (r9 review:
+                # np.float32 is not a float subclass, so a float32 NaN
+                # was wrongly normalized to NULL here while the
+                # array-element path kept it NaN).
+                if obj_col or not (isinstance(v, (float, np.floating))
+                                   and math.isnan(v)):
                     v = None
             elif hasattr(v, "item") and type(v).__name__ != "ndarray":
                 v = v.item()  # numpy scalar → python
