@@ -41,9 +41,10 @@ def test_target_queries_cover_the_declared_surface():
     from zio_kinesis_example_spark.registry import all_specs
 
     names = R.target_queries(all_specs())
-    assert len(names) == 52
+    assert len(names) == 53                 # +1 r12: the capped fuse
     assert sum(n.startswith("q_tpch_") for n in names) == 21  # + q_agg_group
     assert "q_agg_group" in names and "q_join_interval_overlap" in names
+    assert "q_join_interval_overlap_capped" in names
 
 
 def test_manifest_guard_rebuilds_on_offset_change(tmpdir_factory_local):

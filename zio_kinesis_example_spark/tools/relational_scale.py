@@ -87,7 +87,7 @@ _FIXED = ("nation", "region")
 _EXPLICIT = [
     "q_agg_group", "q_join_3way", "q_join_broadcast", "q_join_bloom_semi",
     "q_join_skew_salted", "q_join_grid_neighbors", "q_join_grid_knn",
-    "q_join_interval_overlap",
+    "q_join_interval_overlap", "q_join_interval_overlap_capped",
 ]
 _PREFIXES = ("q_tpch_", "q_win_", "q_events_")
 
