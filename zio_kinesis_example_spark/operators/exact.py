@@ -90,26 +90,51 @@ SQL_MONEY = ("CAST(l_extendedprice AS DECIMAL(18, 4)) "
              "* CAST(1 - l_discount AS DECIMAL(18, 4))")
 SQL_REV = f"CAST(CAST(SUM({SQL_MONEY}) AS DECIMAL(30, 8)) AS VARCHAR)"
 
-def hourly_cents_mean(e, out_col: str, hour_col: str = "bucket_hour"):
-    """Per-(event_type, hour) mean of a 2dp ``value`` column via EXACT
-    BIGINT cents + ONE identical division — a double SUM(value)
-    reassociates in partition order and diverged from DuckDB by 1 ulp at
-    sf0.1 (q_ts_interpolate's rule). ONE definition shared with
-    q_ts_autocorr (r8 review: the block was copied verbatim between the
-    two module pairs). SQL twin: SQL_HOURLY_CENTS_MEAN."""
+def hourly_cents_mean_e6(e, out_col: str, hour_col: str = "bucket_hour"):
+    """Per-(event_type, hour) mean of a 2dp non-negative ``value``
+    column as EXACT BIGINT micro-units (value·10⁶), rounded half-up by
+    integer arithmetic: e6 = (2·Σcents·10⁴ + n) DIV (2·n).
+
+    WHY integers all the way (r12 null-stress sweep): the old
+    double-division form svc/(100·n) is a FINITE-DECIMAL rational —
+    whenever n has only 2·5 factors its 7th decimal digit can be
+    exactly 5, and round(x, 6) then TIES: Spark's BigDecimal HALF_UP
+    rounded 66.4371875 → .437188 while DuckDB emitted .437187 (found
+    at sf0.1 with 32-row hours). Integer half-up division has no tie
+    ambiguity and ``e6/1e6`` is the same double on both engines.
+
+    Callers must pre-filter the TICK CONTRACT themselves (ts and value
+    non-null — see SQL_TICK_FILTER): n counts MEASURED values, so an
+    hour with no measurable value produces no tick instead of a NULL
+    that poisons whole-series folds. SQL twin:
+    SQL_HOURLY_CENTS_MEAN_E6."""
     return (
         e.groupBy("event_type",
                   F.date_trunc("hour", F.col("ts")).alias(hour_col))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("__svc"),
              F.count(F.lit(1)).alias("__cv"))
         .select("event_type", hour_col,
-                (F.col("__svc") / (F.lit(100.0) * F.col("__cv")))
-                .alias(out_col))
+                F.expr("(2 * __svc * 10000 + __cv) DIV (2 * __cv)")
+                .cast("long").alias(out_col))
     )
 
 
-#: DuckDB twin of :func:`hourly_cents_mean` (the SELECT-list fragment;
-#: callers add their own aliases/filters/GROUP BY).
-SQL_HOURLY_CENTS_MEAN = ("SUM(CAST(round(value * 100) AS BIGINT)) "
-                         "/ (100.0 * COUNT(*))")
+def hourly_cents_mean(e, out_col: str, hour_col: str = "bucket_hour"):
+    """Tie-free double view of :func:`hourly_cents_mean_e6` (e6/10⁶ —
+    one exact-integer-to-double division, identical on both engines).
+    Shared by q_ts_interpolate and q_ts_autocorr (r8 review: the block
+    was copied verbatim between the two module pairs)."""
+    h = hourly_cents_mean_e6(e, "__e6", hour_col=hour_col)
+    return h.select("event_type", hour_col,
+                    (F.col("__e6") / F.lit(1_000_000.0)).alias(out_col))
+
+
+#: DuckDB twins (SELECT-list fragments; callers add aliases/filters/
+#: GROUP BY). The tick filter belongs in the caller's WHERE.
+SQL_HOURLY_CENTS_MEAN_E6 = (
+    "(2 * SUM(CAST(round(value * 100) AS BIGINT)) * 10000 + COUNT(value)) "
+    "// (2 * COUNT(value))")
+SQL_HOURLY_CENTS_MEAN = (
+    f"CAST({SQL_HOURLY_CENTS_MEAN_E6} AS DOUBLE) / 1000000.0")
+SQL_TICK_FILTER = "ts IS NOT NULL AND value IS NOT NULL"
 

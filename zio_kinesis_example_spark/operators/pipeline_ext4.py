@@ -53,7 +53,9 @@ _AC_ORACLE = f"""
         SELECT event_type,
                CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                {SQL_HOURLY_CENTS_MEAN} AS x
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
     ),
     stats AS (
         SELECT event_type,
@@ -116,8 +118,14 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE partial-agged shuffle; the series length is calendar-bounded
     (≤ ~720 points/month regardless of SF) so the ordered folds and the
     three time-keyed equality self-joins are O(1) per series.
+
+    NULL CONTRACT (r12): null-ts events are not ticks and an hour whose
+    every value is NULL is NO observation (the ewma rule) — the tick
+    filter keeps the series fold from diverging on the engines' null
+    sort order and from collapsing to a whole-series NULL.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
     hourly = hourly_cents_mean(e, "x", hour_col="h")
 
     def ofold(term):

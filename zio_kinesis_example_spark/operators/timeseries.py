@@ -30,7 +30,9 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import SQL_HOURLY_CENTS_MEAN, dec_sum_double, hourly_cents_mean
+from .exact import (
+    SQL_HOURLY_CENTS_MEAN_E6, dec_sum_double, hourly_cents_mean_e6,
+)
 
 
 def _hourly_spine(hourly: DataFrame) -> DataFrame:
@@ -347,8 +349,10 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT event_type,
                    CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
-                   __HOURLY_CENTS_MEAN__ AS v
-            FROM events WHERE event_type IN ('purchase', 'signup')
+                   __HOURLY_CENTS_MEAN_E6__ AS v
+            FROM events
+            WHERE event_type IN ('purchase', 'signup')
+              AND ts IS NOT NULL AND value IS NOT NULL
             GROUP BY 1, 2
         ),
         -- bounds and the type list come from the BOUNDED hourly
@@ -384,15 +388,28 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON s.event_type = h.event_type
              AND s.bucket_hour = h.bucket_hour
         )
+        -- the lerp is EXACT BIGINT micro-units with half-away-from-zero
+        -- division ((2a ± b) // (2b) — Spark DIV and DuckDB // both
+        -- truncate toward zero, the r6 rule), then ONE division by 1e6:
+        -- no round() anywhere, so the 6dp TIE class the null sweep
+        -- caught (66.4371875 rounding differently per engine) cannot
+        -- exist. Midpoint gaps (even-hour gap, odd micro-delta) tie the
+        -- same way.
         SELECT event_type, bucket_hour,
                v IS NOT NULL AS observed,
-               round(CASE WHEN v IS NOT NULL THEN v
-                          WHEN p IS NOT NULL AND n IS NOT NULL
-                          THEN p.v + (n.v - p.v) * (th - p.t) / (n.t - p.t)
-                     END, 6) AS value_interp
+               CAST(CASE WHEN v IS NOT NULL THEN v
+                         WHEN p IS NOT NULL AND n IS NOT NULL
+                         THEN p.v + CASE
+                             WHEN (n.v - p.v) * (th - p.t) >= 0
+                             THEN (2 * (n.v - p.v) * (th - p.t)
+                                   + (n.t - p.t)) // (2 * (n.t - p.t))
+                             ELSE (2 * (n.v - p.v) * (th - p.t)
+                                   - (n.t - p.t)) // (2 * (n.t - p.t))
+                             END
+                    END AS DOUBLE) / 1000000.0 AS value_interp
         FROM j
-    """.replace("__HOURLY_CENTS_MEAN__",
-               SQL_HOURLY_CENTS_MEAN),
+    """.replace("__HOURLY_CENTS_MEAN_E6__",
+               SQL_HOURLY_CENTS_MEAN_E6),
     tags=("timeseries", "interpolate", "gapfill"),
 )
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,10 +419,17 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours outside the observed range stay NULL. Sparse event types only,
     so real gaps exist at every SF.
 
-    DETERMINISM: the interpolation weight is a ratio of exact BIGINT
-    epoch-hours; the one float chain (hourly mean → lerp) is identical
-    single IEEE ops on both engines, emitted rounded 6dp (the module's
-    float-emission rule).
+    DETERMINISM (r12 upgrade): the whole value path is EXACT BIGINT
+    micro-units — hourly mean via integer half-up (exact.
+    hourly_cents_mean_e6; the old double mean hit a REAL 6dp rounding
+    tie, 66.4371875, that Spark rounded up and DuckDB down), and the
+    lerp via half-away-from-zero integer division — with ONE final
+    /1e6 to double. No round() remains in the path, so no tie class.
+
+    NULL CONTRACT (r12): null-ts events are not ticks; an hour whose
+    every value is NULL is NO observation (it becomes a gap to
+    interpolate, not a NULL that poisons the series) — both sides
+    state the same tick filter.
 
     Scale shape: the value column is aggregated in ONE raw pass
     (bounded at |types|×|hours| rows, broadcast); the spine's
@@ -416,11 +440,12 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gap search.
     """
     types = ("purchase", "signup")
-    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*types))
-    # EXACT BIGINT cents for the hourly mean — the shared
-    # exact.hourly_cents_mean rule (see its docstring for the 1-ulp
-    # reassociation history)
-    hourly = hourly_cents_mean(e, "v")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*types)
+        & F.col("ts").isNotNull() & F.col("value").isNotNull())
+    # EXACT BIGINT micro-units for the hourly mean (see the docstring's
+    # r12 tie history); v is LONG value·1e6 here, divided once at the end
+    hourly = hourly_cents_mean_e6(e, "v")
     spine = _hourly_spine(hourly).withColumn(
         "th",
         F.expr("CAST(unix_seconds(cast(bucket_hour as timestamp)) "
@@ -442,17 +467,19 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.last(entry, ignorenulls=True).over(w_prev).alias("p"),
                 F.first(entry, ignorenulls=True).over(w_next).alias("n"))
     )
-    lerp = (F.col("p.v")
-            + (F.col("n.v") - F.col("p.v"))
-            * (F.col("th") - F.col("p.t")) / (F.col("n.t") - F.col("p.t")))
+    # integer lerp, half-away-from-zero: (2a ± b) DIV (2b), b > 0
+    lerp_e6 = F.expr(
+        "p.v + CASE WHEN (n.v - p.v) * (th - p.t) >= 0 "
+        "THEN (2 * (n.v - p.v) * (th - p.t) + (n.t - p.t)) "
+        "     DIV (2 * (n.t - p.t)) "
+        "ELSE (2 * (n.v - p.v) * (th - p.t) - (n.t - p.t)) "
+        "     DIV (2 * (n.t - p.t)) END")
     return j.select(
         "event_type", "bucket_hour",
         F.col("v").isNotNull().alias("observed"),
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .when(F.col("p").isNotNull() & F.col("n").isNotNull(), lerp),
-            6,
-        ).alias("value_interp"),
+        (F.when(F.col("v").isNotNull(), F.col("v"))
+         .when(F.col("p").isNotNull() & F.col("n").isNotNull(), lerp_e6)
+         .cast("double") / F.lit(1_000_000.0)).alias("value_interp"),
     )
 
 
@@ -466,7 +493,9 @@ _EWMA_ALPHA = 0.3
             SELECT event_type,
                    CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                    SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS v
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
         ),
         series AS (
             SELECT event_type,
@@ -504,7 +533,16 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence carrying O(1) state per key in the state store,
     restart-verified against this fold in tests/test_streaming.py.
     """
-    e = load(spark, sf_dir, "events")
+    # NULL CONTRACT (r12, found by the sf0.1 null sweep): a NULL-ts
+    # event is not a tick (its null-h group otherwise folds FIRST in
+    # Spark's sort_array and LAST in DuckDB's ORDER BY — divergent),
+    # and an hour whose every value is NULL is NO observation (v =
+    # SUM(nothing) = NULL would otherwise poison the ENTIRE series fold
+    # to NULL on both engines — a degenerate agreement the sf0.01 sweep
+    # could not distinguish from correctness). One pre-filter states
+    # both: SUM already skips nulls inside mixed hours.
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
     # exact-cents hourly sums (q_ts_interpolate's rule): a double
     # SUM(value) reassociates in shuffle-fetch order and can differ
     # from DuckDB's scan-order sum by 1 ulp, which the fold propagates

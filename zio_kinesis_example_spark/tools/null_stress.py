@@ -91,10 +91,18 @@ def _mask(n: int, table: str, column: str, permille: int) -> np.ndarray:
     return (h % np.uint64(1000)) < np.uint64(permille)
 
 
-def build_null_proxy(out_dir: str, src: str = SRC) -> str:
+def build_null_proxy(out_dir: str, src: str = SRC,
+                     rate_scale: int = 1) -> str:
+    """rate_scale multiplies every declared permille rate (capped at
+    500 = 50 %): scale 1 is the realistic-lake axis; scale 10 is the
+    DEGENERATE axis — hours/series/groups that are entirely null,
+    sub-2-point series, all-poison partitions — the empty-input edge
+    class a few-percent rate cannot reach."""
+    rates = {t: {c: min(500, r * rate_scale) for c, r in cols.items()}
+             for t, cols in RATES.items()}
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_MANIFEST.json")
-    want = {"src": src, "rates": RATES, "fixed": list(FIXED)}
+    want = {"src": src, "rates": rates, "fixed": list(FIXED)}
     try:
         with open(manifest) as fh:
             if json.load(fh) == want:
@@ -104,14 +112,14 @@ def build_null_proxy(out_dir: str, src: str = SRC) -> str:
     for name in FIXED:
         shutil.copyfile(os.path.join(src, f"{name}.parquet"),
                         os.path.join(out_dir, f"{name}.parquet"))
-    for name, rates in RATES.items():
+    for name, tab_rates in rates.items():
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         n = t.num_rows
         cols = []
         for field in t.schema:
             col = t.column(field.name).combine_chunks()
-            if field.name in rates:
-                m = _mask(n, name, field.name, rates[field.name])
+            if field.name in tab_rates:
+                m = _mask(n, name, field.name, tab_rates[field.name])
                 col = pa.compute.if_else(
                     pa.array(m), pa.nulls(n, type=field.type), col)
             cols.append(col)
@@ -134,10 +142,14 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset; default = full registry")
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--rate-scale", type=int, default=1,
+                    help="multiply every permille rate (cap 500); 10 = "
+                         "the degenerate all-null-group stress axis")
     args = ap.parse_args()
-    out = args.out or "/tmp/nullstress_" + os.path.basename(
+    out = args.out or ("/tmp/nullstress_" + os.path.basename(
         args.src.rstrip("/")).replace(".", "")
-    build_null_proxy(out, src=args.src)
+        + (f"_x{args.rate_scale}" if args.rate_scale != 1 else ""))
+    build_null_proxy(out, src=args.src, rate_scale=args.rate_scale)
     print(f"proxy ready: {out}", flush=True)
     if args.build_only:
         return
