@@ -401,9 +401,11 @@ def q_sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(m_q AS INT) AS m_score
         FROM (
             SELECT *,
-                   ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r_q,
+                   ntile(5) OVER (ORDER BY recency_days NULLS LAST,
+                                  c_custkey) AS r_q,
                    ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_q,
-                   ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_q
+                   ntile(5) OVER (ORDER BY monetary DESC NULLS LAST,
+                                  c_custkey) AS m_q
             FROM base)
     """,
     tags=("analytics", "rfm", "window"),
@@ -417,6 +419,13 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     DETERMINISM: 'now' is the data's own max date (no wall clock);
     monetary is exact decimal; every ntile ordering is fully tie-broken
     on c_custkey, so quintile boundaries are engine-exact.
+
+    NULL ORDERING (r12, pinned): a customer whose every order is
+    undated has NULL recency (= no known recent activity → LEAST
+    recent: NULLS LAST ascending), and one whose every price is null
+    has NULL monetary (→ lowest value: NULLS LAST descending) — stated
+    explicitly on both sides because the engines' ascending defaults
+    disagree.
 
     Scale shape: one partial-agged groupBy; the three ntiles are global
     windows over the |customers| aggregate — at 100 TB replace with
@@ -436,9 +445,10 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(30,2)").alias("monetary"),
         )
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
+    wr = Window.orderBy(F.col("recency_days").asc_nulls_last(),
+                        "c_custkey")
     wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc_nulls_last(), "c_custkey")
     return base.select(
         "c_custkey", "recency_days", "frequency",
         F.col("monetary").cast("string").alias("monetary"),

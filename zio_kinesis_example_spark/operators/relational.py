@@ -929,6 +929,7 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY user_id, event_type
         )
         GROUP BY user_id
@@ -945,8 +946,15 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two chained partial-agged aggregations ((user, type)
     counts, then the struct max per user) — the second shuffle carries
     ≤ |users|×|types| rows; no window, no sort.
+
+    NULL CONTRACT (r12, the degenerate-rate sweep): NULL is the ABSENCE
+    of a value, not a mode candidate (SQL's native mode() ignores
+    nulls; and the engines disagree on struct-max with a null field —
+    Spark sorts it smallest, DuckDB largest). Null-typed rows are
+    excluded on both sides; a user with only null types has no mode.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())
     counts = (
         e.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
