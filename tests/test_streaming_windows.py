@@ -74,6 +74,33 @@ def test_tumbling_window_watermark_drops_late(spark, tmpdir_factory_local):
     assert by_win.get("00:05") == 1
 
 
+def test_malformed_event_time_is_dead_lettered(spark, tmpdir_factory_local):
+    """r12: a record whose event-time string is garbage or missing must
+    cost ITSELF, never the query — under ANSI, to_timestamp RAISED on
+    'not-a-timestamp' and TERMINATED the whole streaming query
+    (measured before the try_to_timestamp fix). The malformed rows are
+    dropped (the batch null-ts tick contract) and the window aggregates
+    equal the clean-subset expectation."""
+    src, ckpt = _dirs(tmpdir_factory_local, "badts")
+    t = {
+        1: "2024-01-01 00:00:10",   # window 00:00
+        2: "not-a-timestamp",       # malformed -> dead-lettered
+        3: None,                    # missing   -> dead-lettered
+        4: "2024-01-01 00:00:40",   # window 00:00
+        5: "2024-01-01 00:05:00",   # watermark pusher
+    }
+    prod = ShardDirProducer(src, n_shards=1, payload_fn=_ts_payload(t))
+    prod.produce_all(5)
+    emitted: list = []
+    run_available_now(tumbling_counts(_windowed(spark, src)), ckpt, emitted)
+    by_win = {r.window_start.strftime("%H:%M"): (r.n, r.sum_id)
+              for r in emitted}
+    # ids 2 and 3 are gone; ids 1+4 count (and sum) in their window
+    assert by_win.get("00:00") == (2, 5)
+    assert all(n == (2, 5) or ws != "00:00"
+               for ws, n in by_win.items())
+
+
 def test_session_window_gap_semantics(spark, tmpdir_factory_local):
     """Session windows close after 1 minute of inactivity; events within
     the gap merge into one session, a later event opens a new one."""

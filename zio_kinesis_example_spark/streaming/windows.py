@@ -39,8 +39,20 @@ TESTMSG_TS_SCHEMA = StructType([
 
 def with_event_time(decoded: DataFrame, ts_col: str = "event_ts") -> DataFrame:
     """Parse the payload's event-time string into a TimestampType column
-    (the event-time axis all windows below aggregate on)."""
-    return decoded.withColumn(ts_col, F.to_timestamp(F.col(ts_col)))
+    (the event-time axis all windows below aggregate on).
+
+    DEAD-LETTER CONTRACT (r12): ``try_to_timestamp``, not
+    ``to_timestamp`` — under ANSI mode a single malformed event-time
+    string RAISES and TERMINATES the whole streaming query (measured:
+    one bad record killed the tumbling-window query), which violates
+    the module's rule that a malformed record costs its own row, never
+    the pipeline. Unparseable or missing event times become NULL and
+    are dropped here, exactly the batch side's null-ts tick contract
+    (an event with no position on the time axis joins no window);
+    decode_json already dead-letters structurally bad payloads one
+    stage earlier."""
+    parsed = decoded.withColumn(ts_col, F.try_to_timestamp(F.col(ts_col)))
+    return parsed.filter(F.col(ts_col).isNotNull())
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 minute",
