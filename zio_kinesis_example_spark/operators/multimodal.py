@@ -69,18 +69,51 @@ def _flat_batch(payloads) -> tuple:
     return buf.astype(np.int64), starts, lens
 
 
+#: DuckDB fragment: UTF-8 byte length of ``text`` — the length of the
+#: payload every codec kernel actually consumes (binary_docs encodes
+#: text as utf-8). Character length(text) only coincides on pure-ASCII
+#: corpora, the fixture-satisfied assumption the r12 content-stress
+#: proxy exposed (CJK/emoji/ß documents diverged every codec oracle).
+BLEN_SQL = "octet_length(encode(text))"
+
+
+def utf8_byte_sql(pos0: str, hx: str = "hex(encode(text))") -> str:
+    """DuckDB fragment: the 0-based UTF-8 BYTE of ``text`` at ``pos0``.
+
+    DuckDB has no blob-subscript-to-int primitive, so the byte is read
+    out of the hex dump: byte k = hex pair at chars 2k+1..2k+2, parsed
+    via the '0x'-prefixed integer cast. ``hx`` lets oracles that walk
+    many positions precompute ``hex(encode(text))`` once in a CTE."""
+    return f"('0x' || substr({hx}, 2 * ({pos0}) + 1, 2))::BIGINT"
+
+
+def cyclic_utf8_byte_sql(var: str = "m") -> str:
+    """DuckDB fragment: CYCLIC UTF-8 text byte at 0-based position
+    ``var`` (byte = payload byte var mod blen). Callers must guard the
+    empty payload (``BLEN_SQL = 0``) — mod-by-zero is NULL in DuckDB."""
+    return utf8_byte_sql(f"({var}) % {BLEN_SQL}")
+
+
 def cyclic_text_sum_sql(n_expr: str) -> str:
     """DuckDB fragment: sum of the first ``n_expr`` CYCLIC text bytes
     (byte k = text byte k mod len) — the pixel/sample rule every real
     codec in this family encodes with. ONE definition shared by the
     BMP/PPM/PNG/GIF oracles so the contract (including the empty-text
     guard: the kernels zero-fill an empty payload's plane, while an
-    unguarded k % length(text) is a mod-by-zero NULL in DuckDB) cannot
-    silently diverge between copies — the exact drift the r5 advice
-    pass had to fix twice."""
-    return ("CASE WHEN length(text) = 0 THEN 0 ELSE "
-            f"list_sum(list_transform(generate_series(0, ({n_expr}) - 1), "
-            "k -> ascii(substring(text, (k % length(text)) + 1, 1)))) END")
+    unguarded k % len is a mod-by-zero NULL in DuckDB) cannot silently
+    diverge between copies — the exact drift the r5 advice pass had to
+    fix twice.
+
+    r12 content-stress fix: 'byte' now really means UTF-8 byte. The
+    old ``ascii(substring(text, ...))`` form summed character
+    CODEPOINTS cycled over CHARACTER length — identical on the
+    all-ASCII fixtures, wrong on any multi-byte document (the kernels
+    consume ``encode(text, 'utf-8')`` bytes; a codec has no notion of
+    characters)."""
+    return (f"CASE WHEN {BLEN_SQL} = 0 THEN 0 ELSE "
+            f"COALESCE(list_sum(list_transform("
+            f"generate_series(0, ({n_expr}) - 1), "
+            f"k -> {cyclic_utf8_byte_sql('k')})), 0) END")
 
 
 def phash_sql() -> str:
@@ -92,18 +125,17 @@ def phash_sql() -> str:
     exists to prevent). Yields CTEs ``px`` and ``h``; ``h`` has columns
     (doc_id, phash_hi, phash_lo)."""
     def half(lo_k: int, hi_k: int, shift: str) -> str:
+        a = utf8_byte_sql("((k // 8) * 9 + (k % 8)) % len", hx="hx")
+        b = utf8_byte_sql("((k // 8) * 9 + (k % 8) + 1) % len", hx="hx")
         return (
             f"CAST(list_sum(list_transform(generate_series({lo_k}, {hi_k}), "
-            "k -> CASE WHEN "
-            "ascii(substring(text, (((k // 8) * 9 + (k % 8)) % len) + 1, 1)) "
-            "< ascii(substring(text, "
-            "(((k // 8) * 9 + (k % 8) + 1) % len) + 1, 1)) "
+            f"k -> CASE WHEN {a} < {b} "
             f"THEN 1 << {shift} ELSE 0 END)) AS BIGINT)")
 
     return f"""
         px AS (
-            SELECT doc_id, length(text) AS len, text
-            FROM documents WHERE length(text) > 0
+            SELECT doc_id, {BLEN_SQL} AS len, hex(encode(text)) AS hx
+            FROM documents WHERE {BLEN_SQL} > 0
         ),
         h AS (
             SELECT doc_id,
@@ -585,14 +617,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_decode",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-               CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
+               CAST({BLEN_SQL} AS BIGINT) AS n_bytes,
+               CAST({BLEN_SQL} % 640 AS INT) AS width,
+               CAST(CASE WHEN {BLEN_SQL} = 0 THEN 0
+                    ELSE {utf8_byte_sql('0')} END AS INT) AS height,
                CAST(COALESCE(list_sum(list_transform(
-                       generate_series(1, least(16, length(text))),
-                       i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+                       generate_series(0, least(16, {BLEN_SQL}) - 1),
+                       k -> {utf8_byte_sql('k')})), 0) AS BIGINT)
                    AS checksum16
         FROM documents
     """,
@@ -600,8 +633,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode pipeline: encode → mapInPandas(fake codec) → typed
-    rows. The oracle recomputes the fake codec's arithmetic in SQL (text is
-    ascii, so byte i == char i), proving the Arrow round-trip is lossless
+    rows. The oracle recomputes the fake codec's arithmetic in SQL over
+    UTF-8 BYTES (r12: the old char-codepoint form only agreed on
+    all-ASCII fixtures), proving the Arrow round-trip is lossless
     and the batch plumbing correct."""
     return binary_docs(spark, sf_dir).select("doc_id", "payload") \
         .mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
@@ -688,21 +722,22 @@ _SAMPLE_EVERY = 4
 
 @query(
     "q_multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
         WITH f AS (
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+            SELECT doc_id, {BLEN_SQL} AS n_bytes,
+                   hex(encode(text)) AS hx,
                    unnest(generate_series(
-                       0, CAST(ceil(octet_length(encode(text)) / 64.0)
+                       0, CAST(ceil({BLEN_SQL} / 64.0)
                                AS INT) - 1)) AS frame_no
             FROM documents)
-        SELECT f.doc_id, CAST(frame_no AS INT) AS frame_no,
+        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
                CAST(least(64, n_bytes - frame_no * 64) AS INT) AS frame_bytes,
                CAST(list_sum(list_transform(
-                       generate_series(frame_no * 64 + 1,
-                                       least(n_bytes, frame_no * 64 + 64)),
-                       i -> ascii(substring(d.text, i, 1)))) AS BIGINT)
+                       generate_series(frame_no * 64,
+                                       least(n_bytes, frame_no * 64 + 64) - 1),
+                       i -> {utf8_byte_sql('i', hx='hx')})) AS BIGINT)
                    AS frame_sum
-        FROM f JOIN documents d USING (doc_id)
+        FROM f
         WHERE frame_no % 4 = 0
     """,
     tags=("multimodal",),
@@ -750,12 +785,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_resize",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-               CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
-               CAST((octet_length(encode(text)) % 640) // 2 AS INT) AS out_w,
-               CAST(ascii(substring(text, 1, 1)) // 2 AS INT) AS out_h
+               CAST({BLEN_SQL} % 640 AS INT) AS width,
+               CAST(CASE WHEN {BLEN_SQL} = 0 THEN 0
+                    ELSE {utf8_byte_sql('0')} END AS INT) AS height,
+               CAST(({BLEN_SQL} % 640) // 2 AS INT) AS out_w,
+               CAST(CASE WHEN {BLEN_SQL} = 0 THEN 0
+                    ELSE {utf8_byte_sql('0')} END // 2 AS INT) AS out_h
         FROM documents
     """,
     tags=("multimodal",),
@@ -778,22 +815,23 @@ _WIN = 256       # PCM samples per energy window
 
 @query(
     "q_multimodal_audio_energy",
-    oracle="""
+    oracle=f"""
         WITH w AS (
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+            SELECT doc_id, {BLEN_SQL} AS n_bytes,
+                   hex(encode(text)) AS hx,
                    unnest(generate_series(
-                       0, CAST(ceil(octet_length(encode(text)) / 256.0)
+                       0, CAST(ceil({BLEN_SQL} / 256.0)
                                AS INT) - 1)) AS win_no
             FROM documents)
-        SELECT w.doc_id, CAST(win_no AS INT) AS win_no,
+        SELECT doc_id, CAST(win_no AS INT) AS win_no,
                CAST(least(256, n_bytes - win_no * 256) AS INT) AS n_samples,
                CAST(list_sum(list_transform(
-                       generate_series(win_no * 256 + 1,
-                                       least(n_bytes, win_no * 256 + 256)),
-                       i -> (ascii(substring(d.text, i, 1)) - 128)
-                            * (ascii(substring(d.text, i, 1)) - 128)))
+                       generate_series(win_no * 256,
+                                       least(n_bytes, win_no * 256 + 256) - 1),
+                       i -> ({utf8_byte_sql('i', hx='hx')} - 128)
+                            * ({utf8_byte_sql('i', hx='hx')} - 128)))
                     AS BIGINT) AS energy
-        FROM w JOIN documents d USING (doc_id)
+        FROM w
     """,
     tags=("multimodal", "audio"),
 )
@@ -809,7 +847,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kernel: ONE vectorized pass — center and square the whole flat Arrow
     buffer, then np.add.reduceat over window boundaries; no per-row or
     per-window Python. The oracle recomputes the same arithmetic over
-    ascii bytes in SQL (corpus text is ASCII, so char ordinal == byte).
+    UTF-8 bytes in SQL (r12: byte domain, not char codepoints).
     """
 
     def energy_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -917,18 +955,19 @@ _CUT_THRESH = 640  # |frame_sum(i) − frame_sum(i−1)| above this = scene cut
     "q_multimodal_scenecut",
     oracle=f"""
         WITH f AS (
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+            SELECT doc_id, {BLEN_SQL} AS n_bytes,
+                   hex(encode(text)) AS hx,
                    unnest(generate_series(
-                       0, CAST(ceil(octet_length(encode(text)) / 64.0)
+                       0, CAST(ceil({BLEN_SQL} / 64.0)
                                AS INT) - 1)) AS frame_no
             FROM documents),
         sums AS (
-            SELECT f.doc_id, frame_no,
+            SELECT doc_id, frame_no,
                    list_sum(list_transform(
-                       generate_series(frame_no * 64 + 1,
-                                       least(n_bytes, frame_no * 64 + 64)),
-                       i -> ascii(substring(d.text, i, 1)))) AS s
-            FROM f JOIN documents d USING (doc_id)),
+                       generate_series(frame_no * 64,
+                                       least(n_bytes, frame_no * 64 + 64) - 1),
+                       i -> {utf8_byte_sql('i', hx='hx')})) AS s
+            FROM f),
         d2 AS (
             SELECT doc_id, frame_no, s,
                    lag(s) OVER (PARTITION BY doc_id ORDER BY frame_no)

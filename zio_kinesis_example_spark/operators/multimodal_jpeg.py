@@ -639,10 +639,12 @@ def _jpeg_oracle() -> str:
     bh = "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END"
 
     def wsum(n_expr: str, weight: str) -> str:
+        # UTF-8 byte domain (r12): the encoder consumes payload BYTES
+        from .multimodal import BLEN_SQL, cyclic_utf8_byte_sql
         return (
-            "CASE WHEN length(text) = 0 THEN 0 ELSE "
+            f"CASE WHEN {BLEN_SQL} = 0 THEN 0 ELSE "
             f"list_sum(list_transform(generate_series(0, ({n_expr}) - 1), "
-            "m -> ascii(substring(text, (m % length(text)) + 1, 1)) "
+            f"m -> {cyclic_utf8_byte_sql('m')} "
             f"* ({weight}))) END")
 
     pix_w = (f"least(8, ({w}) - (m % ({bw})) * 8) "
@@ -829,7 +831,8 @@ def _jpeg420_oracle() -> str:
     my = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END"
     cw = "CASE doc_id % 3 WHEN 0 THEN 11 WHEN 1 THEN 19 ELSE 7 END"
     ch = "CASE doc_id % 3 WHEN 0 THEN 9 WHEN 1 THEN 11 ELSE 5 END"
-    byte = "ascii(substring(text, (m % length(text)) + 1, 1))"
+    from .multimodal import BLEN_SQL, cyclic_utf8_byte_sql
+    byte = cyclic_utf8_byte_sql("m")    # UTF-8 byte domain (r12)
     y_w = (f"greatest(0, least(8, ({w}) - ((m // 6) % ({mx})) * 16"
            f" - ((m % 6) % 2) * 8))"
            f" * greatest(0, least(8, ({h}) - ((m // 6) // ({mx})) * 16"
@@ -839,7 +842,7 @@ def _jpeg420_oracle() -> str:
 
     def s(pred: str, weight: str) -> str:
         return (
-            "CASE WHEN length(text) = 0 THEN 0 ELSE COALESCE(list_sum("
+            f"CASE WHEN {BLEN_SQL} = 0 THEN 0 ELSE COALESCE(list_sum("
             f"list_transform(list_filter(generate_series(0, "
             f"6 * ({mx}) * ({my}) - 1), m -> {pred}), "
             f"m -> {byte} * ({weight}))), 0) END")
@@ -997,10 +1000,11 @@ def _jpeg_recover_oracle() -> str:
     bad = f"(doc_id % ({nsegs}))"
     vis = (f"least(8, ({w}) - (m % ({bw})) * 8) "
            f"* least(8, ({h}) - (m // ({bw})) * 8)")
-    rec = ("CASE WHEN length(text) = 0 THEN 0 ELSE "
+    from .multimodal import BLEN_SQL, cyclic_utf8_byte_sql
+    rec = (f"CASE WHEN {BLEN_SQL} = 0 THEN 0 ELSE "
            f"list_sum(list_transform(generate_series(0, ({nb}) - 1), "
            f"m -> CASE WHEN m // {_JPEG_DRI} = {bad} THEN 0 ELSE "
-           f"ascii(substring(text, (m % length(text)) + 1, 1)) "
+           f"{cyclic_utf8_byte_sql('m')} "
            f"* ({vis}) END)) END")
     return f"""
         SELECT doc_id,

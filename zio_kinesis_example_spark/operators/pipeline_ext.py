@@ -500,19 +500,19 @@ def _wav_oracle() -> str:
             "ELSE 22050 END")
     ch = "CAST(1 + doc_id % 2 AS INT)"
     data_bytes = f"(({frames}) * (1 + doc_id % 2) * 2)"
-    # sample k: lo = text byte 2k, hi = text byte 2k+1 (cyclic);
+    # sample k: lo = text byte 2k, hi = text byte 2k+1 (cyclic, UTF-8
+    # BYTE domain — r12 content-stress fix: ascii(substring(...)) is
+    # char codepoints and diverges on any multi-byte document);
     # int16 = u - 65536 when u >= 32768
+    from .multimodal import cyclic_utf8_byte_sql
+    lo = cyclic_utf8_byte_sql("2*k")
+    hi = cyclic_utf8_byte_sql("2*k+1")
+    u16 = f"({lo} + 256 * {hi})"
     sample = (
         "list_transform(generate_series(0, ({n}) - 1), k -> "
-        "CASE WHEN (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
-        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
-        " >= 32768 "
-        "THEN (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
-        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
-        " - 65536 "
-        "ELSE (ascii(substring(text, ((2*k) % length(text)) + 1, 1)) "
-        "  + 256 * ascii(substring(text, ((2*k+1) % length(text)) + 1, 1)))"
-        " END)"
+        f"CASE WHEN {u16} >= 32768 "
+        f"THEN {u16} - 65536 "
+        f"ELSE {u16} END)"
     )
     n_samples = f"(({frames}) * (1 + doc_id % 2))"
     return f"""
@@ -523,10 +523,10 @@ def _wav_oracle() -> str:
                CAST({rate} AS INT) AS sample_rate,
                16 AS bits,
                CAST({frames} AS BIGINT) AS n_frames,
-               CAST(CASE WHEN length(text) = 0 THEN 0
+               CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
                     ELSE {sample.format(n=1)}[1] END AS BIGINT)
                    AS first_sample,
-               CAST(CASE WHEN length(text) = 0 THEN 0
+               CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
                     ELSE list_sum(list_transform({sample.format(n=n_samples)},
                         s -> abs(s))) END AS BIGINT) AS abs_energy
         FROM documents
