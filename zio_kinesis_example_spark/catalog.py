@@ -118,3 +118,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     e.g. GROUPING SETS which has no DataFrame-API equivalent)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+#: DuckDB WITH-fragment mirroring ``operators.llm_similarity.emb_table``
+#: (the r12 malformed-vector contract): prepend inside an oracle's WITH
+#: list and read FROM emb_valid instead of embeddings. Lives here (not
+#: in llm_similarity) only to stay importable from llm_dedup, which
+#: llm_similarity itself imports at module level. Majority-dim
+#: tie-break (count DESC, d ASC) matches _majority_dim.
+EMB_VALID_SQL = """
+        embdim AS (
+            SELECT len(embedding) AS d FROM embeddings
+            WHERE embedding IS NOT NULL
+            GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1),
+        emb_valid AS (
+            SELECT vec_id, embedding, label FROM embeddings, embdim
+            WHERE embedding IS NOT NULL AND len(embedding) = d
+              AND len(list_filter(embedding, x ->
+                    x IS NULL OR isnan(x) OR isinf(x))) = 0)"""

@@ -50,7 +50,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import EMB_VALID_SQL, load
 from ..registry import query
 
 # 3-term shingles; documents.text is space-separated terms (FIXTURES.md §B).
@@ -1142,11 +1142,12 @@ def embedding_pairs(df: DataFrame, *, id_col: str = "vec_id",
     # ~1.6e15 so dot² needs HUGEINT, and no float ever decides a row.
     # The emitted cosine is one double division of exactly-agreed
     # operands — identical bits to the Spark kernel's.
-    oracle="""
-        WITH e AS (SELECT vec_id, label,
+    oracle=f"""
+        WITH {EMB_VALID_SQL},
+        e AS (SELECT vec_id, label,
                           list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
-                   FROM embeddings),
+                   FROM emb_valid),
         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      CAST(list_sum(list_transform(list_zip(a.v, b.v),
                           q -> q[1] * q[2])) AS HUGEINT) AS dot,
@@ -1179,7 +1180,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how a GPU/BLAS ANN verifier runs at scale. One shuffle on
     (block, tile-pair).
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    from .llm_similarity import emb_table
+    e = emb_table(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     return embedding_pairs(e)

@@ -44,7 +44,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import EMB_VALID_SQL, load  # noqa: F401  (EMB_VALID_SQL re-exported: ONE contract, see emb_table)
 from ..registry import query
 from . import llm_dedup
 
@@ -66,20 +66,14 @@ _PLANES: list[list[int]] = [
 ]
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-
-
-def _majority_dim(e: DataFrame) -> int:
+def _majority_dim(e: DataFrame, col: str = "emb") -> int:
     """The corpus's majority embedding dimension (one tiny aggregate) —
     the expected width malformed rows are judged against. Raises a
     descriptive error on an empty / all-null corpus instead of the bare
     AttributeError ``.first().d`` used to produce (r11 ADVICE)."""
     r = (
-        e.filter(F.col("emb").isNotNull())
-        .groupBy(F.size("emb").alias("d")).count()
+        e.filter(F.col(col).isNotNull())
+        .groupBy(F.size(col).alias("d")).count()
         .orderBy(F.desc("count"), "d").first()
     )
     if r is None:
@@ -89,17 +83,54 @@ def _majority_dim(e: DataFrame) -> int:
     return int(r.d)
 
 
-def _valid_emb(dim: int):
+def _valid_emb(dim: int, col: str = "emb"):
     """Predicate keeping only well-formed vectors: non-null, exact
-    ``dim``, and NO null/NaN elements (Arrow converts list nulls to
-    NaN; cosine over a NaN element yields NaN; Spark's descending
+    ``dim``, and NO null/NaN/±inf elements (Arrow converts list nulls
+    to NaN; cosine over a NaN element yields NaN; Spark's descending
     window ranks NaN FIRST — so a poison vector would win a
-    deterministic-but-garbage verdict instead of being dropped).
-    Shared by the streaming probe (streaming/ann.py) and the centroid
-    trainer so both paths judge validity identically."""
-    return (F.col("emb").isNotNull()
-            & (F.size("emb") == dim)
-            & ~F.expr("exists(emb, x -> x is null or isnan(x))"))
+    deterministic-but-garbage verdict instead of being dropped; an inf
+    element passes a null/NaN check but detonates the quantized
+    integer path — floor(inf·1e6) casts to Long.MaxValue and the
+    squared-norm multiply overflows under ANSI; the r12 content-stress
+    sweep caught exactly that in 10 queries). Shared by the streaming
+    probe (streaming/ann.py), the centroid trainer, and — since r12 —
+    every batch embedding consumer via ``emb_table``, so all paths
+    judge validity identically."""
+    return (F.col(col).isNotNull()
+            & (F.size(col) == dim)
+            & ~F.expr(f"exists({col}, x -> x is null or isnan(x) "
+                      f"or abs(x) = cast('Infinity' as double))"))
+
+
+#: memoized majority dim per fixture dir — ONE tiny aggregate per
+#: (session-lifetime, sf_dir), not one per query plan.
+_DIM_CACHE: dict[str, int] = {}
+
+
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical embeddings source (r12): the raw table with the
+    malformed-vector contract applied — a vector that is NULL, ragged
+    (≠ the corpus's majority dimension), or carries a null/NaN/±inf
+    element costs its OWN row and never reaches a kernel. Every batch
+    consumer loads through here; the DuckDB oracles state the identical
+    filter via ``EMB_VALID_SQL``, so both engines see the same corpus.
+    On a clean corpus the filter passes every row and Parquet scan
+    pruning is unaffected (it is a post-scan Filter on the list column).
+    Reference anchor: TestMsgJsonSerde.scala:17-22 — the typed decode
+    failure costs one record, never the stream."""
+    if sf_dir not in _DIM_CACHE:
+        _DIM_CACHE[sf_dir] = _majority_dim(
+            load(spark, sf_dir, "embeddings"), col="embedding")
+    return load(spark, sf_dir, "embeddings").filter(
+        _valid_emb(_DIM_CACHE[sf_dir], col="embedding"))
+
+
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_table(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
 
 
 def cosine(a: str, b: str):
@@ -134,9 +165,10 @@ _DUCK_QUANT = (f"list_transform(CAST(embedding AS DOUBLE[]), "
 @query(
     "q_sim_cosine_topk",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
-                   FROM embeddings WHERE {_QUERY_FILTER}),
-        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM embeddings),
+        WITH {EMB_VALID_SQL},
+        q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
+                   FROM emb_valid WHERE {_QUERY_FILTER}),
+        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM emb_valid),
         pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
                          CAST(list_sum(list_transform(list_zip(qe, cv),
                               p -> p[1] * p[2])) AS BIGINT) AS dot,
@@ -176,7 +208,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py checks the value against an independently
     quantized numpy computation.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = emb_table(spark, sf_dir).select(
         "vec_id", F.expr(_QUANT).alias("qv"))
     q = e.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
@@ -277,9 +309,10 @@ def _range_cosine_col():
 @query(
     "q_sim_range_search",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
-                   FROM embeddings WHERE {_QUERY_FILTER}),
-        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM embeddings),
+        WITH {EMB_VALID_SQL},
+        q AS (SELECT vec_id AS query_id, {_DUCK_QUANT} AS qe
+                   FROM emb_valid WHERE {_QUERY_FILTER}),
+        c AS (SELECT vec_id, {_DUCK_QUANT} AS cv FROM emb_valid),
         pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
                          CAST(list_sum(list_transform(list_zip(qe, cv),
                               p -> p[1] * p[2])) AS HUGEINT) AS dot,
@@ -319,7 +352,7 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN cell restriction (IVF cells / LSH buckets) with this same exact
     in-cell predicate — q_dedup_embedding's blocked-BLAS kernel is that
     shape with label blocks as the stand-in buckets."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = emb_table(spark, sf_dir).select(
         "vec_id", F.expr(_QUANT).alias("qv"))
     q = e.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qe"))
@@ -719,8 +752,9 @@ def _recall_vs_pairs(spark: SparkSession, sf_dir: str,
 
 
 _ANN_RECALL_ORACLE = f"""
+        WITH {EMB_VALID_SQL}
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
-        FROM embeddings WHERE {_QUERY_FILTER}
+        FROM emb_valid WHERE {_QUERY_FILTER}
 """
 
 
@@ -1517,10 +1551,11 @@ def _kmeans_oracle() -> str:
     dist = ("list_sum(list_transform(list_zip(e.v, c.cv), "
             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
     ctes = [f"""
+        {EMB_VALID_SQL},
         e AS (SELECT vec_id,
                      list_transform(CAST(embedding AS DOUBLE[]),
                          x -> CAST(floor(x * {_KM_SCALE}.0) AS BIGINT)) AS v
-              FROM embeddings),
+              FROM emb_valid),
         c0 AS (SELECT CAST(ROW_NUMBER() OVER (
                           ORDER BY {_km_draw("//")}, vec_id)
                           - 1 AS INT) AS cid, v AS cv
@@ -1578,7 +1613,7 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle.
     """
     e = (
-        load(spark, sf_dir, "embeddings")
+        emb_table(spark, sf_dir)
         .select(
             "vec_id",
             F.expr(
@@ -1663,10 +1698,11 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_quantize",
-    oracle="""
-        WITH e AS (SELECT vec_id, label,
+    oracle=f"""
+        WITH {EMB_VALID_SQL},
+        e AS (SELECT vec_id, label,
                           CAST(embedding AS DOUBLE[]) AS emb
-                   FROM embeddings),
+                   FROM emb_valid),
         s AS (SELECT vec_id, label,
                      list_aggregate(emb, 'min') AS mn,
                      list_aggregate(emb, 'max') AS mx,
@@ -1737,11 +1773,12 @@ def label_centroids(e: DataFrame, label_out: str = "label"):
 @query(
     "q_embed_cohesion",
     oracle=f"""
-        WITH e AS (
+        WITH {EMB_VALID_SQL},
+        e AS (
             SELECT vec_id, label,
                    list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * {_KM_SCALE}.0) AS BIGINT)) AS v
-            FROM embeddings
+            FROM emb_valid
         ),
         comp AS (
             SELECT label, i,

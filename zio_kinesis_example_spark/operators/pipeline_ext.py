@@ -246,6 +246,7 @@ def q_curate_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 from .llm_similarity import _COS_SCALE as _PQ_SCALE  # noqa: E402  # ONE quantization rule (r8 review)
 from .llm_similarity import _QUANT as _PQ_QUANT  # noqa: E402  # and ONE spelling of it (r9 review)
+from .llm_similarity import EMB_VALID_SQL, emb_table  # noqa: E402  # malformed-vector contract (r12)
 # subspace count is FIXED at two 32-d halves (d0/d1 on both engines) —
 # a tunable-looking _PQ_M constant was dead code (r9 review)
 _PQ_K = 16              # centroids per subspace
@@ -258,11 +259,12 @@ def _pq_oracle() -> str:
                 f"c.cv[{vlo}:{vhi}]), p -> (p[1] - p[2]) * (p[1] - p[2])))")
 
     return f"""
-        WITH e AS (SELECT vec_id,
+        WITH {EMB_VALID_SQL},
+        e AS (SELECT vec_id,
                           list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(floor(x * {_PQ_SCALE}.0) AS BIGINT))
                               AS v
-                   FROM embeddings),
+                   FROM emb_valid),
         c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
                          AS cid, v AS cv
               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K})),
@@ -301,7 +303,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..api import pq_assign
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     # _QUANT: the ONE spelling of the quantization transform (r9
     # review: this was a third inline copy next to llm_similarity._QUANT
     # and api.pq_assign's internal one)

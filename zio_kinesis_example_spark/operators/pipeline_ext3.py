@@ -119,15 +119,17 @@ from .llm_similarity import _COS_SCALE as _HN_SCALE  # noqa: E402  # ONE quantiz
 # re-written the transform text six times; the expressions are
 # value-identical to the shared constants, so reuse moves no hashes)
 from .llm_similarity import _DUCK_QUANT, _QUANT  # noqa: E402
+from .llm_similarity import EMB_VALID_SQL, emb_table  # noqa: E402  # malformed-vector contract (r12)
 
 
 @query(
     "q_sample_hardneg",
     oracle=f"""
-        WITH base AS (
+        WITH {EMB_VALID_SQL},
+        base AS (
             SELECT vec_id, label,
                    {_DUCK_QUANT} AS qv
-            FROM embeddings
+            FROM emb_valid
         ),
         nrm AS (
             SELECT vec_id, label, qv,
@@ -291,12 +293,13 @@ def _cov_kernel(batches):
 @query(
     "q_embed_covariance",
     oracle=f"""
-        WITH v AS (SELECT vec_id,
+        WITH {EMB_VALID_SQL},
+        v AS (SELECT vec_id,
                           {_DUCK_QUANT} AS q
-                   FROM embeddings),
+                   FROM emb_valid),
         e AS (SELECT vec_id, i, q[i] AS x
               FROM v CROSS JOIN generate_series(1, {_COV_DIM}) t(i)),
-        n AS (SELECT COUNT(*) AS n FROM embeddings),
+        n AS (SELECT COUNT(*) AS n FROM emb_valid),
         sums AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
         gram AS (SELECT a.i AS di, b.i AS dj,
                         SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
@@ -340,7 +343,7 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the textbook single-pass distributed covariance (sufficient
     statistics, never centering the data).
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = emb_table(spark, sf_dir).select(
         F.expr(_QUANT).alias("v")
     )
     # DECIMAL(38,0), not long: the cross-chunk totals wrap int64 around
@@ -394,9 +397,10 @@ _SIL_SCALE = _HN_SCALE
 @query(
     "q_embed_silhouette",
     oracle=f"""
-        WITH v AS (SELECT vec_id, label,
+        WITH {EMB_VALID_SQL},
+        v AS (SELECT vec_id, label,
                           {_DUCK_QUANT} AS q
-                   FROM embeddings),
+                   FROM emb_valid),
         e AS (SELECT vec_id, label, i, q[i] AS x
               FROM v CROSS JOIN generate_series(1, 64) t(i)),
         cent AS (SELECT label AS clabel, i,
@@ -457,7 +461,7 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     few); the rollup partial-aggregates per label. The corpus never
     shuffles.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = emb_table(spark, sf_dir).select(
         "vec_id", "label", F.expr(_QUANT).alias("v"),
     )
     # MEAN centroid via llm_similarity.label_centroids — ONE definition
