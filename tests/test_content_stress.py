@@ -55,20 +55,37 @@ def test_documents_nchars_invariant_and_classes(proxy_dir):
     text = t.column("text").to_pylist()
     nchars = t.column("n_chars").to_pylist()
     # the lake invariant holds for EVERY row, stressed or not
-    assert all(len(s) == n for s, n in zip(text, nchars))
-    # every stress class is present at rate_scale=4 on 500 rows
-    assert "" in text                                   # empty
-    assert any(s and not s.strip() for s in text)       # whitespace-only
-    assert any("数据" in s for s in text)       # CJK
-    assert any("\U0001F680" in s for s in text)         # astral emoji
-    assert any("" in s or "" in s for s in text)  # BMP-high
-    assert any(len(s) >= 20000 for s in text)           # megadoc
-    assert any(s.startswith("spam spam") for s in text)  # repetition
+    # (NULL text → NULL n_chars: unknown content has unknown size)
+    assert all((n is None) if s is None else (len(s) == n)
+               for s, n in zip(text, nchars))
+    assert any(s is None for s in text)                 # NULL-text class
+    # stressed rows carry EXACTLY the class the deterministic bucket
+    # assigns them (replicated here); unstressed rows are untouched
+    src_text = pq.read_table(
+        os.path.join(SRC001, "documents.parquet")).column("text").to_pylist()
+    pm = min(CS.TEXT_PERMILLE * 4, 500 // CS.TEXT_CLASSES)
+    b = CS._bucket(len(text), "documents")
+    n_stressed = 0
+    for i, (s, orig) in enumerate(zip(text, src_text)):
+        if b[i] < pm * CS.TEXT_CLASSES:
+            assert s == CS._stress_text(i, int(b[i] // pm))
+            n_stressed += 1
+        else:
+            assert s == orig
+    assert n_stressed > 0
+    # and the class generator itself covers every declared class
+    classes = [CS._stress_text(7, c) for c in range(CS.TEXT_CLASSES)]
+    assert classes[0] == "" and classes[10] is None
+    assert "\U0001F680" in classes[4] and "" in classes[4]
+    assert "数据" in classes[3]
+    assert len(classes[7]) >= 19000                     # megadoc
+    assert classes[6].startswith("spam spam")
 
 
 def test_embeddings_classes_and_fixed_tables(proxy_dir):
     t = pq.read_table(os.path.join(proxy_dir, "embeddings.parquet"))
     emb = t.column("embedding").to_pylist()
+    assert any(v is None for v in t.column("label").to_pylist())  # NULL label
     dims = {len(v) for v in emb if v is not None}
     assert len(dims) == 2               # majority dim + truncated class
     flat = [v for v in emb if v is not None]

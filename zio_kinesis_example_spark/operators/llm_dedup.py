@@ -98,7 +98,8 @@ _H0_DUCK = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
 
 # DuckDB shingle CTEs shared by every dedup oracle (mirror of _SHINGLES).
 _DUCK_SHINGLES = """
-        t AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+        t AS (SELECT doc_id, string_split(text, ' ') AS terms
+              FROM documents WHERE text IS NOT NULL),
         s AS (SELECT doc_id,
                      list_distinct(CASE WHEN len(terms) >= 3
                        THEN list_transform(generate_series(1, len(terms) - 2),
@@ -404,7 +405,10 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        d = _spread(spark, load(spark, sf_dir, "documents"))
+        # NULL-text docs carry no shingles (r12 content-stress: unknown
+        # content cannot be dup-judged — NULL never equals NULL)
+        d = _spread(spark, load(spark, sf_dir, "documents")
+                    .filter(F.col("text").isNotNull()))
         return (
             d.select("doc_id", F.split("text", " ").alias("terms"))
             .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
@@ -423,7 +427,8 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash regression); ``select(explode(<expr>))`` keeps the
     split→shingle→explode chain in one codegen stage. Used by the
     signature path, which never needs the per-doc array form."""
-    d = _spread(spark, load(spark, sf_dir, "documents"))
+    d = _spread(spark, load(spark, sf_dir, "documents")
+                .filter(F.col("text").isNotNull()))
     inline = _SHINGLES.replace("terms", "split(text, ' ')")
     return d.select("doc_id", F.explode(F.expr(inline)).alias("sh"))
 
@@ -467,7 +472,8 @@ def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms FROM documents),
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS terms
+                   FROM documents WHERE text IS NOT NULL),
         s AS (SELECT doc_id,
                      list_distinct(CASE WHEN len(terms) >= 3
                        THEN list_transform(generate_series(1, len(terms) - 2),
@@ -1220,7 +1226,8 @@ _DUCK_CLUSTERS_CTE = (
         e AS (SELECT doc_a AS a, doc_b AS b FROM e0
               UNION ALL SELECT doc_b, doc_a FROM e0),
         r AS (
-            SELECT doc_id AS src, doc_id AS dst FROM documents
+            SELECT doc_id AS src, doc_id AS dst
+            FROM documents WHERE text IS NOT NULL
             UNION
             SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
         )"""
@@ -1301,6 +1308,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(n_parts, "b").cache()
         labels = (
             load(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
             .select("doc_id", F.col("doc_id").alias("cluster_id"))
             .repartition(n_parts, "doc_id").cache()
         )
@@ -1415,4 +1423,5 @@ def q_dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return connected_components(
         _cc_edges(spark, sf_dir), "doc_a", "doc_b",
-        vertices=load(spark, sf_dir, "documents"), vertex_col="doc_id")
+        vertices=load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull()), vertex_col="doc_id")

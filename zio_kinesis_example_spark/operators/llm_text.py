@@ -241,7 +241,7 @@ def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
                            t -> CAST(ascii(substring(t, 1, 1)) * 131
                                      + length(t) AS BIGINT))),
                    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("text",),
 )
@@ -250,7 +250,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 1e9+7, base 131) — a content fingerprint that distinguishes
     permuted documents, unlike set-based digests. Exact integer math →
     engine-identical."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fp = (
         "aggregate(transform(split(text, ' '), "
         "            t -> cast(ascii(substring(t, 1, 1)) * 131 + length(t) as bigint)), "

@@ -44,9 +44,16 @@ DECODE_SCHEMA = StructType([
 
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with an opaque binary payload column (utf-8 text bytes
-    standing in for an encoded image)."""
+    standing in for an encoded image).
+
+    NULL-text docs are dropped here (r12 content-stress: encode(NULL)
+    is a NULL payload, and one NULL detonated len(None) inside
+    _flat_batch — killing the whole Arrow batch instead of costing its
+    own row). The contract — no text → no payload → nothing to decode —
+    is stated once here and as ``WHERE text IS NOT NULL`` in every
+    codec oracle."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", "source", "n_chars",
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
@@ -627,7 +634,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        generate_series(0, least(16, {BLEN_SQL}) - 1),
                        k -> {utf8_byte_sql('k')})), 0) AS BIGINT)
                    AS checksum16
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
@@ -660,7 +667,7 @@ def _bmp_oracle() -> str:
                    AS row0_sum,
                CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -690,7 +697,7 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -729,7 +736,7 @@ _SAMPLE_EVERY = 4
                    unnest(generate_series(
                        0, CAST(ceil({BLEN_SQL} / 64.0)
                                AS INT) - 1)) AS frame_no
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
         SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
                CAST(least(64, n_bytes - frame_no * 64) AS INT) AS frame_bytes,
                CAST(list_sum(list_transform(
@@ -793,7 +800,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(({BLEN_SQL} % 640) // 2 AS INT) AS out_w,
                CAST(CASE WHEN {BLEN_SQL} = 0 THEN 0
                     ELSE {utf8_byte_sql('0')} END // 2 AS INT) AS out_h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
@@ -822,7 +829,7 @@ _WIN = 256       # PCM samples per energy window
                    unnest(generate_series(
                        0, CAST(ceil({BLEN_SQL} / 256.0)
                                AS INT) - 1)) AS win_no
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
         SELECT doc_id, CAST(win_no AS INT) AS win_no,
                CAST(least(256, n_bytes - win_no * 256) AS INT) AS n_samples,
                CAST(list_sum(list_transform(
@@ -960,7 +967,7 @@ _CUT_THRESH = 640  # |frame_sum(i) − frame_sum(i−1)| above this = scene cut
                    unnest(generate_series(
                        0, CAST(ceil({BLEN_SQL} / 64.0)
                                AS INT) - 1)) AS frame_no
-            FROM documents),
+            FROM documents WHERE text IS NOT NULL),
         sums AS (
             SELECT doc_id, frame_no,
                    list_sum(list_transform(

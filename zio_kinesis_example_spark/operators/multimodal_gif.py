@@ -372,7 +372,7 @@ def _gif_oracle() -> str:
                CAST({cyclic_text_sum_sql(w)} AS BIGINT) AS row0_red_sum,
                CAST({cyclic_text_sum_sql(f"({w}) * ({h})")} AS BIGINT)
                    AS pixel_red_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 

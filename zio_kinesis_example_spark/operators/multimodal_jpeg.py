@@ -659,7 +659,7 @@ def _jpeg_oracle() -> str:
                CAST({wsum(bw, row0_w)} AS BIGINT) AS row0_sum,
                CAST({wsum(f"({bw}) * ({bh})", pix_w)} AS BIGINT)
                    AS pixel_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -856,7 +856,7 @@ def _jpeg420_oracle() -> str:
                CAST({s("m % 6 < 4", y_w)} AS BIGINT) AS y_sum,
                CAST({s("m % 6 = 4", c_w)} AS BIGINT) AS cb_sum,
                CAST({s("m % 6 = 5", c_w)} AS BIGINT) AS cr_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -1015,7 +1015,7 @@ def _jpeg_recover_oracle() -> str:
                CAST(least({_JPEG_DRI}, ({nb}) - {bad} * {_JPEG_DRI})
                    AS INT) AS n_lost_blocks,
                CAST({rec} AS BIGINT) AS recovered_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 

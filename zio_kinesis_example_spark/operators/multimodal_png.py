@@ -280,7 +280,7 @@ def _png_oracle() -> str:
                    AS row0_sum,
                CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 

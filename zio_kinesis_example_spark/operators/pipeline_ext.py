@@ -531,7 +531,7 @@ def _wav_oracle() -> str:
                CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
                     ELSE list_sum(list_transform({sample.format(n=n_samples)},
                         s -> abs(s))) END AS BIGINT) AS abs_energy
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -572,7 +572,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           md5(array_to_string(
                               list_sort(list_distinct(string_split(text, ' '))),
                               ' ')) AS fingerprint
-                   FROM documents)
+                   FROM documents WHERE text IS NOT NULL)
         SELECT fingerprint,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
@@ -594,7 +594,10 @@ def q_dedup_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stateless JVM expression chain, then ONE hash-partitioned groupBy
     on the 128-bit fingerprint. member_ids is a bounded per-group list
     serialized to a string (driver canonicalizer contract: no arrays)."""
-    d = load(spark, sf_dir, "documents")
+    # NULL-text docs have no vocabulary fingerprint (r12: concat_ws
+    # would silently canonicalize NULL to the EMPTY doc's fingerprint,
+    # merging unknown-content docs into the ''-content dup group)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fp = d.select(
         "doc_id",
         F.md5(F.concat_ws(

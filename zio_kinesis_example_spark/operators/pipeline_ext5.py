@@ -67,7 +67,7 @@ def _ppm_oracle() -> str:
                CAST({cyclic_text_sum_sql(f"({w}) * 3")} AS BIGINT) AS row0_sum,
                CAST({cyclic_text_sum_sql(f"({w}) * 3 * ({h})")} AS BIGINT)
                    AS pixel_sum
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 

@@ -106,7 +106,7 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                   FROM documents
-                  WHERE doc_id % 50 = 0)
+                  WHERE doc_id % 50 = 0 AND text IS NOT NULL)
             GROUP BY doc_id, term
         )
         SELECT doc_id, term, n,
@@ -141,6 +141,8 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="term: string, n: bigint, rnk: int")
     class TopTerms:
         def eval(self, text: str, k: int):
+            if text is None:       # a NULL doc costs its own row (r12)
+                return
             counts = Counter(text.split(" "))
             ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             for i, (term, n) in enumerate(ranked[:k]):

@@ -45,6 +45,14 @@ the lake's own consistency invariant holds):
                          BPE-regex tokenizers get zero word matches.
   9  ragged whitespace   tabs + doubled spaces: split(' ') emits empty
                          tokens mid-list and tab-glued "tokens".
+  10 NULL text           (with n_chars → NULL, the lake's unknown-size
+                         contract): encode(NULL) is a NULL payload —
+                         found crashing _flat_batch (len(None)) in
+                         EVERY multimodal kernel before the sweep even
+                         ran; the fix contract is "no text → no
+                         payload → costs its own row" stated as a
+                         filter in binary_docs and WHERE text IS NOT
+                         NULL in every codec oracle.
 
 embeddings.embedding (classes a validity filter must catch or the
 kernels must survive):
@@ -62,6 +70,11 @@ kernels must survive):
   7  exact duplicate     copy of another row's vector → perfect cosine
                          ties; top-k must tie-break deterministically
                          on vec_id on BOTH engines or hash parity dies.
+  8  NULL label          the vector is pristine but its cluster/block
+                         key is unknown: label-blocked joins must drop
+                         the row (NULL never equi-joins), label
+                         group-bys must carry a NULL group, on BOTH
+                         engines.
 
 Masks/classes are DETERMINISTIC (same Knuth-multiplicative hash as
 null_stress) so re-runs triage identical rows; the manifest guard
@@ -102,8 +115,8 @@ _KNUTH = np.uint64(2654435761)
 FIXED = ("region", "nation", "customer", "supplier", "part",
          "orders", "lineitem", "events")
 
-TEXT_CLASSES = 10
-EMB_CLASSES = 8
+TEXT_CLASSES = 11
+EMB_CLASSES = 9
 TEXT_PERMILLE = 10   # per class, scale 1 → 10 % of docs stressed
 EMB_PERMILLE = 8     # per class, scale 1 → 6.4 % of vectors stressed
 
@@ -152,7 +165,9 @@ def _stress_text(i: int, cls: int) -> str:
         return _megadoc(i)
     if cls == 8:
         return "!!! ??? ... ;; :: -- ## ***"
-    return "tab\tglued\ttokens and  doubled  spaces trailing "
+    if cls == 9:
+        return "tab\tglued\ttokens and  doubled  spaces trailing "
+    return None    # cls 10: NULL text (n_chars goes NULL with it)
 
 
 def _stress_emb(vec, i: int, cls: int, dim: int, pool):
@@ -176,9 +191,11 @@ def _stress_emb(vec, i: int, cls: int, dim: int, pool):
         out = v.astype(object)
         out[i % dim] = None
         return out
-    # cls 7: exact duplicate of a deterministic other row's ORIGINAL
-    # vector (pool = pristine vectors) → perfect cosine ties.
-    return np.asarray(pool[(i * 7 + 3) % len(pool)], dtype=np.float32)
+    if cls == 7:
+        # exact duplicate of a deterministic other row's ORIGINAL
+        # vector (pool = pristine vectors) → perfect cosine ties.
+        return np.asarray(pool[(i * 7 + 3) % len(pool)], dtype=np.float32)
+    return v       # cls 8: vector pristine, LABEL nulled by caller
 
 
 def build_content_proxy(out_dir: str, src: str = SRC,
@@ -192,7 +209,7 @@ def build_content_proxy(out_dir: str, src: str = SRC,
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_MANIFEST.json")
     want = {"src": src, "text_pm": text_pm, "emb_pm": emb_pm,
-            "fixed": list(FIXED), "v": 1}
+            "fixed": list(FIXED), "v": 2}
     try:
         with open(manifest) as fh:
             if json.load(fh) == want:
@@ -215,7 +232,8 @@ def build_content_proxy(out_dir: str, src: str = SRC,
     for i in np.flatnonzero(stressed):
         s = _stress_text(int(i), int(cls[i]))
         text[i] = s
-        nchars[i] = len(s)      # preserve the lake's n_chars invariant
+        # preserve the lake's n_chars invariant (NULL text → NULL size)
+        nchars[i] = None if s is None else len(s)
     cols, fields = [], []
     for field in t.schema:
         if field.name == "text":
@@ -237,13 +255,18 @@ def build_content_proxy(out_dir: str, src: str = SRC,
     pool = t.column("embedding").to_pylist()      # pristine originals
     dim = len(pool[0])
     emb = list(pool)
+    label = t.column("label").to_pylist()
     for i in np.flatnonzero(stressed):
         v = _stress_emb(pool[i], int(i), int(cls[i]), dim, pool)
         emb[i] = None if v is None else list(v)
+        if cls[i] == 8:
+            label[i] = None     # pristine vector, unknown cluster key
     cols, fields = [], []
     for field in t.schema:
         if field.name == "embedding":
             cols.append(pa.array(emb, type=field.type))
+        elif field.name == "label":
+            cols.append(pa.array(label, type=field.type))
         else:
             cols.append(t.column(field.name).combine_chunks())
         fields.append(field)
