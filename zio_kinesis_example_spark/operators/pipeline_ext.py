@@ -1278,15 +1278,24 @@ def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH s AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
                           SUM(CAST(round(value * 100) AS BIGINT)) AS svc,
                           COUNT(*) AS cv
-                   FROM events GROUP BY 1, 2)
+                   FROM events GROUP BY 1, 2),
+        -- integer half-up mean in micro-units (the r12 rounding-tie
+        -- rule): svc/(100·cv) is a finite-decimal rational, and the
+        -- temporal proxy manufactured a cv=96 bucket whose 7th decimal
+        -- digit is exactly 5 — Spark HALF_UP and DuckDB then disagree
+        -- at 6dp. Integer division has no tie; ONE /1e6 at the end.
+        m AS (SELECT event_type, hod,
+                     (2 * svc * 10000 + cv) // (2 * cv) AS mean_e6
+              FROM s)
         SELECT e.event_id, e.event_type,
                CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
                e.value,
-               round(s.svc / (100.0 * s.cv), 6) AS seasonal,
-               round(e.value - s.svc / (100.0 * s.cv), 6) AS residual
+               CAST(mean_e6 AS DOUBLE) / 1000000.0 AS seasonal,
+               CAST(CAST(round(e.value * 100) AS BIGINT) * 10000 - mean_e6
+                    AS DOUBLE) / 1000000.0 AS residual
         FROM events e
-        JOIN s ON s.event_type = e.event_type
-              AND s.hod = EXTRACT(hour FROM e.ts)
+        JOIN m ON m.event_type = e.event_type
+              AND m.hod = EXTRACT(hour FROM e.ts)
     """,
     tags=("timeseries", "stats"),
 )
@@ -1296,11 +1305,14 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     in front of any anomaly rule (q_events_anomaly_zscore flags raw
     volumes; this separates time-of-day signal from noise on values).
 
-    DETERMINISM: values carry 2 decimal places, so the profile sums
-    EXACT BIGINT cents (a double Σvalue would depend on partition sum
-    order); the mean is then ONE identical double division
-    svc/(100·cv), and the residual one identical subtraction — both
-    rounded 6dp.
+    DETERMINISM: values carry 2 decimal places (non-negative), so the
+    profile sums EXACT BIGINT cents (a double Σvalue would depend on
+    partition sum order); the mean is integer HALF-UP in micro-units
+    ((2·svc·10⁴ + cv) DIV (2·cv) — exact.hourly_cents_mean_e6's rule:
+    the double form round(svc/(100·cv), 6) TIES when cv is a power of
+    two, caught by the r12 temporal proxy at cv=96), and the residual
+    is an exact integer subtraction cents·10⁴ − mean_e6; ONE /1e6 per
+    output column.
 
     Scale shape: the 24×|types| profile is a partial-agged groupBy that
     BROADCASTs back; the fact table never shuffles.
@@ -1310,8 +1322,10 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type", F.hour("ts").alias("hod"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
              F.count(F.lit(1)).alias("cv"))
+        .select("event_type", "hod",
+                F.expr("(2 * svc * 10000 + cv) DIV (2 * cv)")
+                .cast("long").alias("mean_e6"))
     )
-    mean = F.col("svc") / (F.lit(100.0) * F.col("cv"))
     return (
         e.select("event_id", "event_type", F.hour("ts").alias("hod"),
                  "value")
@@ -1319,8 +1333,9 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "event_type",
             F.col("hod").cast("int").alias("hod"), "value",
-            F.round(mean, 6).alias("seasonal"),
-            F.round(F.col("value") - mean, 6).alias("residual"),
+            (F.col("mean_e6").cast("double") / 1e6).alias("seasonal"),
+            ((F.round(F.col("value") * 100).cast("long") * 10000
+              - F.col("mean_e6")).cast("double") / 1e6).alias("residual"),
         )
     )
 

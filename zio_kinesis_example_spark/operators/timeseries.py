@@ -35,6 +35,29 @@ from .exact import (
 )
 
 
+#: Declared gapfill validity domain (TimescaleDB's
+#: ``time_bucket_gapfill(start, finish)`` makes the bounds REQUIRED
+#: arguments for exactly this reason): a dense-spine operator whose
+#: bounds come from raw min/max is one-bad-clock-fragile — the r12
+#: temporal proxy put a single 2106-02-07 tick in events and the
+#: unclamped spine inflated from ~170 hours to 1.19 M (the oracle's
+#: IGNORE-NULLS backfill then went quadratic in it; both engines
+#: timed out at 300× their clean wall). A tick outside the declared
+#: domain is a malformed clock and costs its OWN row — the decode-
+#: failure contract (TestMsgJsonSerde.scala:17-22) applied to time.
+TS_DOMAIN_LO = "2020-01-01 00:00:00"
+TS_DOMAIN_HI = "2033-01-01 00:00:00"
+SQL_TS_DOMAIN = (f"ts >= TIMESTAMP '{TS_DOMAIN_LO}' "
+                 f"AND ts < TIMESTAMP '{TS_DOMAIN_HI}'")
+
+
+def ts_domain_filter():
+    """Spark twin of SQL_TS_DOMAIN (NTZ literals: the lake's event
+    times are timezone-free on both engines)."""
+    return F.expr(f"ts >= TIMESTAMP_NTZ '{TS_DOMAIN_LO}' "
+                  f"AND ts < TIMESTAMP_NTZ '{TS_DOMAIN_HI}'")
+
+
 def _hourly_spine(hourly: DataFrame) -> DataFrame:
     """Dense (event_type × hour) spine derived from the BOUNDED hourly
     aggregate — ONE definition shared by q_ts_gapfill and
@@ -138,7 +161,7 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18, 4))) AS DOUBLE)
                        AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE __TS_DOMAIN__ GROUP BY 1, 2
         ),
         -- bounds and the type list come from the BOUNDED hourly
         -- aggregate, not a raw re-scan (see _hourly_spine)
@@ -164,7 +187,7 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s
         LEFT JOIN hourly h
           ON s.event_type = h.event_type AND s.bucket_hour = h.bucket_hour
-    """,
+    """.replace("__TS_DOMAIN__", SQL_TS_DOMAIN),
     tags=("timeseries", "gapfill"),
 )
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +205,9 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value aggregation. The forward fill is one window sort per
     series, partitioned on event_type.
     """
-    e = load(spark, sf_dir, "events")
+    # declared validity domain — see TS_DOMAIN_LO: one bad clock must
+    # not inflate the generated spine (it costs its own row instead)
+    e = load(spark, sf_dir, "events").filter(ts_domain_filter())
     hourly = (
         e.groupBy(
             "event_type",
@@ -227,7 +252,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- different addition order; decimal never reassociates
                CAST(SUM(CAST(value AS DECIMAL(18, 4))) OVER w AS DOUBLE)
                    AS trailing_sum_1h
-        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+        FROM (SELECT *, CAST(epoch_us(time_bucket(INTERVAL 1 SECOND, ts))
+                             // 1000000 AS BIGINT) AS ts_s FROM events)
         WINDOW w AS (
             PARTITION BY user_id ORDER BY ts_s
             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
@@ -237,8 +263,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user window via a RANGE frame on event-time
-    (epoch seconds, so Spark's long-ordered range frame and the oracle's
-    agree exactly; ties at the same second are frame peers in both).
+    (FLOORED epoch seconds — exact integers on both engines, see the
+    ts_s comment; ties at the same second are frame peers in both).
 
     Scale shape: ONE shuffle on user_id, then a single ordered scan per
     partition maintains the sliding frame — the declarative replacement
@@ -248,10 +274,19 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     can split oversized partitions.
     """
     e = load(spark, sf_dir, "events")
-    # timestamp_ntz has no direct long cast in Spark 4; whole-second
-    # epoch via timestampdiff keeps both engines timezone-free.
+    # FLOOR of epoch seconds, exact-integer on both engines (r12
+    # temporal proxy, two catches in one expression): timestampdiff
+    # TRUNCATES toward zero, so a pre-1970 fractional-second row landed
+    # in second 0 here and second -1 in the oracle's floor(epoch(ts));
+    # and the oracle's own double epoch() loses integer exactness at
+    # year 9999 (floor(253402300799.999999 as DOUBLE) = ...800). Both
+    # sides now floor in the calendar domain (date_trunc/time_bucket to
+    # the second — calendar truncation IS time-domain floor) and divide
+    # the exact BIGINT micros; the DIV by 1e6 has no remainder, so
+    # truncate == floor.
     ts_s = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        "unix_micros(cast(date_trunc('SECOND', ts) as timestamp)) "
+        "DIV 1000000"
     )
     w = Window.partitionBy("user_id").orderBy(ts_s).rangeBetween(-3600, 0)
     return e.select(
@@ -353,6 +388,7 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             WHERE event_type IN ('purchase', 'signup')
               AND ts IS NOT NULL AND value IS NOT NULL
+              AND __TS_DOMAIN__
             GROUP BY 1, 2
         ),
         -- bounds and the type list come from the BOUNDED hourly
@@ -409,7 +445,8 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     END AS DOUBLE) / 1000000.0 AS value_interp
         FROM j
     """.replace("__HOURLY_CENTS_MEAN_E6__",
-               SQL_HOURLY_CENTS_MEAN_E6),
+               SQL_HOURLY_CENTS_MEAN_E6)
+       .replace("__TS_DOMAIN__", SQL_TS_DOMAIN),
     tags=("timeseries", "interpolate", "gapfill"),
 )
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +479,8 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ("purchase", "signup")
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(*types)
-        & F.col("ts").isNotNull() & F.col("value").isNotNull())
+        & F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & ts_domain_filter())   # declared domain — see TS_DOMAIN_LO
     # EXACT BIGINT micro-units for the hourly mean (see the docstring's
     # r12 tie history); v is LONG value·1e6 here, divided once at the end
     hourly = hourly_cents_mean_e6(e, "v")

@@ -42,7 +42,11 @@ def audit(spark, clean_dir: str, proxy_dir: str, names=None,
         ok = True
         for side, d in (("clean", clean_dir), ("proxy", proxy_dir)):
             try:
-                pdf = spec.fn(spark, d).toPandas()
+                # _spark_pdf, not bare toPandas: year-1/9999 sentinel
+                # outputs overflow Arrow's ns cast (a python-harness
+                # bound, not an engine bound — see oracle._spark_pdf)
+                from .oracle import _spark_pdf
+                pdf = _spark_pdf(spec.fn(spark, d))
             except Exception as e:  # a crash IS a finding
                 findings.append({"query": name, "kind": "exception",
                                  "side": side, "detail": repr(e)[:200]})

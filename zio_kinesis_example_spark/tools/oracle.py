@@ -117,6 +117,39 @@ class CompareResult:
     oracle_rows: int = -1
 
 
+def _spark_pdf(df) -> pd.DataFrame:
+    """df.toPandas() with a fallback for out-of-ns-range timestamps.
+
+    Spark's Arrow collection casts timestamp columns to nanoseconds,
+    whose int64 epoch only spans 1677-2262 — a year-1 or year-9999
+    value (the r12 temporal-stress proxy's sentinel-date classes)
+    raises ArrowInvalid before any comparison runs. The fallback
+    rebuilds the frame from collect() rows and re-coerces every
+    NON-temporal column to its pandas dtype via a row-wise Arrow
+    round-trip per column (so the float canonicalization policy still
+    sees float64 dtypes and the NaN-vs-NULL rules are unchanged);
+    temporal columns stay Python objects, which canonical_rows
+    renders via isoformat at any year."""
+    try:
+        return df.toPandas()
+    except Exception as e:  # ArrowInvalid wrapped differently per path
+        if "out of bounds timestamp" not in str(e):
+            raise
+        rows = df.collect()
+        cols = df.columns
+        data = {}
+        temporal = {f.name for f in df.schema.fields
+                    if f.dataType.typeName() in
+                    ("timestamp", "timestamp_ntz", "date")}
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows]
+            if c in temporal:
+                data[c] = pd.Series(vals, dtype="object")
+            else:
+                data[c] = pd.Series(vals)   # native dtype inference
+        return pd.DataFrame(data, columns=cols)
+
+
 def compare_one(spark: SparkSession, con: duckdb.DuckDBPyConnection,
                 name: str, sf_dir: str) -> CompareResult:
     spec = all_specs()[name]
@@ -127,7 +160,7 @@ def compare_one(spark: SparkSession, con: duckdb.DuckDBPyConnection,
         # anti-pattern this repo bans elsewhere
         return CompareResult(name, True, "rows-only (no oracle)",
                              df.count(), -1)
-    sdf = df.toPandas()
+    sdf = _spark_pdf(df)
     odf = con.sql(spec.oracle).df()
     if sorted(sdf.columns) != sorted(odf.columns):
         return CompareResult(
