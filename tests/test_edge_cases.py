@@ -53,3 +53,43 @@ def test_duplicate_keys_both_sides_join_cardinality(spark):
     l = spark.createDataFrame([(1,), (1,), (2,)], "k long")
     r = spark.createDataFrame([(1,), (1,), (1,)], "k long")
     assert l.join(r, "k").count() == 2 * 3  # key 1: 2x3, key 2: 0
+
+
+def test_spark_pdf_fallback_engages_on_out_of_ns_range(spark):
+    """r12 ADVICE twin-pin: (a) the out-of-ns-range fallback must
+    actually ENGAGE on a year-9999 frame (the trigger used to match
+    one literal pyarrow message; a rewording would silently re-break
+    collection), and (b) inside the fallback an all-NULL bigint column
+    must coerce to float64/NaN via the per-column Arrow round-trip,
+    not object/None from bare pd.Series inference — the dtype the
+    NaN-vs-NULL canonicalization policy expects."""
+    import numpy as np
+    import pandas as pd
+
+    from zio_kinesis_example_spark.tools import oracle as O
+
+    df = spark.sql(
+        "SELECT timestamp_ntz'9998-12-31 23:59:59' AS ts, "
+        "CAST(NULL AS BIGINT) AS v, 'x' AS s "
+        "UNION ALL SELECT timestamp_ntz'2024-01-01 00:00:00', "
+        "CAST(NULL AS BIGINT), 'y'")
+    # the premise: the normal Arrow path must fail on this frame (if a
+    # future Spark/Arrow collects it fine, the fallback is moot and
+    # this pin should be revisited)
+    try:
+        df.toPandas()
+        raised = False
+    except Exception as e:
+        raised = True
+        assert O._is_out_of_range_ts_error(e), (
+            "fallback trigger did not recognize the real "
+            f"out-of-ns-range error: {e}")
+    assert raised, "expected year-9998 toPandas() to fail under Arrow ns"
+    pdf = O._spark_pdf(df)
+    assert len(pdf) == 2
+    assert pdf["v"].dtype == np.float64          # NOT object
+    assert pdf["v"].isna().all()
+    assert pdf["ts"].dtype == object             # temporal stays object
+    # canonicalization sees identical rows to a DuckDB frame would
+    rows = O.canonical_rows(pdf)
+    assert len(rows) == 2

@@ -495,3 +495,66 @@ def test_centroids_train_on_filtered_sample(spark, tmpdir_factory_local,
         assert np.array_equal(C, C2)
     finally:
         S.clear_ann_cache()
+
+
+def test_emb_table_empty_corpus_returns_empty_frame(spark,
+                                                    tmpdir_factory_local):
+    """r12 ADVICE: on an empty or all-NULL embeddings corpus the two
+    engines used to diverge — EMB_VALID_SQL's emb_valid is empty so
+    oracles return empty results, while emb_table raised
+    _majority_dim's ValueError and crashed the Spark side of a parity
+    sweep. emb_table must now return an EMPTY frame with the raw
+    schema, matching the oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    d = tmpdir_factory_local("embempty")
+    t = pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([None, None],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([0, 1], type=pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    df = S.emb_table(spark, d)
+    assert df.count() == 0
+    assert set(df.columns) == {"vec_id", "embedding", "label"}
+
+
+def test_dim_cache_invalidated_on_rebuild_in_place(spark,
+                                                   tmpdir_factory_local):
+    """r12 ADVICE: _DIM_CACHE was keyed by sf_dir alone, but the
+    stress-proxy builders rebuild dest dirs IN PLACE; a rebuild that
+    shifts the majority embedding dimension must not leave emb_table
+    filtering against the stale width for the session's lifetime."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zio_kinesis_example_spark.operators import llm_similarity as S
+
+    d = tmpdir_factory_local("embrebuild")
+    p = os.path.join(d, "embeddings.parquet")
+
+    def write(dim: int, n: int = 8):
+        t = pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([[0.5] * dim] * n,
+                                  type=pa.list_(pa.float64())),
+            "label": pa.array([0] * n, type=pa.int64()),
+        })
+        pq.write_table(t, p)
+
+    write(4)
+    assert S.emb_table(spark, d).count() == 8
+    time.sleep(0.01)            # ensure mtime_ns moves even on coarse fs
+    write(6)                    # rebuild in place, NEW majority width
+    os.utime(p)                 # belt and braces: force a new mtime
+    # stale-width filter (dim=4) would now drop every row
+    assert S.emb_table(spark, d).count() == 8

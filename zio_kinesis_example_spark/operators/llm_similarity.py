@@ -102,9 +102,32 @@ def _valid_emb(dim: int, col: str = "emb"):
                       f"or abs(x) = cast('Infinity' as double))"))
 
 
-#: memoized majority dim per fixture dir — ONE tiny aggregate per
-#: (session-lifetime, sf_dir), not one per query plan.
-_DIM_CACHE: dict[str, int] = {}
+#: memoized majority dim per fixture FINGERPRINT — ONE tiny aggregate
+#: per (session-lifetime, parquet state), not one per query plan. The
+#: key includes the embeddings parquet's (path, mtime_ns, size), not
+#: just sf_dir (r12 ADVICE): the stress-proxy builders rebuild dest
+#: dirs IN PLACE under different rates, and an sf_dir-keyed cache
+#: would serve the pre-rebuild majority width for the session's
+#: lifetime. None records a fully degenerate corpus (empty/all-NULL).
+_DIM_CACHE: dict[tuple, int | None] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of the embeddings parquet (file or part-dir):
+    path + per-file (mtime_ns, size). A rebuild-in-place changes it."""
+    from ..catalog import path as _tpath
+
+    p = _tpath(sf_dir, "embeddings")
+    try:
+        if os.path.isdir(p):
+            sts = [(f, os.stat(os.path.join(p, f)))
+                   for f in sorted(os.listdir(p))]
+            return (p,) + tuple((f, s.st_mtime_ns, s.st_size)
+                                for f, s in sts)
+        s = os.stat(p)
+        return (p, s.st_mtime_ns, s.st_size)
+    except OSError:
+        return (p,)
 
 
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,13 +139,28 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter via ``EMB_VALID_SQL``, so both engines see the same corpus.
     On a clean corpus the filter passes every row and Parquet scan
     pruning is unaffected (it is a post-scan Filter on the list column).
+
+    Degenerate corpus (r12 ADVICE): on an EMPTY or all-NULL embeddings
+    table this returns an empty frame with the raw schema — matching
+    ``EMB_VALID_SQL``'s empty emb_valid, so a parity sweep over a
+    fully-poisoned corpus compares empties instead of crashing the
+    Spark side. (The ANN *trainers* — `_ivf_centroids`, streaming
+    ann.py — still raise `_majority_dim`'s descriptive error when fed
+    a corpus with zero valid rows: an index cannot be trained on
+    nothing, and those paths never see this empty frame's rows anyway.)
     Reference anchor: TestMsgJsonSerde.scala:17-22 — the typed decode
     failure costs one record, never the stream."""
-    if sf_dir not in _DIM_CACHE:
-        _DIM_CACHE[sf_dir] = _majority_dim(
-            load(spark, sf_dir, "embeddings"), col="embedding")
-    return load(spark, sf_dir, "embeddings").filter(
-        _valid_emb(_DIM_CACHE[sf_dir], col="embedding"))
+    key = _emb_fingerprint(sf_dir)
+    if key not in _DIM_CACHE:
+        try:
+            _DIM_CACHE[key] = _majority_dim(
+                load(spark, sf_dir, "embeddings"), col="embedding")
+        except ValueError:
+            _DIM_CACHE[key] = None      # degenerate corpus: no width
+    raw = load(spark, sf_dir, "embeddings")
+    if _DIM_CACHE[key] is None:
+        return raw.filter(F.lit(False))
+    return raw.filter(_valid_emb(_DIM_CACHE[key], col="embedding"))
 
 
 

@@ -117,6 +117,33 @@ class CompareResult:
     oracle_rows: int = -1
 
 
+def _is_out_of_range_ts_error(e: BaseException) -> bool:
+    """True when the failure is Arrow's out-of-ns-range timestamp cast.
+
+    Matching ONLY the literal message "out of bounds timestamp" pinned
+    a pyarrow implementation detail (r12 ADVICE): a pyarrow upgrade
+    rewording the message would silently re-break year-1/9999
+    collection. So also unwrap the exception chain (Spark wraps arrow
+    errors differently per collection path) looking for ArrowInvalid
+    with a broader out-of-bounds pattern."""
+    try:
+        from pyarrow.lib import ArrowInvalid
+    except ImportError:                      # pragma: no cover
+        ArrowInvalid = ()
+    seen: set[int] = set()
+    cur: BaseException | None = e
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        msg = str(cur)
+        if "out of bounds timestamp" in msg:
+            return True
+        if isinstance(cur, ArrowInvalid) and (
+                "out of bounds" in msg or "would result in" in msg):
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
 def _spark_pdf(df) -> pd.DataFrame:
     """df.toPandas() with a fallback for out-of-ns-range timestamps.
 
@@ -125,28 +152,49 @@ def _spark_pdf(df) -> pd.DataFrame:
     value (the r12 temporal-stress proxy's sentinel-date classes)
     raises ArrowInvalid before any comparison runs. The fallback
     rebuilds the frame from collect() rows and re-coerces every
-    NON-temporal column to its pandas dtype via a row-wise Arrow
-    round-trip per column (so the float canonicalization policy still
-    sees float64 dtypes and the NaN-vs-NULL rules are unchanged);
-    temporal columns stay Python objects, which canonical_rows
-    renders via isoformat at any year."""
+    NON-temporal column through a per-column Arrow round-trip
+    (pa.array(vals).to_pandas()), so the dtypes match what the normal
+    Arrow path produces — in particular an all-NULL bigint column
+    becomes float64/NaN, NOT object/None (r12 ADVICE: bare pd.Series
+    inference produced object dtype there, changing how the
+    NaN-vs-NULL canonicalization saw the column); temporal columns
+    stay Python objects, which canonical_rows renders via isoformat
+    at any year. tests/test_edge_cases.py pins that the fallback
+    actually engages on an out-of-ns-range frame."""
+    import pyarrow as pa
+
     try:
         return df.toPandas()
     except Exception as e:  # ArrowInvalid wrapped differently per path
-        if "out of bounds timestamp" not in str(e):
+        if not _is_out_of_range_ts_error(e):
             raise
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+        except ImportError:                  # pragma: no cover
+            to_arrow_type = None
         rows = df.collect()
         cols = df.columns
         data = {}
         temporal = {f.name for f in df.schema.fields
                     if f.dataType.typeName() in
                     ("timestamp", "timestamp_ntz", "date")}
-        for i, c in enumerate(cols):
-            vals = [r[i] for r in rows]
+        for field, c in zip(df.schema.fields, cols):
+            vals = [r[c] for r in rows]
             if c in temporal:
                 data[c] = pd.Series(vals, dtype="object")
-            else:
-                data[c] = pd.Series(vals)   # native dtype inference
+                continue
+            try:
+                # the SCHEMA type, not value inference: an all-NULL
+                # bigint column infers as Arrow null→object, but typed
+                # int64 round-trips to float64/NaN like toPandas()
+                at = to_arrow_type(field.dataType) if to_arrow_type else None
+                data[c] = pa.array(vals, type=at).to_pandas()
+            except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError,
+                    pa.lib.ArrowTypeError, TypeError, ValueError):
+                # a value Arrow cannot represent under that type (Row
+                # structs etc.) — fall back to pandas inference for
+                # THIS column only
+                data[c] = pd.Series(vals)
         return pd.DataFrame(data, columns=cols)
 
 
