@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import KNUTH, cents_sum
+from .exact import KNUTH, cents_sum, measure_domain
 
 
 # --------------------------------------------------------------------------
@@ -115,10 +115,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
-                   AS median_value,
+                   + 0.0 AS median_value,
                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
-                   AS p90_value
+                   + 0.0 AS p90_value
         FROM events
+        WHERE abs(value) < 9.0e11  -- measure domain (r13): NaN/inf
+                                   -- order differently in the two
+                                   -- engines' percentile sorts
         GROUP BY event_type
     """,
     tags=("agg", "percentile"),
@@ -133,10 +136,12 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitions); kept exact here because the oracle must match
     bit-for-bit at round(6).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(measure_domain("value"))
     return e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        (F.round(F.percentile("value", F.lit(0.5)), 6) + F.lit(0.0))
+        .alias("median_value"),
+        (F.round(F.percentile("value", F.lit(0.9)), 6) + F.lit(0.0))
+        .alias("p90_value"),
     )
 
 
@@ -316,7 +321,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+               round(SUM(CAST(round((CASE WHEN abs(value) < 9.0e11 THEN value END) * 100) AS BIGINT)) / 100.0, 6)
                    AS sum_value
         FROM s
         GROUP BY user_id, session_id
@@ -382,7 +387,7 @@ def q_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events)
         SELECT window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+               round(SUM(CAST(round((CASE WHEN abs(value) < 9.0e11 THEN value END) * 100) AS BIGINT)) / 100.0, 6)
                    AS sum_value
         FROM x
         WHERE ts >= window_start
@@ -680,7 +685,7 @@ _SALT_BUCKETS = 8
     oracle="""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+               round(SUM(CAST(round((CASE WHEN abs(value) < 9.0e11 THEN value END) * 100) AS BIGINT)) / 100.0, 6)
                    AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
@@ -742,30 +747,42 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is q_agg_percentile.
 
     Sketch internals are engine-specific, so (as with q_agg_approx_cd)
-    the hash-checkable contract is a bound per quantile: with accuracy
-    10 000 the rank error is ≤ n/10 000, which at these group sizes keeps
-    the value within 1% relative error of the exact percentile; the query
-    emits one boolean per quantile (scalar columns — an array column
-    would defeat order-insensitive canonicalization) and the oracle
-    asserts the constant TRUE per group. The exact twin lives only in
-    this correctness form; bench.py times the sketch-only plan
+    the hash-checkable contract is a bound per quantile — and since r13
+    it is the sketch's ACTUAL guarantee, which is a RANK bound, not a
+    value bound: with accuracy 10 000 the returned value's exact rank
+    is within n/10 000 of the target rank p·n. (The old form asserted
+    1% RELATIVE VALUE error — true on the benign fixture distribution,
+    but the numeric-stress proxy's heavy tail, 0.005 … 9e11 in one
+    group, makes rank-adjacent values differ by ORDERS of magnitude
+    and the value-relative claim is simply not what GK sketches
+    promise.) Verified tie-robustly per quantile:
+    count(< v) + 1 ≤ p·n + ε  AND  count(≤ v) ≥ p·n − ε,  ε = n/10⁴ + 1.
+    The query emits one boolean per quantile and the oracle asserts the
+    constant TRUE per group. bench.py times the sketch-only plan
     (_approx_pct_plan via ``bench_fn``)."""
     li = load(spark, sf_dir, "lineitem")
     qs = [0.5, 0.9, 0.99]
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", qs, 10000).alias("pa"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
-        ).alias("pe"),
+        F.count(F.lit(1)).alias("n"),
     )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(agg), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        *[F.sum(F.when(F.col("l_extendedprice") < F.col("pa")[i], 1)
+                .otherwise(0)).alias(f"lt{i}") for i in range(3)],
+        *[F.sum(F.when(F.col("l_extendedprice") <= F.col("pa")[i], 1)
+                .otherwise(0)).alias(f"le{i}") for i in range(3)],
+    )
+    eps = F.col("n") / F.lit(10000.0) + F.lit(1.0)
 
     def ok(i: int):
-        return (
-            F.abs(F.col("pa")[i] - F.col("pe")[i])
-            <= F.lit(0.01) * F.abs(F.col("pe")[i]) + F.lit(1e-6)
-        )
+        target = F.lit(qs[i]) * F.col("n")
+        return ((F.col(f"lt{i}") + 1 <= target + eps)
+                & (F.col(f"le{i}") >= target - eps))
 
-    return agg.select(
+    return ranks.select(
         "l_returnflag",
         ok(0).alias("p50_ok"), ok(1).alias("p90_ok"), ok(2).alias("p99_ok"),
     )
@@ -992,10 +1009,14 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_agg",
     oracle="""
         SELECT l_returnflag,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4)))
+               -- measure-domain guard + DECIMAL(19,4) product width
+               -- (r13; see exact.SQL_MONEY's INT128 note)
+               CAST(CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(18, 4)))
                          AS DECIMAL(30, 4)) AS VARCHAR) AS sum_price_dec,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
-                             * CAST(1 - l_discount AS DECIMAL(18, 4)))
+               CAST(CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(19, 4))
+                             * CAST(1 - l_discount AS DECIMAL(8, 4)))
                          AS DECIMAL(30, 8)) AS VARCHAR)
                    AS sum_disc_price_dec,
                CAST(COUNT(*) AS BIGINT) AS n
@@ -1017,7 +1038,8 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison must stay in exact decimal space end-to-end (DuckDB's
     pandas bridge would otherwise degrade its decimals to float64)."""
     li = load(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    price = F.when(measure_domain("l_extendedprice"),
+                   F.col("l_extendedprice")).cast("decimal(18,4)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
         F.sum(price).cast("decimal(30,4)").cast("string")
@@ -1171,8 +1193,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ELSE 0 END) / 100.0, 6) AS sum_hi,
                bool_and(value >= 0) AS all_nonneg,
                bool_or(value > 0.99) AS any_extreme,
-               round(median(value), 6) AS med_value
+               round(median(value), 6) + 0.0 AS med_value
         FROM events
+        WHERE abs(value) < 9.0e11  -- measure domain (r13): the
+                                   -- conditional battery aggregates
+                                   -- MEASURES; poison costs its row
         GROUP BY event_type
     """,
     tags=("agg", "conditional"),
@@ -1182,7 +1207,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     bool_and/bool_or, exact median. All single-pass mergeable aggregates
     except median, which Spark executes as an exact percentile (sorted
     partial state) — the exact twin of q_agg_approx_pct's sketch."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(measure_domain("value"))
     return e.groupBy("event_type").agg(
         F.expr("count_if(value > 0.5)").alias("n_hi"),
         F.round(
@@ -1193,7 +1218,8 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_hi"),
         F.expr("bool_and(value >= 0)").alias("all_nonneg"),
         F.expr("bool_or(value > 0.99)").alias("any_extreme"),
-        F.round(F.median("value"), 6).alias("med_value"),
+        (F.round(F.median("value"), 6) + F.lit(0.0))
+        .alias("med_value"),
     )
 
 
@@ -1460,16 +1486,59 @@ def q_agg_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_weighted_pct",
     oracle="""
-        SELECT l_returnflag,
-               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY val), 6)
-                   AS wmedian,
-               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY val), 6)
-                   AS wp90
-        FROM (
-            SELECT l_returnflag, l_extendedprice AS val
-            FROM lineitem, unnest(generate_series(1,
-                 CAST(l_quantity AS BIGINT))) AS r(i)
+        -- cumulative-weight percentile_cont (r13): the old oracle
+        -- MATERIALIZED the weighted multiset (unnest x quantity) — a
+        -- 2^31-boundary weight made it build billions of rows, and a
+        -- negative weight crashed Spark's frequency check. This form
+        -- computes the identical interpolated percentile from weight
+        -- prefix sums in O(n log n) at ANY weight, and the weight
+        -- contract (integral via CAST, rows with weight < 1 are
+        -- weightless and excluded) is stated on both sides.
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS val,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) >= 1
+        ),
+        o AS (
+            SELECT l_returnflag, val, wt,
+                   SUM(wt) OVER (PARTITION BY l_returnflag
+                                 ORDER BY val
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                   SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+            FROM (SELECT l_returnflag, val, SUM(wt) AS wt
+                  FROM w GROUP BY l_returnflag, val)
+        ),
+        pick AS (
+            SELECT l_returnflag, p,
+                   -- percentile_cont over N=tot units: target index
+                   -- t = p*(N-1) (0-based); lower unit floor(t),
+                   -- upper unit floor(t)+1, fraction t-floor(t).
+                   -- Unit k (0-based) has value of the row whose
+                   -- cumulative range (cum-wt, cum] covers k+1.
+                   MAX(CASE WHEN cum - wt <= CAST(floor(p * (tot - 1))
+                                                  AS BIGINT)
+                             AND CAST(floor(p * (tot - 1)) AS BIGINT)
+                                 < cum THEN val END) AS lo_val,
+                   MAX(CASE WHEN cum - wt <= least(
+                                CAST(floor(p * (tot - 1)) AS BIGINT) + 1,
+                                tot - 1)
+                             AND least(CAST(floor(p * (tot - 1))
+                                            AS BIGINT) + 1, tot - 1)
+                                 < cum THEN val END) AS hi_val,
+                   MAX(p * (tot - 1) - floor(p * (tot - 1))) AS frac
+            FROM o, (SELECT unnest([0.5, 0.9]) AS p)
+            GROUP BY l_returnflag, p
         )
+        SELECT l_returnflag,
+               round(MAX(CASE WHEN p = 0.5
+                              THEN lo_val + frac * (hi_val - lo_val) END),
+                     6) + 0.0 AS wmedian,
+               round(MAX(CASE WHEN p = 0.9
+                              THEN lo_val + frac * (hi_val - lo_val) END),
+                     6) + 0.0 AS wp90
+        FROM pick
         GROUP BY l_returnflag
     """,
     tags=("agg", "percentile", "weighted"),
@@ -1491,11 +1560,16 @@ def q_agg_weighted_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     w = F.col("l_quantity").cast("long")
+    # weight contract (r13): frequencies are integral counts >= 1 — a
+    # negative count crashed Spark's frequency check where DuckDB's
+    # generate_series silently emitted nothing (crash-vs-wrong-answer);
+    # sub-1 weights truncate to 0 units and are likewise weightless
+    li = li.filter(w >= 1)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6)
-        .alias("wmedian"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6)
-        .alias("wp90"),
+        (F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6)
+         + F.lit(0.0)).alias("wmedian"),
+        (F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6)
+         + F.lit(0.0)).alias("wp90"),
     )
 
 
@@ -1757,16 +1831,18 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_mad",
     oracle="""
-        WITH med AS (
+        WITH ev AS (SELECT * FROM events
+                    WHERE abs(value) < 9.0e11),  -- measure domain (r13)
+        med AS (
             SELECT event_type,
                    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
-            FROM events GROUP BY event_type
+            FROM ev GROUP BY event_type
         )
         SELECT e.event_type,
-               round(MAX(med.med), 6) AS median_value,
+               round(MAX(med.med), 6) + 0.0 AS median_value,
                round(percentile_cont(0.5) WITHIN GROUP (
-                   ORDER BY abs(e.value - med.med)), 6) AS mad
-        FROM events e JOIN med USING (event_type)
+                   ORDER BY abs(e.value - med.med)), 6) + 0.0 AS mad
+        FROM ev e JOIN med USING (event_type)
         GROUP BY e.event_type
     """,
     tags=("agg", "stats", "robust"),
@@ -1786,15 +1862,17 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile. At 100 TB both become approx_percentile sketches and
     the two passes fuse into one.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(measure_domain("value"))
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med"))
     return (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.max("med"), 6).alias("median_value"),
-            F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
-                                 F.lit(0.5)), 6).alias("mad"),
+            (F.round(F.max("med"), 6) + F.lit(0.0))
+            .alias("median_value"),
+            (F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
+                                  F.lit(0.5)), 6) + F.lit(0.0))
+            .alias("mad"),
         )
     )

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import measure_domain
 
 # 5-term shingles for decontamination overlap (eval-set n-gram matching,
 # the standard train/test-overlap definition). Distinct per doc.
@@ -571,11 +572,13 @@ def q_curate_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_curate_winsorize",
     oracle="""
-        WITH q AS (
+        WITH ev AS (SELECT * FROM events
+                    WHERE abs(value) < 9.0e11),  -- measure domain (r13)
+        q AS (
             SELECT event_type,
                    percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
                    percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS p75
-            FROM events GROUP BY event_type
+            FROM ev GROUP BY event_type
         ),
         b AS (SELECT event_type,
                      p25 - 1.5 * (p75 - p25) AS lo,
@@ -592,7 +595,7 @@ def q_curate_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * MIN(b.lo)
                      + SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
                        * MIN(b.hi), 6) AS winsorized_sum
-        FROM events e JOIN b USING (event_type)
+        FROM ev e JOIN b USING (event_type)
         GROUP BY e.event_type
     """,
     tags=("curation", "stats", "cleaning"),
@@ -616,7 +619,7 @@ def q_curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the exact percentile for approx_percentile (same plan shape,
     bounded memory) and accept sketch-level fence drift.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(measure_domain("value"))
     q = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.25)).alias("p25"),
         F.percentile("value", F.lit(0.75)).alias("p75"),

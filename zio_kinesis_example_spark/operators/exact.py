@@ -27,9 +27,25 @@ def cents_sum(col: str = "value", dp: int = 6) -> Column:
     order), and the /100.0 + round are single IEEE ops both engines
     perform identically. The shared spelling of the expression formerly
     copy-pasted by q_win_tumbling/session/sliding_batch and
-    q_join_skew_salted."""
+    q_join_skew_salted.
+
+    MEASURE DOMAIN (r13 numeric-stress sweep): the summand is guarded
+    by :func:`measure_domain` — a NaN/±inf/out-of-domain value used to
+    detonate the BIGINT cast (Spark ANSI CAST_OVERFLOW vs DuckDB
+    ConversionException: crash-vs-crash, with neither engine producing
+    the group); now it contributes NULL (skipped by SUM, still counted
+    by the caller's COUNT(*)), so a poison measure costs its own cell,
+    never the group. Oracles state the identical guard via
+    :func:`sql_cents_sum`. No-op on clean fixtures."""
+    v = F.when(measure_domain(col), F.col(col))
     return F.round(
-        F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(100.0), dp)
+        F.sum(F.round(v * 100).cast("long")) / F.lit(100.0), dp)
+
+
+def sql_cents_sum(col: str = "value", dp: int = 6) -> str:
+    """DuckDB twin of :func:`cents_sum` (domain-guarded cents sum)."""
+    return (f"round(SUM(CAST(round((CASE WHEN abs({col}) < 9.0e11 "
+            f"THEN {col} END) * 100) AS BIGINT)) / 100.0, {dp})")
 
 
 def ts_lit(day: str) -> Column:
@@ -47,35 +63,48 @@ def dec_sum_double(col: str, dp: int = 4) -> Column:
     rational on both engines — bit-identical at any group size, unlike
     a raw double SUM whose partition-merge order diverges across
     engines once groups reach ~1e7 rows (the 9-significant-digit
-    canonicalization boundary)."""
-    return F.sum(F.col(col).cast(f"decimal(18,{dp})")).cast("double")
+    canonicalization boundary).
+
+    MEASURE DOMAIN (r13): the summand is guarded by
+    :func:`measure_domain` — a NaN/inf/1e15 "money" value used to blow
+    the (18,4) cast on both engines; it now contributes NULL (skipped,
+    like a NULL value always was) and costs its own cell."""
+    return F.sum(F.when(measure_domain(col), F.col(col))
+                 .cast(f"decimal(18,{dp})")).cast("double")
 
 
 def sql_dec_sum_double(col: str) -> str:
     """DuckDB twin of :func:`dec_sum_double`."""
-    return f"CAST(SUM(CAST({col} AS DECIMAL(18, 4))) AS DOUBLE)"
+    return (f"CAST(SUM(CAST(CASE WHEN abs({col}) < 9.0e11 THEN {col} END"
+            f" AS DECIMAL(18, 4))) AS DOUBLE)")
 
 
 def dec_avg_double(col: str, dp: int = 4) -> Column:
     """Exact-sum average emitted as DOUBLE: decimal sum (exact), cast
     to double, ONE division by the group count — both engines compute
-    the identical dividend and divisor."""
-    return (F.sum(F.col(col).cast(f"decimal(18,{dp})")).cast("double")
+    the identical dividend and divisor. Measure-domain-guarded like
+    :func:`dec_sum_double` (an out-of-domain value contributes NULL to
+    the sum but still counts, exactly as a NULL value always did)."""
+    return (F.sum(F.when(measure_domain(col), F.col(col))
+                  .cast(f"decimal(18,{dp})")).cast("double")
             / F.count(F.lit(1)))
 
 
 def sql_dec_avg_double(col: str) -> str:
     """DuckDB twin of :func:`dec_avg_double`."""
-    return (f"(CAST(SUM(CAST({col} AS DECIMAL(18, 4))) AS DOUBLE)"
-            f" / COUNT(*))")
+    return (f"(CAST(SUM(CAST(CASE WHEN abs({col}) < 9.0e11 THEN {col} END"
+            f" AS DECIMAL(18, 4))) AS DOUBLE) / COUNT(*))")
 
 def money_term(col: str = "l_extendedprice"):
     """Exact per-row revenue term: price × (1 − discount), both factors
     DECIMAL so the product never reassociates in floats — ONE definition
     (r8 review: tpch_suite, analytics q3/q5, and q_part_abc each spelled
-    it inline; the SQL twin is SQL_MONEY)."""
-    return (F.col(col).cast("decimal(18,4)")
-            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    it inline; the SQL twin is SQL_MONEY). Measure-domain-guarded (r13):
+    past 2^53/10^4 the double→decimal conversion itself is
+    engine-defined (see MEASURE_ABS_MAX), so an out-of-domain price
+    contributes NULL revenue — its own cell, never the rollup."""
+    return (F.when(measure_domain(col), F.col(col)).cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
 
 
 def rev_str(expr) -> Column:
@@ -85,9 +114,16 @@ def rev_str(expr) -> Column:
     return F.sum(expr).cast("decimal(30,8)").cast("string")
 
 
-#: SQL-side twins of money_term / rev_str.
-SQL_MONEY = ("CAST(l_extendedprice AS DECIMAL(18, 4)) "
-             "* CAST(1 - l_discount AS DECIMAL(18, 4))")
+#: SQL-side twins of money_term / rev_str. The price cast is
+#: DECIMAL(19,4) on the DuckDB side ONLY (r13 numeric-stress sweep):
+#: width 19 forces INT128 storage, because DuckDB 1.0 multiplies two
+#: INT64-stored decimals in INT64 and a (18,4) precision-edge price ×
+#: discount overflows it (Spark's BigDecimal path never does). The
+#: VALUE is identical — (19,4) holds every (18,4) money exactly — and
+#: the emission casts ((30,8)→VARCHAR / →DOUBLE) agree bit-for-bit.
+SQL_MONEY = ("CAST(CASE WHEN abs(l_extendedprice) < 9.0e11 "
+             "THEN l_extendedprice END AS DECIMAL(19, 4)) "
+             "* CAST(1 - l_discount AS DECIMAL(8, 4))")
 SQL_REV = f"CAST(CAST(SUM({SQL_MONEY}) AS DECIMAL(30, 8)) AS VARCHAR)"
 
 def hourly_cents_mean_e6(e, out_col: str, hour_col: str = "bucket_hour"):
@@ -136,5 +172,56 @@ SQL_HOURLY_CENTS_MEAN_E6 = (
     "// (2 * COUNT(value))")
 SQL_HOURLY_CENTS_MEAN = (
     f"CAST({SQL_HOURLY_CENTS_MEAN_E6} AS DOUBLE) / 1000000.0")
-SQL_TICK_FILTER = "ts IS NOT NULL AND value IS NOT NULL"
+
+# ---------------------------------------------------------------------------
+# the measure-domain contract (r13 numeric-extremes axis)
+# ---------------------------------------------------------------------------
+
+#: The engine's declared measure domain: |v| < 2^53/10^4 ≈ 9.007e11,
+#: rounded down to the readable 9.0e11 — the EXACTNESS boundary of a
+#: 4dp measure carried in a DOUBLE column. Below it, v·10^4 is an exact
+#: int64-sized integer, so double→DECIMAL(p,4) conversion has ONE
+#: correct answer and both engines produce it (and every exact-integer
+#: cents/e6 path fits comfortably in int64). Above it the conversion
+#: itself is ENGINE-DEFINED — measured on the r13 numeric proxy:
+#: casting the double 99999999999999.984375, DuckDB scales by 10^4 in
+#: floating point and emits .9872 while Spark converts via the shortest
+#: decimal repr and emits .9800 — so "the same number" silently stops
+#: being the same money on the two engines. A NaN, ±inf, max-double, or
+#: 10^15 "quantity" is likewise NOT a measurement at this precision.
+#: All of these are upstream data errors, and — mirroring the embedding
+#: validity contract (llm_similarity._valid_emb) and the tick contract
+#: above — an out-of-domain measure costs its OWN row/cell, never the
+#: group, the series, or the query. The predicate is ONE comparison
+#: that excludes NaN and ±inf on BOTH engines (they fail `abs(v) <
+#: 9.0e11` identically in Spark and DuckDB; NULL fails it too) while
+#: keeping every in-domain extreme the numeric-stress axis injects:
+#: -0.0, subnormals, negative money, int32-boundary counts, the
+#: in-domain precision edge 899999999999.9844.
+MEASURE_ABS_MAX = 9.0e11
+
+
+def measure_domain(col: str = "value") -> Column:
+    """Spark predicate: the measure is a usable number (non-null,
+    finite, inside the declared DECIMAL(18,4) domain). SQL twin:
+    :data:`SQL_MEASURE_DOMAIN` / ``sql_measure_domain(col)``."""
+    return F.abs(F.col(col)) < F.lit(MEASURE_ABS_MAX)
+
+
+def sql_measure_domain(col: str = "value") -> str:
+    """DuckDB twin of :func:`measure_domain`."""
+    return f"abs({col}) < 9.0e11"
+
+
+SQL_MEASURE_DOMAIN = sql_measure_domain("value")
+
+#: The TICK contract (r12) + the measure domain (r13): an event is a
+#: tick only when its clock exists and its measure is in-domain.
+SQL_TICK_FILTER = f"ts IS NOT NULL AND {SQL_MEASURE_DOMAIN}"
+
+
+def tick_filter() -> Column:
+    """Spark twin of :data:`SQL_TICK_FILTER` (ts non-null + measure
+    in-domain; the in-domain check subsumes value-non-null)."""
+    return F.col("ts").isNotNull() & measure_domain("value")
 

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import measure_domain
 
 # --------------------------------------------------------------------------
 # q_dedup_spans — repeated cross-document span detection
@@ -1275,10 +1276,15 @@ def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ts_seasonal",
     oracle="""
-        WITH s AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+        WITH ev AS (SELECT * FROM events
+                    -- measure domain (r13): a NaN/inf/huge value is
+                    -- not a measurement; it has no residual and joins
+                    -- no profile — costs its own row on BOTH sides
+                    WHERE abs(value) < 9.0e11),
+        s AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
                           SUM(CAST(round(value * 100) AS BIGINT)) AS svc,
                           COUNT(*) AS cv
-                   FROM events GROUP BY 1, 2),
+                   FROM ev GROUP BY 1, 2),
         -- integer half-up mean in micro-units (the r12 rounding-tie
         -- rule): svc/(100·cv) is a finite-decimal rational, and the
         -- temporal proxy manufactured a cv=96 bucket whose 7th decimal
@@ -1293,7 +1299,7 @@ def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(mean_e6 AS DOUBLE) / 1000000.0 AS seasonal,
                CAST(CAST(round(e.value * 100) AS BIGINT) * 10000 - mean_e6
                     AS DOUBLE) / 1000000.0 AS residual
-        FROM events e
+        FROM ev e
         JOIN m ON m.event_type = e.event_type
               AND m.hod = EXTRACT(hour FROM e.ts)
     """,
@@ -1317,7 +1323,8 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 24×|types| profile is a partial-agged groupBy that
     BROADCASTs back; the fact table never shuffles.
     """
-    e = load(spark, sf_dir, "events")
+    # measure domain (r13) — see the oracle's ev CTE
+    e = load(spark, sf_dir, "events").filter(measure_domain("value"))
     prof = (
         e.groupBy("event_type", F.hour("ts").alias("hod"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("svc"),
@@ -1491,9 +1498,12 @@ _ATTR_WINDOW_US = 3_600_000_000
                      AND p.pt - c.ct BETWEEN 0 AND {_ATTR_WINDOW_US})
         SELECT click_id, user_id,
                CAST(COUNT(*) AS BIGINT) AS n_attributions,
+               -- + 0.0 (r13 numeric sweep): Spark's aggregate seeds
+               -- the fold with 0.0, DuckDB's list_reduce with the
+               -- FIRST element — a -0.0 share surfaces the asymmetry
                round(list_reduce(
                    array_agg(value / n_touch ORDER BY purchase_id),
-                   (x, y) -> x + y), 6) AS credit
+                   (x, y) -> x + y), 6) + 0.0 AS credit
         FROM pairs GROUP BY click_id, user_id
     """,
     tags=("events", "join", "analytics"),
@@ -1533,12 +1543,12 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shared.groupBy("click_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_attributions"),
-        F.round(
+        (F.round(
             F.aggregate(
                 F.sort_array(F.collect_list(F.struct("purchase_id",
                                                      "share"))),
                 F.lit(0.0), lambda acc, x: acc + x["share"]),
-            6).alias("credit"),
+            6) + F.lit(0.0)).alias("credit"),
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from .exact import measure_domain
 
 # --------------------------------------------------------------------------
 # q_join_interval_overlap — bucketized interval-overlap self-join
@@ -574,7 +575,8 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     "q_layout_bucketed_join",
     oracle="""
         SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               CAST(CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(18,4)))
                     AS DECIMAL(30,8)) AS VARCHAR) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderkey
@@ -613,7 +615,8 @@ def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            F.sum(F.when(measure_domain("l_extendedprice"),
+                         F.col("l_extendedprice")).cast("decimal(18,4)"))
             .cast("decimal(30,8)").cast("string").alias("revenue"),
         )
     )

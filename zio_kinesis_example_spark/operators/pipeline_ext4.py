@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean
+from .exact import SQL_HOURLY_CENTS_MEAN, hourly_cents_mean, measure_domain
 
 # --------------------------------------------------------------------------
 # q_ts_autocorr — lag autocorrelation of the hourly mean series
@@ -54,7 +54,7 @@ _AC_ORACLE = f"""
                CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                {SQL_HOURLY_CENTS_MEAN} AS x
         FROM events
-        WHERE ts IS NOT NULL AND value IS NOT NULL
+        WHERE ts IS NOT NULL AND abs(value) < 9.0e11
         GROUP BY 1, 2
     ),
     stats AS (
@@ -125,7 +125,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort order and from collapsing to a whole-series NULL.
     """
     e = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull())
+        F.col("ts").isNotNull() & measure_domain("value"))
     hourly = hourly_cents_mean(e, "x", hour_col="h")
 
     def ofold(term):

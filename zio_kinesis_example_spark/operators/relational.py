@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from .exact import (
     KNUTH, SQL_MONEY, cents_sum, dec_avg_double, dec_sum_double,
-    money_term, sql_dec_sum_double, ts_lit,
+    measure_domain, money_term, sql_dec_sum_double, ts_lit,
 )
 from ..registry import query
 
@@ -249,7 +249,9 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(l_quantity) AS sum_qty
         FROM part JOIN lineitem
           ON p_partkey = l_partkey
-         AND l_quantity BETWEEN p_size AND p_size + 10
+         -- BIGINT width (r13): p_size at INT32_MAX makes +10 wrap
+         -- (Spark ANSI throws, DuckDB promotes — crash-vs-answer)
+         AND l_quantity BETWEEN p_size AND CAST(p_size AS BIGINT) + 10
         GROUP BY p_brand
     """,
     tags=("join",),
@@ -261,7 +263,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
     cond = (p.p_partkey == li.l_partkey) & li.l_quantity.between(
-        p.p_size, p.p_size + 10
+        p.p_size, p.p_size.cast("long") + 10
     )
     return (
         p.join(li, cond)
@@ -282,23 +284,36 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_group",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+               -- measure-domain guards mirror exact.dec_sum_double /
+               -- dec_avg_double (r13): an out-of-(18,4)-domain measure
+               -- (1e15 "quantity") contributes NULL, still counts.
+               -- Product price casts are DECIMAL(19,4): width 19 forces
+               -- DuckDB's INT128 multiply (the INT64 product of an
+               -- 18-digit price x discount overflowed); values unchanged.
+               CAST(SUM(CAST(CASE WHEN abs(l_quantity) < 9.0e11
+                             THEN l_quantity END AS DECIMAL(18, 4)))
+                    AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(18, 4)))
+                    AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(19, 4))
                         * CAST(1 - l_discount AS DECIMAL(8, 4))) AS DOUBLE)
                    AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+               CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                             THEN l_extendedprice END AS DECIMAL(19, 4))
                         * CAST(1 - l_discount AS DECIMAL(8, 4))
                         * CAST(1 + l_tax AS DECIMAL(8, 4))) AS DOUBLE)
                    AS sum_charge,
-               (CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)
-                / COUNT(*)) AS avg_qty,
-               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
-                / COUNT(*)) AS avg_price,
-               (CAST(SUM(CAST(l_discount AS DECIMAL(18, 4))) AS DOUBLE)
-                / COUNT(*)) AS avg_disc,
+               (CAST(SUM(CAST(CASE WHEN abs(l_quantity) < 9.0e11
+                              THEN l_quantity END AS DECIMAL(18, 4)))
+                     AS DOUBLE) / COUNT(*)) AS avg_qty,
+               (CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                              THEN l_extendedprice END AS DECIMAL(18, 4)))
+                     AS DOUBLE) / COUNT(*)) AS avg_price,
+               (CAST(SUM(CAST(CASE WHEN abs(l_discount) < 9.0e11
+                              THEN l_discount END AS DECIMAL(18, 4)))
+                     AS DOUBLE) / COUNT(*)) AS avg_disc,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -321,7 +336,8 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one decimal->double conversion is identical on both engines. The
     # (8,4) middle factors keep the three-way charge product inside
     # DECIMAL(38) so no engine re-rounds it.
-    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_price = (F.when(measure_domain("l_extendedprice"),
+                         F.col("l_extendedprice")).cast("decimal(18,4)")
                   * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
     return (
@@ -587,7 +603,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- double SUM associates via segment tree while Spark
                -- re-accumulates frames sequentially — the documented
                -- 1-ulp divergence class; decimal never reassociates
-               CAST(SUM(CAST(value AS DECIMAL(18, 4)))
+               CAST(SUM(CAST(CASE WHEN abs(value) < 9.0e11 THEN value END AS DECIMAL(18, 4)))
                     OVER (PARTITION BY user_id
                           ORDER BY ts NULLS LAST, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -612,7 +628,8 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id", "user_id", "value",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        F.sum(F.when(measure_domain("value"), F.col("value"))
+              .cast("decimal(18,4)")).over(w)
         .cast("double").alias("moving_sum"),
     )
 
@@ -622,7 +639,7 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6)
+               round(SUM(CAST(round((CASE WHEN abs(value) < 9.0e11 THEN value END) * 100) AS BIGINT)) / 100.0, 6)
                    AS sum_value
         FROM events
         GROUP BY 1
@@ -737,7 +754,10 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM orders)
         SELECT o_orderkey, o_totalprice
         FROM orders, s
-        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * s.n > s.tc
+        -- HUGEINT product (r13): one in-domain 9e11 price x 1.5e5 rows
+        -- pushes cents*n past int64; Spark widens via DECIMAL(38,0)
+        WHERE CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+              * s.n > s.tc
     """,
     tags=("subquery",),
 )
@@ -757,7 +777,9 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("__tc"), F.count(F.lit(1)).alias("__n"))
     return (
         o.crossJoin(F.broadcast(tot))
-        .filter(cents * F.col("__n") > F.col("__tc"))
+        # DECIMAL(38,0) product — see the oracle's HUGEINT comment
+        .filter(cents.cast("decimal(38,0)") * F.col("__n")
+                > F.col("__tc").cast("decimal(38,0)"))
         .select("o_orderkey", "o_totalprice")
     )
 

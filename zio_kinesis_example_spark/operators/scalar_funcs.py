@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from .exact import measure_domain
 
 
 @query(
@@ -99,13 +100,19 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_math_funcs",
     oracle="""
+        -- function-domain guards (r13 numeric sweep): sqrt(neg)
+        -- CRASHES DuckDB but is NaN in Spark, ln(<=0) likewise —
+        -- each is stated as a CASE so an out-of-domain input yields
+        -- NULL on BOTH engines; round + 0.0 is the sign-bit rule
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice, 1) AS price_round1,
+               round(l_extendedprice, 1) + 0.0 AS price_round1,
                abs(l_discount - 0.05) AS disc_dev,
                CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil_h,
                CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor_h,
-               sqrt(l_quantity) AS qty_sqrt,
-               ln(l_extendedprice) AS price_ln,
+               CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END
+                   AS qty_sqrt,
+               CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END
+                   AS price_ln,
                pow(1 + l_tax, 2) AS tax_sq
         FROM lineitem
     """,
@@ -117,12 +124,15 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice"), 1).alias("price_round1"),
+        (F.round(F.col("l_extendedprice"), 1) + F.lit(0.0))
+        .alias("price_round1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_extendedprice") / 100).alias("price_ceil_h"),
         F.floor(F.col("l_extendedprice") / 100).alias("price_floor_h"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity"))
+        .alias("qty_sqrt"),
+        F.when(F.col("l_extendedprice") > 0,
+               F.log(F.col("l_extendedprice"))).alias("price_ln"),
         F.pow(1 + F.col("l_tax"), 2).alias("tax_sq"),
     )
 
@@ -316,9 +326,11 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS profile_json,
                {'nation': c_nationkey, 'segment': c_mktsegment}.nation
                    AS nation_again,
+               -- + 0.0: round(-0.0) renders '-0' in DuckDB and '0'
+               -- in Spark (the r4 sign-bit rule, r13 numeric sweep)
                CAST(round(struct_extract(
                    {'bal': c_acctbal, 'double_bal': c_acctbal * 2},
-                   'double_bal'), 6) AS DOUBLE) AS double_bal
+                   'double_bal'), 6) + 0.0 AS DOUBLE) AS double_bal
         FROM customer
     """,
     tags=("function", "struct"),
@@ -359,7 +371,10 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+        -- guarded price at DECIMAL(19,4): the measure-domain rule +
+        -- DuckDB's INT64 decimal multiply (see exact.SQL_MONEY, r13)
+        SELECT CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                        THEN l_extendedprice END AS DECIMAL(19, 4))
                         * CAST(l_discount AS DECIMAL(8, 4))) AS DOUBLE)
                    AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
@@ -390,7 +405,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             # SUM reassociates in partition order — the repo's money
             # rule; DECIMAL(18,4)·(8,4) is exact for 2dp price × ≤4dp
             # discount), ONE cast to double at the end
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+            F.sum(F.when(measure_domain("l_extendedprice"),
+                         F.col("l_extendedprice")).cast("decimal(18,4)")
                   * F.col("l_discount").cast("decimal(8,4)"))
             .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),

@@ -32,6 +32,7 @@ from ..catalog import load
 from ..registry import query
 from .exact import (
     SQL_HOURLY_CENTS_MEAN_E6, dec_sum_double, hourly_cents_mean_e6,
+    measure_domain, tick_filter,
 )
 
 
@@ -95,8 +96,12 @@ def _hourly_spine(hourly: DataFrame) -> DataFrame:
                    -- reassociates in partition order TWICE — the exact
                    -- 1-ulp drift class exact.dec_sum_double closes);
                    -- one double conversion at the very end
-                   SUM(CAST(value AS DECIMAL(18,4))) AS sum_value,
-                   MAX(value) AS max_value
+                   -- measure-domain guard (r13): a NaN/inf/huge
+                   -- value costs its own cell, never the bucket
+                   SUM(CAST(CASE WHEN abs(value) < 9.0e11 THEN value END
+                            AS DECIMAL(18,4))) AS sum_value,
+                   MAX(CASE WHEN abs(value) < 9.0e11 THEN value END)
+                       AS max_value
             FROM events
             GROUP BY 1, 2
         )
@@ -134,8 +139,10 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal partials stay decimal through the day level — see
             # the oracle comment (raw double sum-of-sums is the at-scale
             # 1-ulp hash hazard, squared by the two-level shape)
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
-            F.max("value").alias("max_value"),
+            F.sum(F.when(measure_domain("value"), F.col("value"))
+                  .cast("decimal(18,4)")).alias("sum_value"),
+            F.max(F.when(measure_domain("value"), F.col("value")))
+            .alias("max_value"),
         )
     )
     return (
@@ -159,7 +166,8 @@ def q_ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket_hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18, 4))) AS DOUBLE)
+                   CAST(SUM(CAST(CASE WHEN abs(value) < 9.0e11 THEN value END
+                            AS DECIMAL(18, 4))) AS DOUBLE)
                        AS sum_value
             FROM events WHERE __TS_DOMAIN__ GROUP BY 1, 2
         ),
@@ -250,7 +258,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- windowed double sums via segment-tree association,
                -- Spark re-accumulates frames sequentially — same frame,
                -- different addition order; decimal never reassociates
-               CAST(SUM(CAST(value AS DECIMAL(18, 4))) OVER w AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN abs(value) < 9.0e11 THEN value END
+                              AS DECIMAL(18, 4))) OVER w AS DOUBLE)
                    AS trailing_sum_1h
         FROM (SELECT *, CAST(epoch_us(time_bucket(INTERVAL 1 SECOND, ts))
                              // 1000000 AS BIGINT) AS ts_s FROM events)
@@ -295,7 +304,8 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).alias("trailing_cnt_1h"),
         # exact decimal frame sum — see the oracle comment
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        F.sum(F.when(measure_domain("value"), F.col("value"))
+              .cast("decimal(18,4)")).over(w)
         .cast("double").alias("trailing_sum_1h"),
     )
 
@@ -387,7 +397,7 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    __HOURLY_CENTS_MEAN_E6__ AS v
             FROM events
             WHERE event_type IN ('purchase', 'signup')
-              AND ts IS NOT NULL AND value IS NOT NULL
+              AND ts IS NOT NULL AND abs(value) < 9.0e11
               AND __TS_DOMAIN__
             GROUP BY 1, 2
         ),
@@ -479,7 +489,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ("purchase", "signup")
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(*types)
-        & F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("ts").isNotNull() & measure_domain("value")
         & ts_domain_filter())   # declared domain — see TS_DOMAIN_LO
     # EXACT BIGINT micro-units for the hourly mean (see the docstring's
     # r12 tie history); v is LONG value·1e6 here, divided once at the end
@@ -532,7 +542,7 @@ _EWMA_ALPHA = 0.3
                    CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS h,
                    SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS v
             FROM events
-            WHERE ts IS NOT NULL AND value IS NOT NULL
+            WHERE ts IS NOT NULL AND abs(value) < 9.0e11
             GROUP BY 1, 2
         ),
         series AS (
@@ -580,7 +590,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could not distinguish from correctness). One pre-filter states
     # both: SUM already skips nulls inside mixed hours.
     e = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull())
+        F.col("ts").isNotNull() & measure_domain("value"))
     # exact-cents hourly sums (q_ts_interpolate's rule): a double
     # SUM(value) reassociates in shuffle-fetch order and can differ
     # from DuckDB's scan-order sum by 1 ulp, which the fold propagates

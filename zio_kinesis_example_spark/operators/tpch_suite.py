@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 from .exact import (
-    SQL_MONEY, SQL_REV, dec_avg_double, dec_sum_double, money_term,
+    SQL_MONEY, SQL_REV, dec_avg_double, dec_sum_double, measure_domain,
+    money_term,
     rev_str, ts_lit,
 )
 
@@ -482,7 +483,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4)))
+        SELECT CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) < 9.0e11
+                         THEN l_extendedprice END AS DECIMAL(18, 4)))
                     AS DOUBLE) / 7.0 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -716,12 +718,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle="""
         WITH avg_bal AS (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18, 2))) AS DOUBLE)
-                   / COUNT(*) AS a
+            -- measure-domain guard mirrors exact.dec_avg_double (r13)
+            SELECT CAST(SUM(CAST(CASE WHEN abs(c_acctbal) < 9.0e11
+                             THEN c_acctbal END AS DECIMAL(18, 2)))
+                        AS DOUBLE) / COUNT(*) AS a
             FROM customer WHERE c_acctbal > 0.0
         )
         SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18, 2)))
+               CAST(CAST(SUM(CAST(CASE WHEN abs(c_acctbal) < 9.0e11
+                             THEN c_acctbal END AS DECIMAL(18, 2)))
                          AS DECIMAL(30, 2)) AS VARCHAR) AS totacctbal
         FROM customer, avg_bal
         WHERE c_acctbal > a
@@ -760,7 +765,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            F.sum(F.when(measure_domain("c_acctbal"),
+                         F.col("c_acctbal")).cast("decimal(18,2)"))
             .cast("decimal(30,2)").cast("string").alias("totacctbal"),
         )
     )
@@ -850,7 +856,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         v AS (
             SELECT n_name,
-                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18, 4)))
+                   CAST(SUM(CAST(CASE WHEN abs(p_retailprice) < 9.0e11
+                            THEN p_retailprice END AS DECIMAL(18, 4)))
                         AS DECIMAL(30, 4)) AS val
             FROM ps
             JOIN part ON p_partkey = l_partkey
@@ -890,7 +897,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
+        .agg(F.sum(F.when(measure_domain("p_retailprice"),
+                          F.col("p_retailprice")).cast("decimal(18,4)"))
              .cast("decimal(30,4)").alias("val"))
     )
     tot = v.agg(F.sum("val").cast("decimal(30,4)").alias("tv"))

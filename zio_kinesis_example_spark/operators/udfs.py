@@ -29,16 +29,20 @@ from .exact import dec_sum_double
 @pandas_udf(DoubleType())
 def price_bucket(price: pd.Series) -> pd.Series:
     """floor(price/1000)*1000 — vectorized over each Arrow batch."""
-    return (price // 1000) * 1000.0
+    return (price // 1000) * 1000.0 + 0.0
 
 
 @query(
     "q_udf_scalar",
     oracle="""
-        SELECT floor(o_totalprice / 1000) * 1000 AS bucket,
+        -- bucket + 0.0: a -0.0 price buckets to -0.0, and the two
+        -- engines render the shared 0-group with different signs
+        -- (r13 sign-bit rule); the sum guard mirrors dec_sum_double
+        SELECT floor(o_totalprice / 1000) * 1000 + 0.0 AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE)
-                   AS sum_price
+               CAST(SUM(CAST(CASE WHEN abs(o_totalprice) < 9.0e11
+                             THEN o_totalprice END AS DECIMAL(18, 4)))
+                    AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY 1
     """,

@@ -130,6 +130,22 @@ class UpsertSink:
         orderable = [c for c, f in zip(batch.columns, batch.schema.fields)
                      if _orderable(f.dataType)]
         tiebreak = F.struct(*[F.col(c) for c in orderable]).desc()
+        # SEQ DOMAIN (r13 streaming-adversarial sweep): when seq is a
+        # float type, a NaN sequence number sorts GREATEST descending in
+        # Spark — one poison record would permanently win every future
+        # merge for its key, masking all real updates. An update whose
+        # position in the CDC order is NaN/±inf cannot be placed at
+        # all, so it is dead-lettered (dropped from the upsert), the
+        # smoother's late-row rule applied to sequence numbers.
+        # Integer/timestamp/string seqs have no NaN and pass untouched.
+        seq_type = dict(zip(batch.columns,
+                            [f.dataType for f in batch.schema.fields]))
+        if seq_type.get(self.seq_col, None) is not None and                 seq_type[self.seq_col].typeName() in ("double", "float"):
+            batch = batch.filter(
+                ~F.isnan(F.col(self.seq_col))
+                & (F.abs(F.col(self.seq_col))
+                   != F.lit(float("inf")))
+                | F.col(self.seq_col).isNull())
         return dedup_latest(batch, [self.key],
                             [F.col(self.seq_col).desc(), tiebreak])
 

@@ -122,8 +122,15 @@ def smooth_stateful(series: DataFrame, alpha: float,
         # persisted watermark to +inf, dropping every later row for the
         # key as "late" forever, and an ord of -inf on a fresh key
         # would be mis-dropped against the -inf initial watermark.
+        # value guard = the BATCH twins' measure-domain contract
+        # (operators.exact.MEASURE_ABS_MAX, r13): q_ts_ewma/q_ts_holt
+        # exclude |x| >= 9e11, and the streaming twin must judge
+        # in-domain identically or a restarted pipeline and its batch
+        # backfill would disagree on the same series. The bound
+        # subsumes the old NaN/inf check for values (NaN/inf fail it);
+        # order keys only need finiteness (watermark slot is float64).
         ok = (~rows[value_col].isna() & ~rows[order_col].isna()
-              & (rows[value_col].astype(float).abs() != float("inf"))
+              & (rows[value_col].astype(float).abs() < 9.0e11)
               & (rows[order_col].astype(float).abs() != float("inf")))
         rows = rows[ok]
         # ORDER-CONTRACT ENFORCEMENT (r11, the r10 verdict item): a row

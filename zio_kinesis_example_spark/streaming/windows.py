@@ -280,6 +280,7 @@ _CEP_STATE = StructType([
     StructField("last_error_us", LongType()),
 ])
 _CEP_WITHIN_US = 30 * 60 * 1_000_000  # pattern window: 30 minutes
+_CEP_UNSET = -(2 ** 63)               # out-of-band "no anchor" sentinel
 
 
 def pattern_matches_stateful(events: DataFrame) -> DataFrame:
@@ -305,7 +306,13 @@ def pattern_matches_stateful(events: DataFrame) -> DataFrame:
 
     def update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:
-        lv, le = state.get if state.exists else (0, 0)
+        # _UNSET is OUT-OF-BAND (r13 temporal sweep): the old sentinel
+        # was 0 with truthiness checks, so a view at EXACTLY epoch zero
+        # — the canonical default-clock corruption class — set lv=0 and
+        # the automaton forgot it (the r6 "in-band sentinels are bugs"
+        # rule, found live). INT64_MIN is unreachable as an event time
+        # (NaT rows are dropped before the fold).
+        lv, le = state.get if state.exists else (_CEP_UNSET, _CEP_UNSET)
         out_id, out_pts, out_vts = [], [], []
         for pdf in pdfs:
             # an unparseable event_ts arrives as NaT (with_event_time
@@ -327,8 +334,9 @@ def pattern_matches_stateful(events: DataFrame) -> DataFrame:
                     # view (cross-batch out-of-order delivery) — without
                     # it the automaton emits a "view then purchase" match
                     # that never happened in event time
-                    if (lv and 0 <= ts_us - lv <= _CEP_WITHIN_US
-                            and (not le or le < lv)):
+                    if (lv != _CEP_UNSET
+                            and 0 <= ts_us - lv <= _CEP_WITHIN_US
+                            and (le == _CEP_UNSET or le < lv)):
                         out_id.append(int(row["id"]))
                         out_pts.append(row["event_ts"])
                         out_vts.append(pd.Timestamp(lv * 1_000))

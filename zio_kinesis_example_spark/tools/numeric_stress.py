@@ -16,13 +16,17 @@ s_acctbal, p_retailprice; one class per stressed row):
   2  -99999.99           negative money (refunds/chargebacks) —
                          breaks every "money is positive" assumption
                          (ABC cuts, abs-free rankings, sqrt paths).
-  3  99999999999999.984375  DECIMAL(18,4) at its PRECISION EDGE — the
-                         largest round-2dp-able money value that is
-                         EXACT as a double (the naive .9999 literal
-                         rounds UP to 1e14 in binary and overflows the
-                         (18,4) cast on both engines — crash-vs-crash,
-                         unverifiable by hash); sums must widen, casts
-                         must not re-round (→ .9844 at 4dp on both).
+  3  99999999999999.984375  PAST the double-exactness edge (> 2^53/10^4):
+                         fits DECIMAL(18,4) numerically, but the
+                         double→decimal CONVERSION is engine-defined
+                         here — measured: DuckDB float-scales to .9872,
+                         Spark shortest-reprs to .9800. The class that
+                         forced MEASURE_ABS_MAX down to 9.0e11; must
+                         cost its own cell behind every guard.
+  3b 899999999999.9844   the IN-domain precision edge (< 2^53/10^4):
+                         v·10^4 is an exact integer, so both engines
+                         convert identically; must hash-match through
+                         every decimal path.
   4  0.004999            sub-cent: rounds to 0 cents — the
                          0 < x < 0.005 DIV-guard class (r6 rule, now
                          swept instead of inspected).
@@ -84,7 +88,7 @@ _KNUTH = np.uint64(2654435761)
 FIXED = ("region", "nation", "documents", "embeddings")
 
 MONEY_VALUES = [0.0, -0.0, -99999.99, 99999999999999.984375,
-                0.004999, 123.456789]
+                899999999999.9844, 0.004999, 123.456789]
 QTY_VALUES = [0.0, -5.0, 0.5, 2147483647.0, 1e15]
 RATE_VALUES = [-0.25, 1.5, 0.999999]
 EVENT_VALUES = [float("nan"), float("inf"), float("-inf"),
