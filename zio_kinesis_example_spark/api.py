@@ -435,8 +435,13 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     cents = {i: list(r["__v"]) for i, r in enumerate(init)}
 
     def assigned():
-        lit = F.array(*[F.array(*[F.lit(int(x)) for x in cents[c]])
-                        for c in range(k)])
+        # one SQL-text parse for the whole K×dim matrix (r13 opt; the
+        # operator twin q_embed_kmeans documents the measurement:
+        # per-element F.lit loops pay k·dim py4j round trips per build)
+        inner = ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in cents[c]) + ")"
+            for c in range(k))
+        lit = F.expr(f"array({inner})")
         dists = F.expr(
             "transform(__cents, c -> aggregate(zip_with(c, __v, "
             "(x, y) -> (x - y) * (x - y)), 0L, (s, t) -> s + t))")

@@ -1565,10 +1565,21 @@ def q_agg_weighted_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate_series silently emitted nothing (crash-vs-wrong-answer);
     # sub-1 weights truncate to 0 units and are likewise weightless
     li = li.filter(w >= 1)
-    return li.groupBy("l_returnflag").agg(
-        (F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6)
+    # r13 opt (guide §2.5): the percentile aggregate funnels EVERY row
+    # into |groups| (=3) reduce tasks that each build a value→weight
+    # map. Collapsing to (group, value) weight sums first is exact
+    # (frequency percentiles are invariant to merging equal values'
+    # multiplicities — verified diff=0) and moves the bulk of the work
+    # into a partial-aggregated full-width shuffle; the 3-task stage
+    # then merges pre-summed pairs instead of raw rows.
+    collapsed = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("val"))
+        .agg(F.sum(w).alias("wt"))
+    )
+    return collapsed.groupBy("l_returnflag").agg(
+        (F.round(F.percentile("val", F.lit(0.5), F.col("wt")), 6)
          + F.lit(0.0)).alias("wmedian"),
-        (F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6)
+        (F.round(F.percentile("val", F.lit(0.9), F.col("wt")), 6)
          + F.lit(0.0)).alias("wp90"),
     )
 

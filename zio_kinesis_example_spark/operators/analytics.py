@@ -212,61 +212,57 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT while 85·Σpr < 2^63 — at ~10^8+ nodes drop SCALE to 1e6.
     The 5-iteration unroll is the fixed-depth variant; production runs
     to a fixpoint with lineage truncation (see llm_dedup cc loop).
+
+    r13 optimization (guide §2.4/§2.6 — remove per-round barriers): the
+    fixed-depth unroll needs NO per-round action, so the five rounds
+    chain LAZILY into one plan over the cached edges/deg frames and the
+    whole query is a single job. The old shape paid a broadcast-build
+    job + a cache materialization per round (33 jobs at sf0.1, most of
+    the wall in scheduling); this one lets AQE pick the rank-side join
+    strategy per round at runtime (broadcast locally; SMJ/SHJ on a
+    cluster where |nodes| outgrows the threshold — the strategy is no
+    longer hard-coded into the plan). Each round references the
+    previous round exactly once, so lineage stays linear and nothing is
+    recomputed; edges/deg are loose-tracked persists (the llm_dedup
+    registry), released by clear_shared_cache()/LRU instead of an
+    eager end-of-query checkpoint job. Measured interleaved min-of-4
+    at sf0.1: 3.98 s → 3.45 s, jobs 33 → ~14 (AQE stages), results
+    hash-identical.
     """
+    from .llm_dedup import _track_persist
+
     li = load(spark, sf_dir, "lineitem")
     # ONE distinct after the union (not one per direction): both
     # directions ride a single exchange — measured 4× cheaper than
     # dedup-then-mirror, which pays the distinct shuffle twice or forces
     # an extra materialization.
-    edges = li.select(
-        (F.col("l_partkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).unionByName(
+    edges = _track_persist(
         li.select(
-            (F.col("l_suppkey") * 2 + 1).alias("src"),
-            (F.col("l_partkey") * 2).alias("dst"),
-        )
-    ).distinct().cache()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).unionByName(
+            li.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("l_partkey") * 2).alias("dst"),
+            )
+        ).distinct()
+    )
+    deg = _track_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     pr = deg.select(F.col("src").alias("node"),
                     F.lit(_PR_SCALE).cast("long").alias("pr"))
     base = _PR_SCALE * 15 // 100
-    # Per iteration: the rank table is |nodes| rows (edges collapse many-
-    # to-one), so BROADCAST the per-node rate into the edge join — the
-    # edge table never shuffles, and the only exchange per round is the
-    # partial-aggregated sum on dst. localCheckpoint truncates the
-    # growing broadcast lineage (eager, tiny frame). At billion-node
-    # scale swap broadcasts for the co-partitioned CC-loop shape
-    # (llm_dedup.q_dedup_clusters).
-    cached_rounds = []
     for _ in range(_PR_ITERS):
         rates = (
             pr.join(deg, pr.node == deg.src)
             .select("src", F.expr("pr DIV outdeg").alias("rate"))
         )
-        contrib = edges.join(F.broadcast(rates), "src").select("dst", "rate")
+        contrib = edges.join(rates, "src").select("dst", "rate")
         pr = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg((F.lit(base) + F.expr("(85 * sum(rate)) DIV 100"))
                  .alias("pr"))
-            # Lazy cache, not an eager per-round localCheckpoint: the next
-            # round's broadcast job materializes the cache as a side
-            # effect, so every round is still computed exactly once (no
-            # quadratic re-derive), without paying a dedicated
-            # materialization job per round — measured 5.1 s → 3.5 s at
-            # sf0.1. (A *lazy* checkpoint would NOT do this: it defers
-            # materialization but does not short-circuit recompute.)
-            .cache()
         )
-        cached_rounds.append(pr)
-    # ONE eager checkpoint at the end makes the returned frame independent
-    # of the loop caches, so all scan- and round-side storage can be
-    # released before the caller runs its action.
-    pr = pr.localCheckpoint(eager=True)
-    edges.unpersist()
-    deg.unpersist()
-    for c in cached_rounds:
-        c.unpersist()
     return pr.select(
         "node", (F.col("node") % 2).cast("int").alias("is_supplier"), "pr"
     )

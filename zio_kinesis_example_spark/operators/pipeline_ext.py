@@ -1011,7 +1011,12 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _affine_pos(_h_spark("l_partkey"), _BLOOM_AB, _BLOOM_M)
     ]
     flags = (
-        li.withColumn("bm", F.array(*[F.lit(w) for w in words]))
+        # one SQL-text parse for the 512-word bitmap (r13 opt: the
+        # per-element F.lit loop cost 512 py4j round trips at plan
+        # build; F.lit(list) pays the same py4j list conversion)
+        li.withColumn(
+            "bm",
+            F.expr("array(" + ",".join(f"{w}L" for w in words) + ")"))
         .withColumn("bloom_pass", F.expr(" AND ".join(tests)))
         .drop("bm")
         .join(F.broadcast(s.withColumn("is_exact", F.lit(True))),
