@@ -726,6 +726,18 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                                  F.lit(bucket_us))),
         )
     a, b = keyed(left, "l_"), keyed(right, "r_")
+    # r13 opt (guide §2.5): the per-bucket Σ|bucket|² probe is COMPUTE-
+    # dense but byte-light, so AQE's size-based coalescing collapsed the
+    # join stage to ONE post-shuffle task (measured: the whole exact
+    # overlap join ran single-task in the save stage, 1.36 s of a 1.8 s
+    # query; 1.78 → 1.22 s after). An EXPLICIT hash repartition on the
+    # bucket key pins the join's parallelism (user-specified partitioning
+    # is exempt from AQE coalescing); the count rides the session's
+    # shuffle-partition setting, so it scales with cluster config
+    # rather than a local constant.
+    n_parts = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_parts, "__bucket")
+    b = b.repartition(n_parts, "__bucket")
     ls, le = f"l_{start_col}", f"l_{end_col}"
     rs, re_ = f"r_{start_col}", f"r_{end_col}"
     ov_start = F.greatest(ls, rs)

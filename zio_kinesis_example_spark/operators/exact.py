@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 KNUTH = 2654435761
 
 
+def spread_scan(df):
+    """Repartition an UNDER-PARALLELIZED scan before CPU-heavy per-row
+    work (wide decimal arithmetic, grouping-set row expansion, spatial
+    probe fan-out). A single-file table scans as one input partition
+    (maxPartitionBytes), serializing everything up to the first
+    exchange onto one core — guide §2.5's "input skew" case.
+
+    SCALE-ADAPTIVE (r13): fires only when the scan has fewer partitions
+    than cores — at 100 TB the table has thousands of splits and this
+    is a no-op (no shuffle added); locally it unlocks full-width
+    parallelism for the pre-exchange stage. Contrast llm_dedup._spread,
+    which is unconditional because its inputs are always small."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cents_sum(col: str = "value", dp: int = 6) -> Column:
     """Exact-cents sum of a 2dp money column, emitted as a rounded
     double: int64 cent sums are associative (identical in any partition

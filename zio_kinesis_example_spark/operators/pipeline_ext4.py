@@ -124,9 +124,19 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter keeps the series fold from diverging on the engines' null
     sort order and from collapsing to a whole-series NULL.
     """
+    from .llm_dedup import _track_persist
+
     e = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & measure_domain("value"))
-    hourly = hourly_cents_mean(e, "x", hour_col="h")
+    # r13 opt (guide §2.4 / the q_graph_triangles convention): hourly
+    # and d each feed MULTIPLE consumers (stats + d; d + 3 shifted lag
+    # copies), and every broadcast-build job re-derived them from the
+    # PARQUET SCAN — the before-plan carries 16 Scan parquet nodes (8
+    # full events passes) for a series that is |types|×|hours| rows.
+    # Tracked persists pin both tiny frames so the raw table is scanned
+    # once; the first broadcast job materializes each cache as a side
+    # effect (the lazy-cache pattern), released by clear_shared_cache.
+    hourly = _track_persist(hourly_cents_mean(e, "x", hour_col="h"))
 
     def ofold(term):
         return F.expr(
@@ -135,8 +145,10 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = (hourly.groupBy("event_type")
              .agg((ofold("x") / F.count(F.lit(1))).alias("mean")))
-    d = (hourly.join(F.broadcast(stats), "event_type")
-         .select("event_type", "h", (F.col("x") - F.col("mean")).alias("dx")))
+    d = _track_persist(
+        hourly.join(F.broadcast(stats), "event_type")
+        .select("event_type", "h",
+                (F.col("x") - F.col("mean")).alias("dx")))
     # TIME-keyed lags (r9 review — see the oracle comment): a row-offset
     # lag() misaligns on the sparse hourly series; each lag is an exact
     # equality join on (event_type, h − lag·1h) over the tiny frame

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from .exact import (
     KNUTH, SQL_MONEY, cents_sum, dec_avg_double, dec_sum_double,
-    measure_domain, money_term, sql_dec_sum_double, ts_lit,
+    measure_domain, money_term, spread_scan, sql_dec_sum_double, ts_lit,
 )
 from ..registry import query
 
@@ -329,7 +329,12 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group running aggregates. Partial aggregation (map-side combine)
     means the shuffle carries ≤ |groups|×|partitions| rows at any SF.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # spread_scan (r13, guide §2.5): the exact-decimal partial
+    # aggregation is the heavy stage here (wide decimal products per
+    # row) and it runs in the scan stage — single-task on a
+    # single-file table. Scale-adaptive: no-op when the scan already
+    # parallelizes. Measured interleaved min-of-3: 1.75 → 1.46 s.
+    li = spread_scan(load(spark, sf_dir, "lineitem"))
     # EXACT decimal sums emitted as double (operators.exact rule): raw
     # double SUMs reassociate in partition-merge order and diverge from
     # DuckDB once groups reach ~1e7 rows; decimal sums are exact and the
@@ -437,8 +442,12 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals; Spark expands grouping sets in one pass.
     Money sums via the exact-decimal rule (r8 review: the grand-total
     group aggregates the WHOLE table — the exact group size where raw
-    double sums reassociate apart across engines)."""
-    li = load(spark, sf_dir, "lineitem")
+    double sums reassociate apart across engines).
+
+    spread_scan (r13): the grouping-set expansion multiplies every row
+    ×3 BEFORE the partial decimal agg, all in the single-task scan
+    stage — see q_agg_group."""
+    li = spread_scan(load(spark, sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dec_sum_double("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -458,8 +467,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping combinations; exact-decimal money sums (see
-    q_agg_rollup)."""
-    li = load(spark, sf_dir, "lineitem")
+    q_agg_rollup — the ×4 grouping-set expansion makes the spread
+    matter most here)."""
+    li = spread_scan(load(spark, sf_dir, "lineitem"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         dec_sum_double("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -1136,6 +1146,18 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 10000) * (_GRID_KY % 10000) % 10000)
         .alias("y"),
     )
+    # r13 opt (guide §2.5 input skew): the probe side's explode + BHJ
+    # probe + residual run in the SCAN stage (the broadcast join adds
+    # no exchange), and a single-file table scans as ONE task — the
+    # whole pair search was serialized onto one core (measured 0.78 s
+    # single-task stage; 1.52 s → 0.75 s for the query after the
+    # spread, results identical). SCALE-ADAPTIVE: only repartition
+    # when the scan under-parallelizes — at 100 TB the table has
+    # thousands of splits and this branch never fires, so the probe
+    # side stays shuffle-free.
+    apts = pts
+    if pts.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        apts = pts.repartition(spark.sparkContext.defaultParallelism)
     # HALF-neighborhood probe: instead of exploding to all 9 neighbor
     # cells, probe only {(0,0), (1,0), (0,1), (1,1), (1,-1)} — every
     # unordered neighbor-cell pair is covered by exactly ONE forward
@@ -1144,7 +1166,7 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard. Shuffle volume drops 9→5 rows per point (measured ~1.6×
     # on the end-to-end query); output pairs are re-normalized to
     # id_a < id_b afterwards, so results are identical.
-    a = pts.select(
+    a = apts.select(
         F.col("id").alias("id_a"), F.col("x").alias("xa"),
         F.col("y").alias("ya"),
         F.explode(F.expr(
