@@ -1009,7 +1009,15 @@ def connected_components(edges: DataFrame, src: str = "src",
             .distinct()
             .repartition(n_parts, "u")
         )
-        small = small.localCheckpoint(eager=True)
+        # LAZY checkpoint (r13 opt): the signature aggregate on the next
+        # line materializes the checkpoint as a side effect of its own
+        # job, so each round runs ONE job instead of an eager-checkpoint
+        # job plus the signature job. Within the signature job the frame
+        # is referenced once, so nothing recomputes; every LATER
+        # reference (the ~8 per-round reads that force checkpointing at
+        # all) is served from the materialized blocks. Measured
+        # interleaved: 2.19 → 2.00 s for the 2-round sf0.1 loop.
+        small = small.localCheckpoint(eager=False)
         sig = small.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: exact and overflow-free under ANSI mode
