@@ -1108,7 +1108,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("eb").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     )
-    wedges = deg.agg(
+    # r13 opt: node count and wedge sum in ONE aggregate over deg —
+    # as separate frames each broadcast job rebuilt the degree table
+    # from the edge list (two identical groupBy passes per run).
+    node_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -1117,11 +1121,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("e3.eb") == F.col("e2.eb")), "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        nodes.crossJoin(F.broadcast(edges_n))
-        .crossJoin(F.broadcast(wedges))
+        node_wedges.crossJoin(F.broadcast(edges_n))
         .crossJoin(F.broadcast(tri))
         .select(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
