@@ -485,9 +485,17 @@ def repeated_spans(df: DataFrame, text_col: str, id_col: str,
         f"transform(sequence(1, size(__terms) - {k - 1}), "
         f"i -> concat_ws(' ', slice(__terms, i, {k}))) ELSE array() END"
     )
+    # r13 opt (guide §2.5): the k-term concat_ws fan-out is executed
+    # TWICE (dup-set broadcast build + the join pass), both in the scan
+    # stage — single-task on a single-file table (two 0.6–0.9 s 1-task
+    # stages at sf0.1; query min 2.30 → 1.25 s after). Scale-adaptive:
+    # no-op when the scan already parallelizes. (The cheap split-only
+    # text explodes measured WORSE with this — the concat fan-out is
+    # what amortizes the exchange.)
+    from .operators.exact import spread_scan
     spans = (
-        df.select(F.col(id_col).alias("__id"),
-                  F.split(F.col(text_col), " ").alias("__terms"))
+        spread_scan(df).select(F.col(id_col).alias("__id"),
+                               F.split(F.col(text_col), " ").alias("__terms"))
         .select("__id", F.explode_outer(F.expr(spans_expr)).alias("__span"))
     )
     dup = (
