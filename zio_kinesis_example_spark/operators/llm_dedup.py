@@ -1338,7 +1338,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # plan analysis stays O(1) over long diameters (eager, persists
             # on executors — no DFS checkpoint dir needed)
             if rounds % 3 == 0:
-                flagged = flagged.localCheckpoint()
+                # LAZY: the fixpoint count on the next line materializes
+                # the checkpoint in its own job (the r13 largestar rule —
+                # one job per round, truncation unchanged)
+                flagged = flagged.localCheckpoint(eager=False)
             else:
                 flagged = flagged.cache()
             changed = flagged.filter("changed").count()
