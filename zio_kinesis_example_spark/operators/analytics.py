@@ -228,6 +228,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager end-of-query checkpoint job. Measured interleaved min-of-4
     at sf0.1: 3.98 s → 3.45 s, jobs 33 → ~14 (AQE stages), results
     hash-identical.
+
+    SINGLE-ACTION CONTRACT (r14, ADVICE r13): the returned frame stays
+    lineage-dependent on the two loose-tracked persists; the "edges
+    scanned once" property holds for any actions taken while those
+    caches live. A ``clear_shared_cache()`` (or LRU eviction) between
+    caller actions recomputes the 5-round chain from the parquet scan —
+    values stay correct, only the single-scan guarantee resets. The
+    bench/oracle drivers take exactly one action per build, which is
+    the intended shape; a multi-action caller that clears caches
+    in between should ``localCheckpoint()`` the result itself.
     """
     from .llm_dedup import _track_persist
 

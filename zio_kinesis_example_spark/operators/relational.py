@@ -1154,10 +1154,9 @@ def q_join_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread, results identical). SCALE-ADAPTIVE: only repartition
     # when the scan under-parallelizes — at 100 TB the table has
     # thousands of splits and this branch never fires, so the probe
-    # side stays shuffle-free.
-    apts = pts
-    if pts.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        apts = pts.repartition(spark.sparkContext.defaultParallelism)
+    # side stays shuffle-free. (r14, ADVICE r13: use the one shared
+    # spread_scan instead of an inline re-implementation of its guard.)
+    apts = spread_scan(pts)
     # HALF-neighborhood probe: instead of exploding to all 9 neighbor
     # cells, probe only {(0,0), (1,0), (0,1), (1,1), (1,-1)} — every
     # unordered neighbor-cell pair is covered by exactly ONE forward
