@@ -36,6 +36,48 @@ def test_spread_scan_never_executes_an_adaptive_plan(spark):
     assert "isFinalPlan=false" in plan  # ...and nothing was executed
 
 
+def test_largestar_round_algebra(spark):
+    """r14 large-star rewrite: with every stored edge (u, v) satisfying
+    u > v, one round's output {(u, m(v))} (m(v) = min down-neighbor of
+    v, else v) must equal the classic union + closed-neighborhood-min +
+    filter formulation — on a graph with chains, hubs, and isolated
+    big-ends."""
+    edges = [(9, 1), (9, 5), (5, 2), (4, 2), (3, 1), (2, 1), (8, 7),
+             (7, 6), (11, 10)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    nbrs = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lmins = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"))
+    old = (
+        nbrs.join(lmins, "u").filter(F.col("v") > F.col("u"))
+        .select(F.greatest("v", "m").alias("u"),
+                F.least("v", "m").alias("v")).distinct())
+    dmin = e.groupBy("u").agg(F.min("v").alias("m"))
+    new = (
+        e.join(dmin.select(F.col("u").alias("v"), "m"), "v", "left")
+        .select("u", F.coalesce("m", F.col("v")).alias("v")).distinct())
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))
+
+
+def test_pagerank_round_joins_halved(spark):
+    """r14 pagerank rewrite: outdeg rides the cached edge list
+    (edges_deg), so the 5-round optimized plan carries exactly ONE
+    logical Join per round — the old shape's extra pr-deg join per
+    round (10 Join nodes total) is gone."""
+    import re
+
+    from zio_kinesis_example_spark.operators.analytics import _PR_ITERS
+    from zio_kinesis_example_spark.registry import all_specs
+
+    df = all_specs()["q_graph_pagerank"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"\bJoin\b", plan)) == _PR_ITERS
+    from zio_kinesis_example_spark.api import clear_shared_cache
+    clear_shared_cache()
+
+
 def test_shuffle_partitions_falls_back_on_non_numeric_conf(spark):
     """ADVICE r13 (low): a non-integer spark.sql.shuffle.partitions
     (e.g. "auto" under a platform's auto-optimized shuffle) must fall

@@ -1012,19 +1012,24 @@ def connected_components(edges: DataFrame, src: str = "src",
     prev_sig, rounds = None, 0
     while True:
         rounds += 1
-        nbrs = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmins = nbrs.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m"))
+        # r14 (guide §2.3/§2.4 — halve the large-star phase): every
+        # stored edge has u > v (orient/greatest-least invariant,
+        # preserved by both star steps), so in min(Γ(x) ∪ {x}) the
+        # up-neighbors of x (all > x) can NEVER be the minimum — the
+        # closed-neighborhood min is just min(x, min down-neighbor).
+        # And the old nbrs.filter(v > u) kept exactly the reversed edge
+        # rows, i.e. large-star emitted precisely {(u, m(v)) : (u,v)∈e}.
+        # Computing that directly drops the 2|e|-row union + wide
+        # groupBy + filter for an |e|-row groupBy + one left join:
+        # identical per-round output (pinned by tests/test_dedup
+        # equivalence + the r14 round-count test), half the shuffled
+        # rows in the phase that dominates each round.
+        dmin = e.groupBy("u").agg(F.min("v").alias("m"))
         large = (
-            nbrs.join(lmins, "u")
-            .filter(F.col("v") > F.col("u"))
-            # no u != v filter needed: m = min(Γ(u) ∪ {u}) ≤ u < v, so
-            # greatest(v,m) = v and least(v,m) = m can never be equal
-            # (r8 review: one dead plan node per round removed from the
-            # loop whose lineage size is the bottleneck)
-            .select(F.greatest("v", "m").alias("u"),
-                    F.least("v", "m").alias("v"))
+            e.join(dmin.select(F.col("u").alias("v"), "m"), "v", "left")
+            # m(v) = coalesce(min down-neighbor of v, v) ≤ v < u, so
+            # the pair (u, m(v)) is already ordered and never equal
+            .select("u", F.coalesce("m", F.col("v")).alias("v"))
             .distinct()
         )
         smins = large.groupBy("u").agg(F.min("v").alias("m"))

@@ -259,17 +259,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = _track_persist(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
+    # r14 (guide §2.4 — one join per round instead of two): outdeg is a
+    # per-src constant, so attach it to the edge list ONCE and cache
+    # the result; each round then joins pr against edges_deg alone
+    # (rate = pr DIV outdeg computed on the joined row — the identical
+    # multiset of (dst, rate) terms, so every round's sum is unchanged
+    # bit-for-bit). The old shape paid a pr⋈deg shuffle join per round
+    # on top of the edges⋈rates one — 10 round-joins; now 5.
+    edges_deg = _track_persist(edges.join(deg, "src"))
     pr = deg.select(F.col("src").alias("node"),
                     F.lit(_PR_SCALE).cast("long").alias("pr"))
     base = _PR_SCALE * 15 // 100
     for _ in range(_PR_ITERS):
-        rates = (
-            pr.join(deg, pr.node == deg.src)
-            .select("src", F.expr("pr DIV outdeg").alias("rate"))
-        )
-        contrib = edges.join(rates, "src").select("dst", "rate")
         pr = (
-            contrib.groupBy(F.col("dst").alias("node"))
+            edges_deg.join(pr, edges_deg.src == pr.node)
+            .select("dst", F.expr("pr DIV outdeg").alias("rate"))
+            .groupBy(F.col("dst").alias("node"))
             .agg((F.lit(base) + F.expr("(85 * sum(rate)) DIV 100"))
                  .alias("pr"))
         )

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from .exact import measure_domain
+from .exact import measure_domain, spread_scan
 
 # 5-term shingles for decontamination overlap (eval-set n-gram matching,
 # the standard train/test-overlap definition). Distinct per doc.
@@ -376,12 +376,17 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
 
-    keepers = d.groupBy(F.sha2("text", 256).alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
+    # r14 (guide §2.4, VERDICT r13 #4): the old shape computed
+    # sha256(text) over the corpus TWICE (once per side of a
+    # keepers-join: event-log profile showed two 0.3–0.5 s single-task
+    # scan stages at sf0.1) — the same drop set falls out of ONE hashed
+    # pass and a min-window over the hash groups (one shuffle, one
+    # sha256 per row). spread_scan: the sha256+shuffle-write work
+    # otherwise runs in the single-file scan's 1-task stage.
+    hd = spread_scan(d).select("doc_id", F.sha2("text", 256).alias("h"))
     exact_drops = (
-        d.select("doc_id", F.sha2("text", 256).alias("h"))
-        .join(keepers, "h")
+        hd.withColumn("keep_id",
+                      F.min("doc_id").over(Window.partitionBy("h")))
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )

@@ -253,10 +253,16 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread the corpus before the per-pair interpreted folds: a
     # single parquet file scans as ONE partition and the whole crossJoin
-    # serializes onto one core (measured 33s vs 2.6s at sf0.1). The LSH/
-    # IVF paths deliberately do NOT spread — their kernels are per-batch
-    # BLAS matmuls that prefer few large Arrow batches (spreading them
-    # measured 1.6s → 5.5s).
+    # serializes onto one core (measured 33s vs 2.6s at sf0.1).
+    # (r14 re-measure of the r6 "don't spread the BLAS kernels" pin,
+    # VERDICT r13 #7: the IVF/IVFPQ corpus sides have carried _spread
+    # since r10; toggling it OFF on q_sim_ann_ivfpq measured a WASH —
+    # interleaved min-of-5 ×3: ON 2.53/2.31/1.96 s vs OFF
+    # 2.60/1.89/2.28 s — because the spread precedes ONE fused
+    # projection, so batches stay large. The r6 1.6→5.5 s regression
+    # was spreading BETWEEN per-batch BLAS stages, which still holds as
+    # the thing not to do. Spread stays: required at single-file
+    # layouts, no-op-sized at lake scale.)
     dot, na, nb = _range_dot_norm_cols()   # ONE fold rule, shared with
     pairs = (                              # the range/refine stages
         e.repartition(spark.sparkContext.defaultParallelism)
