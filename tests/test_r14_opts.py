@@ -78,6 +78,38 @@ def test_pagerank_round_joins_halved(spark):
     clear_shared_cache()
 
 
+def test_persist_if_big_fires_only_above_floor(spark):
+    """r14 conditional persist (VERDICT r13 #2): below the size floor
+    the events-family plans carry NO InMemoryRelation (the local bench
+    path is byte-identical to r13); with the floor forced to 1 byte
+    every multi-consumer frame persists and the plan reads caches."""
+    from zio_kinesis_example_spark.api import clear_shared_cache
+    from zio_kinesis_example_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    fn = all_specs()["q_funnel"].fn
+    plan_default = fn(spark, sf)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan_default
+    old = spark.conf.get("spark.zke.persist.minInputBytes", None)
+    spark.conf.set("spark.zke.persist.minInputBytes", "1")
+    try:
+        plan_forced = fn(spark, sf)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "InMemoryRelation" in plan_forced
+        # values are persist-invariant
+        a = sorted(map(tuple, fn(spark, sf).collect()))
+        clear_shared_cache()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.zke.persist.minInputBytes")
+        else:
+            spark.conf.set("spark.zke.persist.minInputBytes", old)
+    b = sorted(map(tuple, fn(spark, sf).collect()))
+    assert a == b
+    clear_shared_cache()
+
+
 def test_shuffle_partitions_falls_back_on_non_numeric_conf(spark):
     """ADVICE r13 (low): a non-integer spark.sql.shuffle.partitions
     (e.g. "auto" under a platform's auto-optimized shuffle) must fall
